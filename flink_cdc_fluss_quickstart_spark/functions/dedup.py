@@ -1,0 +1,121 @@
+"""Deduplication operators: exact, normalized-fingerprint, MinHash/LSH.
+
+Designed for the 100 TB posture:
+- exact/normalized dedup: one hash-shuffle on the digest (the minimum),
+- MinHash signatures: computed per-row with array expressions -- the shingle
+  set never leaves the row (no explode, no shuffle); only the band-bucket
+  self-join shuffles, and it shuffles 8-byte-ish digests, not documents,
+- all hashing is md5-based so every step is deterministic AND reproducible in
+  the DuckDB oracle (Spark's xxhash64 is faster but engine-private; a
+  production deployment swaps the hash in one place here).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from flink_cdc_fluss_quickstart_spark.functions.text import normalized_text
+
+SHINGLE_LEN = 5  # character shingles over normalized text
+DEFAULT_SEEDS = (0, 1, 2, 3)  # minhash "permutations" (md5 salt per seed)
+
+
+def exact_key(text: Column) -> Column:
+    """Exact-dup grouping key: md5 of the raw text."""
+    return F.md5(text)
+
+
+def normalized_key(text: Column) -> Column:
+    """Near-dup-by-normalization grouping key."""
+    return F.md5(normalized_text(text))
+
+
+def shingle_array(norm_col: str, n: int = SHINGLE_LEN) -> Column:
+    """Array of character n-gram shingles of a normalized-text column,
+    computed row-locally (SQL expr because the lambda variable feeds
+    substring's start position)."""
+    return F.expr(
+        f"transform(sequence(1, greatest(length({norm_col}) - {n - 1}, 1)),"
+        f" i -> substring({norm_col}, i, {n}))"
+    )
+
+
+def minhash_signature(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seeds: tuple[int, ...] = DEFAULT_SEEDS,
+    n: int = SHINGLE_LEN,
+) -> DataFrame:
+    """MinHash signature per document: for each seed, the minimum md5 over the
+    document's character shingles salted with that seed.
+
+    Output: (id, mh_<seed>, ...) -- one row per document, no shuffle.
+    """
+    out = df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
+    sh = shingle_array("__norm", n)
+
+    def salted(seed: int):
+        salt = f"{seed}:"
+        return lambda s: F.md5(F.concat(F.lit(salt), s))
+
+    cols = [
+        F.array_min(F.transform(sh, salted(seed))).alias(f"mh_{seed}")
+        for seed in seeds
+    ]
+    return out.select(id_col, *cols)
+
+
+def minhash_band_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    band_cols: tuple[tuple[str, ...], ...],
+) -> DataFrame:
+    """LSH candidate pairs: documents sharing ALL minhash values within any
+    band. Each band is a self-join on the band's concatenated signature --
+    the join key is a digest, so at scale this shuffles only (id, digest).
+
+    Output: distinct (id_a, id_b) with id_a < id_b.
+    """
+    pairs = None
+    for i, cols in enumerate(band_cols):
+        key = F.md5(F.concat_ws("|", *[F.col(c) for c in cols])).alias("band_key")
+        banded = signatures.select(F.col(id_col), key)
+        a = banded.alias("a")
+        b = banded.alias("b")
+        p = a.join(b, F.col("a.band_key") == F.col("b.band_key")).filter(
+            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+        ).select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    assert pairs is not None
+    return pairs.distinct()
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    candidate_pairs: DataFrame,
+    n: int = SHINGLE_LEN,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs only (the verify
+    step after LSH). Shingle sets are row-local arrays; the pair join brings
+    two arrays together and intersects them without exploding.
+
+    Output: (id_a, id_b, jaccard DOUBLE).
+    """
+    norm = (
+        df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
+        .select(F.col(id_col), F.array_distinct(shingle_array("__norm", n)).alias("sh"))
+    )
+    a = norm.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = norm.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = candidate_pairs.join(a, "id_a").join(b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return joined.select(
+        "id_a", "id_b", (inter / union).alias("jaccard")
+    )

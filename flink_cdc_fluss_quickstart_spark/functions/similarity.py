@@ -1,0 +1,85 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k -- the query set broadcasts, the corpus
+streams, so the cost is one pass over the corpus per batch of queries (the
+right plan at 100 TB: queries are small, corpus is huge, never shuffle the
+corpus).
+
+Cross-engine determinism contract: elements are float32, so pairwise products
+in float64 are EXACT (24-bit x 24-bit mantissas fit in 53 bits). Each product
+is then floor-scaled to an integer (floor(p * 1e12) -- floor of a double is
+the same in every IEEE engine, unlike decimal-cast rounding modes) and summed
+as BIGINT, which is exact and order-independent, so the dot product matches
+the DuckDB oracle bit-for-bit. The final cosine division happens in float64
+on identical inputs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
+
+# fixed-point scale for exact integer accumulation of double products;
+# |product| < 1 and dims <= a few thousand, so sums stay far below 2^53
+SCALE = 1e12
+
+
+def _scaled_sum(arr: Column) -> Column:
+    """Exact order-free sum of a double array: floor-scale each element to a
+    long, sum longs."""
+    zero = F.lit(0).cast("long")
+    return F.aggregate(arr, zero, lambda acc, x: acc + F.floor(x * F.lit(SCALE)))
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return _scaled_sum(prods).cast("double") / F.lit(SCALE)
+
+
+def sq_norm(a: Column) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return _scaled_sum(sq).cast("double") / F.lit(SCALE)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Brute-force cosine top-k: for each query vector, the k nearest corpus
+    vectors (excluding itself), rank ties broken by neighbor id.
+
+    Plan shape: broadcast(queries) nested-loop join against the corpus scan,
+    then a per-query top-k window. At scale the corpus side stays partitioned
+    and is read once; only (query_id, neighbor_id, sim) rows shuffle into the
+    top-k, and AQE coalesces that tiny exchange.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )

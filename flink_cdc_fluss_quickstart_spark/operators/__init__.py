@@ -1,0 +1,7 @@
+from flink_cdc_fluss_quickstart_spark.operators.changelog import (
+    latest_by_key,
+    apply_changelog,
+    changelog_from_events,
+)
+
+__all__ = ["latest_by_key", "apply_changelog", "changelog_from_events"]

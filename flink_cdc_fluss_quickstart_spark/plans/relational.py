@@ -1,0 +1,492 @@
+"""Relational query inventory: the reference's SQL semantics re-expressed
+Spark-first over the driver's TPC-H-ish tables.
+
+Reference parity map (SURVEY.md section 2):
+- `revenue_analytics` mirrors flink-cdc/sql/revenue-analytics.sql:46-65 --
+  fact-dim equi join + multi-column GROUP BY + SUM/COUNT/AVG/MAX + 3x
+  conditional-count + 3x conditional-sum status pivot (operators J1, A1-A7,
+  P1-P5), with orders as the ticket fact (o_orderstatus in {O,P,F} standing
+  in for scheduled/live/finished) and customer as the dimension.
+- The remaining queries exercise every other relational operator class the
+  engine exposes: scans+pushdown, sort/limit, outer/semi/anti joins, set ops,
+  rollup, distinct agg, windowed event-time aggregation, OVER windows.
+
+Float determinism contract (must hold vs the DuckDB oracle): never aggregate
+raw DOUBLEs. Cast money columns to exact DECIMAL before SUM/AVG; convert the
+exact result to DOUBLE at the end; do divisions in DOUBLE afterwards. Both
+engines then run identical float ops on identical inputs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_cdc_fluss_quickstart_spark.plans.registry import register
+from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+DEC = "decimal(12,2)"  # exact money type (reference uses DECIMAL(10,2) costs)
+DEC4 = "decimal(4,2)"  # discounts / taxes in [0,1)
+
+
+def _dec(col: str) -> F.Column:
+    return F.col(col).cast(DEC)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: continuous revenue analytics, batch form
+# ---------------------------------------------------------------------------
+
+REVENUE_STATUSES = (("O", "open"), ("P", "pending"), ("F", "finished"))
+
+
+@register(
+    "revenue_analytics",
+    oracle="""
+    SELECT
+      o.o_custkey                       AS customer_id,
+      c.c_name                          AS customer_name,
+      c.c_mktsegment                    AS mktsegment,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue,
+      COUNT(*)                          AS order_count,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_order_value,
+      SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS open_orders,
+      SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS pending_orders,
+      SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished_orders,
+      CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN CAST(o.o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS open_revenue,
+      CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN CAST(o.o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS pending_revenue,
+      CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN CAST(o.o_totalprice AS DECIMAL(12,2)) ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) AS finished_revenue,
+      MAX(o.o_orderdate)                AS last_order_at
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderdate IS NOT NULL
+    GROUP BY o.o_custkey, c.c_name, c.c_mktsegment
+    """,
+    description="Reference revenue-analytics.sql:46-65 semantics: fact-dim join"
+    " + grouped SUM/COUNT/AVG/MAX + per-status conditional pivot (J1, A1-A7).",
+)
+def revenue_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scale note: orders-customer is a key-key join; at 100 TB both sides are
+    # large so this plans as a shuffle hash join on o_custkey with AQE skew
+    # handling. At test SF the 64m broadcast threshold turns it into a
+    # broadcast join automatically -- no manual hint needed either way.
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate").isNotNull())
+    customer = load_table(spark, sf_dir, "customer")
+
+    cost = _dec("o_totalprice")
+    zero = F.lit(0).cast(DEC)
+    aggs = [
+        F.sum(cost).cast("double").alias("total_revenue"),
+        F.count(F.lit(1)).alias("order_count"),
+    ]
+    status_aggs = []
+    for code, label in REVENUE_STATUSES:
+        is_code = F.col("o_orderstatus") == code
+        status_aggs.append(F.sum(F.when(is_code, 1).otherwise(0)).alias(f"{label}_orders"))
+        status_aggs.append(
+            F.sum(F.when(is_code, cost).otherwise(zero)).cast("double").alias(f"{label}_revenue")
+        )
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey)
+    out = joined.groupBy(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(
+        *aggs,
+        *status_aggs[0::2],
+        *status_aggs[1::2],
+        F.max("o_orderdate").alias("last_order_at"),
+    )
+    return out.withColumn(
+        "avg_order_value", F.col("total_revenue") / F.col("order_count")
+    ).select(
+        "customer_id", "customer_name", "mktsegment", "total_revenue",
+        "order_count", "avg_order_value", "open_orders", "pending_orders",
+        "finished_orders", "open_revenue", "pending_revenue",
+        "finished_revenue", "last_order_at",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pricing summary (TPC-H Q1 shape): wide aggregate over the big fact table
+# ---------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="Wide partial+final aggregation over the fact table with filter"
+    " pushdown (A2-A8, P2/P5); two-phase agg is Catalyst-native.",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    # filter is pushed to the parquet scan (PushedFilters in .explain)
+    li = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+    one = F.lit(1).cast(DEC4)
+    qty, price = _dec("l_quantity"), _dec("l_extendedprice")
+    disc, tax = F.col("l_discount").cast(DEC4), F.col("l_tax").cast(DEC4)
+    grouped = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("double").alias("sum_qty"),
+        F.sum(price).cast("double").alias("sum_base_price"),
+        F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+        F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+        F.sum(disc).cast("double").alias("sum_disc_exact"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return grouped.select(
+        "l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge",
+        (F.col("sum_qty") / F.col("count_order")).alias("avg_qty"),
+        (F.col("sum_base_price") / F.col("count_order")).alias("avg_price"),
+        (F.col("sum_disc_exact") / F.col("count_order")).alias("avg_disc"),
+        "count_order",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k with multi-join (TPC-H Q3 shape): sort + limit + 3-way join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q3_top_revenue_orders",
+    oracle="""
+    SELECT
+      l.l_orderkey AS orderkey,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      o.o_orderdate AS orderdate,
+      o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus = 'O'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey ASC
+    LIMIT 10
+    """,
+    description="3-way join + agg + global top-k (sort/limit with unique"
+    " tie-break; TakeOrderedAndProject, no full sort at scale).",
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(DEC4)
+    rev = _dec("l_extendedprice") * (one - F.col("l_discount").cast(DEC4))
+    out = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        # global top-k compiles to TakeOrderedAndProject: per-partition heap +
+        # driver merge, no full shuffle sort even at 100 TB
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+    return out.select("orderkey", "revenue", "orderdate", "orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# Deep join tree (TPC-H Q5 shape): 6-way join through the star schema
+# ---------------------------------------------------------------------------
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT
+      n.n_name AS nation,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    description="6-way star join with broadcast of fixed-size dims"
+    " (region/nation) and Catalyst join reordering (J1 generalization).",
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    # region and nation are fixed-cardinality (5/25 rows at every SF) --
+    # always broadcast them regardless of cluster-side thresholds
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    one = F.lit(1).cast(DEC4)
+    rev = _dec("l_extendedprice") * (one - F.col("l_discount").cast(DEC4))
+    out = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# OVER windows: top-n per group (ranking)
+# ---------------------------------------------------------------------------
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+    SELECT p_brand AS brand, p_partkey AS partkey, p_retailprice AS retailprice, rn
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+      FROM part
+    )
+    WHERE rn <= 3
+    """,
+    description="Ranking OVER window: top-3 parts by price per brand."
+    " Same primitive that materializes PK snapshots from changelogs (K1).",
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("p_brand").alias("brand"),
+            F.col("p_partkey").alias("partkey"),
+            F.col("p_retailprice").alias("retailprice"),
+            "rn",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer / semi / anti joins
+# ---------------------------------------------------------------------------
+
+@register(
+    "left_join_order_coverage",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           COUNT(o.o_orderkey) AS order_count
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    description="Left outer join + count-of-nullable (customers with zero"
+    " orders kept at count 0).",
+)
+def left_join_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+
+
+@register(
+    "anti_join_customers_without_orders",
+    oracle="""
+    SELECT c_custkey AS custkey, c_mktsegment AS mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    description="Left anti join (NOT EXISTS decorrelation).",
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+
+
+@register(
+    "semi_join_active_suppliers",
+    oracle="""
+    SELECT s_suppkey AS suppkey, s_name AS name
+    FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+    )
+    """,
+    description="Left semi join (EXISTS) with pushed-down predicate.",
+)
+def semi_join_active_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 45)
+    return s.join(li, s.s_suppkey == li.l_suppkey, "left_semi").select(
+        F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+@register(
+    "setop_multi_status_customers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    description="INTERSECT (distinct) of two filtered scans.",
+)
+def setop_multi_status_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    open_c = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    fin_c = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return open_c.intersect(fin_c)
+
+
+@register(
+    "setop_except_large_orders",
+    oracle="""
+    SELECT DISTINCT o_custkey AS custkey FROM orders
+    EXCEPT
+    SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000
+    """,
+    description="EXCEPT: customers who never placed a >200k order.",
+)
+def setop_except_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    all_c = o.select(F.col("o_custkey").alias("custkey")).distinct()
+    big_c = (
+        o.filter(F.col("o_totalprice") > 200000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return all_c.exceptAll(big_c).distinct()
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP / distinct aggregates
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_nation_segment_revenue",
+    oracle="""
+    SELECT
+      COALESCE(n.n_name, 'ALL')       AS nation,
+      COALESCE(c.c_mktsegment, 'ALL') AS mktsegment,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS order_count
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP (n.n_name, c.c_mktsegment)
+    """,
+    description="ROLLUP hierarchy totals (grouping-sets family; free Spark"
+    " extension beyond the reference per SURVEY 2.5).",
+)
+def rollup_nation_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    joined = o.join(c, o.o_custkey == c.c_custkey).join(n, c.c_nationkey == n.n_nationkey)
+    return (
+        joined.rollup("n_name", "c_mktsegment")
+        .agg(
+            F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("order_count"),
+        )
+        .select(
+            F.coalesce(F.col("n_name"), F.lit("ALL")).alias("nation"),
+            F.coalesce(F.col("c_mktsegment"), F.lit("ALL")).alias("mktsegment"),
+            "revenue",
+            "order_count",
+        )
+    )
+
+
+@register(
+    "distinct_agg_parts_per_priority",
+    oracle="""
+    SELECT o.o_orderpriority AS orderpriority,
+           COUNT(DISTINCT l.l_partkey) AS distinct_parts,
+           COUNT(DISTINCT l.l_suppkey) AS distinct_suppliers,
+           COUNT(*) AS line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    description="Multiple COUNT(DISTINCT) in one aggregate (expand+two-phase"
+    " plan in Spark).",
+)
+def distinct_agg_parts_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time tumbling window aggregation (streaming semantics, batch form)
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_time_tumbling_hourly",
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      event_type,
+      COUNT(*) AS event_count,
+      COUNT(DISTINCT user_id) AS unique_users,
+      CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+    description="Tumbling 1h event-time window aggregation (T1/A9/A10 batch"
+    " form; the streaming twin uses F.window + withWatermark).",
+)
+def event_time_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.countDistinct("user_id").alias("unique_users"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "unique_users",
+            "total_value",
+        )
+    )

@@ -1,0 +1,209 @@
+"""Declared queries for the text-analysis / dedup operator family over the
+`documents` table (training-data pipeline ops; first-class per BASELINE.json).
+
+Every query here is pure built-in-function row work plus at most one digest
+shuffle, i.e. the shape that scales linearly to 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_cdc_fluss_quickstart_spark.functions import dedup, text
+from flink_cdc_fluss_quickstart_spark.plans.registry import register
+from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS representative_id,
+           COUNT(*) AS dup_count
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    description="Exact deduplication: hash-groupBy on md5(text), keep the"
+    " minimum doc_id as representative.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(dedup.exact_key(F.col("text")).alias("text_hash"))
+        .agg(
+            F.min("doc_id").alias("representative_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+    FROM documents
+    """,
+    description="Document fingerprinting: digest of normalized text"
+    " (lowercase, punctuation-collapsed) -- the near-dup-by-normalization key.",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@register(
+    "token_count",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           length(text) AS n_chars_obs
+    FROM documents
+    """,
+    description="Token counting (whitespace tokenizer), pure map-side.",
+)
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_obs"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle=rf"""
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, avg_token_len,
+           (n_tokens >= 10 AND stopword_ratio >= 0.01) AS is_quality
+    FROM (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+               / length(text) AS punct_ratio,
+             CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                  x -> x IN ({_STOP_SQL}))) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+      FROM documents
+    )
+    """,
+    description="Quality scoring: length / punctuation-ratio / stopword-ratio"
+    " heuristics, all JVM-side built-ins (no UDF).",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_tokens = text.token_count(t)
+    out = d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (text.punct_count(t).cast("double") / F.length(t)).alias("punct_ratio"),
+        (text.stopword_count(t).cast("double") / n_tokens).alias("stopword_ratio"),
+        (
+            F.length(F.regexp_replace(t, r"\s", "")).cast("double") / n_tokens
+        ).alias("avg_token_len"),
+    )
+    return out.withColumn(
+        "is_quality", (F.col("n_tokens") >= 10) & (F.col("stopword_ratio") >= 0.01)
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ", ".join(f"'{w}'" for w in text.LANG_MARKERS[lang])
+    return (
+        rf"len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),"
+        rf" x -> x IN ({markers})))"
+    )
+
+
+@register(
+    "lang_id",
+    oracle=rf"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE
+             WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
+             WHEN s_en > 0 AND s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
+             WHEN s_de > 0 AND s_de >= GREATEST(s_fr, s_es) THEN 'de'
+             WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+             WHEN s_es > 0 THEN 'es'
+             ELSE 'und'
+           END AS pred_lang
+    FROM (
+      SELECT doc_id, lang, text,
+             {_lang_score_sql('en')} AS s_en,
+             {_lang_score_sql('de')} AS s_de,
+             {_lang_score_sql('fr')} AS s_fr,
+             {_lang_score_sql('es')} AS s_es
+      FROM documents
+    )
+    """,
+    description="Language identification: marker-token scoring heuristic with"
+    " CJK-codepoint precedence; deterministic argmax.",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        text.lang_id(F.col("text")).alias("pred_lang"),
+    )
+
+
+_MH_SQL = """
+    SELECT doc_id,
+           {mh_exprs}
+    FROM (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM documents
+    )
+"""
+
+
+def _mh_expr(seed: int, n: int = dedup.SHINGLE_LEN) -> str:
+    return (
+        f"list_min(list_transform(range(1, greatest(length(norm) - {n - 1}, 1) + 1),"
+        f" i -> md5('{seed}:' || substr(norm, i::int, {n})))) AS mh_{seed}"
+    )
+
+
+_MH_EXPRS = ",\n           ".join(_mh_expr(s) for s in dedup.DEFAULT_SEEDS)
+
+
+@register(
+    "minhash_signatures",
+    oracle=_MH_SQL.format(mh_exprs=_MH_EXPRS),
+    description="MinHash signatures (4 salted-md5 permutations over 5-char"
+    " shingles), computed row-locally with array expressions -- no shuffle.",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signature(d, "doc_id", "text")
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH sig AS ({_MH_SQL.format(mh_exprs=_MH_EXPRS)})
+    SELECT DISTINCT id_a, id_b FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1
+      WHERE a.doc_id < b.doc_id
+      UNION ALL
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3
+      WHERE a.doc_id < b.doc_id
+    )
+    """,
+    description="MinHash-LSH candidate pairs: banded signature self-join"
+    " (2 bands x 2 rows); shuffles digests, never documents.",
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text")
+    return dedup.minhash_band_pairs(sig, "doc_id", (("mh_0", "mh_1"), ("mh_2", "mh_3")))

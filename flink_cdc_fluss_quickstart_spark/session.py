@@ -1,0 +1,59 @@
+"""SparkSession factory tuned for both local testing and large-cluster scale.
+
+The reference sizes a single Flink TaskManager with 64 slots and 4 hash
+buckets per table (flink-cdc/docker-compose.yaml:42-45, tickets-cdc.sql:34).
+Spark's analogue is shuffle partitioning + AQE; at cluster scale AQE coalesces
+or splits post-shuffle partitions at runtime, so we set a generous static
+shuffle partition count and let AQE right-size it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuned for local[32] testing; on a real cluster these are overridden by
+# spark-submit conf. AQE makes the static shuffle-partition count a ceiling,
+# not a fixed cost: empty/small partitions are coalesced at runtime.
+_BASE_CONF: dict[str, str] = {
+    # deterministic timestamps across engines (DuckDB oracle parity)
+    "spark.sql.session.timeZone": "UTC",
+    # adaptive execution: runtime re-planning, skew-join handling, partition
+    # coalescing -- the 100 TB posture knobs
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for any pandas UDF edge (vectorized transfer, never row-at-a-time)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # broadcast small dimension tables aggressively (region/nation/part/
+    # customer at test SF; on a cluster the 10 MB default would re-apply via
+    # spark-submit conf)
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # files: pack small test files; at 100 TB the default 128m target holds
+    "spark.sql.files.maxPartitionBytes": "128m",
+    # the events table is written with TIMESTAMP(NANOS) parquet type, which
+    # Spark only reads as raw long; tables.py converts back to timestamp
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(app_name: str = "flink-cdc-fluss-quickstart-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
+    when no cluster master is configured.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    for k, v in _BASE_CONF.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return builder.getOrCreate()

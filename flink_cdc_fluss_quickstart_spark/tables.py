@@ -1,0 +1,62 @@
+"""Table loading / catalog registration over the driver-generated parquet.
+
+Mirrors the reference's catalog surface (CREATE CATALOG / USE / table scans,
+SURVEY.md section 2.1 S6-S7): the same physical table serves both batch scans
+and streaming reads. Here the batch side is a plain parquet scan -- Catalyst
+pushes filters and prunes columns into the scan, which is what the reference's
+lakehouse tier (Paimon/Iceberg parquet on S3) relies on too.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Batch scan of one table. Plain `spark.read.parquet` so that predicate
+    pushdown / column pruning reach the file scan (verify via .explain)."""
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS): read as long (see session
+        # conf nanosAsLong) and truncate to microseconds. The generator emits
+        # whole microseconds, so this is lossless; session TZ is UTC so the
+        # NTZ cast preserves the wall-clock value DuckDB sees.
+        df = df.withColumn(
+            "ts",
+            F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+        )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES
+            if os.path.exists(table_path(sf_dir, name))}
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every table as a temp view so `spark.sql` works against the
+    same namespace DuckDB's oracle sees (tables pre-registered as views)."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

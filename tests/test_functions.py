@@ -1,0 +1,84 @@
+"""Unit tests for text / dedup / similarity function modules."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+from flink_cdc_fluss_quickstart_spark.functions import dedup, similarity, text
+
+
+def test_token_and_stopword_counts(spark):
+    df = spark.createDataFrame([("the cat AND the dog",)], "text string")
+    row = df.select(
+        text.token_count(F.col("text")).alias("n"),
+        text.stopword_count(F.col("text")).alias("s"),
+    ).collect()[0]
+    assert row["n"] == 5
+    assert row["s"] == 3  # the, and, the
+
+
+def test_normalized_text_and_fingerprint(spark):
+    df = spark.createDataFrame(
+        [("Hello, WORLD!  42",), ("hello world 42",)], "text string"
+    )
+    fps = [r["fp"] for r in df.select(text.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]  # normalization collapses case/punct/space
+
+
+def test_lang_id_markers(spark):
+    rows = [
+        ("the cat and the dog is that",),
+        ("der hund und die katze ist",),
+        ("le chat est dans les arbres",),
+        ("el perro es una mascota por",),
+        ("你好 世界",),
+        ("qqq www zzz",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    got = [r["l"] for r in df.select(text.lang_id(F.col("text")).alias("l")).collect()]
+    assert got == ["en", "de", "fr", "es", "zh", "und"]
+
+
+def test_minhash_similar_docs_collide_more(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tail"
+    far = "completely different content about database query engines"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "id long, text string"
+    )
+    sig = dedup.minhash_signature(df, "id", "text").collect()
+    by_id = {r["id"]: [r[f"mh_{s}"] for s in dedup.DEFAULT_SEEDS] for r in sig}
+    matches_near = sum(a == b for a, b in zip(by_id[1], by_id[2]))
+    matches_far = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    assert matches_near > matches_far
+
+
+def test_ngram_jaccard_exact_pair(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdef"), (2, "abcdef"), (3, "zzzzzz")], "id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2), (1, 3)], "id_a long, id_b long")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard(df, "id", "text", pairs).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 0.0
+
+
+def test_cosine_topk_self_similarity(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.0]),   # identical direction to 0
+        (2, [0.0, 1.0]),   # orthogonal
+        (3, [-1.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") == 0)
+    out = similarity.cosine_topk(df, q, k=3).collect()
+    ranked = [(r["neighbor_id"], r["rank"], r["cosine_sim"]) for r in out]
+    assert ranked[0][0] == 1 and math.isclose(ranked[0][2], 1.0, abs_tol=1e-9)
+    assert ranked[1][0] == 2 and abs(ranked[1][2]) < 1e-9
+    assert ranked[2][0] == 3 and math.isclose(ranked[2][2], -1.0, abs_tol=1e-9)
