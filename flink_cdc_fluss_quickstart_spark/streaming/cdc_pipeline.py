@@ -1,0 +1,59 @@
+"""CDC replication pipelines: changelog stream -> PK staging table.
+
+Mirrors users/movies/tickets-cdc.sql: each reference job is
+`INSERT INTO <staging> SELECT <cols> FROM <pg_cdc_source>` with a watermark
+and exactly-once checkpoints. Spark-first: readStream -> withWatermark ->
+project -> foreachBatch merge into a PKTable (SURVEY.md 2.2 K1, 2.7 T1-T7).
+
+The merge is idempotent per (writer_id, batch_id) -- together with the
+streaming checkpoint this gives exactly-once table state over Spark's
+at-least-once foreachBatch, which is the same contract Flink's EXACTLY_ONCE
+checkpointing provides the reference (tickets-cdc.sql:2-5).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable
+
+
+def replicate(
+    changelog: DataFrame,
+    target: PKTable,
+    checkpoint_dir: str,
+    select_cols: Sequence[str] | None = None,
+    watermark: tuple[str, str] | None = None,
+    writer_id: str = "cdc",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Start a replication job; returns the StreamingQuery (T7: a running
+    INSERT INTO statement)."""
+    df = changelog
+    if watermark is not None:
+        # T1: bounded out-of-orderness; gates state retention for any
+        # downstream event-time operator in the same stream. Spark watermarks
+        # require instant-semantics TIMESTAMP; the session runs UTC so the
+        # cast from NTZ is lossless.
+        col, delay = watermark
+        import pyspark.sql.functions as F
+
+        df = df.withColumn(col, F.col(col).cast("timestamp")).withWatermark(col, delay)
+    if select_cols is not None:
+        keep = list(select_cols)
+        for extra in ("op", "seq"):
+            if extra not in keep:
+                keep.insert(0, extra)
+        df = df.select(*keep)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        target.merge(batch_df, batch_id=batch_id, writer_id=writer_id)
+
+    writer = df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -1,0 +1,139 @@
+"""Streaming end-to-end tests (SURVEY.md section 5 items 3-4): replay a
+deterministic CDC workload modeled on the reference's generator and assert
+the continuously-maintained view equals the batch re-aggregation of the final
+snapshots -- the invariant Flink's retraction machinery guarantees."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_cdc_fluss_quickstart_spark.sources import osb
+from flink_cdc_fluss_quickstart_spark.streaming.analytics import (
+    ContinuousRevenueView,
+    revenue_aggregate,
+)
+from flink_cdc_fluss_quickstart_spark.streaming.cdc_pipeline import replicate
+from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable
+
+
+@pytest.fixture(scope="module")
+def workload(tmp_path_factory):
+    out = tmp_path_factory.mktemp("osb_workload")
+    dirs = osb.generate_workload(str(out), epochs=6, seed=42)
+    return dirs
+
+
+def test_pk_table_merge_upsert_delete(spark, tmp_path):
+    t = PKTable(spark, str(tmp_path / "pk"), keys=["k"], order_by=["seq"])
+    b1 = spark.createDataFrame(
+        [("I", 1, 1, "a"), ("I", 2, 2, "b")], "op string, seq long, k long, v string"
+    )
+    t.merge(b1, batch_id=0)
+    b2 = spark.createDataFrame(
+        [("U", 3, 1, "a2"), ("D", 4, 2, None), ("I", 5, 3, "c")],
+        "op string, seq long, k long, v string",
+    )
+    t.merge(b2, batch_id=1)
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got == {1: "a2", 3: "c"}
+
+
+def test_pk_table_merge_idempotent_replay(spark, tmp_path):
+    t = PKTable(spark, str(tmp_path / "pk2"), keys=["k"], order_by=["seq"])
+    b = spark.createDataFrame([("I", 1, 1, "a")], "op string, seq long, k long, v string")
+    t.merge(b, batch_id=0)
+    stale = spark.createDataFrame(
+        [("U", 0, 1, "STALE")], "op string, seq long, k long, v string"
+    )
+    t.merge(stale, batch_id=0)  # replay of applied batch -> no-op
+    assert [r["v"] for r in t.snapshot().collect()] == ["a"]
+
+
+def test_pk_table_bucket_pruning(spark, tmp_path):
+    t = PKTable(spark, str(tmp_path / "pk3"), keys=["k"], order_by=["seq"], n_buckets=8)
+    big = spark.range(100).select(
+        F.lit("I").alias("op"), F.col("id").alias("seq"), F.col("id").alias("k")
+    )
+    t.merge(big, batch_id=0)
+    v_before = t._read_manifest()["version"]
+    dirs_before = dict(t._read_manifest()["buckets"])
+    one = spark.createDataFrame([("U", 1000, 5)], "op string, seq long, k long")
+    t.merge(one, batch_id=1)
+    m = t._read_manifest()
+    changed = [b for b, d in m["buckets"].items() if dirs_before.get(b) != d]
+    assert len(changed) == 1  # only the touched bucket was rewritten
+    assert m["version"] == v_before + 1
+    assert t.snapshot().count() == 100
+
+
+def test_cdc_replication_pipeline(spark, workload, tmp_path):
+    users = PKTable(spark, str(tmp_path / "users_staging"),
+                    keys=["user_id"], order_by=["seq"])
+    stream = osb.changelog_stream(spark, workload["users"], osb.USERS_SCHEMA)
+    q = replicate(
+        stream, users, str(tmp_path / "ckpt_users"),
+        select_cols=["user_id", "username", "email", "full_name", "created_at"],
+        watermark=("created_at", "5 seconds"),
+    )
+    q.awaitTermination(120)
+    snap = users.snapshot()
+    assert snap.count() == 6  # one insert per epoch, no deletes
+    assert {r["username"] for r in snap.collect()} == {f"user_{i}" for i in range(1, 7)}
+
+
+def test_continuous_revenue_view_matches_batch_oracle(spark, workload, tmp_path):
+    tickets = PKTable(spark, str(tmp_path / "tickets_staging"),
+                      keys=["ticket_id"], order_by=["seq"])
+    movies = PKTable(spark, str(tmp_path / "movies_staging"),
+                     keys=["movie_id"], order_by=["seq"])
+    revenue = PKTable(spark, str(tmp_path / "movie_revenue_realtime"),
+                      keys=["movie_id"], order_by=["seq"])
+    view = ContinuousRevenueView(spark, tickets, movies, revenue)
+
+    # movies first (dimension inserts+updates), then tickets -- each epoch a
+    # separate micro-batch (maxFilesPerTrigger=1)
+    qm = view.start_movies_pipeline(
+        osb.changelog_stream(spark, workload["movies"], osb.MOVIES_SCHEMA),
+        str(tmp_path / "ckpt_movies"),
+    )
+    qm.awaitTermination(180)
+    qt = view.start_tickets_pipeline(
+        osb.changelog_stream(spark, workload["tickets"], osb.TICKETS_SCHEMA),
+        str(tmp_path / "ckpt_tickets"),
+    )
+    qt.awaitTermination(180)
+
+    served = revenue.snapshot().drop("seq")
+    oracle = revenue_aggregate(tickets.snapshot(), movies.snapshot())
+
+    s_rows = sorted([tuple(r) for r in served.select(*oracle.columns).collect()])
+    o_rows = sorted([tuple(r) for r in oracle.collect()])
+    assert s_rows == o_rows
+    # sanity: retractions happened (some tickets transitioned / were deleted)
+    statuses = {r["status"] for r in tickets.snapshot().collect()}
+    assert {"live", "finished"} <= statuses
+    # movie-title updates are reflected in the served view (J1 dim update)
+    titles = {r["movie_title"] for r in served.collect()}
+    assert any("director's cut" in t for t in titles)
+
+
+def test_revenue_view_invariants(spark, workload, tmp_path):
+    """Property checks from SURVEY.md section 5 item 5: per-status counts sum
+    to ticket_count, per-status revenues sum to total_revenue."""
+    tickets = PKTable(spark, str(tmp_path / "t2"), keys=["ticket_id"], order_by=["seq"])
+    movies = PKTable(spark, str(tmp_path / "m2"), keys=["movie_id"], order_by=["seq"])
+    # batch-apply the whole changelog at once
+    t_log = spark.read.schema(osb.TICKETS_SCHEMA).parquet(workload["tickets"])
+    m_log = spark.read.schema(osb.MOVIES_SCHEMA).parquet(workload["movies"])
+    tickets.merge(t_log, batch_id=0)
+    movies.merge(m_log, batch_id=0)
+    agg = revenue_aggregate(tickets.snapshot(), movies.snapshot())
+    bad = agg.filter(
+        (F.col("scheduled_tickets") + F.col("live_tickets") + F.col("finished_tickets")
+         != F.col("ticket_count"))
+        | (F.col("scheduled_revenue") + F.col("live_revenue") + F.col("finished_revenue")
+           != F.col("total_revenue"))
+    )
+    assert bad.count() == 0
+    assert agg.count() > 0
