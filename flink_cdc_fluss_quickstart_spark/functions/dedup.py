@@ -94,6 +94,80 @@ def minhash_band_pairs(
     return pairs.distinct()
 
 
+SIMHASH_BITS = 32
+_HEX = "0123456789abcdef"
+
+
+def hex_digits_expr(norm_col: str, n: int = SHINGLE_LEN) -> str:
+    """SQL expr: per-row array (one element per DISTINCT shingle) of the first
+    8 hex-digit values of the shingle's md5 -- the 32 bits feeding simhash.
+    Everything is row-local array math; no shuffle, no UDF."""
+    sh = (
+        f"array_distinct(transform(sequence(1, greatest(length({norm_col}) - {n - 1}, 1)),"
+        f" i -> substring({norm_col}, i, {n})))"
+    )
+    return (
+        f"transform({sh}, s -> transform(sequence(1, 8),"
+        f" j -> instr('{_HEX}', substring(md5(s), j, 1)) - 1))"
+    )
+
+
+def simhash_bits_expr(digs_col: str) -> str:
+    """SQL expr summing 32 majority-vote bits into one BIGINT simhash.
+
+    Bit i (MSB-first over the first 8 md5 hex digits) is 1 iff more shingles
+    have that bit set than clear (ties -> 0). Codegen's common-subexpression
+    elimination evaluates the shared digit arrays once per row."""
+    terms = []
+    for i in range(SIMHASH_BITS):
+        j = i // 4 + 1  # 1-based hex digit index
+        div = 2 ** (3 - i % 4)  # MSB-first within the digit
+        bitsum = (
+            f"aggregate({digs_col}, 0, (acc, d) ->"
+            f" acc + CAST((((element_at(d, {j}) div {div}) % 2) * 2 - 1) AS INT))"
+        )
+        terms.append(f"(CASE WHEN {bitsum} > 0 THEN CAST({2 ** (31 - i)} AS BIGINT)"
+                     f" ELSE CAST(0 AS BIGINT) END)")
+    return " + ".join(terms)
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_LEN) -> DataFrame:
+    """32-bit SimHash fingerprint per document over distinct character
+    shingles of the normalized text. Output: (id, simhash BIGINT)."""
+    out = df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
+    out = out.select(id_col, F.expr(hex_digits_expr("__norm", n)).alias("__digs"))
+    return out.select(id_col, F.expr(simhash_bits_expr("__digs")).alias("simhash"))
+
+
+def simhash_neardup_pairs(
+    fingerprints: DataFrame, id_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash: candidates share at least one of the 4 bytes
+    of the fingerprint (pigeonhole: hamming <= 3 guarantees a whole equal
+    byte), verified with an exact popcount on the XOR.
+
+    Only (id, simhash, byte) rows shuffle -- never documents. Output:
+    distinct (id_a, id_b, hamming) with id_a < id_b.
+    """
+    pairs = None
+    for k in range(4):
+        byte = (F.col("simhash").bitwiseAND(F.lit(255 << (8 * k)))).alias("band_key")
+        banded = fingerprints.select(F.col(id_col), F.col("simhash"), byte)
+        a, b = banded.alias("a"), banded.alias("b")
+        p = (
+            a.join(b, F.col("a.band_key") == F.col("b.band_key"))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    assert pairs is not None
+    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+
+
 def ngram_jaccard(
     df: DataFrame,
     id_col: str,

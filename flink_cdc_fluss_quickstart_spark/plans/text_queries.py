@@ -186,6 +186,110 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signature(d, "doc_id", "text")
 
 
+_NORM_DOCS = (
+    "SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm"
+    " FROM documents"
+)
+
+
+def _shingles_sql(n: int = dedup.SHINGLE_LEN) -> str:
+    return (
+        f"list_distinct(list_transform(range(1, greatest(length(norm) - {n - 1}, 1) + 1),"
+        f" i -> substr(norm, i::int, {n})))"
+    )
+
+
+@register(
+    "ngram_jaccard_neardup",
+    oracle=f"""
+    WITH sig AS ({_MH_SQL.format(mh_exprs=_MH_EXPRS)}),
+    pairs AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1
+        WHERE a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3
+        WHERE a.doc_id < b.doc_id
+      )
+    ),
+    sh AS (SELECT doc_id, {_shingles_sql()} AS s FROM ({_NORM_DOCS}))
+    SELECT id_a, id_b, jaccard FROM (
+      SELECT p.id_a, p.id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+               / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+               AS jaccard
+      FROM pairs p JOIN sh a ON p.id_a = a.doc_id JOIN sh b ON p.id_b = b.doc_id
+    ) WHERE jaccard >= 0.5
+    """,
+    description="n-gram Jaccard near-dup: LSH candidate pairs verified with"
+    " exact shingle-set Jaccard, thresholded at 0.5. Shingle sets stay"
+    " row-local arrays; only candidate (id, id) pairs shuffle.",
+)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text")
+    pairs = dedup.minhash_band_pairs(sig, "doc_id", (("mh_0", "mh_1"), ("mh_2", "mh_3")))
+    return dedup.ngram_jaccard(d, "doc_id", "text", pairs).filter(
+        F.col("jaccard") >= 0.5
+    )
+
+
+def _simhash_sql_expr() -> str:
+    terms = []
+    for i in range(dedup.SIMHASH_BITS):
+        j = i // 4 + 1
+        div = 2 ** (3 - i % 4)
+        bitsum = f"list_sum(list_transform(digs, d -> ((d[{j}] // {div}) % 2) * 2 - 1))"
+        terms.append(f"(CASE WHEN {bitsum} > 0 THEN {2 ** (31 - i)} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_SIMHASH_SQL = f"""
+    SELECT doc_id, CAST({_simhash_sql_expr()} AS BIGINT) AS simhash
+    FROM (
+      SELECT doc_id,
+             list_transform({_shingles_sql()}, s -> list_transform(range(1, 9),
+               j -> instr('0123456789abcdef', substr(md5(s), j::int, 1)) - 1)) AS digs
+      FROM ({_NORM_DOCS})
+    )
+"""
+
+
+@register(
+    "simhash_fingerprint",
+    oracle=_SIMHASH_SQL,
+    description="32-bit SimHash fingerprint: per-bit majority vote over"
+    " md5-hashed distinct shingles, all row-local array math (no shuffle).",
+)
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.simhash(d, "doc_id", "text")
+
+
+@register(
+    "simhash_neardup_pairs",
+    oracle=f"""
+    WITH fp AS ({_SIMHASH_SQL})
+    SELECT DISTINCT id_a, id_b, hamming FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM (SELECT unnest(range(0, 4)) AS k) band
+      CROSS JOIN fp a JOIN fp b
+        ON (a.simhash & (255 << (8 * band.k))) = (b.simhash & (255 << (8 * band.k)))
+      WHERE a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """,
+    description="SimHash near-dup pairs: byte-band candidate join (pigeonhole"
+    " guarantees recall for hamming<=3) + exact popcount verify.",
+)
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = dedup.simhash(d, "doc_id", "text")
+    return dedup.simhash_neardup_pairs(fp, "doc_id", max_hamming=3)
+
+
 @register(
     "minhash_lsh_pairs",
     oracle=f"""
