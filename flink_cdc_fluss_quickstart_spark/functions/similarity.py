@@ -46,6 +46,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
 
 
+def lsh_planes(n_planes: int, dim: int) -> list[list[int]]:
+    """Deterministic random-hyperplane weights for sign-LSH: small odd
+    integers in [-15, 15] derived from md5(plane:dim). Odd -> never zero, so
+    per-dimension products never hit sign(0); integer -> float32 * w is exact
+    in float64 and both engines floor-scale identical values."""
+    import hashlib
+
+    return [
+        [int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[0], 16) * 2 - 15 for d in range(dim)]
+        for p in range(n_planes)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
+    """Sign-LSH bucket id: bit p set iff the exact (floor-scaled bigint) dot
+    product with hyperplane p is > 0. Row-local; the bucket is the only thing
+    that shuffles at scale."""
+    out = None
+    for p, w in enumerate(planes):
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        prods = F.zip_with(vec, warr, lambda x, y: x.cast("double") * y)
+        term = F.when(_scaled_sum(prods) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        out = term if out is None else out + term
+    assert out is not None
+    return out.cast("int")
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
