@@ -1,0 +1,66 @@
+"""Declared queries for the multimodal (binary payload) operator family.
+
+The pipeline under test is the real 100 TB shape: JVM-side payload framing ->
+Arrow-batched mapInPandas decode/extract -> narrow feature rows; only the
+decoder body is a deterministic stub (see functions/multimodal.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_cdc_fluss_quickstart_spark.functions import multimodal
+from flink_cdc_fluss_quickstart_spark.plans.registry import register
+from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+_FEATS = ",\n           ".join(
+    f"{multimodal.hex4_sql('text', k)} AS f{k}" for k in range(multimodal.FEATURE_DIMS)
+)
+
+
+@register(
+    "multimodal_feature_extract",
+    oracle=f"""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           {_FEATS}
+    FROM documents
+    """,
+    description="Multimodal pipeline: binary payload framing + Arrow-batched"
+    " mapInPandas feature extraction (decoder stubbed deterministically);"
+    " output drops the payload so downstream shuffles stay narrow.",
+)
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frame = multimodal.attach_payload(docs)
+    return multimodal.extract_features(frame, mode="stub")
+
+
+@register(
+    "multimodal_quality_gate",
+    oracle=f"""
+    SELECT media_type,
+           COUNT(*) AS n_docs,
+           SUM(n_bytes) AS total_bytes,
+           SUM(CASE WHEN f0 >= 0.5 THEN 1 ELSE 0 END) AS flagged
+    FROM (
+      SELECT doc_id, 'text/plain' AS media_type,
+             octet_length(encode(text)) AS n_bytes,
+             {multimodal.hex4_sql('text', 0)} AS f0
+      FROM documents
+    )
+    GROUP BY media_type
+    """,
+    description="Aggregation over extracted multimodal features (the filter/"
+    "route step of a training-data pipeline): per-media-type volume and a"
+    " feature-thresholded flag count.",
+)
+def multimodal_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = multimodal_feature_extract(spark, sf_dir)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum(F.when(F.col("f0") >= 0.5, 1).otherwise(0)).alias("flagged"),
+    )
