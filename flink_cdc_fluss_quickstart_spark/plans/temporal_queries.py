@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.window import Window
 
 from flink_cdc_fluss_quickstart_spark.operators.asof import asof_join
+from flink_cdc_fluss_quickstart_spark.operators.rangejoin import bin_range_join
 from flink_cdc_fluss_quickstart_spark.plans.registry import register
 from flink_cdc_fluss_quickstart_spark.tables import load_table
 
@@ -69,3 +70,97 @@ def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_cols=["view_event_id", "view_value"],
         right_order=("view_event_id",),
     ).select("event_id", "user_id", "ts", "value", "view_event_id", "view_value")
+
+
+@register(
+    "session_windows_per_user",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM x
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS total_value
+    FROM s
+    GROUP BY user_id, sess_id
+    """,
+    description="Sessionization: Spark's built-in session_window (30-minute"
+    " gap) -- one shuffle on the user key; the oracle is the equivalent"
+    " gaps-and-islands SQL. Events at exactly the gap boundary merge"
+    " (verified Spark semantics).",
+)
+def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    scaled = F.floor(F.col("value") * F.lit(1e6)).cast("long")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(scaled).cast("double") / F.lit(1e6)).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+PRICE_BANDS = (
+    ("budget", 0.0, 50_000.0),
+    ("standard", 50_000.0, 120_000.0),
+    ("plus", 120_000.0, 200_000.0),
+    ("premium", 200_000.0, 300_000.0),
+    ("luxury", 300_000.0, 420_000.0),
+    ("ultra", 420_000.0, 600_000.0),
+)
+_BANDS_SQL = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in PRICE_BANDS)
+
+
+@register(
+    "range_join_price_bands",
+    oracle=f"""
+    SELECT band,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS band_revenue
+    FROM orders
+    JOIN (VALUES {_BANDS_SQL}) AS bands(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    description="Range (interval) join via binning: irregular price bands"
+    " expand to coarse bins, orders compute one bin each, and the match is an"
+    " equi hash join + exact bounds filter -- never a nested-loop theta join."
+    " Oracle uses the plain theta join (same result, different plan).",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        list(PRICE_BANDS), "band string, lo double, hi double"
+    )
+    joined = bin_range_join(
+        orders.select("o_orderkey", "o_totalprice"),
+        "o_totalprice",
+        bands,
+        "lo",
+        "hi",
+        bin_size=25_000.0,
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(12,2)")).cast("double").alias("band_revenue"),
+    )
