@@ -88,18 +88,25 @@ def cosine_topk(
     and is read once; only (query_id, neighbor_id, sim) rows shuffle into the
     top-k, and AQE coalesces that tiny exchange.
     """
+    # norms are per-row, not per-pair: compute them once on each side before
+    # the join (k x fewer float ops per candidate; identical values, so the
+    # DuckDB oracle's per-pair spelling still matches bit-for-bit)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("__cn"),
     )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("cosine_sim"),
+            (dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(

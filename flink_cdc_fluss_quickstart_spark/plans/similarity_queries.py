@@ -113,15 +113,18 @@ _BUCKETED = f"""
 )
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # bucket AND norm are per-row: computed on the corpus scan, never per pair
     b = emb.select(
         "vec_id",
         "embedding",
         similarity.lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
+        F.sqrt(similarity.sq_norm(F.col("embedding"))).alias("__n"),
     )
     q = b.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),
         F.col("bucket").alias("__qb"),
+        F.col("__n").alias("__qn"),
     )
     from pyspark.sql.window import Window
 
@@ -134,7 +137,10 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             "bucket",
-            similarity.cosine(F.col("__qv"), F.col("embedding")).alias("cosine_sim"),
+            (
+                similarity.dot(F.col("__qv"), F.col("embedding"))
+                / (F.col("__qn") * F.col("__n"))
+            ).alias("cosine_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
@@ -180,6 +186,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "embedding",
         similarity.lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
+        F.sqrt(similarity.sq_norm(F.col("embedding"))).alias("__n"),
     )
     a, b = bk.alias("a"), bk.alias("b")
     pairs = (
@@ -187,7 +194,10 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("id_a"),
             F.col("b.vec_id").alias("id_b"),
-            similarity.cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cosine_sim"),
+            (
+                similarity.dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.__n") * F.col("b.__n"))
+            ).alias("cosine_sim"),
         )
     )
     return pairs.filter(F.col("cosine_sim") >= 0.4)

@@ -154,38 +154,6 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_MH_SQL = """
-    SELECT doc_id,
-           {mh_exprs}
-    FROM (
-      SELECT doc_id,
-             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-      FROM documents
-    )
-"""
-
-
-def _mh_expr(seed: int, n: int = dedup.SHINGLE_LEN) -> str:
-    return (
-        f"list_min(list_transform(range(1, greatest(length(norm) - {n - 1}, 1) + 1),"
-        f" i -> md5('{seed}:' || substr(norm, i::int, {n})))) AS mh_{seed}"
-    )
-
-
-_MH_EXPRS = ",\n           ".join(_mh_expr(s) for s in dedup.DEFAULT_SEEDS)
-
-
-@register(
-    "minhash_signatures",
-    oracle=_MH_SQL.format(mh_exprs=_MH_EXPRS),
-    description="MinHash signatures (4 salted-md5 permutations over 5-char"
-    " shingles), computed row-locally with array expressions -- no shuffle.",
-)
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_signature(d, "doc_id", "text")
-
-
 _NORM_DOCS = (
     "SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm"
     " FROM documents"
@@ -197,6 +165,42 @@ def _shingles_sql(n: int = dedup.SHINGLE_LEN) -> str:
         f"list_distinct(list_transform(range(1, greatest(length(norm) - {n - 1}, 1) + 1),"
         f" i -> substr(norm, i::int, {n})))"
     )
+
+
+def _mh_expr(k: int) -> str:
+    return f"list_min(list_transform(hs, h -> substr(h, {8 * k + 1}, 8))) AS mh_{k}"
+
+
+_MH_EXPRS = ",\n           ".join(_mh_expr(k) for k in range(len(dedup.DEFAULT_SEEDS)))
+
+# one md5 per DISTINCT shingle, sliced into 4 signature components
+# (op-for-op mirror of functions/dedup.minhash_signature)
+_MH_SQL_TEMPLATE = """
+    SELECT doc_id,
+           {{mh_exprs}}
+    FROM (
+      SELECT doc_id, list_transform({shingles}, s -> md5(s)) AS hs
+      FROM (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+        FROM documents
+      )
+    )
+"""
+_MH_SQL = _MH_SQL_TEMPLATE.format(shingles=_shingles_sql())
+
+
+
+@register(
+    "minhash_signatures",
+    oracle=_MH_SQL.format(mh_exprs=_MH_EXPRS),
+    description="MinHash signatures: one md5 per distinct 5-char shingle,"
+    " sliced into 4 components, computed row-locally with array expressions"
+    " -- no shuffle, one hash evaluation per shingle.",
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_signature(d, "doc_id", "text")
 
 
 @register(
