@@ -1,0 +1,78 @@
+"""Physical-plan regression tests: the scale posture is part of the contract.
+
+These assert the plan SHAPE (pushdown, pruning, join strategy), not timings:
+a correct-but-mis-planned query would still pass the oracle gate yet fall
+over at 100 TB, so plan regressions must fail CI.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_cdc_fluss_quickstart_spark.plans.registry import all_specs
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plans(spark, name):
+    df = all_specs()[name].builder(spark, SF_DIR)
+    qe = df._jdf.queryExecution()
+    formatted = qe.explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    return qe.executedPlan().toString(), formatted
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["revenue_analytics", "q3_top_revenue_orders", "q5_region_revenue"],
+)
+def test_no_cartesian_anywhere(spark, name):
+    plan, _ = _plans(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_revenue_analytics_plan(spark):
+    plan, formatted = _plans(spark, "revenue_analytics")
+    # dimension side broadcasts at test SF (64m threshold)
+    assert "BroadcastHashJoin" in plan
+    # the IS NOT NULL filter reaches the orders parquet scan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in formatted
+    # column pruning: orders scan must NOT read the unused o_orderpriority
+    scan_schemas = [
+        line for line in formatted.splitlines() if "ReadSchema" in line
+    ]
+    orders_schema = next(s for s in scan_schemas if "o_custkey" in s)
+    assert "o_orderpriority" not in orders_schema
+
+
+def test_q3_filters_pushed_to_scan(spark):
+    _, formatted = _plans(spark, "q3_top_revenue_orders")
+    # literal predicates reach parquet, not a post-scan Filter only
+    assert "EqualTo(c_mktsegment,BUILDING)" in formatted
+    assert "EqualTo(o_orderstatus,O)" in formatted
+    # lineitem scan prunes to the 3 needed columns
+    li = next(s for s in formatted.splitlines() if "ReadSchema" in s and "l_orderkey" in s)
+    assert "l_comment" not in li and "l_quantity" not in li
+
+
+def test_q5_all_joins_broadcast_at_test_sf(spark):
+    plan, formatted = _plans(spark, "q5_region_revenue")
+    # 5 joins: every dimension side under the 64m threshold broadcasts
+    assert plan.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in plan
+    assert "EqualTo(r_name,ASIA)" in formatted
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    df = all_specs()["q1_pricing_summary"].builder(spark, SF_DIR)
+    df.collect()  # an action on THIS frame finalizes its adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the hot aggregate path stays inside codegen (JVM, no Python boundary);
+    # executed plans print codegen spans as "*(n)" stage markers
+    assert "*(1)" in plan or "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # two-phase aggregation: partial before the exchange, final after
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
