@@ -87,6 +87,55 @@ def extract_features(frame: DataFrame, mode: str = "stub") -> DataFrame:
     return frame.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+N_FRAMES = 4
+FRAME_LEN = 16  # characters per sampled frame
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_chars long, frame_digest string"
+
+
+def frame_sample(frame: DataFrame, n_frames: int = N_FRAMES, frame_len: int = FRAME_LEN) -> DataFrame:
+    """Frame sampling: each payload fans out to `n_frames` evenly-spaced
+    sample windows (the video-frame / audio-chunk extraction shape). One
+    input row -> n_frames output rows, produced inside mapInPandas so the
+    payload never crosses the boundary more than once.
+
+    The decoder stub samples by utf-8 CODE POINTS (a real media build slices
+    byte ranges instead -- swap inside `windows`): window k of a payload with
+    L units starts at floor(k*L/n) and spans `frame_len` units; the emitted
+    digest is md5 of the window.
+    """
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import pandas as pd
+
+        def windows(payload: bytes) -> list[tuple[int, int, str]]:
+            s = payload.decode("utf-8")
+            out = []
+            for k in range(n_frames):
+                w = s[(k * len(s)) // n_frames :][:frame_len]
+                out.append((k, len(w), hashlib.md5(w.encode("utf-8")).hexdigest()))
+            return out
+
+        for pdf in batches:
+            rows = [
+                (doc_id, k, n, dig)
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"])
+                for (k, n, dig) in windows(payload)
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_chars", "frame_digest"])
+
+    return frame.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def resize_payload(frame: DataFrame, n_bytes: int) -> DataFrame:
+    """'Resize' stub: truncate every payload to its first `n_bytes` bytes,
+    JVM-side (a real image build replaces this with a decode-resize-encode
+    pandas UDF). Keeps metadata in sync."""
+    return frame.withColumn(
+        "payload", F.expr(f"substring(payload, 1, {int(n_bytes)})")
+    ).withColumn("n_bytes", F.least(F.col("n_bytes"), F.lit(int(n_bytes)).cast("long")))
+
+
 def hex4_sql(expr: str, group: int) -> str:
     """DuckDB spelling of one stub feature: parse the 4-hex-digit group
     `group` of md5(expr) into an int via positional digit lookup (no

@@ -39,6 +39,27 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(f.k AS INTEGER) AS frame_idx,
+           length(substring(text, (f.k * length(text)) // {multimodal.N_FRAMES} + 1,
+                            {multimodal.FRAME_LEN})) AS frame_chars,
+           md5(substring(text, (f.k * length(text)) // {multimodal.N_FRAMES} + 1,
+                         {multimodal.FRAME_LEN})) AS frame_digest
+    FROM documents
+    CROSS JOIN (SELECT unnest(range(0, {multimodal.N_FRAMES})) AS k) f
+    """,
+    description="Frame sampling: each payload fans out to 4 evenly-spaced"
+    " sample windows inside mapInPandas (video-frame / audio-chunk shape);"
+    " one Arrow crossing per payload, rows-out = 4x rows-in.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.frame_sample(multimodal.attach_payload(docs))
+
+
+@register(
     "multimodal_quality_gate",
     oracle=f"""
     SELECT media_type,

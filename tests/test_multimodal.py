@@ -21,6 +21,33 @@ def test_decode_media_stub_deterministic():
     assert multimodal.decode_media(b"other", "text/plain") != a
 
 
+def test_frame_sample_fanout(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij" * 10), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    out = multimodal.frame_sample(multimodal.attach_payload(docs)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # every payload fans out to exactly N_FRAMES rows, even empty ones
+    assert {k: len(v) for k, v in by_doc.items()} == {1: 4, 2: 4, 3: 4}
+    # frames are evenly spaced and frame_len-capped
+    r1 = sorted(by_doc[1], key=lambda r: r["frame_idx"])
+    assert [r["frame_chars"] for r in r1] == [16, 16, 16, 16]
+    import hashlib
+
+    assert r1[1]["frame_digest"] == hashlib.md5(("abcdefghij" * 10)[25:41].encode()).hexdigest()
+    # empty payload: empty frames with the md5("") digest
+    assert by_doc[3][0]["frame_digest"] == hashlib.md5(b"").hexdigest()
+
+
+def test_resize_payload(spark):
+    docs = spark.createDataFrame([(1, "abcdef"), (2, "ab")], "doc_id long, text string")
+    out = multimodal.resize_payload(multimodal.attach_payload(docs), 4).collect()
+    got = {r["doc_id"]: (bytes(r["payload"]), r["n_bytes"]) for r in out}
+    assert got == {1: (b"abcd", 4), 2: (b"ab", 2)}
+
+
 def test_extract_features_pipeline(spark):
     docs = spark.createDataFrame(
         [(1, "hello world"), (2, "naïve café"), (3, "")],
