@@ -490,3 +490,45 @@ def event_time_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q17_below_avg_quantity_revenue",
+    oracle="""
+    WITH pa AS (
+      SELECT l_partkey,
+             0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+                    / COUNT(*)) AS half_avg_qty
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT l.l_partkey AS partkey,
+           COUNT(*) AS small_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_revenue
+    FROM lineitem l
+    JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < pa.half_avg_qty
+    GROUP BY l.l_partkey
+    """,
+    description="Correlated scalar subquery (TPC-H Q17 shape) decorrelated"
+    " Spark-first: one per-part aggregate + equi self-join beats a per-row"
+    " subquery re-scan; both aggregations are partial/final two-phase on the"
+    " same l_partkey key, so AQE reuses the shuffle partitioning.",
+)
+def q17_below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast(DEC)
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.5) * (F.sum(qty).cast("double") / F.count(F.lit(1)))
+        ).alias("half_avg_qty")
+    )
+    small = li.join(pa, "l_partkey").filter(F.col("l_quantity") < F.col("half_avg_qty"))
+    return small.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.count(F.lit(1)).alias("small_lines"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("small_revenue"),
+    )
