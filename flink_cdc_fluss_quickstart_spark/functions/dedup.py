@@ -16,9 +16,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from flink_cdc_fluss_quickstart_spark.functions.text import normalized_text
+from flink_cdc_fluss_quickstart_spark.tables import spread
 
 SHINGLE_LEN = 5  # character shingles over normalized text
-DEFAULT_SEEDS = (0, 1, 2, 3)  # minhash "permutations" (md5 salt per seed)
+DEFAULT_SEEDS = (0, 1, 2, 3)  # minhash components (one 8-hex md5 slice each)
 
 
 def exact_key(text: Column) -> Column:
@@ -55,7 +56,7 @@ def minhash_signature(
 
     Output: (id, mh_<k>, ...) -- one row per document, no shuffle.
     """
-    out = df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
+    out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
     sh = F.array_distinct(shingle_array("__norm", n))
     out = out.select(id_col, F.transform(sh, F.md5).alias("__hs"))
 
@@ -144,7 +145,7 @@ def simhash_bits_expr(digs_col: str) -> str:
 def simhash(df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_LEN) -> DataFrame:
     """32-bit SimHash fingerprint per document over distinct character
     shingles of the normalized text. Output: (id, simhash BIGINT)."""
-    out = df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
+    out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
     out = out.select(id_col, F.expr(hex_digits_expr("__norm", n)).alias("__digs"))
     return out.select(id_col, F.expr(simhash_bits_expr("__digs")).alias("simhash"))
 
@@ -192,7 +193,7 @@ def ngram_jaccard(
     Output: (id_a, id_b, jaccard DOUBLE).
     """
     norm = (
-        df.select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
+        spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
         .select(F.col(id_col), F.array_distinct(shingle_array("__norm", n)).alias("sh"))
     )
     a = norm.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))

@@ -22,6 +22,8 @@ from collections.abc import Iterator
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from flink_cdc_fluss_quickstart_spark.tables import spread
+
 FEATURE_DIMS = 4
 _HEX = "0123456789abcdef"
 
@@ -84,7 +86,7 @@ def extract_features(frame: DataFrame, mode: str = "stub") -> DataFrame:
                 out[f"f{k}"] = [f[k] for f in feats]
             yield out
 
-    return frame.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return spread(frame).mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 N_FRAMES = 4
@@ -124,7 +126,7 @@ def frame_sample(frame: DataFrame, n_frames: int = N_FRAMES, frame_len: int = FR
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_chars", "frame_digest"])
 
-    return frame.mapInPandas(run, schema=FRAME_SCHEMA)
+    return spread(frame).mapInPandas(run, schema=FRAME_SCHEMA)
 
 
 def resize_payload(frame: DataFrame, n_bytes: int) -> DataFrame:

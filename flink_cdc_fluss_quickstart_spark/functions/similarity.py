@@ -20,6 +20,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 from pyspark.sql.window import Window
 
+from flink_cdc_fluss_quickstart_spark.tables import spread
+
 # fixed-point scale for exact integer accumulation of double products;
 # |product| < 1 and dims <= a few thousand, so sums stay far below 2^53
 SCALE = 1e12
@@ -96,7 +98,7 @@ def cosine_topk(
         F.col(vec_col).alias("__qv"),
         F.sqrt(sq_norm(F.col(vec_col))).alias("__qn"),
     )
-    c = corpus.select(
+    c = spread(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         F.sqrt(sq_norm(F.col(vec_col))).alias("__cn"),

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_cdc_fluss_quickstart_spark.functions import similarity
 from flink_cdc_fluss_quickstart_spark.plans.registry import register
-from flink_cdc_fluss_quickstart_spark.tables import load_table
+from flink_cdc_fluss_quickstart_spark.tables import load_table, spread
 
 # exact dot product / squared norm in DuckDB spelling: floor-scaled bigint
 # sums (matches functions/similarity.py op-for-op)
@@ -57,7 +57,7 @@ _CNORM = (
     " streamed corpus, per-query top-k window.",
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.cosine_topk(emb, queries, k=5)
 
@@ -112,7 +112,7 @@ _BUCKETED = f"""
     " column is a partition key: queries route to one partition each.",
 )
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     # bucket AND norm are per-row: computed on the corpus scan, never per pair
     b = emb.select(
         "vec_id",
@@ -181,7 +181,7 @@ _PAIR_BNORM = (
     " bucket id.",
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     bk = emb.select(
         "vec_id",
         "embedding",
@@ -222,7 +222,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     " fixed-point mean (the reduce step of IVF coarse quantization).",
 )
 def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
     flat = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
     scaled = F.floor(F.col("x").cast("double") * F.lit(similarity.SCALE))
     return (

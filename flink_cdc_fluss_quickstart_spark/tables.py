@@ -50,6 +50,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure enough partitions before CPU-heavy row-local work (hashing,
+    shingling, vector math, pandas UDFs).
+
+    Small single-file scans otherwise run one task (a 600 KB parquet is one
+    split under maxPartitionBytes), serializing work that is embarrassingly
+    parallel. At production scale inputs already have >= cores partitions and
+    this is a no-op -- the check keeps the extra exchange out of big plans.
+    """
+    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES
             if os.path.exists(table_path(sf_dir, name))}
