@@ -1,0 +1,138 @@
+"""Property-based tests (hypothesis): operators vs independent brute-force
+Python oracles on randomized inputs. Catches edge cases the hand-written
+fixtures miss (ties, empties, all-deleted keys, unmatched join keys).
+
+One shared Hypothesis profile: few-but-large examples, because each example
+pays a Spark job's fixed cost.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from flink_cdc_fluss_quickstart_spark.operators import apply_changelog, asof_join
+
+SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+_T0 = datetime(2024, 1, 1)
+
+
+def _ts(minutes: int) -> datetime:
+    return _T0 + timedelta(minutes=minutes)
+
+
+# --- changelog apply -------------------------------------------------------
+
+events = st.lists(
+    st.tuples(
+        st.sampled_from(["I", "U", "D"]),
+        st.integers(0, 6),          # key (small domain -> collisions)
+        st.integers(0, 100),        # value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@given(events)
+@settings(**SETTINGS)
+def test_apply_changelog_matches_python_fold(spark, evs):
+    # seq = arrival order, unique -> deterministic
+    rows = [(op, i, k, v) for i, (op, k, v) in enumerate(evs)]
+    state: dict[int, int] = {}
+    for op, _seq, k, v in rows:
+        if op == "D":
+            state.pop(k, None)
+        else:
+            state[k] = v
+    df = spark.createDataFrame(rows, "op string, seq long, k long, v long") \
+        if rows else spark.createDataFrame([], "op string, seq long, k long, v long")
+    snap = {r["k"]: r["v"] for r in apply_changelog(df, ["k"], ["seq"]).collect()}
+    assert snap == state
+
+
+# --- as-of join ------------------------------------------------------------
+
+asof_inputs = st.tuples(
+    st.lists(  # left: (key, ts_minutes)
+        st.tuples(st.integers(0, 3), st.integers(0, 50)), min_size=0, max_size=25
+    ),
+    st.lists(  # right: (key, ts_minutes, payload)
+        st.tuples(st.integers(0, 3), st.integers(0, 50), st.integers(0, 999)),
+        min_size=0,
+        max_size=25,
+    ),
+    st.booleans(),  # allow_exact_matches
+)
+
+
+@given(asof_inputs)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, inp):
+    left_rows, right_rows, exact = inp
+    left = [(i, k, _ts(m)) for i, (k, m) in enumerate(left_rows)]
+    right = [(i, k, _ts(m), p) for i, (k, m, p) in enumerate(right_rows)]
+
+    def brute(lk, lts):
+        cands = [
+            r for r in right
+            if r[1] == lk and (r[2] <= lts if exact else r[2] < lts)
+        ]
+        if not cands:
+            return None
+        # operator contract: latest ts wins; among equal ts the greatest
+        # right_order key (here rid) wins
+        return max(cands, key=lambda r: (r[2], r[0]))[0]
+
+    ldf = (
+        spark.createDataFrame(left, "lid long, k long, ts timestamp")
+        if left else spark.createDataFrame([], "lid long, k long, ts timestamp")
+    )
+    rdf = (
+        spark.createDataFrame(right, "rid long, k long, rts timestamp, p long")
+        if right else spark.createDataFrame([], "rid long, k long, rts timestamp, p long")
+    )
+    out = asof_join(
+        ldf, rdf, on=["k"], left_ts="ts", right_ts="rts",
+        right_cols=["rid", "p"], right_order=("rid",), allow_exact_matches=exact,
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    want = {lid: brute(k, ts) for lid, k, ts in left}
+    assert got == want
+
+
+# --- minhash containment ---------------------------------------------------
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30), min_size=1, max_size=12
+)
+
+
+@given(texts)
+@settings(**SETTINGS)
+def test_identical_norm_texts_share_signature_and_pair(spark, docs):
+    """Documents with identical normalized text MUST collide in every minhash
+    component (completeness of the LSH candidate step for exact dups)."""
+    from flink_cdc_fluss_quickstart_spark.functions import dedup
+    from flink_cdc_fluss_quickstart_spark.functions.text import normalized_text
+    import pyspark.sql.functions as F
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    norm = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", normalized_text(F.col("text")).alias("n")).collect()
+    }
+    sig = dedup.minhash_signature(df, "doc_id", "text")
+    by_id = {r["doc_id"]: tuple(r)[1:] for r in sig.collect()}
+    for i in by_id:
+        for j in by_id:
+            if norm[i] == norm[j]:
+                assert by_id[i] == by_id[j]
