@@ -18,20 +18,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from flink_cdc_fluss_quickstart_spark.session import get_spark  # noqa: E402
 from flink_cdc_fluss_quickstart_spark.plans.registry import all_specs  # noqa: E402
 
-# headline set: the flagship + the heavy relational queries + one from each
-# extension family (dedup / text / similarity / changelog)
+# headline set: the flagship + the heavy relational queries + the operator
+# families (dedup / text / similarity / changelog / temporal / multimodal)
 HEADLINE = (
     "revenue_analytics",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_revenue",
+    "q17_below_avg_quantity_revenue",
     "upsert_latest_snapshot",
     "changelog_aware_aggregation",
     "event_time_tumbling_hourly",
     "dedup_exact",
     "minhash_lsh_pairs",
+    "ngram_jaccard_neardup",
+    "simhash_neardup_pairs",
     "text_quality",
     "embedding_cosine_topk",
+    "embedding_ann_lsh",
+    "asof_view_before_purchase",
+    "session_windows_per_user",
+    "range_join_price_bands",
+    "multimodal_feature_extract",
 )
 
 

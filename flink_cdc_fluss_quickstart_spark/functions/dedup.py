@@ -159,7 +159,12 @@ def simhash_neardup_pairs(
 
     Only (id, simhash, byte) rows shuffle -- never documents. Output:
     distinct (id_a, id_b, hamming) with id_a < id_b.
+
+    Fingerprints feed 2 x 4 plan branches -> persisted, computed once.
     """
+    from pyspark import StorageLevel
+
+    fingerprints = fingerprints.persist(StorageLevel.MEMORY_AND_DISK)
     pairs = None
     for k in range(4):
         byte = (F.col("simhash").bitwiseAND(F.lit(255 << (8 * k)))).alias("band_key")
@@ -185,22 +190,55 @@ def ngram_jaccard(
     text_col: str,
     candidate_pairs: DataFrame,
     n: int = SHINGLE_LEN,
+    min_jaccard: float | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs only (the verify
     step after LSH). Shingle sets are row-local arrays; the pair join brings
     two arrays together and intersects them without exploding.
 
+    Scale shape: each shingle is hashed to a 60-bit BIGINT (15 hex chars of
+    its md5) BEFORE the pair join, so what shuffles and intersects is a long
+    array, not the shingle strings; the set frame feeds both join sides and
+    is persisted, so shingling+hashing happens once per document.
+
+    No array_union is ever built: |A u B| = |A| + |B| - |A n B| with the set
+    sizes precomputed per document. With `min_jaccard` set, pairs whose size
+    ratio already caps Jaccard below the threshold skip the intersection
+    entirely (sound: J <= min(|A|,|B|)/max(|A|,|B|)), and the output keeps
+    only pairs at or above the threshold.
+
     Output: (id_a, id_b, jaccard DOUBLE).
     """
+    from pyspark import StorageLevel
+
     norm = (
         spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
-        .select(F.col(id_col), F.array_distinct(shingle_array("__norm", n)).alias("sh"))
+        .select(F.col(id_col), F.array_distinct(shingle_array("__norm", n)).alias("__sh"))
+        .select(
+            F.col(id_col),
+            F.transform(
+                F.col("__sh"),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+            ).alias("sh"),
+        )
+        .select(F.col(id_col), F.col("sh"), F.size("sh").alias("sh_n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = norm.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    b = norm.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    a = norm.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("sh_n").alias("n_a")
+    )
+    b = norm.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("sh_n").alias("n_b")
+    )
     joined = candidate_pairs.join(a, "id_a").join(b, "id_b")
+    if min_jaccard is not None:
+        joined = joined.filter(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(min_jaccard) * F.greatest("n_a", "n_b")
+        )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return joined.select(
-        "id_a", "id_b", (inter / union).alias("jaccard")
-    )
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
+    out = joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
+    if min_jaccard is not None:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out

@@ -235,9 +235,7 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sig = dedup.minhash_signature(d, "doc_id", "text")
     pairs = dedup.minhash_band_pairs(sig, "doc_id", (("mh_0", "mh_1"), ("mh_2", "mh_3")))
-    return dedup.ngram_jaccard(d, "doc_id", "text", pairs).filter(
-        F.col("jaccard") >= 0.5
-    )
+    return dedup.ngram_jaccard(d, "doc_id", "text", pairs, min_jaccard=0.5)
 
 
 def _simhash_sql_expr() -> str:
