@@ -532,3 +532,75 @@ def q17_below_avg_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("small_lines"),
         F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("small_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OVER-window analytics (lag / moving frame / cumulative) and CUBE
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_running_stats",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           lag(value) OVER w AS prev_value,
+           CAST(SUM(CAST(floor(value * 1e6) AS BIGINT))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e6
+             AS mov3_value,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_events
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    description="OVER-window analytics per user ordered by event time with a"
+    " unique tie-break: lag, 3-row moving sum (floor-scaled for cross-engine"
+    " determinism), cumulative count -- one shuffle on the user key.",
+)
+def events_running_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    scaled = F.floor(F.col("value") * F.lit(1e6)).cast("long")
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.lag("value").over(w).alias("prev_value"),
+        (
+            F.sum(scaled).over(w.rowsBetween(-2, 0)).cast("double") / F.lit(1e6)
+        ).alias("mov3_value"),
+        F.count(F.lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_events"),
+    )
+
+
+@register(
+    "cube_status_priority_revenue",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL') AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           2 * grouping(o_orderstatus) + grouping(o_orderpriority) AS gid,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    description="CUBE over (status, priority) with an explicit grouping-bit"
+    " id (disambiguates real NULL groups from subtotal rows) -- Spark plans"
+    " this as a single Expand + two-phase aggregate.",
+)
+def cube_status_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.expr("2 * grouping(o_orderstatus) + grouping(o_orderpriority)").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )

@@ -313,3 +313,29 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sig = dedup.minhash_signature(d, "doc_id", "text")
     return dedup.minhash_band_pairs(sig, "doc_id", (("mh_0", "mh_1"), ("mh_2", "mh_3")))
+
+
+@register(
+    "bpe_token_stats",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS bpe_tokens,
+           len(regexp_extract_all(text, '[\w.+-]+@[\w-]+\.[\w.]+')) AS email_count,
+           len(regexp_extract_all(text, 'https?://[^\s]+')) AS url_count
+    FROM documents
+    """,
+    description="BPE-ish regex tokenization (letter runs / digit runs / punct"
+    " runs, the GPT-2 pre-tokenizer shape) + email/URL pattern counts, all"
+    " JVM-side regexp_extract_all -- pure map work.",
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.expr(r"size(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+', 0))")
+        .alias("bpe_tokens"),
+        F.expr(r"size(regexp_extract_all(text, '[\\w.+-]+@[\\w-]+\\.[\\w.]+', 0))")
+        .alias("email_count"),
+        F.expr(r"size(regexp_extract_all(text, 'https?://[^\\s]+', 0))")
+        .alias("url_count"),
+    )
