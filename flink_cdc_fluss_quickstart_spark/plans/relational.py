@@ -604,3 +604,58 @@ def cube_status_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+@register(
+    "event_time_sliding_hourly",
+    oracle="""
+    SELECT to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) - k.k * 1800) // 3600 * 3600
+                        + k.k * 1800)
+             AT TIME ZONE 'UTC' AS window_start,
+           event_type,
+           COUNT(*) AS event_count,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    CROSS JOIN (SELECT unnest(range(0, 2)) AS k) k
+    GROUP BY 1, 2
+    """,
+    description="Sliding (hopping) 1h/30min event-time window aggregation:"
+    " each event lands in size/slide windows; Spark's window() expands"
+    " row-locally before one keyed shuffle. Oracle replicates the window"
+    " membership arithmetic with an explicit 2-way expansion.",
+)
+def event_time_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "event_count",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "approx_distinct_users_daily",
+    oracle=None,  # HLL sketch values are engine-specific -> rows-only check;
+    # the accuracy bound vs exact COUNT(DISTINCT) is asserted in
+    # tests/test_functions_approx.py
+    description="HyperLogLog approximate distinct users per day (the sketch"
+    " path for 100 TB cardinality work: mergeable partial sketches, no"
+    " distinct-expand shuffle).",
+)
+def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("event_count"),
+        )
+    )
