@@ -659,3 +659,34 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("event_count"),
         )
     )
+
+
+@register(
+    "events_json_props_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+           SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS bad_payloads
+    FROM events
+    GROUP BY event_type
+    """,
+    description="JSON payload decode against a declared schema (reference S5:"
+    " the kinesis_events 'format'='json' source, flink-gen.sh:94-110) --"
+    " from_json into a typed struct, then grouped aggregation; malformed"
+    " payloads surface as NULLs, not failures.",
+)
+def events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("bad_payloads"),
+        )
+    )
