@@ -234,3 +234,79 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid")
         )
     )
+
+
+@register(
+    "embedding_ann_multiprobe",
+    oracle=f"""
+    WITH b AS ({_BUCKETED}),
+    q AS (
+      SELECT query_id, qv, qn, unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                                       xor(bucket, 4), xor(bucket, 8)]) AS probe
+      FROM (SELECT vec_id AS query_id, embedding AS qv, bucket,
+                   {_QNORM.replace('q.qv', 'embedding')} AS qn
+            FROM b WHERE vec_id % 50 = 0) q
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_DOT} / (q.qn * {_CNORM}) AS cosine_sim
+      FROM b e JOIN q ON e.bucket = q.probe AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine_sim
+    FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+    description="Multi-probe sign-LSH ANN: each query probes its own bucket"
+    " plus the 4 hamming-1 neighbor buckets (5/16 of the corpus) -- the"
+    " recall/cost knob between single-probe LSH and brute force. The probe"
+    " set expands row-locally (explode) so the match stays an equi hash join"
+    " at scale, never a theta join.",
+)
+def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    b = emb.select(
+        "vec_id",
+        "embedding",
+        similarity.lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
+        F.sqrt(similarity.sq_norm(F.col("embedding"))).alias("__n"),
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)],
+    )
+    q = (
+        b.filter(F.col("vec_id") % 50 == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("__qv"),
+            F.col("__n").alias("__qn"),
+            F.explode(probes).alias("__probe"),
+        )
+    )
+    scored = (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("__probe")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                similarity.dot(F.col("__qv"), F.col("embedding"))
+                / (F.col("__qn") * F.col("__n"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
