@@ -64,8 +64,8 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT media_type,
            COUNT(*) AS n_docs,
-           SUM(n_bytes) AS total_bytes,
-           SUM(CASE WHEN f0 >= 0.5 THEN 1 ELSE 0 END) AS flagged
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(SUM(CASE WHEN f0 >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS flagged
     FROM (
       SELECT doc_id, 'text/plain' AS media_type,
              octet_length(encode(text)) AS n_bytes,

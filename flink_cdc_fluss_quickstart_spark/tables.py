@@ -34,9 +34,25 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Self-heal confs the queries depend on, so every registered query runs
+    on ANY SparkSession -- including one the caller built without our
+    session.get_spark() factory (e.g. a verification harness).
+
+    Both are runtime-settable SQL confs:
+    - nanosAsLong: events.parquet stores TIMESTAMP(NANOS), which Spark rejects
+      at scan time without it (PARQUET_TYPE_ILLEGAL).
+    - session.timeZone=UTC: the NTZ cast below renders through the session TZ;
+      the oracle (DuckDB) always sees UTC wall-clock values.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Batch scan of one table. Plain `spark.read.parquet` so that predicate
     pushdown / column pruning reach the file scan (verify via .explain)."""
+    _ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS): read as long (see session
