@@ -105,59 +105,93 @@ def minhash_band_pairs(
     return pairs.distinct()
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 16-bit bands; pigeonhole guarantees hamming<=3 recall
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
 _HEX = "0123456789abcdef"
+# Two's-complement weight of the sign bit: 2**63 overflows signed BIGINT, so
+# the MSB term contributes the negative value directly (identical in Spark
+# and DuckDB).
+_MSB_WEIGHT = "(CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT))"
 
 
 def hex_digits_expr(norm_col: str, n: int = SHINGLE_LEN) -> str:
     """SQL expr: per-row array (one element per DISTINCT shingle) of the first
-    8 hex-digit values of the shingle's md5 -- the 32 bits feeding simhash.
+    16 hex-digit values of the shingle's md5 -- the 64 bits feeding simhash.
     Everything is row-local array math; no shuffle, no UDF."""
     sh = (
         f"array_distinct(transform(sequence(1, greatest(length({norm_col}) - {n - 1}, 1)),"
         f" i -> substring({norm_col}, i, {n})))"
     )
     return (
-        f"transform({sh}, s -> transform(sequence(1, 8),"
+        f"transform({sh}, s -> transform(sequence(1, {SIMHASH_BITS // 4}),"
         f" j -> instr('{_HEX}', substring(md5(s), j, 1)) - 1))"
     )
 
 
-def simhash_bits_expr(digs_col: str) -> str:
-    """SQL expr summing 32 majority-vote bits into one BIGINT simhash.
+def bit_counts_expr(digs_col: str) -> str:
+    """SQL expr: ONE aggregate pass over the shingle digest arrays producing
+    the 64-element +/-1 vote-count array (element i = #shingles with bit i set
+    minus #shingles with it clear, MSB-first).
 
-    Bit i (MSB-first over the first 8 md5 hex digits) is 1 iff more shingles
-    have that bit set than clear (ties -> 0). Codegen's common-subexpression
-    elimination evaluates the shared digit arrays once per row."""
+    Single traversal: each shingle's 16 hex digits expand to 64 +/-1 votes
+    which zip_with-accumulate into the running counts -- O(shingles) array
+    work per row instead of one aggregate() pass per output bit."""
+    # each hex digit v (0..15) contributes its 4 bits MSB-first as +/-1 votes
+    contrib = (
+        "flatten(transform(d, v -> array("
+        "CAST((((v div 8) % 2) * 2 - 1) AS INT),"
+        "CAST((((v div 4) % 2) * 2 - 1) AS INT),"
+        "CAST((((v div 2) % 2) * 2 - 1) AS INT),"
+        "CAST(((v % 2) * 2 - 1) AS INT))))"
+    )
+    zero = f"transform(sequence(1, {SIMHASH_BITS}), x -> CAST(0 AS INT))"
+    return (
+        f"aggregate({digs_col}, {zero},"
+        f" (acc, d) -> zip_with(acc, {contrib}, (a, b) -> CAST(a + b AS INT)))"
+    )
+
+
+def simhash_from_counts_expr(cnt_col: str) -> str:
+    """SQL expr folding the 64 vote counts into one BIGINT simhash: bit i is 1
+    iff counts[i] > 0 (ties -> 0). The MSB uses the negative two's-complement
+    weight so the sum stays in signed-64 range."""
     terms = []
     for i in range(SIMHASH_BITS):
-        j = i // 4 + 1  # 1-based hex digit index
-        div = 2 ** (3 - i % 4)  # MSB-first within the digit
-        bitsum = (
-            f"aggregate({digs_col}, 0, (acc, d) ->"
-            f" acc + CAST((((element_at(d, {j}) div {div}) % 2) * 2 - 1) AS INT))"
+        weight = _MSB_WEIGHT if i == 0 else f"CAST({2 ** (SIMHASH_BITS - 1 - i)} AS BIGINT)"
+        terms.append(
+            f"(CASE WHEN element_at({cnt_col}, {i + 1}) > 0 THEN {weight}"
+            f" ELSE CAST(0 AS BIGINT) END)"
         )
-        terms.append(f"(CASE WHEN {bitsum} > 0 THEN CAST({2 ** (31 - i)} AS BIGINT)"
-                     f" ELSE CAST(0 AS BIGINT) END)")
     return " + ".join(terms)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_LEN) -> DataFrame:
-    """32-bit SimHash fingerprint per document over distinct character
-    shingles of the normalized text. Output: (id, simhash BIGINT)."""
+    """64-bit SimHash fingerprint per document over distinct character
+    shingles of the normalized text. Output: (id, simhash BIGINT).
+
+    The DuckDB oracle spells the majority vote per-bit (64 list_sums); this
+    side accumulates all 64 votes in one pass -- same values, linear cost.
+    """
     out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
     out = out.select(id_col, F.expr(hex_digits_expr("__norm", n)).alias("__digs"))
-    return out.select(id_col, F.expr(simhash_bits_expr("__digs")).alias("simhash"))
+    out = out.select(id_col, F.expr(bit_counts_expr("__digs")).alias("__cnt"))
+    return out.select(id_col, F.expr(simhash_from_counts_expr("__cnt")).alias("simhash"))
 
 
 def simhash_neardup_pairs(
     fingerprints: DataFrame, id_col: str, max_hamming: int = 3
 ) -> DataFrame:
-    """Near-dup pairs by simhash: candidates share at least one of the 4 bytes
-    of the fingerprint (pigeonhole: hamming <= 3 guarantees a whole equal
-    byte), verified with an exact popcount on the XOR.
+    """Near-dup pairs by simhash: candidates share at least one of the 4
+    16-bit bands of the fingerprint (pigeonhole: hamming <= 3 guarantees a
+    whole equal band), verified with an exact popcount on the XOR.
 
-    Only (id, simhash, byte) rows shuffle -- never documents. Output:
+    Band width is the scale lever: a band key of b bits spreads N documents
+    over ~2^b buckets, so expected bucket size is N/2^b and the per-band
+    self-join cost is N^2/2^b. 16-bit bands keep that sub-quadratic out to
+    billions of documents where 8-bit bands go quadratic at millions.
+
+    Only (id, simhash, band_key) rows shuffle -- never documents. Output:
     distinct (id_a, id_b, hamming) with id_a < id_b.
 
     Fingerprints feed 2 x 4 plan branches -> persisted, computed once.
@@ -165,10 +199,17 @@ def simhash_neardup_pairs(
     from pyspark import StorageLevel
 
     fingerprints = fingerprints.persist(StorageLevel.MEMORY_AND_DISK)
+    mask = (1 << SIMHASH_BAND_BITS) - 1
     pairs = None
-    for k in range(4):
-        byte = (F.col("simhash").bitwiseAND(F.lit(255 << (8 * k)))).alias("band_key")
-        banded = fingerprints.select(F.col(id_col), F.col("simhash"), byte)
+    for k in range(SIMHASH_BANDS):
+        # shift-then-mask: a shifted mask literal (65535 << 48) would overflow
+        # int64; arithmetic shift right + mask is sign-safe in both engines
+        band = (
+            F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * k)
+            .bitwiseAND(F.lit(mask))
+            .alias("band_key")
+        )
+        banded = fingerprints.select(F.col(id_col), F.col("simhash"), band)
         a, b = banded.alias("a"), banded.alias("b")
         p = (
             a.join(b, F.col("a.band_key") == F.col("b.band_key"))

@@ -244,7 +244,14 @@ def _simhash_sql_expr() -> str:
         j = i // 4 + 1
         div = 2 ** (3 - i % 4)
         bitsum = f"list_sum(list_transform(digs, d -> ((d[{j}] // {div}) % 2) * 2 - 1))"
-        terms.append(f"(CASE WHEN {bitsum} > 0 THEN {2 ** (31 - i)} ELSE 0 END)")
+        # MSB weight is the negative two's-complement value (2**63 overflows
+        # signed BIGINT); mirrors dedup._MSB_WEIGHT
+        weight = (
+            "(CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT))"
+            if i == 0
+            else f"CAST({2 ** (dedup.SIMHASH_BITS - 1 - i)} AS BIGINT)"
+        )
+        terms.append(f"(CASE WHEN {bitsum} > 0 THEN {weight} ELSE CAST(0 AS BIGINT) END)")
     return " + ".join(terms)
 
 
@@ -252,7 +259,7 @@ _SIMHASH_SQL = f"""
     SELECT doc_id, CAST({_simhash_sql_expr()} AS BIGINT) AS simhash
     FROM (
       SELECT doc_id,
-             list_transform({_shingles_sql()}, s -> list_transform(range(1, 9),
+             list_transform({_shingles_sql()}, s -> list_transform(range(1, {dedup.SIMHASH_BITS // 4 + 1}),
                j -> instr('0123456789abcdef', substr(md5(s), j::int, 1)) - 1)) AS digs
       FROM ({_NORM_DOCS})
     )
@@ -262,7 +269,7 @@ _SIMHASH_SQL = f"""
 @register(
     "simhash_fingerprint",
     oracle=_SIMHASH_SQL,
-    description="32-bit SimHash fingerprint: per-bit majority vote over"
+    description="64-bit SimHash fingerprint: per-bit majority vote over"
     " md5-hashed distinct shingles, all row-local array math (no shuffle).",
 )
 def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -277,14 +284,16 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT DISTINCT id_a, id_b, hamming FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-      FROM (SELECT unnest(range(0, 4)) AS k) band
+      FROM (SELECT unnest(range(0, {dedup.SIMHASH_BANDS})) AS k) band
       CROSS JOIN fp a JOIN fp b
-        ON (a.simhash & (255 << (8 * band.k))) = (b.simhash & (255 << (8 * band.k)))
+        ON ((a.simhash >> ({dedup.SIMHASH_BAND_BITS} * band.k)) & {(1 << dedup.SIMHASH_BAND_BITS) - 1})
+         = ((b.simhash >> ({dedup.SIMHASH_BAND_BITS} * band.k)) & {(1 << dedup.SIMHASH_BAND_BITS) - 1})
       WHERE a.doc_id < b.doc_id
     ) WHERE hamming <= 3
     """,
-    description="SimHash near-dup pairs: byte-band candidate join (pigeonhole"
-    " guarantees recall for hamming<=3) + exact popcount verify.",
+    description="SimHash near-dup pairs: 16-bit-band candidate join (pigeonhole"
+    " guarantees recall for hamming<=3) + exact popcount verify; 16-bit bands"
+    " keep bucket sizes ~N/65536 (sub-quadratic at corpus scale).",
 )
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
