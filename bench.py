@@ -36,6 +36,7 @@ HEADLINE = (
     "text_quality",
     "embedding_cosine_topk",
     "embedding_ann_lsh",
+    "embedding_ann_ivf",
     "asof_view_before_purchase",
     "session_windows_per_user",
     "range_join_price_bands",

@@ -48,6 +48,72 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
 
 
+def n_planes_for(n_vectors: int, target_bucket_size: int = 256) -> int:
+    """Plane count that keeps expected sign-LSH bucket size near the target.
+
+    Each plane halves the expected bucket population: n_planes planes spread N
+    vectors over 2^n_planes buckets, so bucket self-joins / probes cost
+    ~N^2 / 2^n_planes. Solving N / 2^p <= target gives
+    p >= log2(N / target) -- a FIXED plane count is the quadratic scale-killer
+    (bucket size grows linearly with the corpus); deriving it from corpus size
+    keeps per-bucket work constant at any N. Floor of 4 planes so tiny corpora
+    still exercise the bucketed plan shape.
+    """
+    import math
+
+    if n_vectors <= target_bucket_size:
+        return 4
+    return max(4, math.ceil(math.log2(n_vectors / target_bucket_size)))
+
+
+def ann_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    target_bucket_size: int = 256,
+) -> DataFrame:
+    """Sign-LSH ANN with the plane count derived from the ACTUAL corpus size
+    (the production entry point; the registered oracle queries pin a plane
+    count derived from the nominal bench corpus so the oracle SQL is static).
+
+    corpus.count() on a parquet scan is metadata-only at scale (row-group
+    stats), so the derivation costs no data pass.
+    """
+    n = corpus.count()
+    first = corpus.select(vec_col).head()
+    dim = len(first[0]) if first else 0
+    planes = lsh_planes(n_planes_for(n, target_bucket_size), dim)
+
+    b = spread(corpus).select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("__n"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        lsh_bucket(F.col(vec_col), planes).alias("__qb"),
+        F.col(vec_col).alias("__qv"),
+        F.sqrt(sq_norm(F.col(vec_col))).alias("__qn"),
+    )
+    scored = b.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("__qb")) & (F.col(id_col) != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        (dot(F.col("__qv"), F.col(vec_col)) / (F.col("__qn") * F.col("__n"))).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 def lsh_planes(n_planes: int, dim: int) -> list[list[int]]:
     """Deterministic random-hyperplane weights for sign-LSH: small odd
     integers in [-15, 15] derived from md5(plane:dim). Odd -> never zero, so

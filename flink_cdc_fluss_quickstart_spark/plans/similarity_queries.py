@@ -62,7 +62,13 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=5)
 
 
-N_PLANES = 4
+# Plane count derived from the nominal bench corpus (sf0.1 = 5000 vectors)
+# via the scale rule p >= log2(N / target_bucket_size) -- see
+# similarity.n_planes_for. The registered queries need a FIXED count because
+# the DuckDB oracle SQL is static; similarity.ann_lsh derives from the actual
+# corpus at runtime.
+_NOMINAL_CORPUS = 5_000
+N_PLANES = similarity.n_planes_for(_NOMINAL_CORPUS)
 DIM = 64
 _PLANES = similarity.lsh_planes(N_PLANES, DIM)
 
@@ -106,10 +112,12 @@ _BUCKETED = f"""
     )
     WHERE rank <= 5
     """,
-    description="LSH-bucketed ANN (the scale path): sign-LSH over 4 fixed"
-    " hyperplanes buckets the corpus; each query only scores its own bucket"
-    " (~1/16 of the corpus), then exact cosine top-k. At 100 TB the bucket"
-    " column is a partition key: queries route to one partition each.",
+    description=f"LSH-bucketed ANN (the scale path): sign-LSH over {N_PLANES}"
+    " fixed hyperplanes buckets the corpus; each query only scores its own"
+    f" bucket (~1/{2 ** N_PLANES} of the corpus), then exact cosine top-k."
+    " Plane count follows n_planes_for(corpus) so bucket size stays constant"
+    " as the corpus grows. At 100 TB the bucket column is a partition key:"
+    " queries route to one partition each.",
 )
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
@@ -241,8 +249,8 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH b AS ({_BUCKETED}),
     q AS (
-      SELECT query_id, qv, qn, unnest([bucket, xor(bucket, 1), xor(bucket, 2),
-                                       xor(bucket, 4), xor(bucket, 8)]) AS probe
+      SELECT query_id, qv, qn,
+             unnest([bucket{"".join(f", xor(bucket, {1 << p})" for p in range(N_PLANES))}]) AS probe
       FROM (SELECT vec_id AS query_id, embedding AS qv, bucket,
                    {_QNORM.replace('q.qv', 'embedding')} AS qn
             FROM b WHERE vec_id % 50 = 0) q
@@ -262,10 +270,11 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE rank <= 5
     """,
     description="Multi-probe sign-LSH ANN: each query probes its own bucket"
-    " plus the 4 hamming-1 neighbor buckets (5/16 of the corpus) -- the"
-    " recall/cost knob between single-probe LSH and brute force. The probe"
-    " set expands row-locally (explode) so the match stays an equi hash join"
-    " at scale, never a theta join.",
+    f" plus the {N_PLANES} hamming-1 neighbor buckets"
+    f" ({N_PLANES + 1}/{2 ** N_PLANES} of the corpus) -- the recall/cost knob"
+    " between single-probe LSH and brute force. The probe set expands"
+    " row-locally (explode) so the match stays an equi hash join at scale,"
+    " never a theta join.",
 )
 def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -294,6 +303,129 @@ def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.join(
             F.broadcast(q),
             (F.col("bucket") == F.col("__probe")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                similarity.dot(F.col("__qv"), F.col("embedding"))
+                / (F.col("__qn") * F.col("__n"))
+            ).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
+NPROBE = 2  # centroid cells each query scans; the IVF recall/cost knob
+
+
+@register(
+    "embedding_ann_ivf",
+    oracle=f"""
+    WITH cent_flat AS (
+      SELECT label, s.i AS dim,
+             (CAST(SUM(CAST(floor(s.x::DOUBLE * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+               / COUNT(*) AS c
+      FROM (SELECT label,
+                   unnest(list_transform(embedding, (x, i) -> {{'i': i, 'x': x}})) AS s
+            FROM embeddings)
+      GROUP BY label, s.i
+    ),
+    cent AS (
+      SELECT label, list(c ORDER BY dim) AS cv FROM cent_flat GROUP BY label
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv,
+             {_QNORM.replace('q.qv', 'embedding')} AS qn
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    routed AS (
+      SELECT query_id, qv, qn, label AS probe_label FROM (
+        SELECT q.query_id, q.qv, q.qn, c.label,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 (CAST(list_sum(list_transform(q.qv,
+                    (x, i) -> CAST(floor(x::DOUBLE * c.cv[i] * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)
+                 / (q.qn * sqrt(CAST(list_sum(list_transform(c.cv,
+                    x -> CAST(floor(x * x * 1e12) AS BIGINT))) AS DOUBLE) / 1e12))
+                 DESC, c.label ASC) AS r
+        FROM q CROSS JOIN cent c
+      ) WHERE r <= {NPROBE}
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_DOT} / (q.qn * {_CNORM}) AS cosine_sim
+      FROM embeddings e JOIN routed q
+        ON e.label = q.probe_label AND e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine_sim
+    FROM (
+      SELECT query_id, neighbor_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+    description="IVF-routed ANN: label centroids act as the coarse quantizer"
+    f" (cells = labels); each query routes to its {NPROBE} nearest centroids"
+    " (tiny broadcast cross join) and scores ONLY those cells via an equi"
+    " hash join on the cell id -- the corpus never shuffles and never meets a"
+    " theta join. At 100 TB the cell id is the partition key, so a probe"
+    " reads nprobe partitions instead of the whole corpus.",
+)
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    scale = F.lit(similarity.SCALE)
+
+    # coarse quantizer: exact fixed-point per-label centroid vectors
+    # (the same reduce step as embedding_label_centroids, re-assembled into
+    # an ordered array per label)
+    flat = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
+    scaled = F.floor(F.col("x").cast("double") * scale)
+    cent_flat = flat.groupBy("label", "pos").agg(
+        ((F.sum(scaled).cast("double") / scale) / F.count(F.lit(1))).alias("c")
+    )
+    cent = cent_flat.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("cv")
+    )
+    cent = cent.withColumn("cn", F.sqrt(similarity.sq_norm(F.col("cv"))))
+
+    b = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(similarity.sq_norm(F.col("embedding"))).alias("__n"),
+    )
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("__qv"),
+        F.sqrt(similarity.sq_norm(F.col("embedding"))).alias("__qn"),
+    )
+
+    # routing: queries x centroids is (n_queries x n_labels) -- both tiny, so
+    # the cross join broadcasts; the corpus-facing join below stays equi
+    route_sim = similarity.dot(F.col("__qv"), F.col("cv")) / (F.col("__qn") * F.col("cn"))
+    wr = Window.partitionBy("query_id").orderBy(F.desc("route_sim"), F.asc("label"))
+    routed = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("route_sim", route_sim)
+        .withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") <= NPROBE)
+        .select("query_id", "__qv", "__qn", F.col("label").alias("__probe"))
+    )
+    scored = (
+        b.join(
+            F.broadcast(routed),
+            (F.col("label") == F.col("__probe")) & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
             "query_id",

@@ -82,3 +82,29 @@ def test_cosine_topk_self_similarity(spark):
     assert ranked[0][0] == 1 and math.isclose(ranked[0][2], 1.0, abs_tol=1e-9)
     assert ranked[1][0] == 2 and abs(ranked[1][2]) < 1e-9
     assert ranked[2][0] == 3 and math.isclose(ranked[2][2], -1.0, abs_tol=1e-9)
+
+
+def test_n_planes_scales_with_corpus():
+    from flink_cdc_fluss_quickstart_spark.functions.similarity import n_planes_for
+
+    # floor of 4 planes for tiny corpora
+    assert n_planes_for(100) == 4
+    assert n_planes_for(5_000) == 5
+    # 1B vectors / 256 target -> ~22 planes: bucket size stays ~constant
+    assert n_planes_for(1_000_000_000) == 22
+    # doubling the corpus adds at most one plane
+    for n in (10_000, 1_000_000, 100_000_000):
+        assert n_planes_for(2 * n) - n_planes_for(n) <= 1
+
+
+def test_ann_lsh_runtime_derivation(spark):
+    from flink_cdc_fluss_quickstart_spark.functions.similarity import ann_lsh
+    from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    queries = emb.filter(emb.vec_id % 50 == 0)
+    out = ann_lsh(emb, queries, k=3)
+    rows = out.collect()
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank", "cosine_sim"}
+    assert all(r.rank <= 3 for r in rows)
+    assert all(r.query_id != r.neighbor_id for r in rows)

@@ -76,3 +76,23 @@ def test_whole_stage_codegen_covers_agg(spark):
     # two-phase aggregation: partial before the exchange, final after
     assert "partial_sum" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_routing_is_equi_join(spark):
+    """embedding_ann_ivf: the corpus-facing probe must be an equi hash join
+    on the cell id. The only nested-loop join allowed is the tiny
+    queries x centroids routing cross join (both sides broadcast-sized)."""
+    plan, _ = _plans(spark, "embedding_ann_ivf")
+    assert "CartesianProduct" not in plan
+    # routing cross join is the single permitted nested-loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # corpus probe: hash join (broadcast at test SF; shuffle hash at scale)
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_ann_lsh_bucket_join_is_hash_join(spark):
+    """Sign-LSH ANN must stay an equi hash join on the bucket id -- a theta
+    or nested-loop join here is the quadratic scale-killer."""
+    plan, _ = _plans(spark, "embedding_ann_lsh")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
