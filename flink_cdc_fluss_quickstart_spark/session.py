@@ -56,4 +56,31 @@ def get_spark(app_name: str = "flink-cdc-fluss-quickstart-spark",
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
     builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _configure_state_store(spark)
+    return spark
+
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _configure_state_store(spark: SparkSession) -> None:
+    """Pin the RocksDB state-store provider for streaming state (T5).
+
+    The reference pins RocksDB for Flink state
+    (flink-cdc/docker-compose.yaml:16 `state.backend.type: rocksdb`); Spark's
+    analogue keeps streaming aggregation/dedup state off-heap and spillable
+    instead of in the HDFS-backed in-memory map -- the difference between
+    bounded and unbounded executor memory for large keyed state at 100 TB.
+
+    Guarded: only set when the provider class ships in this Spark build (it
+    is bundled since 3.2, but a stripped deployment without rocksdbjni should
+    degrade to the default provider, not fail at stream start).
+    """
+    try:
+        spark._jvm.java.lang.Class.forName(_ROCKSDB_PROVIDER)  # type: ignore[union-attr]
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
+    except Exception:
+        pass
