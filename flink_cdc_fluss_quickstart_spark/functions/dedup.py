@@ -283,3 +283,121 @@ def ngram_jaccard(
     if min_jaccard is not None:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out
+
+
+EST_SLICES = 8  # 16-bit minhash components used to ESTIMATE Jaccard cheaply
+
+
+def jaccard_neardup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = SHINGLE_LEN,
+    min_jaccard: float = 0.5,
+    est_margin: float = 0.1,
+) -> DataFrame:
+    """LSH candidates -> minhash-estimate gate -> exact Jaccard verify, with
+    every hash derived from ONE md5 per distinct shingle.
+
+    The md5 digest (32 hex chars) is sliced three ways, so the profile frame
+    is computed in a single pass and persisted:
+    - 4 x 8-hex minima  -> the LSH band signature (candidate generation),
+    - 8 x 4-hex minima  -> a wider minhash that ESTIMATES Jaccard as the
+      fraction of matching components (16-bit slices collide upward, which
+      only makes the gate more conservative),
+    - 15-hex -> 60-bit BIGINT per shingle for the exact set intersection.
+
+    The estimate gate drops candidate pairs whose estimated Jaccard is below
+    (min_jaccard - est_margin) BEFORE the exact intersection -- on an
+    LSH-candidate stream most pairs are band-collision false positives, so
+    this removes the dominant cost (pairwise O(|A|+|B|) intersections) while
+    the margin keeps borderline pairs on the exact path. The gate is part of
+    the operator's definition and is mirrored in the DuckDB oracle.
+
+    Output: (id_a, id_b, jaccard DOUBLE) with jaccard >= min_jaccard.
+    """
+    import math
+
+    from pyspark import StorageLevel
+
+    out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
+    sh = F.array_distinct(shingle_array("__norm", n))
+    hs = out.select(id_col, F.transform(sh, F.md5).alias("__hs"))
+
+    def slice_at(start: int, width: int):
+        return lambda h: F.substring(h, start, width)
+
+    band_cols = [
+        F.array_min(F.transform(F.col("__hs"), slice_at(8 * k + 1, 8))).alias(f"mh_{k}")
+        for k in range(4)
+    ]
+    est_cols = [
+        F.array_min(F.transform(F.col("__hs"), slice_at(4 * k + 1, 4))).alias(f"est_{k}")
+        for k in range(EST_SLICES)
+    ]
+    sh_col = F.transform(
+        F.col("__hs"), lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    ).alias("sh")
+    prof = (
+        hs.select(id_col, *band_cols, *est_cols, sh_col)
+        .withColumn("sh_n", F.size("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+
+    # candidate generation: the same 2x2 band self-joins as minhash_band_pairs,
+    # inlined over the already-persisted profile
+    pairs = None
+    for cols in (("mh_0", "mh_1"), ("mh_2", "mh_3")):
+        key = F.md5(F.concat_ws("|", *[F.col(c) for c in cols])).alias("band_key")
+        banded = prof.select(F.col(id_col), key)
+        a, b = banded.alias("a"), banded.alias("b")
+        p = (
+            a.join(b, F.col("a.band_key") == F.col("b.band_key"))
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            )
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    assert pairs is not None
+    pairs = pairs.distinct()
+
+    # stage 1 -- gate on NARROW columns only. The est/sh_n frame carries 8
+    # short strings + an int per doc; joining the full shingle arrays to all
+    # candidate pairs first would shuffle |pairs| x |shingles| longs (the
+    # actual bottleneck, GBs at sf0.1), so the wide arrays are attached only
+    # to gate survivors in stage 2.
+    narrow_a = prof.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(f"est_{k}").alias(f"__ea_{k}") for k in range(EST_SLICES)],
+        F.col("sh_n").alias("n_a"),
+    )
+    narrow_b = prof.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(f"est_{k}").alias(f"__eb_{k}") for k in range(EST_SLICES)],
+        F.col("sh_n").alias("n_b"),
+    )
+    gated = pairs.join(narrow_a, "id_a").join(narrow_b, "id_b")
+
+    est_min = math.ceil((min_jaccard - est_margin) * EST_SLICES)
+    est_matches = None
+    for k in range(EST_SLICES):
+        term = (F.col(f"__ea_{k}") == F.col(f"__eb_{k}")).cast("int")
+        est_matches = term if est_matches is None else est_matches + term
+    gated = gated.filter(est_matches >= est_min)
+
+    # size-ratio bound (sound: J <= min/max) -- prunes without set work
+    gated = gated.filter(
+        F.least("n_a", "n_b").cast("double") >= F.lit(min_jaccard) * F.greatest("n_a", "n_b")
+    ).select("id_a", "id_b", "n_a", "n_b")
+
+    # stage 2 -- exact intersection for the few survivors only
+    sets_a = prof.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    sets_b = prof.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    joined = gated.join(sets_a, "id_a").join(sets_b, "id_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
+    return (
+        joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= min_jaccard)
+    )

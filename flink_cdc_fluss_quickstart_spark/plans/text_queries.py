@@ -7,6 +7,8 @@ shuffle, i.e. the shape that scales linearly to 100 TB.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -203,39 +205,58 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_signature(d, "doc_id", "text")
 
 
+_EST_EXPRS = ",\n           ".join(
+    f"list_min(list_transform(hs, h -> substr(h, {4 * k + 1}, 4))) AS est_{k}"
+    for k in range(dedup.EST_SLICES)
+)
+_EST_GATE = " + ".join(
+    f"(CASE WHEN a.est_{k} = b.est_{k} THEN 1 ELSE 0 END)"
+    for k in range(dedup.EST_SLICES)
+)
+# mirrors dedup.jaccard_neardup's gate: ceil((min_jaccard - margin) * slices)
+_EST_MIN = math.ceil((0.5 - 0.1) * dedup.EST_SLICES)
+
+
 @register(
     "ngram_jaccard_neardup",
     oracle=f"""
-    WITH sig AS ({_MH_SQL.format(mh_exprs=_MH_EXPRS)}),
+    WITH prof AS (
+      SELECT doc_id, s,
+             {_MH_EXPRS},
+             {_EST_EXPRS}
+      FROM (
+        SELECT doc_id, s, list_transform(s, x -> md5(x)) AS hs
+        FROM (SELECT doc_id, {_shingles_sql()} AS s FROM ({_NORM_DOCS}))
+      )
+    ),
     pairs AS (
       SELECT DISTINCT id_a, id_b FROM (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sig a JOIN sig b ON a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1
+        FROM prof a JOIN prof b ON a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1
         WHERE a.doc_id < b.doc_id
         UNION ALL
         SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sig a JOIN sig b ON a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3
+        FROM prof a JOIN prof b ON a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3
         WHERE a.doc_id < b.doc_id
       )
-    ),
-    sh AS (SELECT doc_id, {_shingles_sql()} AS s FROM ({_NORM_DOCS}))
+    )
     SELECT id_a, id_b, jaccard FROM (
       SELECT p.id_a, p.id_b,
              CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
                AS jaccard
-      FROM pairs p JOIN sh a ON p.id_a = a.doc_id JOIN sh b ON p.id_b = b.doc_id
+      FROM pairs p JOIN prof a ON p.id_a = a.doc_id JOIN prof b ON p.id_b = b.doc_id
+      WHERE ({_EST_GATE}) >= {_EST_MIN}
     ) WHERE jaccard >= 0.5
     """,
-    description="n-gram Jaccard near-dup: LSH candidate pairs verified with"
-    " exact shingle-set Jaccard, thresholded at 0.5. Shingle sets stay"
-    " row-local arrays; only candidate (id, id) pairs shuffle.",
+    description="n-gram Jaccard near-dup: LSH candidate pairs -> wide-minhash"
+    " estimate gate (8 x 16-bit components, all sliced from the ONE md5 per"
+    " shingle) -> exact shingle-set Jaccard at 0.5. Wide arrays join only the"
+    " gate survivors, so candidate volume never moves document-sized data.",
 )
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature(d, "doc_id", "text")
-    pairs = dedup.minhash_band_pairs(sig, "doc_id", (("mh_0", "mh_1"), ("mh_2", "mh_3")))
-    return dedup.ngram_jaccard(d, "doc_id", "text", pairs, min_jaccard=0.5)
+    return dedup.jaccard_neardup(d, "doc_id", "text", min_jaccard=0.5)
 
 
 def _simhash_sql_expr() -> str:
