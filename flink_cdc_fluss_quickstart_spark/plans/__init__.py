@@ -14,5 +14,6 @@ from flink_cdc_fluss_quickstart_spark.plans import text_queries  # noqa: E402,F4
 from flink_cdc_fluss_quickstart_spark.plans import similarity_queries  # noqa: E402,F401
 from flink_cdc_fluss_quickstart_spark.plans import temporal_queries  # noqa: E402,F401
 from flink_cdc_fluss_quickstart_spark.plans import multimodal_queries  # noqa: E402,F401
+from flink_cdc_fluss_quickstart_spark.plans import betting_queries  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "all_queries", "all_oracle_sql", "register"]

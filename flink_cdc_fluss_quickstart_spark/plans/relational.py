@@ -690,3 +690,93 @@ def events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("bad_payloads"),
         )
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    SELECT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, n.n_name,
+           l.l_extendedprice AS min_price
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'LARGE'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE l.l_extendedprice = (
+      SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+      WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+    description="TPC-H q2 shape (correlated scalar MIN subquery): per part,"
+    " the supplier(s) offering the minimum price. Spark-first translation:"
+    " the correlated subquery becomes a window MIN over the part key -- one"
+    " shuffle on l_partkey instead of a self-join re-scan; the part filter"
+    " applies BEFORE the window so only filtered parts' lineitems shuffle.",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    # inner join to the filtered parts first: every lineitem of a surviving
+    # part remains, so the window MIN equals the correlated MIN over all of
+    # that part's lineitems
+    li_p = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    w = Window.partitionBy("l_partkey")
+    cheapest = (
+        li_p.withColumn("__min_price", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("__min_price"))
+    )
+    return (
+        cheapest.join(F.broadcast(supplier), cheapest.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .select(
+            "p_partkey", "p_name", "s_suppkey", "s_name", "n_name",
+            F.col("l_extendedprice").alias("min_price"),
+        )
+    )
+
+
+@register(
+    "q20_part_heavy_suppliers",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      GROUP BY l.l_suppkey
+      HAVING SUM(CAST(l.l_quantity AS DECIMAL(12,2))) > CAST(2500 AS DECIMAL(12,2))
+    )
+    """,
+    description="TPC-H q20 shape (nested semi-joins): suppliers that shipped"
+    " more than a threshold quantity of a filtered part class. Spark-first:"
+    " both IN-subqueries become LEFT SEMI joins (no dedup-materialize), the"
+    " inner aggregation is a partial/final hash agg on l_suppkey, and the"
+    " DECIMAL cast keeps the HAVING sum exact across engines.",
+)
+def q20_part_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+
+    heavy = (
+        li.join(
+            F.broadcast(part.select("p_partkey")),
+            li.l_partkey == F.col("p_partkey"),
+            "leftsemi",
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("__qty"))
+        .filter(F.col("__qty") > F.lit(2500).cast("decimal(12,2)"))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(heavy, supplier.s_suppkey == heavy.l_suppkey, "leftsemi")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )

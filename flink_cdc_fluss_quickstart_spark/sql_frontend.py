@@ -170,7 +170,13 @@ class Engine:
                 raise ValueError(f"bad SET: {stmt[:80]}")
             self.conf[m.group(1)] = m.group(2)
         elif head.startswith("CREATE CATALOG"):
-            m = re.match(r"CREATE\s+CATALOG\s+(\w+)\s+WITH\s*\((.*)\)\s*$", stmt, re.I | re.S)
+            # the generated init-catalogs.sql spells IF NOT EXISTS
+            # (flink-gen.sh:24); the hand-written scripts do not
+            m = re.match(
+                r"CREATE\s+CATALOG\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s+WITH\s*\((.*)\)\s*$",
+                stmt,
+                re.I | re.S,
+            )
             self.catalogs[m.group(1).lower()] = _parse_with_options(m.group(2))
         elif head.startswith("USE CATALOG"):
             self.current_catalog = stmt.split()[-1].strip().lower()
@@ -180,8 +186,17 @@ class Engine:
         elif head.startswith("USE "):
             self.current_db = stmt.split()[-1].strip().lower()
         elif head.startswith("DROP TABLE"):
-            m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)", stmt, re.I)
-            self.tables.pop(m.group(1).lower(), None)
+            m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)", stmt, re.I)
+            name = m.group(1).split(".")[-1].lower()
+            self.tables.pop(name, None)
+            # also drop the PK store AND its on-disk data: the reference
+            # dialect's drop+create yields an EMPTY table, so a resurrected
+            # name must not see the old rows
+            store = self.stores.pop(name, None)
+            if store is not None:
+                import shutil
+
+                shutil.rmtree(store.path, ignore_errors=True)
         elif head.startswith(("CREATE TABLE", "CREATE TEMPORARY TABLE")):
             self._create_table(stmt)
         elif head.startswith("INSERT INTO"):
@@ -244,9 +259,10 @@ class Engine:
         )
         self.tables[name] = spec
         if not spec.is_connector_source:
-            # PK-backed managed table under the warehouse; 'bucket.num' is the
-            # reference's hash-bucket knob (tickets-cdc.sql:34)
-            n_buckets = int(options.get("bucket.num", "4"))
+            # PK-backed managed table under the warehouse; the reference's
+            # hash-bucket knob is spelled 'bucket.num' in tickets-cdc.sql:34
+            # and 'bucket' in the generated init-catalogs.sql paimon DDL
+            n_buckets = int(options.get("bucket.num", options.get("bucket", "4")))
             path = os.path.join(self.warehouse, self.current_catalog, self.current_db, name)
             keys = pk or [fields[0].name]
             self.stores[name] = PKTable(

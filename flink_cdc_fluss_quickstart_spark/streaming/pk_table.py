@@ -26,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 from collections.abc import Sequence
 
@@ -38,6 +39,22 @@ from flink_cdc_fluss_quickstart_spark.operators.changelog import (
 )
 
 MANIFEST = "manifest.json"
+
+# Per-table-path commit locks: independent streaming queries (e.g. the
+# tickets and movies pipelines refreshing one serving table) run foreachBatch
+# callbacks on different driver threads; an unlocked read-modify-write of the
+# manifest could interleave and lose bucket pointers / txn markers. All
+# writers in this process serialize commits per table path; a multi-driver
+# production deployment maps this onto the table format's own transaction
+# protocol (Delta/Iceberg optimistic commit).
+_COMMIT_LOCKS: dict[str, threading.RLock] = {}
+_COMMIT_LOCKS_GUARD = threading.Lock()
+
+
+def _commit_lock(path: str) -> threading.RLock:
+    key = os.path.realpath(path)
+    with _COMMIT_LOCKS_GUARD:
+        return _COMMIT_LOCKS.setdefault(key, threading.RLock())
 
 
 def _bucket_expr(keys: Sequence[str], n_buckets: int) -> F.Column:
@@ -95,15 +112,29 @@ class PKTable:
 
     # -- write ------------------------------------------------------------
 
-    def merge(self, changes: DataFrame, batch_id: int = 0,
+    def merge(self, changes: DataFrame, batch_id: int | None = None,
               writer_id: str = "default", op_col: str = "op") -> None:
         """Apply a changelog micro-batch: upsert I/U rows, drop D keys.
 
         Idempotent per (writer_id, batch_id): replays of an already-applied
         batch are no-ops, giving exactly-once results over at-least-once
-        delivery (K4/T4 semantics).
+        delivery (K4/T4 semantics). Streaming callers MUST pass foreachBatch's
+        batch_id so replays dedupe; batch callers may omit it, which
+        auto-increments past the writer's last applied batch (an omitted id
+        must never silently no-op a new batch).
+
+        Commits serialize per table path (see _commit_lock), so concurrent
+        pipelines merging into one serving table cannot interleave
+        manifest updates.
         """
+        with _commit_lock(self.path):
+            self._merge_locked(changes, batch_id, writer_id, op_col)
+
+    def _merge_locked(self, changes: DataFrame, batch_id: int | None,
+                      writer_id: str, op_col: str) -> None:
         m = self._read_manifest()
+        if batch_id is None:
+            batch_id = m["txn"].get(writer_id, -1) + 1
         if m["txn"].get(writer_id, -1) >= batch_id:
             return
 
@@ -113,6 +144,9 @@ class PKTable:
             "__bucket", _bucket_expr(self.keys, self.n_buckets)
         ).localCheckpoint(eager=True)  # pin: source micro-batch is transient
 
+        # driver-side collect is bounded by n_buckets (one int per DISTINCT
+        # bucket, never per row): <= 4 values here, <= a few thousand at a
+        # realistic production bucket count -- metadata-sized by construction
         affected = [
             r["__bucket"]
             for r in batch_latest.select("__bucket").distinct().collect()
@@ -173,6 +207,10 @@ class PKTable:
 
     def overwrite(self, df: DataFrame) -> None:
         """Full snapshot replace (used for seeding / batch backfills)."""
+        with _commit_lock(self.path):
+            self._overwrite_locked(df)
+
+    def _overwrite_locked(self, df: DataFrame) -> None:
         m = self._read_manifest()
         version = m["version"] + 1
         vdir = f"v{version}"

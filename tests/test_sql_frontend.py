@@ -12,7 +12,7 @@ from flink_cdc_fluss_quickstart_spark.sources import osb
 from flink_cdc_fluss_quickstart_spark.sql_frontend import Engine, _split_statements
 from flink_cdc_fluss_quickstart_spark.streaming.analytics import revenue_aggregate
 
-EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
+FIXTURES = Path(__file__).resolve().parent / "fixtures"
 
 
 def test_split_statements_handles_quotes_and_comments():
@@ -36,8 +36,8 @@ def test_reference_scripts_end_to_end(spark, workload, tmp_path):
     eng.bind_source("pg_osb_tickets", workload["tickets"], osb.TICKETS_SCHEMA)
     eng.bind_source("pg_osb_movies", workload["movies"], osb.MOVIES_SCHEMA)
 
-    eng.execute((EXAMPLES / "movies-cdc.sql").read_text())
-    eng.execute((EXAMPLES / "tickets-cdc.sql").read_text())
+    eng.execute((FIXTURES / "movies-cdc.sql").read_text())
+    eng.execute((FIXTURES / "tickets-cdc.sql").read_text())
     eng.await_all()
 
     # staging tables replicated with upsert semantics
@@ -46,7 +46,7 @@ def test_reference_scripts_end_to_end(spark, workload, tmp_path):
     assert movies.count() == 10  # 2 inserts x 5 epochs, updates collapse
     assert tickets.count() > 0
 
-    eng.execute((EXAMPLES / "revenue-analytics.sql").read_text())
+    eng.execute((FIXTURES / "revenue-analytics.sql").read_text())
     served = eng.snapshot("movie_revenue_realtime")
 
     oracle = revenue_aggregate(
@@ -63,6 +63,49 @@ def test_reference_scripts_end_to_end(spark, workload, tmp_path):
 
     # re-running the analytics refresh after more changes keeps the PK
     # semantics (idempotent refresh; groups update in place)
-    eng.execute((EXAMPLES / "revenue-analytics.sql").read_text())
+    eng.execute((FIXTURES / "revenue-analytics.sql").read_text())
     again = eng.snapshot("movie_revenue_realtime")
     assert sorted(tuple(r) for r in again.select(*oracle.columns).collect()) == o
+
+
+def test_init_catalogs_betting_dialect(spark, tmp_path):
+    """S4: the generated init-catalogs.sql dialect end-to-end -- 18-column
+    betting tickets over CDC + kinesis JSON events, exercising TIMESTAMP WITH
+    LOCAL TIME ZONE, BOOLEAN, and nullable BIGINT amounts."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_fluss_quickstart_spark.sources import betting
+
+    dirs = betting.generate_betting_workload(str(tmp_path / "wl"), epochs=6, seed=7)
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.bind_source("cdc_tickets", dirs["tickets"], betting.BETTING_TICKETS_SCHEMA)
+    eng.bind_source("kinesis_events", dirs["events"], betting.KINESIS_EVENTS_SCHEMA)
+
+    eng.execute((FIXTURES / "init-catalogs.sql").read_text())
+    eng.await_all()
+
+    snap = eng.snapshot("tickets")
+    sch = {f.name: f.dataType for f in snap.schema.fields}
+    # type round-trip through the dialect's type map
+    assert isinstance(sch["accept_odds_change"], T.BooleanType)
+    assert isinstance(sch["created_at"], T.TimestampType)  # WITH LOCAL TIME ZONE
+    assert isinstance(sch["winning_amount"], T.LongType)
+
+    rows = snap.collect()
+    assert len(rows) > 0
+    # 6 epochs x 8 inserts, minus the 4 hard-deleted tickets (epochs 2-5)
+    assert len(rows) == 6 * 8 - 4
+    for r in rows:
+        # nullable amount semantics follow the lifecycle
+        if r.status == "WON":
+            assert r.winning_amount == r.entry_amount * 185 // 100
+        else:
+            assert r.winning_amount is None
+        if r.status == "CANCELLED":
+            assert r.cancel_reason is not None
+            assert r.transactions_cancel_transaction is not None
+
+    # kinesis events replicated into staging; watermark metadata retained
+    ev = eng.snapshot("events_staging")
+    assert ev.count() == 6 * 8
+    assert eng.tables["kinesis_events"].watermark == ("event_time", "5 seconds")

@@ -137,3 +137,68 @@ def test_revenue_view_invariants(spark, workload, tmp_path):
     )
     assert bad.count() == 0
     assert agg.count() > 0
+
+
+def test_merge_default_batch_id_auto_increments(spark, tmp_path):
+    """Two distinct batches merged WITHOUT explicit batch ids must both
+    apply (an omitted id auto-increments; it must not silently no-op)."""
+    from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable
+
+    t = PKTable(spark, str(tmp_path / "t"), keys=["k"], order_by=["seq"])
+    mk = lambda rows: spark.createDataFrame(rows, "op string, seq long, k long, v string")  # noqa: E731
+    t.merge(mk([("I", 1, 1, "a")]))
+    t.merge(mk([("I", 2, 2, "b")]))
+    snap = {(r.k, r.v) for r in t.snapshot().collect()}
+    assert snap == {(1, "a"), (2, "b")}
+
+
+def test_concurrent_merges_serialize(spark, tmp_path):
+    """Concurrent writers into one table must not lose manifest updates
+    (commits serialize per table path)."""
+    import threading
+
+    from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable
+
+    t = PKTable(spark, str(tmp_path / "t"), keys=["k"], order_by=["seq"], n_buckets=4)
+
+    def writer(wid: int) -> None:
+        for b in range(3):
+            df = spark.createDataFrame(
+                [("I", b, wid * 100 + b, f"w{wid}b{b}")],
+                "op string, seq long, k long, v string",
+            )
+            t.merge(df, batch_id=b, writer_id=f"w{wid}")
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    snap = t.snapshot()
+    # 3 writers x 3 batches, all distinct keys -> all 9 rows present
+    assert snap.count() == 9
+    for w in range(3):
+        assert t.last_batch_id(f"w{w}") == 2
+
+
+def test_drop_table_purges_store(spark, tmp_path):
+    """Reference dialect: DROP TABLE + CREATE TABLE yields an EMPTY table
+    (the old store's rows must not resurrect)."""
+    from flink_cdc_fluss_quickstart_spark.sql_frontend import Engine
+
+    ddl = """
+    CREATE TABLE t1 (
+        id BIGINT NOT NULL,
+        v STRING,
+        PRIMARY KEY (id) NOT ENFORCED
+    ) WITH ('bucket.num' = '2');
+    """
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.execute(ddl)
+    eng.store_for("t1").merge(
+        spark.createDataFrame([("I", 1, 10, "x")], "op string, seq long, id long, v string")
+    )
+    assert eng.snapshot("t1").count() == 1
+    eng.execute("DROP TABLE t1;")
+    eng.execute(ddl)
+    assert eng.snapshot("t1") is None
