@@ -1,0 +1,138 @@
+"""Production connector bindings for the CDC sources (SURVEY.md S1-S3).
+
+The reference ingests Postgres WAL via the postgres-cdc connector
+(flink-cdc/sql/tickets-cdc.sql:43-64). The in-sandbox tests replay that
+changelog from per-epoch parquet files (sources/osb.py); THIS module is the
+documented seam to the two production forms, Spark-first:
+
+1. Kafka + Debezium: `spark.readStream.format("kafka")` delivers Debezium
+   envelopes as JSON bytes; `debezium_decode` turns them into the engine's
+   changelog frame (op/seq/payload columns) with `from_json` -- pure JVM
+   expression work, no UDF. The decode is Kafka-independent and unit-tested
+   against literal envelope strings; `kafka_changelog_stream` is the thin
+   binding that applies it to a Kafka stream (exercised only where the Kafka
+   connector jar is deployed).
+
+2. JDBC parallel snapshot seed: the reference's snapshot-then-stream startup
+   (T6) seeds from a consistent table read before tailing the WAL. Spark's
+   analogue is a partitioned JDBC read -- `jdbc_snapshot_reader` configures
+   partitionColumn/numPartitions so the seed scan fans out across executors
+   instead of serializing through one connection.
+
+Every changelog consumer downstream (PKTable.merge, cdc_pipeline.replicate)
+is source-agnostic: it sees (op, seq, payload...) no matter which binding
+produced the frame.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+from pyspark.sql import types as T
+
+# Debezium op codes -> the engine's changelog ops ('r' = snapshot read row)
+_DEBEZIUM_OP = {"c": "I", "r": "I", "u": "U", "d": "D"}
+
+
+def debezium_envelope_schema(payload: T.StructType) -> T.StructType:
+    """Schema of a (flattened) Debezium JSON envelope for a row payload."""
+    return T.StructType(
+        [
+            T.StructField("before", payload, True),
+            T.StructField("after", payload, True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+            T.StructField(
+                "source",
+                T.StructType([T.StructField("lsn", T.LongType(), True)]),
+                True,
+            ),
+        ]
+    )
+
+
+def debezium_decode(raw: DataFrame, payload: T.StructType,
+                    value_col: str = "value") -> DataFrame:
+    """Decode Debezium JSON envelopes into the engine's changelog frame.
+
+    ``raw`` carries one JSON envelope per row (Kafka's `value`, cast to
+    string). Output: (op, seq, <payload columns...>) where op is I/U/D, seq
+    is the source LSN (the WAL position -- the same total order the file
+    replay models with its seq column), and the payload comes from `after`
+    for upserts and `before` for deletes. Malformed envelopes surface as
+    NULL-op rows (filter or dead-letter them; they never fail the stream).
+
+    All expression work (`from_json`, struct field access, CASE) is JVM-side
+    whole-stage-codegen -- at 100 TB/day of CDC this path must never drop
+    into Python.
+    """
+    env = F.from_json(F.col(value_col).cast("string"), debezium_envelope_schema(payload))
+    op = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _DEBEZIUM_OP.items() for x in kv]),
+        env["op"],
+    )
+    row = F.when(env["op"] == "d", env["before"]).otherwise(env["after"])
+    out = raw.select(
+        op.alias("op"),
+        env["source"]["lsn"].alias("seq"),
+        row.alias("__row"),
+    )
+    return out.select("op", "seq", *[f"__row.{f.name}" for f in payload.fields])
+
+
+def kafka_changelog_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    payload: T.StructType,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Debezium-over-Kafka changelog stream (production S1 binding).
+
+    Requires the spark-sql-kafka connector on the classpath; in this sandbox
+    only `debezium_decode` (the non-trivial half) is exercised directly.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return debezium_decode(raw, payload)
+
+
+def jdbc_snapshot_options(
+    url: str,
+    table: str,
+    partition_column: str,
+    lower_bound: int,
+    upper_bound: int,
+    num_partitions: int = 32,
+    **options: str,
+) -> dict[str, str]:
+    """Option map for the parallel JDBC snapshot seed (T6).
+
+    The partitionColumn bounds split the seed scan into `num_partitions`
+    range predicates executed concurrently -- the difference between a
+    snapshot that takes one connection-hours and one that takes minutes
+    across the cluster. Pick a clustered/PK integer column so ranges align
+    with the table's physical order.
+    """
+    return {
+        "url": url,
+        "dbtable": table,
+        "partitionColumn": partition_column,
+        "lowerBound": str(lower_bound),
+        "upperBound": str(upper_bound),
+        "numPartitions": str(num_partitions),
+        # push filters/column pruning into the database
+        "pushDownPredicate": "true",
+        **options,
+    }
+
+
+def jdbc_snapshot_reader(spark: SparkSession, **kwargs) -> DataFrameReader:
+    """Configured parallel JDBC reader (call `.load()` where a database is
+    reachable; see jdbc_snapshot_options for the partitioning contract)."""
+    return spark.read.format("jdbc").options(**jdbc_snapshot_options(**kwargs))
