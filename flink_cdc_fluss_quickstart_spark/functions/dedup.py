@@ -401,3 +401,71 @@ def jaccard_neardup(
         joined.select("id_a", "id_b", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= min_jaccard)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over a near-dup
+    pair graph by min-label propagation with pointer jumping.
+
+    Each node starts labeled with its own id. Every round:
+    1. hook: take the minimum of the node's label and its neighbors' labels
+       (one equi join + min-aggregation), then
+    2. jump: replace the label with its label's label (path halving -- one
+       self equi join), so chains collapse in O(log diameter) rounds instead
+       of O(diameter). Near-dup LSH graphs DO chain (A~B~C without A~C), so
+       the jump matters: the sf0.01 fixture graph has diameter 13, which is
+       13 rounds hooked-only vs 4 with jumping.
+
+    The loop is over ROUNDS, never rows; every step is an equi join -- the
+    standard distributed-CC shape. Labels decrease monotonically, so the
+    cheap convergence check is an unchanged label SUM (one aggregation, no
+    join). Labels are localCheckpoint'ed per round to keep lineage flat.
+
+    Output: (id, component_id) for EVERY node; singletons label themselves.
+    The component id is the minimum member id -- deterministic, so the DuckDB
+    oracle (recursive-CTE reachability) matches exactly.
+    """
+    sym = edges.select(
+        F.col(src_col).alias("__src"), F.col(dst_col).alias("__dst")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("__src"), F.col(src_col).alias("__dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)  # edges feed every round
+    labels = nodes.select(
+        F.col(id_col).alias("__node"), F.col(id_col).alias("__label")
+    ).localCheckpoint(eager=True)
+    prev_sum = None
+
+    for _ in range(max_iterations):
+        # hook: min over neighbors
+        neighbor_min = (
+            sym.join(labels, sym["__dst"] == labels["__node"])
+            .groupBy("__src")
+            .agg(F.min("__label").alias("__nmin"))
+        )
+        hooked = labels.join(
+            neighbor_min, labels["__node"] == neighbor_min["__src"], "left"
+        ).select(
+            "__node",
+            F.least(F.col("__label"), F.coalesce("__nmin", "__label")).alias("__label"),
+        )
+        # jump: label <- label(label)  (labels always point at real node ids,
+        # so the inner self-join matches every row)
+        jumped = (
+            hooked.alias("x")
+            .join(hooked.alias("y"), F.col("x.__label") == F.col("y.__node"))
+            .select(F.col("x.__node").alias("__node"), F.col("y.__label").alias("__label"))
+        )
+        labels = jumped.localCheckpoint(eager=True)
+        cur_sum = labels.agg(F.sum("__label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("__node").alias(id_col), F.col("__label").alias("component_id"))

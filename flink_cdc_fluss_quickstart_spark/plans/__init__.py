@@ -15,5 +15,6 @@ from flink_cdc_fluss_quickstart_spark.plans import similarity_queries  # noqa: E
 from flink_cdc_fluss_quickstart_spark.plans import temporal_queries  # noqa: E402,F401
 from flink_cdc_fluss_quickstart_spark.plans import multimodal_queries  # noqa: E402,F401
 from flink_cdc_fluss_quickstart_spark.plans import betting_queries  # noqa: E402,F401
+from flink_cdc_fluss_quickstart_spark.plans import pipeline_queries  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "all_queries", "all_oracle_sql", "register"]

@@ -369,3 +369,46 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(r"size(regexp_extract_all(text, 'https?://[^\\s]+', 0))")
         .alias("url_count"),
     )
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MH_SQL.format(mh_exprs=_MH_EXPRS)}),
+    pairs AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1
+        WHERE a.doc_id < b.doc_id
+        UNION ALL
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sig a JOIN sig b ON a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3
+        WHERE a.doc_id < b.doc_id
+      )
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    )
+    SELECT s AS doc_id, MIN(d) AS component_id FROM reach GROUP BY s
+    """,
+    description="Duplicate-cluster resolution: connected components over the"
+    " MinHash-LSH candidate graph by iterative min-label propagation (rounds"
+    " = graph diameter; near-dup graphs are clique-ish so 2-3 rounds). The"
+    " driver loop iterates ROUNDS, never rows -- each round is one equi join"
+    " + one min-aggregation, the standard distributed-CC shape. Oracle:"
+    " recursive-CTE reachability (exact same min-member component ids).",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text")
+    pairs = dedup.minhash_band_pairs(sig, "doc_id", (("mh_0", "mh_1"), ("mh_2", "mh_3")))
+    return dedup.connected_components(
+        pairs, d.select("doc_id"), id_col="doc_id"
+    )

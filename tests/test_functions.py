@@ -108,3 +108,18 @@ def test_ann_lsh_runtime_derivation(spark):
     assert set(out.columns) == {"query_id", "neighbor_id", "rank", "cosine_sim"}
     assert all(r.rank <= 3 for r in rows)
     assert all(r.query_id != r.neighbor_id for r in rows)
+
+
+def test_connected_components_chains_and_singletons(spark):
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4), triangle 10-11-12, singletons 20, 21
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 20, 21]], "id long"
+    )
+    out = {r.id: r.component_id for r in connected_components(edges, nodes).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 21}
