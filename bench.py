@@ -34,6 +34,10 @@ HEADLINE = (
     "ngram_jaccard_neardup",
     "simhash_neardup_pairs",
     "text_quality",
+    "quality_filter_route",
+    "dataset_split_assign",
+    "token_stats_by_lang",
+    "betting_tickets_analytics",
     "embedding_cosine_topk",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
