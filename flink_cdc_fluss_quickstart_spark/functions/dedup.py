@@ -22,6 +22,26 @@ SHINGLE_LEN = 5  # character shingles over normalized text
 DEFAULT_SEEDS = (0, 1, 2, 3)  # minhash components (one 8-hex md5 slice each)
 
 
+def md5_digest(s: Column) -> Column:
+    """Oracle-reproducible shingle digest: 32 hex chars, mirrored in DuckDB.
+    This is THE hash seam -- every minhash/LSH step slices this digest, so
+    swapping the digest function swaps the whole pipeline's hash."""
+    return F.md5(s)
+
+
+def fast_digest(s: Column) -> Column:
+    """Production shingle digest: two seeded xxhash64 values hex-packed to
+    the same 32-hex-char contract md5_digest satisfies. xxhash64 skips md5's
+    cryptographic rounds (~10% on the whole signature step at sf0.1 --
+    shingling/array work dominates, so the swap is a modest win, not a
+    rescue) -- but it is engine-private, so the DuckDB oracle gate pins md5;
+    production callers pass digest=fast_digest."""
+    return F.concat(
+        F.lpad(F.hex(F.xxhash64(s)), 16, "0"),
+        F.lpad(F.hex(F.xxhash64(s, F.lit(1))), 16, "0"),
+    )
+
+
 def exact_key(text: Column) -> Column:
     """Exact-dup grouping key: md5 of the raw text."""
     return F.md5(text)
@@ -48,17 +68,21 @@ def minhash_signature(
     text_col: str,
     seeds: tuple[int, ...] = DEFAULT_SEEDS,
     n: int = SHINGLE_LEN,
+    digest=md5_digest,
 ) -> DataFrame:
-    """MinHash signature per document: ONE md5 per distinct shingle; the k-th
-    signature component is the minimum of the k-th 8-hex-char slice of those
-    digests. Slices of a cryptographic hash are independent enough for LSH
-    and cost 4x fewer hash evaluations than per-seed salted hashing.
+    """MinHash signature per document: ONE digest per distinct shingle; the
+    k-th signature component is the minimum of the k-th 8-hex-char slice of
+    those digests. Slices of a good hash are independent enough for LSH and
+    cost 4x fewer hash evaluations than per-seed salted hashing.
+
+    ``digest`` is the hash seam: md5_digest (default) is oracle-reproducible;
+    fast_digest is the cheaper production path.
 
     Output: (id, mh_<k>, ...) -- one row per document, no shuffle.
     """
     out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
     sh = F.array_distinct(shingle_array("__norm", n))
-    out = out.select(id_col, F.transform(sh, F.md5).alias("__hs"))
+    out = out.select(id_col, F.transform(sh, digest).alias("__hs"))
 
     # NB: factory, not `lambda h, k=k`: pyspark treats a 2-parameter lambda
     # as (element, index) and would bind k to the array index column
@@ -295,9 +319,11 @@ def jaccard_neardup(
     n: int = SHINGLE_LEN,
     min_jaccard: float = 0.5,
     est_margin: float = 0.1,
+    digest=md5_digest,
 ) -> DataFrame:
     """LSH candidates -> minhash-estimate gate -> exact Jaccard verify, with
-    every hash derived from ONE md5 per distinct shingle.
+    every hash derived from ONE digest per distinct shingle (md5 by default;
+    pass digest=fast_digest for the cheaper engine-private production hash).
 
     The md5 digest (32 hex chars) is sliced three ways, so the profile frame
     is computed in a single pass and persisted:
@@ -322,7 +348,7 @@ def jaccard_neardup(
 
     out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
     sh = F.array_distinct(shingle_array("__norm", n))
-    hs = out.select(id_col, F.transform(sh, F.md5).alias("__hs"))
+    hs = out.select(id_col, F.transform(sh, digest).alias("__hs"))
 
     def slice_at(start: int, width: int):
         return lambda h: F.substring(h, start, width)

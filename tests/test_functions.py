@@ -123,3 +123,43 @@ def test_connected_components_chains_and_singletons(spark):
     )
     out = {r.id: r.component_id for r in connected_components(edges, nodes).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 21}
+
+
+def test_fast_digest_hash_seam(spark):
+    """The digest seam: fast_digest (xxhash64-based) honors the 32-hex-char
+    contract, is deterministic, and drives the same pipeline shapes."""
+    import time
+
+    from flink_cdc_fluss_quickstart_spark.functions import dedup
+    from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    d.limit(1).collect()
+
+    # contract: 32 hex chars per digest
+    import pyspark.sql.functions as F
+
+    lens = (
+        d.select(F.length(dedup.fast_digest(F.col("text"))).alias("n"))
+        .distinct()
+        .collect()
+    )
+    assert {r.n for r in lens} == {32}
+
+    # deterministic: identical runs, identical signatures
+    a = sorted(tuple(r) for r in dedup.minhash_signature(d, "doc_id", "text", digest=dedup.fast_digest).collect())
+    b = sorted(tuple(r) for r in dedup.minhash_signature(d, "doc_id", "text", digest=dedup.fast_digest).collect())
+    assert a == b
+    # different hash family than md5 (values differ, shape identical)
+    m = sorted(tuple(r) for r in dedup.minhash_signature(d, "doc_id", "text").collect())
+    assert [r[0] for r in a] == [r[0] for r in m] and a != m
+
+    # the full near-dup pipeline runs on the fast path and finds the same
+    # dup-dense structure (exact verify keeps only true near-dups either way)
+    fast_pairs = dedup.jaccard_neardup(d, "doc_id", "text", digest=dedup.fast_digest)
+    md5_pairs = dedup.jaccard_neardup(d, "doc_id", "text")
+    fp = {(r.id_a, r.id_b) for r in fast_pairs.collect()}
+    mp = {(r.id_a, r.id_b) for r in md5_pairs.collect()}
+    # exact Jaccard threshold makes outputs candidate-set-insensitive on a
+    # dup-dense corpus; allow a small recall delta from banding differences
+    assert len(fp & mp) >= int(0.9 * max(len(mp), 1))
