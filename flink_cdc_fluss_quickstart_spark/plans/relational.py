@@ -780,3 +780,227 @@ def q20_part_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", "s_name", "n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth: q4 / q7 / q14 / q19 / q22 shapes
+# ---------------------------------------------------------------------------
+
+@register(
+    "q4_priority_order_exists",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate >= o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    description="TPC-H q4 shape (correlated EXISTS with a non-equi"
+    " condition): orders in a date range having at least one late-shipping"
+    " lineitem, counted per priority. Spark-first: the EXISTS is a LEFT SEMI"
+    " join on the order key carrying the extra range predicate -- the date"
+    " filter on orders is applied before the join so pushdown prunes the"
+    " probe side, and the semi join never duplicates orders no matter how"
+    " many lineitems match.",
+)
+def q4_priority_order_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate >= F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "leftsemi",
+    )
+    return (
+        matched.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "q7_nation_trade_flows",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name, CAST(year(l.l_shipdate) AS INTEGER)
+    """,
+    description="TPC-H q7 shape (bilateral trade flows): revenue between"
+    " every (customer nation, supplier nation) pair per ship year, cross-"
+    " nation only. Spark-first: nation joins broadcast twice under distinct"
+    " aliases; the fact-side joins shuffle on their keys once each and"
+    " Catalyst reorders them; the <> predicate lands after the broadcasts"
+    " where it is a cheap row filter, not a join condition.",
+)
+def q7_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    nations = load_table(spark, sf_dir, "nation")
+    cn = F.broadcast(nations.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")))
+    sn = F.broadcast(nations.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")))
+    one = F.lit(1).cast(DEC4)
+    rev = _dec("l_extendedprice") * (one - F.col("l_discount").cast(DEC4))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(cn, F.col("c_nationkey") == F.col("cn_key"))
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation",
+                 F.year("l_shipdate").alias("ship_year"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "q14_promo_revenue_share",
+    oracle="""
+    SELECT CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP) AS ship_month,
+           CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+             AS promo_revenue,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS total_revenue,
+           100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                 / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+             AS promo_share_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY CAST(date_trunc('month', l.l_shipdate) AS TIMESTAMP)
+    """,
+    description="TPC-H q14 shape (conditional share-of-total): monthly promo"
+    " revenue share. Spark-first: broadcast hash join against part, one"
+    " hash aggregation keyed on the truncated month; both numerator and"
+    " denominator are exact DECIMAL sums converted to DOUBLE before the"
+    " division so the float ops are identical cross-engine.",
+)
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast(DEC4)
+    rev = _dec("l_extendedprice") * (one - F.col("l_discount").cast(DEC4))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast(DEC))
+    promo_rev = F.sum(promo).cast("double")
+    total_rev = F.sum(rev).cast("double")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            promo_rev.alias("promo_revenue"),
+            total_rev.alias("total_revenue"),
+            (F.lit(100.0) * promo_rev / total_rev).alias("promo_share_pct"),
+        )
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#11' AND p.p_size <= 10 AND l.l_quantity BETWEEN 1 AND 15)
+       OR (p.p_brand = 'Brand#22' AND p.p_size <= 25 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#33' AND p.p_size <= 50 AND l.l_quantity BETWEEN 20 AND 50)
+    """,
+    description="TPC-H q19 shape (OR-of-AND predicate pushdown): revenue"
+    " over three disjunctive brand/size/quantity bands. Spark-first: the"
+    " part-only conjuncts (brand OR-chain) are factored by Catalyst into a"
+    " pushed filter on the broadcast build side, so only candidate parts"
+    " enter the join; the mixed part+lineitem conjuncts evaluate post-join"
+    " in whole-stage codegen.",
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast(DEC4)
+    rev = _dec("l_extendedprice") * (one - F.col("l_discount").cast(DEC4))
+    band = (
+        ((F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 10)
+         & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_brand") == "Brand#22") & (F.col("p_size") <= 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#33") & (F.col("p_size") <= 50)
+           & F.col("l_quantity").between(20, 50))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@register(
+    "q22_idle_rich_customers",
+    oracle="""
+    WITH avg_bal AS (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS v
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name AS nation,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT v FROM avg_bal)
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+      )
+    GROUP BY n.n_name
+    """,
+    description="TPC-H q22 shape (scalar subquery + NOT EXISTS): per nation,"
+    " customers holding an above-average balance who never placed an urgent"
+    " order. Spark-first: the global average is a 1-row aggregate broadcast"
+    " via crossJoin (no driver collect); the NOT EXISTS is a LEFT ANTI join"
+    " against the pre-filtered urgent orders; the average is an exact"
+    " DECIMAL sum divided in DOUBLE so the threshold is bit-identical to"
+    " the oracle's.",
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((F.sum(_dec("c_acctbal")).cast("double")
+              / F.count(F.lit(1))).alias("__avg_bal"))
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(urgent, F.col("c_custkey") == F.col("o_custkey"), "leftanti")
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )

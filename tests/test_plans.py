@@ -96,3 +96,29 @@ def test_ann_lsh_bucket_join_is_hash_join(spark):
     plan, _ = _plans(spark, "embedding_ann_lsh")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_exists_is_semi_join(spark):
+    plan, formatted = _plans(spark, "q4_priority_order_exists")
+    assert "LeftSemi" in plan
+    # the date range on orders reaches the parquet scan
+    assert "GreaterThanOrEqual(o_orderdate" in formatted
+
+
+def test_q7_broadcasts_nation_twice_no_cartesian(spark):
+    plan, _ = _plans(spark, "q7_nation_trade_flows")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q19_brand_disjunction_pushed_to_part_scan(spark):
+    _, formatted = _plans(spark, "q19_disjunctive_predicates")
+    # Catalyst factors the part-only OR-chain into a scan-level filter
+    assert "Brand#11" in formatted and "Brand#33" in formatted
+
+
+def test_q22_not_exists_is_anti_join(spark):
+    plan, formatted = _plans(spark, "q22_idle_rich_customers")
+    assert "LeftAnti" in plan
+    # urgent-orders filter reaches the orders scan
+    assert "EqualTo(o_orderpriority,1-URGENT)" in formatted
