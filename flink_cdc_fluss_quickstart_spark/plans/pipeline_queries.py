@@ -176,3 +176,109 @@ def quality_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.lit("keep:"), pred))
     )
     return d.select("doc_id", route.alias("route"))
+
+
+@register(
+    "decontamination_ngrams",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_DUCK_HEX8} % 100 AS bucket, string_split(text, ' ') AS l
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, bucket, g FROM (
+        SELECT doc_id, bucket,
+               unnest(list_transform(range(1, len(l) - 6),
+                      i -> substr(md5(array_to_string(l[i::int:(i+7)::int], ' ')), 1, 16))) AS g
+        FROM base)
+    ),
+    train AS (SELECT DISTINCT g FROM grams WHERE bucket < 90),
+    test AS (SELECT doc_id, g FROM grams WHERE bucket >= 95)
+    SELECT t.doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS contamination_rate,
+           CAST(SUM(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) >= 0.8 AS flagged
+    FROM test t LEFT JOIN train tr ON t.g = tr.g
+    GROUP BY t.doc_id
+    """,
+    description="Benchmark decontamination: for every held-out (test-split)"
+    " document, the fraction of its distinct 8-token n-grams that also occur"
+    " anywhere in the train split. Spark-first: n-gram keys are 16-hex md5"
+    " prefixes built row-locally (swap in xxhash64 via the digest seam at"
+    " production scale), the train side is a distinct-key set and the check"
+    " is one shuffle join keyed on the gram hash -- the standard shape for"
+    " train/eval overlap scans at corpus scale, linear in total n-gram"
+    " volume, never materializing document pairs.",
+)
+def decontamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    base = (
+        d.select("doc_id", bucket.alias("bucket"), F.split("text", " ").alias("l"))
+        .filter(F.size("l") >= 8)
+    )
+    # slice() and element_at() are 1-based, matching DuckDB list slicing
+    gexpr = ("transform(sequence(1, size(l) - 7),"
+             " i -> substring(md5(concat_ws(' ', slice(l, i, 8))), 1, 16))")
+    grams = (
+        base.select("doc_id", "bucket", F.explode(F.expr(gexpr)).alias("g"))
+        .distinct()
+        .persist()
+    )
+    train = grams.filter(F.col("bucket") < 90).select("g").distinct()
+    test = grams.filter(F.col("bucket") >= 95).select("doc_id", "g")
+    hit = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    rate = hit.cast("double") / F.count(F.lit(1)).cast("double")
+    return (
+        test.join(train.withColumn("hit", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            hit.alias("n_contaminated"),
+            rate.alias("contamination_rate"),
+            (rate >= 0.8).alias("flagged"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_by_lang",
+    oracle=f"""
+    SELECT doc_id, lang, hash_bucket
+    FROM (
+      SELECT doc_id, lang, {_DUCK_HEX8} % 100 AS hash_bucket,
+             CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 25 ELSE 50 END AS rate
+      FROM documents
+    )
+    WHERE hash_bucket < rate
+    """,
+    description="Deterministic stratified downsampling: per-language keep"
+    " rates (10% en, 25% zh, 50% low-resource) applied via the md5(doc_id)"
+    " bucket, so the sample is a pure row-local predicate -- reproducible"
+    " across runs and engines, needs no shuffle, no global count, and no"
+    " state; the standard way to rebalance language mix in a 100 TB corpus"
+    " without a random() that would differ per execution.",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 10)
+        .when(F.col("lang") == "zh", 25)
+        .otherwise(50)
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("hash_bucket"), rate.alias("rate"))
+        .filter(F.col("hash_bucket") < F.col("rate"))
+        .select("doc_id", "lang", "hash_bucket")
+    )

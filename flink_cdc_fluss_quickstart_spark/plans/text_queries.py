@@ -412,3 +412,97 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(
         pairs, d.select("doc_id"), id_col="doc_id"
     )
+
+
+@register(
+    "repetition_signals",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE len(string_split(text, ' ')) >= 3
+    ),
+    words AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS maxc
+      FROM (SELECT doc_id, tok, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(l) AS tok FROM docs)
+            GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    ),
+    bi AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n, MAX(c) AS maxc
+      FROM (SELECT doc_id, bg, COUNT(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(l)),
+                                i -> l[i::int] || ' ' || l[(i+1)::int])) AS bg
+                  FROM docs)
+            GROUP BY doc_id, bg)
+      GROUP BY doc_id
+    ),
+    tri AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dupc
+      FROM (SELECT doc_id, tg, COUNT(*) AS c
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(l) - 1),
+                                i -> l[i::int] || ' ' || l[(i+1)::int] || ' ' || l[(i+2)::int])) AS tg
+                  FROM docs)
+            GROUP BY doc_id, tg)
+      GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           w.n AS n_tokens,
+           CAST(w.maxc AS DOUBLE) / CAST(w.n AS DOUBLE) AS top_word_frac,
+           CAST(b.maxc AS DOUBLE) / CAST(b.n AS DOUBLE) AS top_bigram_frac,
+           CAST(t.dupc AS DOUBLE) / CAST(t.n AS DOUBLE) AS dup_trigram_frac
+    FROM words w JOIN bi b ON w.doc_id = b.doc_id JOIN tri t ON w.doc_id = t.doc_id
+    """,
+    description="Gopher-style repetition quality signals per document: top"
+    " word fraction, top bigram fraction, and the fraction of trigram"
+    " occurrences belonging to a repeated trigram. Spark-first: n-grams are"
+    " built ROW-LOCALLY with array transforms (no per-doc window shuffle),"
+    " then three partial/final hash aggregations keyed on (doc_id, gram) --"
+    " every shuffle is keyed by document+gram so the signal scales linearly"
+    " with corpus size; ratios divide exact BIGINT counts in DOUBLE,"
+    " identically to the oracle.",
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("l"))
+        .filter(F.size("l") >= 3)
+    )
+    # element_at is 1-based, matching DuckDB's l[i]
+    bigram = "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
+    trigram = ("transform(sequence(1, size(l) - 2), i -> concat(element_at(l, i), ' ',"
+               " element_at(l, i + 1), ' ', element_at(l, i + 2)))")
+    words = (
+        d.select("doc_id", F.explode("l").alias("tok"))
+        .groupBy("doc_id", "tok").count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("n"), F.max("count").alias("maxc"))
+    )
+    bi = (
+        d.select("doc_id", F.explode(F.expr(bigram)).alias("bg"))
+        .groupBy("doc_id", "bg").count()
+        .groupBy("doc_id")
+        .agg(F.sum("count").alias("bn"), F.max("count").alias("bmaxc"))
+    )
+    tri = (
+        d.select("doc_id", F.explode(F.expr(trigram)).alias("tg"))
+        .groupBy("doc_id", "tg").count()
+        .groupBy("doc_id")
+        .agg(
+            F.sum("count").alias("tn"),
+            F.sum(F.when(F.col("count") >= 2, F.col("count")).otherwise(0)).alias("tdupc"),
+        )
+    )
+    return (
+        words.join(bi, "doc_id").join(tri, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            (F.col("maxc").cast("double") / F.col("n").cast("double")).alias("top_word_frac"),
+            (F.col("bmaxc").cast("double") / F.col("bn").cast("double")).alias("top_bigram_frac"),
+            (F.col("tdupc").cast("double") / F.col("tn").cast("double")).alias("dup_trigram_frac"),
+        )
+    )
