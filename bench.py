@@ -26,6 +26,7 @@ HEADLINE = (
     "q3_top_revenue_orders",
     "q5_region_revenue",
     "q17_below_avg_quantity_revenue",
+    "q7_nation_trade_flows",
     "upsert_latest_snapshot",
     "changelog_aware_aggregation",
     "event_time_tumbling_hourly",
@@ -37,6 +38,8 @@ HEADLINE = (
     "quality_filter_route",
     "dataset_split_assign",
     "token_stats_by_lang",
+    "repetition_signals",
+    "decontamination_ngrams",
     "betting_tickets_analytics",
     "embedding_cosine_topk",
     "embedding_ann_lsh",
