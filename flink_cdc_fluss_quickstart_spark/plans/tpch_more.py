@@ -1,0 +1,453 @@
+"""Second wave of TPC-H-shape relational queries.
+
+These widen the relational surface beyond what the reference's four SQL
+scripts exercise directly (SURVEY.md section 2.3-2.6 generalizations): pure
+scan-aggregate (q6), multi-join year rollup (q9), top-k returned-item revenue
+(q10), delay-bucketed conditional counts (q12), two-level aggregation /
+distribution histogram (q13), scalar-subquery-over-aggregate (q15),
+count-distinct with NOT-IN exclusion (q16), HAVING-driven semi join (q18),
+and the exists/not-exists "sole late supplier" self-join (q21).
+
+The driver's tables are a TPC-H subset (no partsupp, no commit/receipt
+dates, no shipmode, no comments), so shapes that need missing columns are
+implemented as documented variants that keep the *operator structure* of the
+original query while substituting available columns (lateness := l_shipdate
+vs o_orderdate; part filters on p_type instead of p_name LIKE).
+
+Float determinism contract: same as plans/relational.py -- aggregate in
+exact DECIMAL, convert to DOUBLE after, divide in DOUBLE after that.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from flink_cdc_fluss_quickstart_spark.plans.registry import register
+from flink_cdc_fluss_quickstart_spark.plans.relational import DEC, DEC4, _dec
+from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+# Common decimal revenue expression: extendedprice * (1 - discount), exact.
+def _rev() -> F.Column:
+    one = F.lit(1).cast(DEC4)
+    return _dec("l_extendedprice") * (one - F.col("l_discount").cast(DEC4))
+
+
+# ---------------------------------------------------------------------------
+# Q6: forecasting revenue change -- pure scan + filter + global aggregate
+# ---------------------------------------------------------------------------
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue_delta,
+      COUNT(*) AS qualifying_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    description="TPC-H Q6 shape: single-table scan with 3 pushed-down"
+    " predicates + ungrouped SUM; no shuffle beyond the final 1-row reduce.",
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # All three predicates reach the parquet scan (PushedFilters); the agg is
+    # a partial-per-partition + single final combine -- the cheapest possible
+    # plan at 100 TB (no wide shuffle at all).
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.sum(_dec("l_extendedprice") * F.col("l_discount").cast(DEC4))
+        .cast("double")
+        .alias("revenue_delta"),
+        F.count(F.lit(1)).alias("qualifying_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 variant: profit by supplier nation and ship year
+# ---------------------------------------------------------------------------
+
+@register(
+    "q9_profit_by_nation_year",
+    oracle="""
+    SELECT
+      n.n_name AS nation,
+      CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS ship_year,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY n.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS INT)
+    """,
+    description="TPC-H Q9 shape (variant: no partsupp/supplycost in the test"
+    " schema, part filter on p_type): fact x 3 dims, grouped by derived year.",
+)
+def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    # part filtered before the join -> smaller build side; broadcast-able at
+    # any SF because the filter is selective (1 of 6 types)
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    out = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("profit"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Q10: returned-item revenue ranking -- top-k customers by lost revenue
+# ---------------------------------------------------------------------------
+
+@register(
+    "q10_returned_item_revenue",
+    oracle="""
+    SELECT
+      c.c_custkey AS custkey,
+      c.c_name AS name,
+      c.c_mktsegment AS mktsegment,
+      c.c_acctbal AS acctbal,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c.c_custkey, c.c_name, c.c_mktsegment, c.c_acctbal
+    ORDER BY revenue DESC, custkey ASC
+    LIMIT 20
+    """,
+    description="TPC-H Q10 shape: returned-lines fact filter + 2 joins +"
+    " grouped revenue + global top-20 (TakeOrderedAndProject).",
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    out = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            F.col("c_acctbal").alias("acctbal"),
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )
+    return out.select("custkey", "name", "mktsegment", "acctbal", "revenue")
+
+
+# ---------------------------------------------------------------------------
+# Q12 variant: shipping-delay buckets x order-priority class counts
+# ---------------------------------------------------------------------------
+
+_HIGH_PRIO = ("1-URGENT", "2-HIGH")
+
+
+@register(
+    "q12_shipping_delay_priority",
+    oracle="""
+    SELECT
+      CASE
+        WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 30 THEN 'ontime'
+        WHEN date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) <= 365 THEN 'late'
+        ELSE 'very_late'
+      END AS ship_bucket,
+      CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    description="TPC-H Q12 shape (variant: no shipmode/commit/receipt dates;"
+    " lateness := shipdate - orderdate buckets): join + CASE-bucketed"
+    " conditional counts.",
+)
+def q12_shipping_delay_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "ontime").when(delay <= 365, "late").otherwise("very_late")
+    )
+    is_high = F.col("o_orderpriority").isin(*_HIGH_PRIO)
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy(bucket.alias("ship_bucket"))
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q13: customer order-count distribution -- two-level aggregation
+# ---------------------------------------------------------------------------
+
+@register(
+    "q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_custkey
+    ) t
+    GROUP BY c_count
+    """,
+    description="TPC-H Q13 shape (no o_comment filter -- column absent):"
+    " outer join + per-customer count, then a histogram over the counts"
+    " (aggregate of an aggregate).",
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    # Level 1 shuffles on c_custkey; level 2 groups on the (tiny-cardinality)
+    # count value, so the second exchange moves only #customers rows -- cheap
+    # even at 100 TB. COUNT(o_orderkey) counts non-null (i.e. matched) rows.
+    per_customer = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(c.c_custkey)
+        .agg(F.count(o.o_orderkey).alias("c_count"))
+    )
+    return per_customer.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# Q15: top supplier -- scalar subquery over an aggregate (ties included)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q15_top_revenue_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT
+        l_suppkey,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT
+      s.s_suppkey AS suppkey,
+      s.s_name AS name,
+      CAST(r.total_rev AS DOUBLE) AS total_revenue
+    FROM revenue r
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM revenue)
+    """,
+    description="TPC-H Q15 shape: quarter revenue per supplier, keep the"
+    " supplier(s) matching the global max (scalar subquery over aggregate;"
+    " exact-DECIMAL equality so ties are deterministic).",
+)
+def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    # The max is equality-compared on the exact DECIMAL sum (not the DOUBLE
+    # rendering) so tie semantics match the oracle bit-for-bit.
+    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_rev"))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    # 1-row broadcast join stands in for the scalar subquery: no second scan
+    # of lineitem, and the join adds no shuffle.
+    out = (
+        rev.join(F.broadcast(mx), rev.total_rev == F.col("mx"))
+        .join(s, s.s_suppkey == rev.l_suppkey)
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Q16 variant: supplier variety per part group, excluding flagged suppliers
+# ---------------------------------------------------------------------------
+
+@register(
+    "q16_supplier_part_variety",
+    oracle="""
+    SELECT
+      p.p_brand AS brand,
+      p.p_type AS type,
+      p.p_size AS size,
+      COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#3'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 14, 23, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    description="TPC-H Q16 shape (variant: lineitem as the part-supplier"
+    " bridge -- no partsupp table): COUNT(DISTINCT) + NOT-IN exclusion"
+    " subquery (anti join on a non-null key).",
+)
+def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#3")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 14, 23, 45))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    # NOT IN over a non-null key plans as a left-anti join; the excluded set
+    # is tiny (suppliers below balance threshold) so Spark broadcasts it.
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    out = (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("type"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Q18: large-volume orders -- HAVING-driven semi join + top-k
+# ---------------------------------------------------------------------------
+
+@register(
+    "q18_large_volume_orders",
+    oracle="""
+    SELECT
+      c.c_name AS name,
+      c.c_custkey AS custkey,
+      o.o_orderkey AS orderkey,
+      o.o_orderdate AS orderdate,
+      o.o_totalprice AS totalprice,
+      CAST(SUM(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 250
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY totalprice DESC, orderkey ASC
+    LIMIT 100
+    """,
+    description="TPC-H Q18 shape: grouped-HAVING subquery as a semi join"
+    " (left_semi on the >threshold orderkeys) + re-aggregation + top-100.",
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # The HAVING subquery is one grouped pass over lineitem; it reuses the
+    # same l_orderkey hash partitioning the main agg needs, so AQE can chain
+    # the exchanges without a second wide shuffle of lineitem.
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > F.lit(250).cast(DEC))
+        .select("l_orderkey")
+    )
+    o_big = o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
+    out = (
+        c.join(o_big, c.c_custkey == o_big.o_custkey)
+        .join(li, li.l_orderkey == o_big.o_orderkey)
+        .groupBy(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_totalprice").alias("totalprice"),
+        )
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
+        .orderBy(F.desc("totalprice"), F.asc("orderkey"))
+        .limit(100)
+    )
+    return out.select("name", "custkey", "orderkey", "orderdate", "totalprice", "total_qty")
+
+
+# ---------------------------------------------------------------------------
+# Q21 variant: sole late supplier in multi-supplier orders
+# ---------------------------------------------------------------------------
+
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+    SELECT s.s_name AS name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o  ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l1.l_shipdate AS DATE)) > 365
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND date_diff('day', CAST(o3.o_orderdate AS DATE), CAST(l3.l_shipdate AS DATE)) > 365
+      )
+    GROUP BY s.s_name
+    """,
+    description="TPC-H Q21 shape (variant: lateness := shipdate > orderdate"
+    " + 365d; no receipt/commit dates): EXISTS + NOT-EXISTS correlated"
+    " self-joins, expressed Spark-side as one per-order aggregate instead of"
+    " two extra lineitem self-joins.",
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = load_table(spark, sf_dir, "supplier")
+    delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    lined = li.join(o, li.l_orderkey == o.o_orderkey).withColumn("is_late", delay > 365)
+    # Spark-first rewrite of the double correlated EXISTS: one grouped pass
+    # computes per-order supplier counts; a late line survives iff its order
+    # has >1 distinct supplier and exactly 1 distinct *late* supplier (which
+    # must then be this line's). Equivalent set, two fewer lineitem scans.
+    per_order = lined.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    waiting = (
+        lined.filter(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
