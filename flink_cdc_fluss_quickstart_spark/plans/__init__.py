@@ -16,5 +16,6 @@ from flink_cdc_fluss_quickstart_spark.plans import temporal_queries  # noqa: E40
 from flink_cdc_fluss_quickstart_spark.plans import multimodal_queries  # noqa: E402,F401
 from flink_cdc_fluss_quickstart_spark.plans import betting_queries  # noqa: E402,F401
 from flink_cdc_fluss_quickstart_spark.plans import pipeline_queries  # noqa: E402,F401
+from flink_cdc_fluss_quickstart_spark.plans import tpch_more  # noqa: E402,F401
 
 __all__ = ["QuerySpec", "all_queries", "all_oracle_sql", "register"]

@@ -643,20 +643,34 @@ def event_time_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_users_daily",
-    oracle=None,  # HLL sketch values are engine-specific -> rows-only check;
-    # the accuracy bound vs exact COUNT(DISTINCT) is asserted in
-    # tests/test_functions_approx.py
+    # Raw HLL estimates are engine-specific, so the hash-compared columns are
+    # the exact cardinality plus a tolerance verdict on the sketch: DuckDB
+    # asserts TRUE where Spark asserts |approx-exact|/exact <= 10% (rsd=0.02
+    # -> a ~5-sigma band; the tighter bound is asserted per-day in
+    # tests/test_functions_approx.py).
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS event_count,
+           TRUE AS approx_within_10pct
+    FROM events
+    GROUP BY 1
+    """,
     description="HyperLogLog approximate distinct users per day (the sketch"
     " path for 100 TB cardinality work: mergeable partial sketches, no"
-    " distinct-expand shuffle).",
+    " distinct-expand shuffle), hash-verified against the exact cardinality"
+    " via an in-query tolerance band.",
 )
 def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.count_distinct(F.col("user_id"))
     return (
         ev.groupBy(F.date_trunc("day", "ts").alias("day"))
         .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            exact.alias("exact_users"),
             F.count(F.lit(1)).alias("event_count"),
+            (F.abs(approx - exact) <= 0.10 * exact).alias("approx_within_10pct"),
         )
     )
 

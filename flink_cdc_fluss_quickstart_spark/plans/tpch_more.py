@@ -96,8 +96,9 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
-    # part filtered before the join -> smaller build side; broadcast-able at
-    # any SF because the filter is selective (1 of 6 types)
+    # part filtered before the join shrinks the build side ~6x; no join hint
+    # -- at large SF the filtered set still exceeds broadcast thresholds, so
+    # AQE picks the strategy from observed size
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
     out = (
         li.join(s, li.l_suppkey == s.s_suppkey)
@@ -322,11 +323,12 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_size").isin(1, 14, 23, 45))
     )
     li = load_table(spark, sf_dir, "lineitem")
-    # NOT IN over a non-null key plans as a left-anti join; the excluded set
-    # is tiny (suppliers below balance threshold) so Spark broadcasts it.
+    # NOT IN over a non-null key plans as a left-anti join. No forced
+    # broadcast: sub-threshold suppliers can be a large fraction of the table
+    # at high SF, so AQE decides broadcast-vs-shuffle from observed size.
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select("s_suppkey")
     out = (
-        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .join(p, li.l_partkey == p.p_partkey)
         .groupBy(
             F.col("p_brand").alias("brand"),

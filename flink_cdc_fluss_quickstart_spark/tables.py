@@ -10,6 +10,7 @@ lakehouse tier (Paimon/Iceberg parquet on S3) relies on too.
 from __future__ import annotations
 
 import os
+import re
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -66,6 +67,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_SIZE_UNITS = {"": 1, "b": 1, "k": 1 << 10, "kb": 1 << 10, "m": 1 << 20,
+               "mb": 1 << 20, "g": 1 << 30, "gb": 1 << 30, "t": 1 << 40, "tb": 1 << 40}
+
+
+def _parse_bytes(s: str) -> int:
+    """Spark size-string ('128MB', '134217728b', '64m') -> bytes."""
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", s)
+    if not m:
+        return 128 << 20
+    return int(m.group(1)) * _SIZE_UNITS.get(m.group(2).lower(), 1)
+
+
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     """Ensure enough partitions before CPU-heavy row-local work (hashing,
     shingling, vector math, pandas UDFs).
@@ -74,9 +87,34 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     split under maxPartitionBytes), serializing work that is embarrassingly
     parallel. At production scale inputs already have >= cores partitions and
     this is a no-op -- the check keeps the extra exchange out of big plans.
+
+    The split estimate is plan-free: `df.inputFiles()` queries the relation's
+    FileIndex (no RDD conversion -- `df.rdd.getNumPartitions()` would force a
+    DeserializeToObject plan per call), and file sizes come from the local
+    filesystem when available. Non-file-backed or remote inputs fall back to
+    "assume already parallel" (skip the repartition), which is the correct
+    bias at scale.
     """
-    target = min_parts or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df
+    if not files:
+        return df
+    max_split = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    est_splits = 0
+    for f in files:
+        if f.startswith("file:"):
+            try:
+                size = os.path.getsize(f[len("file:"):])
+            except OSError:
+                return df
+            est_splits += max(1, -(-size // max_split))
+        else:
+            return df  # remote storage: scans there are already split-parallel
+    if est_splits < target:
         return df.repartition(target)
     return df
 

@@ -1,0 +1,151 @@
+"""Registry wiring guard: a plan module that exists but is not imported (and
+therefore registers nothing) must fail CI loudly, not silently drop its
+queries out of the driver gate (round-2 regression: plans/tpch_more.py was
+committed without the plans/__init__ import, hiding 9 oracle-passing
+queries)."""
+
+from __future__ import annotations
+
+import importlib
+import pkgutil
+
+import flink_cdc_fluss_quickstart_spark.plans as plans_pkg
+from flink_cdc_fluss_quickstart_spark.plans.registry import (
+    PRIORITY,
+    all_oracle_sql,
+    all_queries,
+    all_specs,
+)
+
+# Every query name the engine declares. Adding a query requires adding it
+# here too -- that is the point: the inventory is explicit and diffable.
+EXPECTED = {
+    # reference core
+    "revenue_analytics",
+    "upsert_latest_snapshot",
+    "changelog_apply_snapshot",
+    "changelog_aware_aggregation",
+    "betting_tickets_analytics",
+    # events
+    "events_json_props_stats",
+    "approx_distinct_users_daily",
+    "event_time_tumbling_hourly",
+    "event_time_sliding_hourly",
+    "session_windows_per_user",
+    "events_running_stats",
+    # relational families
+    "window_topn_per_group",
+    "left_join_order_coverage",
+    "anti_join_customers_without_orders",
+    "semi_join_active_suppliers",
+    "setop_multi_status_customers",
+    "setop_except_large_orders",
+    "rollup_nation_segment_revenue",
+    "cube_status_priority_revenue",
+    "distinct_agg_parts_per_priority",
+    "asof_view_before_purchase",
+    "range_join_price_bands",
+    # multimodal
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_quality_gate",
+    # pipeline
+    "dataset_split_assign",
+    "token_stats_by_lang",
+    "quality_filter_route",
+    "decontamination_ngrams",
+    "stratified_sample_by_lang",
+    # text / dedup
+    "dedup_exact",
+    "doc_fingerprint",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_neardup",
+    "simhash_fingerprint",
+    "simhash_neardup_pairs",
+    "bpe_token_stats",
+    "dedup_components",
+    "repetition_signals",
+    # similarity
+    "embedding_cosine_topk",
+    "embedding_ann_lsh",
+    "embedding_ann_multiprobe",
+    "embedding_ann_ivf",
+    "embedding_cosine_neardup",
+    "embedding_label_centroids",
+    # TPC-H
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_top_revenue_orders",
+    "q4_priority_order_exists",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q7_nation_trade_flows",
+    "q9_profit_by_nation_year",
+    "q10_returned_item_revenue",
+    "q12_shipping_delay_priority",
+    "q13_customer_order_distribution",
+    "q14_promo_revenue_share",
+    "q15_top_revenue_supplier",
+    "q16_supplier_part_variety",
+    "q17_below_avg_quantity_revenue",
+    "q18_large_volume_orders",
+    "q19_disjunctive_predicates",
+    "q20_part_heavy_suppliers",
+    "q21_sole_late_supplier",
+    "q22_idle_rich_customers",
+}
+
+
+def test_every_plan_module_registers_queries():
+    """Importing the plans package must have imported every submodule (so a
+    new module can't be dark), and every non-registry submodule must have
+    registered at least one query."""
+    specs = all_specs()
+    registered_modules = {spec.builder.__module__ for spec in specs.values()}
+    for info in pkgutil.iter_modules(plans_pkg.__path__):
+        mod_name = f"{plans_pkg.__name__}.{info.name}"
+        importlib.import_module(mod_name)  # no-op if __init__ imported it
+        if info.name == "registry":
+            continue
+        assert mod_name in registered_modules, (
+            f"plan module {mod_name} registers no queries -- "
+            "missing import in plans/__init__.py?"
+        )
+
+
+def test_registered_names_match_declared_inventory():
+    assert set(all_queries()) == EXPECTED
+
+
+def test_priority_names_exist_and_lead_the_ordering():
+    names = list(all_queries())
+    assert len(PRIORITY) == len(set(PRIORITY)), "duplicate PRIORITY entries"
+    missing = [n for n in PRIORITY if n not in set(names)]
+    assert not missing, f"PRIORITY names not registered: {missing}"
+    # the section-2-critical + LLM-pipeline names must sit inside the first
+    # 50 emitted queries (bounded verification budget upstream)
+    head = set(names[:50])
+    critical = {
+        "revenue_analytics",
+        "betting_tickets_analytics",
+        "range_join_price_bands",
+        "approx_distinct_users_daily",
+        "multimodal_feature_extract",
+        "multimodal_frame_sample",
+        "multimodal_quality_gate",
+        "dataset_split_assign",
+        "token_stats_by_lang",
+        "quality_filter_route",
+        "decontamination_ngrams",
+        "stratified_sample_by_lang",
+    }
+    assert critical <= head, f"critical queries past position 50: {critical - head}"
+
+
+def test_oracle_sql_order_matches_queries_order():
+    qnames = [n for n in all_queries() if n in all_oracle_sql()]
+    assert list(all_oracle_sql()) == qnames
