@@ -19,7 +19,49 @@ from flink_cdc_fluss_quickstart_spark.functions.text import normalized_text
 from flink_cdc_fluss_quickstart_spark.tables import spread
 
 SHINGLE_LEN = 5  # character shingles over normalized text
-DEFAULT_SEEDS = (0, 1, 2, 3)  # minhash components (one 8-hex md5 slice each)
+
+# --- LSH parameter derivation -------------------------------------------------
+# The (n_perms, bands, rows) triple is DERIVED from the target Jaccard
+# threshold rather than hardcoded (mirrors similarity.n_planes_for, which
+# derives hyperplane count from corpus size): the banded-LSH capture curve is
+# p(J) = 1 - (1 - J^rows)^bands with its steep midpoint near (1/bands)^(1/rows),
+# so for a threshold t we pick rows as deep as the permutation budget allows
+# with bands = round(t^-rows), keeping the midpoint pinned at t while the
+# S-curve sharpens (fewer false-positive candidates per true near-dup). At
+# t=0.5 / budget 64 this lands on the textbook 64 permutations = 16 bands x
+# 4 rows; a demo-width 4-permutation signature would under-recall at real
+# corpus sizes.
+
+DEFAULT_JACCARD = 0.5  # the near-dup threshold the default signature targets
+MAX_PERMS = 64  # permutation budget (shingle-hash evaluations per document)
+
+
+def lsh_params(threshold: float = DEFAULT_JACCARD, max_perms: int = MAX_PERMS) -> tuple[int, int, int]:
+    """Derive (n_perms, bands, rows) for a target Jaccard threshold: midpoint
+    (1/bands)^(1/rows) closest to `threshold`; among near-ties, the widest
+    signature within the permutation budget (sharper capture curve)."""
+    best = None
+    for rows in range(2, 13):
+        bands = max(2, round((1.0 / threshold) ** rows))
+        n_perms = bands * rows
+        if n_perms > max_perms:
+            continue
+        midpoint = (1.0 / bands) ** (1.0 / rows)
+        cand = (round(abs(midpoint - threshold), 3), -n_perms, bands, rows)
+        if best is None or cand < best:
+            best = cand
+    assert best is not None, "no (bands, rows) fits the permutation budget"
+    _, neg_perms, bands, rows = best
+    return (-neg_perms, bands, rows)
+
+
+N_PERMS, N_BANDS, N_ROWS = lsh_params()  # (64, 16, 4) at the 0.5 default
+
+#: default band layout over the signature columns: band b = columns
+#: mh_{b*rows} .. mh_{b*rows + rows - 1}
+BAND_COLS: tuple[tuple[str, ...], ...] = tuple(
+    tuple(f"mh_{b * N_ROWS + r}" for r in range(N_ROWS)) for b in range(N_BANDS)
+)
 
 
 def md5_digest(s: Column) -> Column:
@@ -62,36 +104,59 @@ def shingle_array(norm_col: str, n: int = SHINGLE_LEN) -> Column:
     )
 
 
+def group_prefix(g: int) -> str:
+    """Salt prefix for digest group g. Group 0 hashes the bare shingle (the
+    historical contract, shared with the est/exact slices); group g>0 hashes
+    '<g>:' || shingle -- plain string concat, identical in DuckDB."""
+    return "" if g == 0 else f"{g}:"
+
+
+def _group_digest(g: int, digest):
+    if g == 0:
+        return digest
+    prefix = group_prefix(g)
+    return lambda s: digest(F.concat(F.lit(prefix), s))
+
+
+def digest_groups(n_perms: int) -> int:
+    """Each 32-hex digest yields four 8-hex (32-bit) signature slices."""
+    return -(-n_perms // 4)
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    seeds: tuple[int, ...] = DEFAULT_SEEDS,
+    n_perms: int = N_PERMS,
     n: int = SHINGLE_LEN,
     digest=md5_digest,
 ) -> DataFrame:
-    """MinHash signature per document: ONE digest per distinct shingle; the
-    k-th signature component is the minimum of the k-th 8-hex-char slice of
-    those digests. Slices of a good hash are independent enough for LSH and
-    cost 4x fewer hash evaluations than per-seed salted hashing.
+    """MinHash signature per document: ceil(n_perms/4) salted digests per
+    distinct shingle; the k-th signature component is the minimum of the
+    (k%4)-th 8-hex-char slice of digest group k//4. Slices of a good hash are
+    independent enough for LSH and cost 4x fewer hash evaluations than
+    per-component salted hashing; 32-bit slices keep the per-component
+    random-collision floor negligible (min of n uniforms over 2^32 collides
+    across documents with prob ~n/2^33).
 
     ``digest`` is the hash seam: md5_digest (default) is oracle-reproducible;
     fast_digest is the cheaper production path.
 
-    Output: (id, mh_<k>, ...) -- one row per document, no shuffle.
+    Output: (id, mh_0 .. mh_{n_perms-1}) -- one row per document, no shuffle.
     """
     out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
-    sh = F.array_distinct(shingle_array("__norm", n))
-    out = out.select(id_col, F.transform(sh, digest).alias("__hs"))
+    out = out.select(id_col, F.array_distinct(shingle_array("__norm", n)).alias("__sh"))
+    for g in range(digest_groups(n_perms)):
+        out = out.withColumn(f"__hs_{g}", F.transform(F.col("__sh"), _group_digest(g, digest)))
 
-    # NB: factory, not `lambda h, k=k`: pyspark treats a 2-parameter lambda
-    # as (element, index) and would bind k to the array index column
-    def slice_at(k: int):
-        return lambda h: F.substring(h, 8 * k + 1, 8)
+    # NB: factory, not `lambda h, j=j`: pyspark treats a 2-parameter lambda
+    # as (element, index) and would bind j to the array index column
+    def slice_at(j: int):
+        return lambda h: F.substring(h, 8 * j + 1, 8)
 
     cols = [
-        F.array_min(F.transform(F.col("__hs"), slice_at(k))).alias(f"mh_{k}")
-        for k in range(len(seeds))
+        F.array_min(F.transform(F.col(f"__hs_{k // 4}"), slice_at(k % 4))).alias(f"mh_{k}")
+        for k in range(n_perms)
     ]
     return out.select(id_col, *cols)
 
@@ -102,31 +167,39 @@ def minhash_band_pairs(
     band_cols: tuple[tuple[str, ...], ...],
 ) -> DataFrame:
     """LSH candidate pairs: documents sharing ALL minhash values within any
-    band. Each band is a self-join on the band's concatenated signature --
-    the join key is a digest, so at scale this shuffles only (id, digest).
-
-    The signature frame feeds 2 x n_bands plan branches, so it is persisted:
-    signatures are computed once, not once per branch.
+    band. The band keys are exploded row-locally to (id, band_idx, band_key)
+    and matched with ONE equi self-join on the compound key -- one exchange
+    total regardless of band count (vs one join per band), and what shuffles
+    is (id, band_idx, 16-byte digest), never documents. '|'-joining the
+    fixed-width components keeps the key injective.
 
     Output: distinct (id_a, id_b) with id_a < id_b.
+
+    The keyed frame feeds both self-join sides, so it is persisted: the
+    signature computation (the expensive part) runs once, not per side.
     """
     from pyspark import StorageLevel
 
-    signatures = signatures.persist(StorageLevel.MEMORY_AND_DISK)
-    pairs = None
-    for i, cols in enumerate(band_cols):
-        key = F.md5(F.concat_ws("|", *[F.col(c) for c in cols])).alias("band_key")
-        banded = signatures.select(F.col(id_col), key)
-        a = banded.alias("a")
-        b = banded.alias("b")
-        p = a.join(b, F.col("a.band_key") == F.col("b.band_key")).filter(
-            F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
-        ).select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+    keys = F.array(
+        *[F.md5(F.concat_ws("|", *[F.col(c) for c in cols])) for cols in band_cols]
+    )
+    keyed = (
+        signatures.select(F.col(id_col), F.posexplode(keys))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    assert pairs is not None
-    return pairs.distinct()
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
 
 
 SIMHASH_BITS = 64
@@ -322,16 +395,20 @@ def jaccard_neardup(
     digest=md5_digest,
 ) -> DataFrame:
     """LSH candidates -> minhash-estimate gate -> exact Jaccard verify, with
-    every hash derived from ONE digest per distinct shingle (md5 by default;
-    pass digest=fast_digest for the cheaper engine-private production hash).
+    every hash derived from the salted digest groups of minhash_signature
+    (md5 by default; pass digest=fast_digest for the cheaper engine-private
+    production hash).
 
-    The md5 digest (32 hex chars) is sliced three ways, so the profile frame
-    is computed in a single pass and persisted:
-    - 4 x 8-hex minima  -> the LSH band signature (candidate generation),
-    - 8 x 4-hex minima  -> a wider minhash that ESTIMATES Jaccard as the
-      fraction of matching components (16-bit slices collide upward, which
-      only makes the gate more conservative),
-    - 15-hex -> 60-bit BIGINT per shingle for the exact set intersection.
+    The digests (32 hex chars each) are sliced three ways, so the profile
+    frame is computed in a single pass and persisted:
+    - N_PERMS x 8-hex minima folded into N_BANDS x N_ROWS band keys -> the
+      LSH candidate generation (bands/rows derived from min_jaccard via
+      lsh_params, so the capture-curve midpoint tracks the threshold),
+    - 8 x 4-hex minima of digest group 0 -> a minhash that ESTIMATES Jaccard
+      as the fraction of matching components (16-bit slices collide upward,
+      which only makes the gate more conservative),
+    - 15-hex of digest group 0 -> 60-bit BIGINT per shingle for the exact
+      set intersection.
 
     The estimate gate drops candidate pairs whose estimated Jaccard is below
     (min_jaccard - est_margin) BEFORE the exact intersection -- on an
@@ -346,47 +423,66 @@ def jaccard_neardup(
 
     from pyspark import StorageLevel
 
+    n_perms, n_bands, n_rows = lsh_params(min_jaccard)
     out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
-    sh = F.array_distinct(shingle_array("__norm", n))
-    hs = out.select(id_col, F.transform(sh, digest).alias("__hs"))
+    hs = out.select(
+        id_col, F.array_distinct(shingle_array("__norm", n)).alias("__sh")
+    )
+    for g in range(digest_groups(n_perms)):
+        hs = hs.withColumn(f"__hs_{g}", F.transform(F.col("__sh"), _group_digest(g, digest)))
 
     def slice_at(start: int, width: int):
         return lambda h: F.substring(h, start, width)
 
-    band_cols = [
-        F.array_min(F.transform(F.col("__hs"), slice_at(8 * k + 1, 8))).alias(f"mh_{k}")
-        for k in range(4)
+    def component(k: int) -> Column:
+        return F.array_min(
+            F.transform(F.col(f"__hs_{k // 4}"), slice_at(8 * (k % 4) + 1, 8))
+        )
+
+    # fold each band's row-components into ONE key column so the persisted
+    # profile stays narrow (n_bands keys, not n_perms components); '|' join
+    # of fixed-width 8-hex slices is injective
+    band_keys = [
+        F.md5(
+            F.concat_ws("|", *[component(b * n_rows + r) for r in range(n_rows)])
+        ).alias(f"bk_{b}")
+        for b in range(n_bands)
     ]
     est_cols = [
-        F.array_min(F.transform(F.col("__hs"), slice_at(4 * k + 1, 4))).alias(f"est_{k}")
+        F.array_min(F.transform(F.col("__hs_0"), slice_at(4 * k + 1, 4))).alias(f"est_{k}")
         for k in range(EST_SLICES)
     ]
     sh_col = F.transform(
-        F.col("__hs"), lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+        F.col("__hs_0"), lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
     ).alias("sh")
     prof = (
-        hs.select(id_col, *band_cols, *est_cols, sh_col)
+        hs.select(id_col, *band_keys, *est_cols, sh_col)
         .withColumn("sh_n", F.size("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
-    # candidate generation: the same 2x2 band self-joins as minhash_band_pairs,
-    # inlined over the already-persisted profile
-    pairs = None
-    for cols in (("mh_0", "mh_1"), ("mh_2", "mh_3")):
-        key = F.md5(F.concat_ws("|", *[F.col(c) for c in cols])).alias("band_key")
-        banded = prof.select(F.col(id_col), key)
-        a, b = banded.alias("a"), banded.alias("b")
-        p = (
-            a.join(b, F.col("a.band_key") == F.col("b.band_key"))
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-            )
+    # candidate generation: threshold-derived bands, exploded row-locally and
+    # matched with ONE compound-key self-join (same shape as
+    # minhash_band_pairs) over the already-persisted profile
+    keyed = (
+        prof.select(
+            F.col(id_col),
+            F.posexplode(F.array(*[F.col(f"bk_{b}") for b in range(n_bands)])),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    assert pairs is not None
-    pairs = pairs.distinct()
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
+    )
+    ka, kb = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        ka.join(
+            kb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
 
     # stage 1 -- gate on NARROW columns only. The est/sh_n frame carries 8
     # short strings + an int per doc; joining the full shingle arrays to all

@@ -169,36 +169,65 @@ def _shingles_sql(n: int = dedup.SHINGLE_LEN) -> str:
     )
 
 
+def _hs_col_sql(g: int, src: str = "s") -> str:
+    """Digest-group column g: md5 of the bare shingle (g=0, the historical
+    contract shared with est/exact slices) or of '<g>:' || shingle."""
+    prefix = dedup.group_prefix(g)
+    inner = f"md5('{prefix}' || x)" if prefix else "md5(x)"
+    return f"list_transform({src}, x -> {inner}) AS hs_{g}"
+
+
+_HS_COLS = ",\n             ".join(
+    _hs_col_sql(g) for g in range(dedup.digest_groups(dedup.N_PERMS))
+)
+
+
 def _mh_expr(k: int) -> str:
-    return f"list_min(list_transform(hs, h -> substr(h, {8 * k + 1}, 8))) AS mh_{k}"
+    g, j = divmod(k, 4)
+    return f"list_min(list_transform(hs_{g}, h -> substr(h, {8 * j + 1}, 8))) AS mh_{k}"
 
 
-_MH_EXPRS = ",\n           ".join(_mh_expr(k) for k in range(len(dedup.DEFAULT_SEEDS)))
+_MH_EXPRS = ",\n           ".join(_mh_expr(k) for k in range(dedup.N_PERMS))
 
-# one md5 per DISTINCT shingle, sliced into 4 signature components
-# (op-for-op mirror of functions/dedup.minhash_signature)
-_MH_SQL_TEMPLATE = """
+# ceil(n_perms/4) salted md5 digests per DISTINCT shingle, sliced into
+# n_perms 8-hex signature components (op-for-op mirror of
+# functions/dedup.minhash_signature at the threshold-derived default width)
+_MH_SQL = f"""
     SELECT doc_id,
            {{mh_exprs}}
     FROM (
-      SELECT doc_id, list_transform({shingles}, s -> md5(s)) AS hs
+      SELECT doc_id,
+             {_HS_COLS}
       FROM (
-        SELECT doc_id,
-               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
-        FROM documents
+        SELECT doc_id, {_shingles_sql()} AS s
+        FROM ({_NORM_DOCS})
       )
     )
 """
-_MH_SQL = _MH_SQL_TEMPLATE.format(shingles=_shingles_sql())
 
+
+def _band_pairs_sql(src: str) -> str:
+    """UNION ALL of per-band self-joins: band b matches when all of its
+    N_ROWS signature components agree (mirror of dedup.minhash_band_pairs
+    over dedup.BAND_COLS)."""
+    branches = []
+    for cols in dedup.BAND_COLS:
+        conds = " AND ".join(f"a.{c} = b.{c}" for c in cols)
+        branches.append(
+            f"SELECT a.doc_id AS id_a, b.doc_id AS id_b"
+            f" FROM {src} a JOIN {src} b ON {conds} WHERE a.doc_id < b.doc_id"
+        )
+    return "\n        UNION ALL\n        ".join(branches)
 
 
 @register(
     "minhash_signatures",
     oracle=_MH_SQL.format(mh_exprs=_MH_EXPRS),
-    description="MinHash signatures: one md5 per distinct 5-char shingle,"
-    " sliced into 4 components, computed row-locally with array expressions"
-    " -- no shuffle, one hash evaluation per shingle.",
+    description=f"MinHash signatures at the threshold-derived default width"
+    f" ({dedup.N_PERMS} permutations = {dedup.N_BANDS} bands x {dedup.N_ROWS}"
+    f" rows for Jaccard {dedup.DEFAULT_JACCARD}): ceil(n/4) salted md5s per"
+    f" distinct 5-char shingle sliced into 32-bit components, computed"
+    f" row-locally with array expressions -- no shuffle.",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -206,7 +235,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EST_EXPRS = ",\n           ".join(
-    f"list_min(list_transform(hs, h -> substr(h, {4 * k + 1}, 4))) AS est_{k}"
+    f"list_min(list_transform(hs_0, h -> substr(h, {4 * k + 1}, 4))) AS est_{k}"
     for k in range(dedup.EST_SLICES)
 )
 _EST_GATE = " + ".join(
@@ -225,19 +254,14 @@ _EST_MIN = math.ceil((0.5 - 0.1) * dedup.EST_SLICES)
              {_MH_EXPRS},
              {_EST_EXPRS}
       FROM (
-        SELECT doc_id, s, list_transform(s, x -> md5(x)) AS hs
+        SELECT doc_id, s,
+               {_HS_COLS}
         FROM (SELECT doc_id, {_shingles_sql()} AS s FROM ({_NORM_DOCS}))
       )
     ),
     pairs AS (
       SELECT DISTINCT id_a, id_b FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM prof a JOIN prof b ON a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1
-        WHERE a.doc_id < b.doc_id
-        UNION ALL
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM prof a JOIN prof b ON a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3
-        WHERE a.doc_id < b.doc_id
+        {_band_pairs_sql("prof")}
       )
     )
     SELECT id_a, id_b, jaccard FROM (
@@ -249,10 +273,11 @@ _EST_MIN = math.ceil((0.5 - 0.1) * dedup.EST_SLICES)
       WHERE ({_EST_GATE}) >= {_EST_MIN}
     ) WHERE jaccard >= 0.5
     """,
-    description="n-gram Jaccard near-dup: LSH candidate pairs -> wide-minhash"
-    " estimate gate (8 x 16-bit components, all sliced from the ONE md5 per"
-    " shingle) -> exact shingle-set Jaccard at 0.5. Wide arrays join only the"
-    " gate survivors, so candidate volume never moves document-sized data.",
+    description=f"n-gram Jaccard near-dup: threshold-derived LSH candidates"
+    f" ({dedup.N_BANDS} bands x {dedup.N_ROWS} rows) -> wide-minhash estimate"
+    f" gate (8 x 16-bit components sliced from digest group 0) -> exact"
+    f" shingle-set Jaccard at 0.5. Wide arrays join only the gate survivors,"
+    f" so candidate volume never moves document-sized data.",
 )
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -327,22 +352,17 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH sig AS ({_MH_SQL.format(mh_exprs=_MH_EXPRS)})
     SELECT DISTINCT id_a, id_b FROM (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sig a JOIN sig b ON a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1
-      WHERE a.doc_id < b.doc_id
-      UNION ALL
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sig a JOIN sig b ON a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3
-      WHERE a.doc_id < b.doc_id
+        {_band_pairs_sql("sig")}
     )
     """,
-    description="MinHash-LSH candidate pairs: banded signature self-join"
-    " (2 bands x 2 rows); shuffles digests, never documents.",
+    description=f"MinHash-LSH candidate pairs: banded signature self-join"
+    f" ({dedup.N_BANDS} bands x {dedup.N_ROWS} rows, derived from the 0.5"
+    f" Jaccard target); shuffles digests, never documents.",
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sig = dedup.minhash_signature(d, "doc_id", "text")
-    return dedup.minhash_band_pairs(sig, "doc_id", (("mh_0", "mh_1"), ("mh_2", "mh_3")))
+    return dedup.minhash_band_pairs(sig, "doc_id", dedup.BAND_COLS)
 
 
 @register(
@@ -377,13 +397,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE sig AS ({_MH_SQL.format(mh_exprs=_MH_EXPRS)}),
     pairs AS (
       SELECT DISTINCT id_a, id_b FROM (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sig a JOIN sig b ON a.mh_0 = b.mh_0 AND a.mh_1 = b.mh_1
-        WHERE a.doc_id < b.doc_id
-        UNION ALL
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sig a JOIN sig b ON a.mh_2 = b.mh_2 AND a.mh_3 = b.mh_3
-        WHERE a.doc_id < b.doc_id
+        {_band_pairs_sql("sig")}
       )
     ),
     edges AS (
@@ -408,7 +422,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sig = dedup.minhash_signature(d, "doc_id", "text")
-    pairs = dedup.minhash_band_pairs(sig, "doc_id", (("mh_0", "mh_1"), ("mh_2", "mh_3")))
+    pairs = dedup.minhash_band_pairs(sig, "doc_id", dedup.BAND_COLS)
     return dedup.connected_components(
         pairs, d.select("doc_id"), id_col="doc_id"
     )

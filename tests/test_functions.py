@@ -49,7 +49,7 @@ def test_minhash_similar_docs_collide_more(spark):
         [(1, base), (2, near), (3, far)], "id long, text string"
     )
     sig = dedup.minhash_signature(df, "id", "text").collect()
-    by_id = {r["id"]: [r[f"mh_{s}"] for s in dedup.DEFAULT_SEEDS] for r in sig}
+    by_id = {r["id"]: [r[f"mh_{k}"] for k in range(dedup.N_PERMS)] for r in sig}
     matches_near = sum(a == b for a, b in zip(by_id[1], by_id[2]))
     matches_far = sum(a == b for a, b in zip(by_id[1], by_id[3]))
     assert matches_near > matches_far
