@@ -453,3 +453,134 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_name").alias("name"))
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q8: national market share -- two-level agg over a 7-way join
+# ---------------------------------------------------------------------------
+
+@register(
+    "q8_national_market_share",
+    oracle="""
+    SELECT
+      CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+      CAST(SUM(CASE WHEN n2.n_name = 'NATION_7'
+                    THEN CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+                    ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+        / CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS mkt_share,
+      CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS total_volume
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation n1   ON c.c_nationkey = n1.n_nationkey
+    JOIN region r    ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2   ON s.s_nationkey = n2.n_nationkey
+    JOIN part p      ON l.l_partkey = p.p_partkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'STANDARD'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY CAST(EXTRACT(year FROM o.o_orderdate) AS INT)
+    """,
+    description="TPC-H Q8 shape: market share of one supplier nation within"
+    " a customer region -- lineitem joined to orders/customer/nation/region"
+    " on the demand side and supplier/nation/part on the supply side (7-way),"
+    " then a conditional-share two-level aggregation per order year.",
+)
+def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan shape at scale: lineitem->orders is the only fact-fact shuffle
+    # join; customer is filtered through the broadcast nation+region dims
+    # before its join, and part/supplier sides are dimension-sized. The
+    # conditional share needs no second pass: numerator and denominator are
+    # two aggregates of the same grouped exchange.
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n1 = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("n2_nationkey"), F.col("n_name").alias("n2_name")
+        )
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    vol = _rev()
+    zero = F.lit(0).cast(DEC)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, c.c_nationkey == n1.n_nationkey)
+        .join(r, n1.n_regionkey == r.r_regionkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(n2, s.s_nationkey == F.col("n2_nationkey"))
+        .join(p, li.l_partkey == p.p_partkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("n2_name") == "NATION_7", vol).otherwise(zero))
+                .cast("double")
+                / F.sum(vol).cast("double")
+            ).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 variant: important parts by traded value fraction (no partsupp table:
+# lineitem revenue through one nation's suppliers stands in for stock value)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q11_important_part_value",
+    oracle="""
+    WITH value_by_part AS (
+      SELECT
+        l.l_partkey AS partkey,
+        SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l.l_discount AS DECIMAL(4,2)))) AS val
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n   ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_regionkey = 2
+      GROUP BY l.l_partkey
+    )
+    SELECT partkey, CAST(val AS DOUBLE) AS part_value
+    FROM value_by_part
+    WHERE val > (SELECT CAST(0.001 AS DECIMAL(12,10)) * SUM(val) FROM value_by_part)
+    """,
+    description="TPC-H Q11 shape (variant: lineitem revenue through one"
+    " region's suppliers stands in for partsupp stock value): per-part value"
+    " with a HAVING against a fraction of the grand total via scalar"
+    " subquery.",
+)
+def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(
+        load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    )
+    per_part = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_rev()).alias("val"))
+    )
+    # Scalar subquery as a 1-row broadcast: the grand total re-aggregates the
+    # per-part frame (no second lineitem scan), and the threshold comparison
+    # happens in exact DECIMAL so the cut is bit-identical to the oracle.
+    total = per_part.agg(
+        (F.lit(0.001).cast("decimal(12,10)") * F.sum("val")).alias("cut")
+    )
+    return (
+        per_part.join(F.broadcast(total), per_part.val > F.col("cut"))
+        .select("partkey", F.col("val").cast("double").alias("part_value"))
+    )

@@ -84,7 +84,9 @@ EXPECTED = {
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q7_nation_trade_flows",
+    "q8_national_market_share",
     "q9_profit_by_nation_year",
+    "q11_important_part_value",
     "q10_returned_item_revenue",
     "q12_shipping_delay_priority",
     "q13_customer_order_distribution",
