@@ -25,7 +25,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
-from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable
+from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable, _commit_lock
 
 # movie_revenue_realtime schema (revenue-analytics.sql:23-43)
 REVENUE_STATUSES = ("scheduled", "live", "finished")
@@ -127,8 +127,16 @@ class ContinuousRevenueView:
 
         def fb(batch_df: DataFrame, batch_id: int) -> None:
             batch_df = batch_df.localCheckpoint(eager=True)
-            self.tickets.merge(batch_df, batch_id=batch_id, writer_id="tickets-cdc")
-            self.refresh(batch_df.select("movie_id"), batch_id, "rev-from-tickets")
+            # Serialize staging-merge + snapshot-read + serving-merge against
+            # the OTHER side's pipeline (both streams update one serving
+            # table): without this, a refresh computed from a pre-update
+            # movies snapshot could commit AFTER the movie-side refresh that
+            # already saw the edit, leaving a stale title in the view. This
+            # is the micro-batch analogue of Flink serializing both input
+            # streams through one join-operator state.
+            with _commit_lock(self.revenue.path):
+                self.tickets.merge(batch_df, batch_id=batch_id, writer_id="tickets-cdc")
+                self.refresh(batch_df.select("movie_id"), batch_id, "rev-from-tickets")
 
         return (
             changelog.writeStream.foreachBatch(fb)
@@ -144,8 +152,9 @@ class ContinuousRevenueView:
 
         def fb(batch_df: DataFrame, batch_id: int) -> None:
             batch_df = batch_df.localCheckpoint(eager=True)
-            self.movies.merge(batch_df, batch_id=batch_id, writer_id="movies-cdc")
-            self.refresh(batch_df.select("movie_id"), batch_id, "rev-from-movies")
+            with _commit_lock(self.revenue.path):  # see start_tickets_pipeline
+                self.movies.merge(batch_df, batch_id=batch_id, writer_id="movies-cdc")
+                self.refresh(batch_df.select("movie_id"), batch_id, "rev-from-movies")
 
         return (
             changelog.writeStream.foreachBatch(fb)
