@@ -97,30 +97,75 @@ def normalized_key(text: Column) -> Column:
 def shingle_array(norm_col: str, n: int = SHINGLE_LEN) -> Column:
     """Array of character n-gram shingles of a normalized-text column,
     computed row-locally (SQL expr because the lambda variable feeds
-    substring's start position)."""
+    substring's start position). Character shingles are the fine-grained
+    alternative; the dedup defaults below use word shingles."""
     return F.expr(
         f"transform(sequence(1, greatest(length({norm_col}) - {n - 1}, 1)),"
         f" i -> substring({norm_col}, i, {n}))"
     )
 
 
-def group_prefix(g: int) -> str:
-    """Salt prefix for digest group g. Group 0 hashes the bare shingle (the
-    historical contract, shared with the est/exact slices); group g>0 hashes
-    '<g>:' || shingle -- plain string concat, identical in DuckDB."""
-    return "" if g == 0 else f"{g}:"
+WORD_SHINGLE_LEN = 3  # word n-grams: the document-dedup unit used in practice
+                      # (RefinedWeb/SlimPajama-style MinHash shingles words,
+                      # not characters -- ~6x fewer elements per document)
 
 
-def _group_digest(g: int, digest):
-    if g == 0:
-        return digest
-    prefix = group_prefix(g)
-    return lambda s: digest(F.concat(F.lit(prefix), s))
+def word_shingle_array(norm_col: str, n: int = WORD_SHINGLE_LEN) -> Column:
+    """Array of word n-gram shingles of a normalized-text column, computed
+    row-locally in O(words): shifted-array zips whose inputs are ARGUMENTS
+    (evaluated once per row), never lambda-captured columns (which Spark's
+    interpreted higher-order functions would re-evaluate per element).
+    Shingles past the end carry fewer than n words via concat_ws null-skip,
+    and the final slice drops them (keeping one shingle for docs shorter
+    than n words)."""
+    w = f"split({norm_col}, ' ')"
+    expr = w
+    for j in range(1, n):
+        expr = (
+            f"zip_with({expr}, slice({w}, {j + 1}, size({w})),"
+            f" (a, b) -> concat_ws(' ', a, b))"
+        )
+    return F.expr(f"slice({expr}, 1, greatest(size({w}) - {n - 1}, 1))")
 
 
-def digest_groups(n_perms: int) -> int:
-    """Each 32-hex digest yields four 8-hex (32-bit) signature slices."""
-    return -(-n_perms // 4)
+# Permutation family: ONE md5 per distinct shingle reduced to a value
+# x in [0, p), then component k applies the 2-universal map
+# (a_k*x + b_k) mod p with fixed per-component constants -- the same
+# multiply-mod-prime family Spark MLlib's MinHashLSH uses (and datasketch's
+# 2^61 variant). vs one salted digest per 4 components this is 16x fewer
+# hash evaluations at 64 permutations, and unlike naive double hashing
+# (h1 + k*h2: linearly DEPENDENT across k -- one shingle with small h1 and
+# h2 wins every component's min and glues unrelated documents into every
+# band) the per-k multiplication scrambles the argmin independently.
+_MH_PRIME = 2038074743  # prime < 2^31: a*x + b < 2^62, BIGINT-safe
+
+
+def _perm_consts(k: int) -> tuple[int, int]:
+    """Deterministic (a_k, b_k), a_k != 0, derived by hashing k (stable
+    across sessions/engines; inlined as literals in the DuckDB oracle)."""
+    import hashlib
+
+    a = int(hashlib.md5(f"mh-a-{k}".encode()).hexdigest()[:8], 16) % (_MH_PRIME - 1) + 1
+    b = int(hashlib.md5(f"mh-b-{k}".encode()).hexdigest()[:8], 16) % _MH_PRIME
+    return a, b
+
+
+PERM_AB: tuple[tuple[int, int], ...] = tuple(_perm_consts(k) for k in range(MAX_PERMS))
+
+
+def _hex_long(h: Column, start: int, width: int = 8) -> Column:
+    """Unsigned integer value of a hex-digest slice (conv is exact to 15
+    hex chars; slices here are 8). DuckDB mirror: CAST('0x'||substr AS BIGINT)."""
+    return F.conv(F.substring(h, start, width), 16, 10).cast("long")
+
+
+def perm_component(k: int, x_col: str = "__x") -> Column:
+    """Signature component k over the reduced-shingle array x_col: min over
+    shingles of (a_k*x + b_k) mod p."""
+    a, b = PERM_AB[k]
+    return F.array_min(
+        F.transform(x_col, lambda x: (F.lit(a) * x + F.lit(b)) % _MH_PRIME)
+    )
 
 
 def minhash_signature(
@@ -128,37 +173,30 @@ def minhash_signature(
     id_col: str,
     text_col: str,
     n_perms: int = N_PERMS,
-    n: int = SHINGLE_LEN,
+    n: int = WORD_SHINGLE_LEN,
     digest=md5_digest,
 ) -> DataFrame:
-    """MinHash signature per document: ceil(n_perms/4) salted digests per
-    distinct shingle; the k-th signature component is the minimum of the
-    (k%4)-th 8-hex-char slice of digest group k//4. Slices of a good hash are
-    independent enough for LSH and cost 4x fewer hash evaluations than
-    per-component salted hashing; 32-bit slices keep the per-component
-    random-collision floor negligible (min of n uniforms over 2^32 collides
-    across documents with prob ~n/2^33).
+    """MinHash signature per document: ONE digest per distinct word shingle,
+    reduced to x = (32-bit half) mod p; the k-th signature component is the
+    minimum over shingles of (a_k*x + b_k) mod p -- the 2-universal
+    multiply-mod-prime permutation family (as in Spark MLlib MinHashLSH).
+    The ~31-bit component range keeps the random-collision floor negligible
+    (min of n uniforms over ~2^31 collides across documents with prob
+    ~n/2^32).
 
     ``digest`` is the hash seam: md5_digest (default) is oracle-reproducible;
     fast_digest is the cheaper production path.
 
-    Output: (id, mh_0 .. mh_{n_perms-1}) -- one row per document, no shuffle.
+    Output: (id, mh_0 .. mh_{n_perms-1} BIGINT) -- one row per document,
+    no shuffle.
     """
     out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
-    out = out.select(id_col, F.array_distinct(shingle_array("__norm", n)).alias("__sh"))
-    for g in range(digest_groups(n_perms)):
-        out = out.withColumn(f"__hs_{g}", F.transform(F.col("__sh"), _group_digest(g, digest)))
-
-    # NB: factory, not `lambda h, j=j`: pyspark treats a 2-parameter lambda
-    # as (element, index) and would bind j to the array index column
-    def slice_at(j: int):
-        return lambda h: F.substring(h, 8 * j + 1, 8)
-
-    cols = [
-        F.array_min(F.transform(F.col(f"__hs_{k // 4}"), slice_at(k % 4))).alias(f"mh_{k}")
-        for k in range(n_perms)
-    ]
-    return out.select(id_col, *cols)
+    out = out.select(id_col, F.array_distinct(word_shingle_array("__norm", n)).alias("__sh"))
+    out = out.select(id_col, F.transform(F.col("__sh"), digest).alias("__hs"))
+    out = out.select(
+        id_col, F.transform("__hs", lambda h: _hex_long(h, 1) % _MH_PRIME).alias("__x")
+    )
+    return out.select(id_col, *[perm_component(k).alias(f"mh_{k}") for k in range(n_perms)])
 
 
 def minhash_band_pairs(
@@ -212,17 +250,16 @@ _HEX = "0123456789abcdef"
 _MSB_WEIGHT = "(CAST(-9223372036854775807 AS BIGINT) - CAST(1 AS BIGINT))"
 
 
-def hex_digits_expr(norm_col: str, n: int = SHINGLE_LEN) -> str:
-    """SQL expr: per-row array (one element per DISTINCT shingle) of the first
-    16 hex-digit values of the shingle's md5 -- the 64 bits feeding simhash.
+def hex_digits_expr(hs_col: str) -> str:
+    """SQL expr: per-row array (one element per distinct shingle digest) of
+    the first 16 hex-digit values of the digest -- the 64 bits feeding
+    simhash. The digest array is a separate column so md5 runs ONCE per
+    shingle (a digest captured inside the inner lambda would be re-evaluated
+    per hex digit by interpreted higher-order functions -- 16x the hashing).
     Everything is row-local array math; no shuffle, no UDF."""
-    sh = (
-        f"array_distinct(transform(sequence(1, greatest(length({norm_col}) - {n - 1}, 1)),"
-        f" i -> substring({norm_col}, i, {n})))"
-    )
     return (
-        f"transform({sh}, s -> transform(sequence(1, {SIMHASH_BITS // 4}),"
-        f" j -> instr('{_HEX}', substring(md5(s), j, 1)) - 1))"
+        f"transform({hs_col}, h -> transform(sequence(1, {SIMHASH_BITS // 4}),"
+        f" j -> instr('{_HEX}', substring(h, j, 1)) - 1))"
     )
 
 
@@ -263,15 +300,19 @@ def simhash_from_counts_expr(cnt_col: str) -> str:
     return " + ".join(terms)
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, n: int = SHINGLE_LEN) -> DataFrame:
-    """64-bit SimHash fingerprint per document over distinct character
-    shingles of the normalized text. Output: (id, simhash BIGINT).
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, n: int = WORD_SHINGLE_LEN
+) -> DataFrame:
+    """64-bit SimHash fingerprint per document over distinct word shingles
+    of the normalized text. Output: (id, simhash BIGINT).
 
     The DuckDB oracle spells the majority vote per-bit (64 list_sums); this
     side accumulates all 64 votes in one pass -- same values, linear cost.
     """
     out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
-    out = out.select(id_col, F.expr(hex_digits_expr("__norm", n)).alias("__digs"))
+    out = out.select(id_col, F.array_distinct(word_shingle_array("__norm", n)).alias("__sh"))
+    out = out.select(id_col, F.transform(F.col("__sh"), md5_digest).alias("__hs"))
+    out = out.select(id_col, F.expr(hex_digits_expr("__hs")).alias("__digs"))
     out = out.select(id_col, F.expr(bit_counts_expr("__digs")).alias("__cnt"))
     return out.select(id_col, F.expr(simhash_from_counts_expr("__cnt")).alias("simhash"))
 
@@ -389,25 +430,25 @@ def jaccard_neardup(
     df: DataFrame,
     id_col: str,
     text_col: str,
-    n: int = SHINGLE_LEN,
+    n: int = WORD_SHINGLE_LEN,
     min_jaccard: float = 0.5,
     est_margin: float = 0.1,
     digest=md5_digest,
 ) -> DataFrame:
     """LSH candidates -> minhash-estimate gate -> exact Jaccard verify, with
-    every hash derived from the salted digest groups of minhash_signature
-    (md5 by default; pass digest=fast_digest for the cheaper engine-private
-    production hash).
+    every hash derived from ONE digest per distinct shingle (md5 by default;
+    pass digest=fast_digest for the cheaper engine-private production hash).
 
-    The digests (32 hex chars each) are sliced three ways, so the profile
-    frame is computed in a single pass and persisted:
-    - N_PERMS x 8-hex minima folded into N_BANDS x N_ROWS band keys -> the
-      LSH candidate generation (bands/rows derived from min_jaccard via
+    The digest (32 hex chars) is sliced three ways, so the profile frame is
+    computed in a single pass and persisted:
+    - 32-bit half reduced mod p -> n_perms multiply-mod-prime components
+      ((a_k*x + b_k) mod p) whose minima fold into bands x rows band keys ->
+      the LSH candidate generation (bands/rows derived from min_jaccard via
       lsh_params, so the capture-curve midpoint tracks the threshold),
-    - 8 x 4-hex minima of digest group 0 -> a minhash that ESTIMATES Jaccard
+    - 8 x 4-hex minima of the digest -> a minhash that ESTIMATES Jaccard
       as the fraction of matching components (16-bit slices collide upward,
       which only makes the gate more conservative),
-    - 15-hex of digest group 0 -> 60-bit BIGINT per shingle for the exact
+    - 15-hex of the digest -> 60-bit BIGINT per shingle for the exact
       set intersection.
 
     The estimate gate drops candidate pairs whose estimated Jaccard is below
@@ -426,34 +467,29 @@ def jaccard_neardup(
     n_perms, n_bands, n_rows = lsh_params(min_jaccard)
     out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
     hs = out.select(
-        id_col, F.array_distinct(shingle_array("__norm", n)).alias("__sh")
+        id_col, F.array_distinct(word_shingle_array("__norm", n)).alias("__sh")
     )
-    for g in range(digest_groups(n_perms)):
-        hs = hs.withColumn(f"__hs_{g}", F.transform(F.col("__sh"), _group_digest(g, digest)))
+    hs = hs.select(id_col, F.transform(F.col("__sh"), digest).alias("__hs"))
+    hs = hs.withColumn("__x", F.transform("__hs", lambda h: _hex_long(h, 1) % _MH_PRIME))
 
     def slice_at(start: int, width: int):
         return lambda h: F.substring(h, start, width)
 
-    def component(k: int) -> Column:
-        return F.array_min(
-            F.transform(F.col(f"__hs_{k // 4}"), slice_at(8 * (k % 4) + 1, 8))
-        )
-
     # fold each band's row-components into ONE key column so the persisted
     # profile stays narrow (n_bands keys, not n_perms components); '|' join
-    # of fixed-width 8-hex slices is injective
+    # of the decimal component values is injective
     band_keys = [
         F.md5(
-            F.concat_ws("|", *[component(b * n_rows + r) for r in range(n_rows)])
+            F.concat_ws("|", *[perm_component(b * n_rows + r) for r in range(n_rows)])
         ).alias(f"bk_{b}")
         for b in range(n_bands)
     ]
     est_cols = [
-        F.array_min(F.transform(F.col("__hs_0"), slice_at(4 * k + 1, 4))).alias(f"est_{k}")
+        F.array_min(F.transform(F.col("__hs"), slice_at(4 * k + 1, 4))).alias(f"est_{k}")
         for k in range(EST_SLICES)
     ]
     sh_col = F.transform(
-        F.col("__hs_0"), lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+        F.col("__hs"), lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
     ).alias("sh")
     prof = (
         hs.select(id_col, *band_keys, *est_cols, sh_col)

@@ -161,46 +161,50 @@ _NORM_DOCS = (
     " FROM documents"
 )
 
+# word array per document (the word-n-gram shingle base, mirroring
+# dedup.word_shingle_array's normalized-word unit)
+_WORD_DOCS = f"SELECT doc_id, string_split(norm, ' ') AS w FROM ({_NORM_DOCS})"
 
-def _shingles_sql(n: int = dedup.SHINGLE_LEN) -> str:
+
+def _shingles_sql(n: int = dedup.WORD_SHINGLE_LEN) -> str:
     return (
-        f"list_distinct(list_transform(range(1, greatest(length(norm) - {n - 1}, 1) + 1),"
-        f" i -> substr(norm, i::int, {n})))"
+        f"list_distinct(list_transform(range(1, greatest(len(w) - {n - 1}, 1) + 1),"
+        f" i -> array_to_string(list_slice(w, i::int, i::int + {n - 1}), ' ')))"
     )
 
 
-def _hs_col_sql(g: int, src: str = "s") -> str:
-    """Digest-group column g: md5 of the bare shingle (g=0, the historical
-    contract shared with est/exact slices) or of '<g>:' || shingle."""
-    prefix = dedup.group_prefix(g)
-    inner = f"md5('{prefix}' || x)" if prefix else "md5(x)"
-    return f"list_transform({src}, x -> {inner}) AS hs_{g}"
-
-
-_HS_COLS = ",\n             ".join(
-    _hs_col_sql(g) for g in range(dedup.digest_groups(dedup.N_PERMS))
+# ONE md5 per DISTINCT shingle, reduced to x = (first 32 bits) mod p;
+# signature component k = min over shingles of (a_k*x + b_k) mod p -- the
+# multiply-mod-prime permutation family, op-for-op mirror of
+# functions/dedup.minhash_signature at the threshold-derived default width
+_HS_COL = "list_transform(s, x -> md5(x)) AS hs"
+_X_COL = (
+    f"list_transform(hs, h -> CAST('0x' || substr(h, 1, 8) AS BIGINT)"
+    f" % {dedup._MH_PRIME}) AS x"
 )
 
 
 def _mh_expr(k: int) -> str:
-    g, j = divmod(k, 4)
-    return f"list_min(list_transform(hs_{g}, h -> substr(h, {8 * j + 1}, 8))) AS mh_{k}"
+    a, b = dedup.PERM_AB[k]
+    return (
+        f"list_min(list_transform(x, v -> ({a} * v + {b}) % {dedup._MH_PRIME})) AS mh_{k}"
+    )
 
 
 _MH_EXPRS = ",\n           ".join(_mh_expr(k) for k in range(dedup.N_PERMS))
 
-# ceil(n_perms/4) salted md5 digests per DISTINCT shingle, sliced into
-# n_perms 8-hex signature components (op-for-op mirror of
-# functions/dedup.minhash_signature at the threshold-derived default width)
 _MH_SQL = f"""
     SELECT doc_id,
            {{mh_exprs}}
     FROM (
       SELECT doc_id,
-             {_HS_COLS}
+             {_X_COL}
       FROM (
-        SELECT doc_id, {_shingles_sql()} AS s
-        FROM ({_NORM_DOCS})
+        SELECT doc_id, {_HS_COL}
+        FROM (
+          SELECT doc_id, {_shingles_sql()} AS s
+          FROM ({_WORD_DOCS})
+        )
       )
     )
 """
@@ -225,9 +229,11 @@ def _band_pairs_sql(src: str) -> str:
     oracle=_MH_SQL.format(mh_exprs=_MH_EXPRS),
     description=f"MinHash signatures at the threshold-derived default width"
     f" ({dedup.N_PERMS} permutations = {dedup.N_BANDS} bands x {dedup.N_ROWS}"
-    f" rows for Jaccard {dedup.DEFAULT_JACCARD}): ceil(n/4) salted md5s per"
-    f" distinct 5-char shingle sliced into 32-bit components, computed"
-    f" row-locally with array expressions -- no shuffle.",
+    f" rows for Jaccard {dedup.DEFAULT_JACCARD}): ONE md5 per distinct"
+    f" {dedup.WORD_SHINGLE_LEN}-word shingle (the RefinedWeb-style document"
+    f" unit), multiply-mod-prime permutations ((a_k*x + b_k) mod p, as in"
+    f" Spark MLlib MinHashLSH) deriving all components, computed row-locally"
+    f" with array expressions -- no shuffle.",
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -235,7 +241,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EST_EXPRS = ",\n           ".join(
-    f"list_min(list_transform(hs_0, h -> substr(h, {4 * k + 1}, 4))) AS est_{k}"
+    f"list_min(list_transform(hs, h -> substr(h, {4 * k + 1}, 4))) AS est_{k}"
     for k in range(dedup.EST_SLICES)
 )
 _EST_GATE = " + ".join(
@@ -254,9 +260,12 @@ _EST_MIN = math.ceil((0.5 - 0.1) * dedup.EST_SLICES)
              {_MH_EXPRS},
              {_EST_EXPRS}
       FROM (
-        SELECT doc_id, s,
-               {_HS_COLS}
-        FROM (SELECT doc_id, {_shingles_sql()} AS s FROM ({_NORM_DOCS}))
+        SELECT doc_id, s, hs,
+               {_X_COL}
+        FROM (
+          SELECT doc_id, s, {_HS_COL}
+          FROM (SELECT doc_id, {_shingles_sql()} AS s FROM ({_WORD_DOCS}))
+        )
       )
     ),
     pairs AS (
@@ -275,7 +284,7 @@ _EST_MIN = math.ceil((0.5 - 0.1) * dedup.EST_SLICES)
     """,
     description=f"n-gram Jaccard near-dup: threshold-derived LSH candidates"
     f" ({dedup.N_BANDS} bands x {dedup.N_ROWS} rows) -> wide-minhash estimate"
-    f" gate (8 x 16-bit components sliced from digest group 0) -> exact"
+    f" gate (8 x 16-bit components sliced from the shingle digest) -> exact"
     f" shingle-set Jaccard at 0.5. Wide arrays join only the gate survivors,"
     f" so candidate volume never moves document-sized data.",
 )
@@ -307,7 +316,7 @@ _SIMHASH_SQL = f"""
       SELECT doc_id,
              list_transform({_shingles_sql()}, s -> list_transform(range(1, {dedup.SIMHASH_BITS // 4 + 1}),
                j -> instr('0123456789abcdef', substr(md5(s), j::int, 1)) - 1)) AS digs
-      FROM ({_NORM_DOCS})
+      FROM ({_WORD_DOCS})
     )
 """
 
