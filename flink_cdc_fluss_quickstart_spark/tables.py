@@ -56,14 +56,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS): read as long (see session
-        # conf nanosAsLong) and truncate to microseconds. The generator emits
-        # whole microseconds, so this is lossless; session TZ is UTC so the
-        # NTZ cast preserves the wall-clock value DuckDB sees.
-        df = df.withColumn(
-            "ts",
-            F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
-        )
+        # events.ts encoding varies across generator versions: parquet
+        # TIMESTAMP(NANOS) surfaces as LongType (via nanosAsLong) and needs
+        # truncation to micros; TIMESTAMP(MICROS) surfaces as a timestamp
+        # type directly. Normalize both to timestamp_ntz so downstream plans
+        # and the DuckDB oracle see identical UTC wall-clock values.
+        ts_type = df.schema["ts"].dataType.typeName()
+        if ts_type in ("long", "bigint"):
+            df = df.withColumn(
+                "ts",
+                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+            )
+        elif ts_type != "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
     return df
 
 
