@@ -25,37 +25,53 @@ SHINGLE_LEN = 5  # character shingles over normalized text
 # threshold rather than hardcoded (mirrors similarity.n_planes_for, which
 # derives hyperplane count from corpus size): the banded-LSH capture curve is
 # p(J) = 1 - (1 - J^rows)^bands with its steep midpoint near (1/bands)^(1/rows),
-# so for a threshold t we pick rows as deep as the permutation budget allows
-# with bands = round(t^-rows), keeping the midpoint pinned at t while the
-# S-curve sharpens (fewer false-positive candidates per true near-dup). At
-# t=0.5 / budget 64 this lands on the textbook 64 permutations = 16 bands x
-# 4 rows; a demo-width 4-permutation signature would under-recall at real
-# corpus sizes.
+# so for a threshold t we pick bands = round(t^-rows), pinning the midpoint at
+# t. Among the configs that hit the midpoint, width is a pure recall-vs-cost
+# trade: every extra permutation is one more multiply-mod-min pass per
+# document and every extra band is one more exploded row into the candidate
+# self-join. The derivation therefore takes the CHEAPEST config that still
+# captures >= `min_clear_recall` of CLEAR near-dups (J >= t + clear_margin) --
+# at t=0.5 that is 24 permutations = 8 bands x 3 rows (0.965 capture at
+# J=0.7), not the textbook-maximal 16 x 4 (0.988 capture but 2.7x the hash
+# work and 2x the candidate-join volume for ~2 points of tail recall).
 
 DEFAULT_JACCARD = 0.5  # the near-dup threshold the default signature targets
 MAX_PERMS = 64  # permutation budget (shingle-hash evaluations per document)
 
 
-def lsh_params(threshold: float = DEFAULT_JACCARD, max_perms: int = MAX_PERMS) -> tuple[int, int, int]:
+def lsh_params(
+    threshold: float = DEFAULT_JACCARD,
+    max_perms: int = MAX_PERMS,
+    clear_margin: float = 0.2,
+    min_clear_recall: float = 0.95,
+) -> tuple[int, int, int]:
     """Derive (n_perms, bands, rows) for a target Jaccard threshold: midpoint
-    (1/bands)^(1/rows) closest to `threshold`; among near-ties, the widest
-    signature within the permutation budget (sharper capture curve)."""
-    best = None
+    (1/bands)^(1/rows) closest to `threshold`; among midpoint-ties, the
+    CHEAPEST signature whose capture probability at J = threshold +
+    clear_margin is >= min_clear_recall (fall back to the highest-recall
+    config if none meets the floor within the permutation budget)."""
+    cands = []
     for rows in range(2, 13):
         bands = max(2, round((1.0 / threshold) ** rows))
         n_perms = bands * rows
         if n_perms > max_perms:
             continue
         midpoint = (1.0 / bands) ** (1.0 / rows)
-        cand = (round(abs(midpoint - threshold), 3), -n_perms, bands, rows)
-        if best is None or cand < best:
-            best = cand
-    assert best is not None, "no (bands, rows) fits the permutation budget"
-    _, neg_perms, bands, rows = best
-    return (-neg_perms, bands, rows)
+        j_clear = min(threshold + clear_margin, 1.0)
+        recall = 1.0 - (1.0 - j_clear**rows) ** bands
+        cands.append((round(abs(midpoint - threshold), 3), n_perms, recall, bands, rows))
+    assert cands, "no (bands, rows) fits the permutation budget"
+    best_err = min(c[0] for c in cands)
+    near = [c for c in cands if c[0] == best_err]
+    meeting = [c for c in near if c[2] >= min_clear_recall]
+    if meeting:
+        _, n_perms, _, bands, rows = min(meeting, key=lambda c: c[1])
+    else:
+        _, n_perms, _, bands, rows = max(near, key=lambda c: c[2])
+    return (n_perms, bands, rows)
 
 
-N_PERMS, N_BANDS, N_ROWS = lsh_params()  # (64, 16, 4) at the 0.5 default
+N_PERMS, N_BANDS, N_ROWS = lsh_params()  # (24, 8, 3) at the 0.5 default
 
 #: default band layout over the signature columns: band b = columns
 #: mh_{b*rows} .. mh_{b*rows + rows - 1}
@@ -161,10 +177,28 @@ def _hex_long(h: Column, start: int, width: int = 8) -> Column:
 
 def perm_component(k: int, x_col: str = "__x") -> Column:
     """Signature component k over the reduced-shingle array x_col: min over
-    shingles of (a_k*x + b_k) mod p."""
+    shingles of (a_k*x + b_k) mod p. (Reference spelling -- the batch path
+    uses perm_fold_expr, which computes ALL components in one traversal.)"""
     a, b = PERM_AB[k]
     return F.array_min(
         F.transform(x_col, lambda x: (F.lit(a) * x + F.lit(b)) % _MH_PRIME)
+    )
+
+
+def perm_fold_expr(n_perms: int, x_col: str = "__x") -> str:
+    """SQL expr computing ALL n_perms signature components in ONE traversal
+    of the reduced-shingle array: the accumulator is the running component
+    minima; each shingle folds in via zip_with(least). Identical values to
+    per-component perm_component (for the always-non-empty shingle arrays
+    word_shingle_array produces), but one interpreted pass instead of
+    n_perms -- measured 3-4x faster at 24 permutations, since higher-order
+    array functions are evaluated interpreted and their cost is per-pass."""
+    a_lits = ",".join(str(PERM_AB[k][0]) for k in range(n_perms))
+    b_lits = ",".join(str(PERM_AB[k][1]) for k in range(n_perms))
+    return (
+        f"aggregate({x_col}, array_repeat(CAST({_MH_PRIME} AS BIGINT), {n_perms}),"
+        f" (acc, x) -> zip_with(acc, zip_with(array({a_lits}), array({b_lits}),"
+        f" (a, b) -> (a * x + b) % {_MH_PRIME}), (u, v) -> least(u, v)))"
     )
 
 
@@ -196,7 +230,10 @@ def minhash_signature(
     out = out.select(
         id_col, F.transform("__hs", lambda h: _hex_long(h, 1) % _MH_PRIME).alias("__x")
     )
-    return out.select(id_col, *[perm_component(k).alias(f"mh_{k}") for k in range(n_perms)])
+    out = out.select(id_col, F.expr(perm_fold_expr(n_perms)).alias("__mh"))
+    return out.select(
+        id_col, *[F.element_at("__mh", k + 1).alias(f"mh_{k}") for k in range(n_perms)]
+    )
 
 
 def minhash_band_pairs(
@@ -475,12 +512,16 @@ def jaccard_neardup(
     def slice_at(start: int, width: int):
         return lambda h: F.substring(h, start, width)
 
-    # fold each band's row-components into ONE key column so the persisted
+    # all signature components in ONE fold pass (see perm_fold_expr), then
+    # each band's row-components fold into ONE key column so the persisted
     # profile stays narrow (n_bands keys, not n_perms components); '|' join
     # of the decimal component values is injective
+    hs = hs.withColumn("__mh", F.expr(perm_fold_expr(n_perms)))
     band_keys = [
         F.md5(
-            F.concat_ws("|", *[perm_component(b * n_rows + r) for r in range(n_rows)])
+            F.concat_ws(
+                "|", *[F.element_at("__mh", b * n_rows + r + 1) for r in range(n_rows)]
+            )
         ).alias(f"bk_{b}")
         for b in range(n_bands)
     ]

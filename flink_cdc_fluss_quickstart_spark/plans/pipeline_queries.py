@@ -33,7 +33,7 @@ _DUCK_HEX8 = (
            CASE WHEN hash_bucket < 90 THEN 'train'
                 WHEN hash_bucket < 95 THEN 'val'
                 ELSE 'test' END AS split
-    FROM (SELECT doc_id, {_DUCK_HEX8} % 100 AS hash_bucket FROM documents)
+    FROM (SELECT doc_id, CAST({_DUCK_HEX8} % 100 AS BIGINT) AS hash_bucket FROM documents)
     """,
     description="Deterministic train/val/test split (90/5/5): the split key"
     " is md5(doc_id) mod 100, so membership is a pure row-local function of"
@@ -210,7 +210,7 @@ def quality_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     " anywhere in the train split. Spark-first: n-gram keys are 16-hex md5"
     " prefixes built row-locally (swap in xxhash64 via the digest seam at"
     " production scale), the train side is a distinct-key set and the check"
-    " is one shuffle join keyed on the gram hash -- the standard shape for"
+    " is one aggregation keyed on the gram hash -- the standard shape for"
     " train/eval overlap scans at corpus scale, linear in total n-gram"
     " volume, never materializing document pairs.",
 )
@@ -227,24 +227,29 @@ def decontamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice() and element_at() are 1-based, matching DuckDB list slicing
     gexpr = ("transform(sequence(1, size(l) - 7),"
              " i -> substring(md5(concat_ws(' ', slice(l, i, 8))), 1, 16))")
-    grams = (
-        base.select("doc_id", "bucket", F.explode(F.expr(gexpr)).alias("g"))
-        .distinct()
-        .persist()
+    # Single pass over the corpus, no cache: group by gram hash, folding the
+    # train side to a 0/1 flag and the test side to the distinct doc set
+    # (collect_set both dedupes repeated in-document grams and drops nulls
+    # from the `when` filter). One gram-keyed shuffle + one doc-keyed
+    # aggregation; nothing is persisted, so a long-lived session running many
+    # queries leaks no cache. Set size per gram is bounded by the number of
+    # *test-split* documents containing that exact 8-gram -- rare enough that
+    # skew is a non-issue even at corpus scale.
+    grams = base.select(
+        "doc_id", "bucket", F.explode(F.expr(gexpr)).alias("g")
+    ).filter((F.col("bucket") < 90) | (F.col("bucket") >= 95))
+    per_gram = grams.groupBy("g").agg(
+        F.max(F.when(F.col("bucket") < 90, 1).otherwise(0)).alias("in_train"),
+        F.collect_set(F.when(F.col("bucket") >= 95, F.col("doc_id"))).alias("test_docs"),
     )
-    train = grams.filter(F.col("bucket") < 90).select("g").distinct()
-    test = grams.filter(F.col("bucket") >= 95).select("doc_id", "g")
-    hit = F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+    exploded = per_gram.select("in_train", F.explode("test_docs").alias("doc_id"))
+    hit = F.sum("in_train")
     rate = hit.cast("double") / F.count(F.lit(1)).cast("double")
-    return (
-        test.join(train.withColumn("hit", F.lit(1)), "g", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_grams"),
-            hit.alias("n_contaminated"),
-            rate.alias("contamination_rate"),
-            (rate >= 0.8).alias("flagged"),
-        )
+    return exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        hit.alias("n_contaminated"),
+        rate.alias("contamination_rate"),
+        (rate >= 0.8).alias("flagged"),
     )
 
 
@@ -253,7 +258,7 @@ def decontamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT doc_id, lang, hash_bucket
     FROM (
-      SELECT doc_id, lang, {_DUCK_HEX8} % 100 AS hash_bucket,
+      SELECT doc_id, lang, CAST({_DUCK_HEX8} % 100 AS BIGINT) AS hash_bucket,
              CASE lang WHEN 'en' THEN 10 WHEN 'zh' THEN 25 ELSE 50 END AS rate
       FROM documents
     )
