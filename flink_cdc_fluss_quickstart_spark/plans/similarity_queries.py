@@ -384,18 +384,24 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     scale = F.lit(similarity.SCALE)
 
-    # coarse quantizer: exact fixed-point per-label centroid vectors
-    # (the same reduce step as embedding_label_centroids, re-assembled into
-    # an ordered array per label)
-    flat = emb.select("label", F.posexplode("embedding").alias("pos", "x"))
-    scaled = F.floor(F.col("x").cast("double") * scale)
-    cent_flat = flat.groupBy("label", "pos").agg(
-        ((F.sum(scaled).cast("double") / scale) / F.count(F.lit(1))).alias("c")
+    # coarse quantizer: exact fixed-point per-label centroid vectors in ONE
+    # groupBy(label): gather the cell's vectors and fold them element-wise
+    # row-locally (floor-scaled BIGINT sums -- integer addition, so the fold
+    # order cannot change the result vs the oracle's per-dim SUM). One
+    # shuffle keyed on the cell id instead of the posexplode rows x DIM
+    # reduce + collect_list re-assembly (two shuffles) it replaces; per-cell
+    # state is bounded by cell size, the same bound the scoring join already
+    # carries.
+    fold = (
+        f"transform(aggregate(vs, array_repeat(CAST(0 AS BIGINT), {DIM}),"
+        f" (acc, v) -> zip_with(acc, v,"
+        f" (a, x) -> a + CAST(floor(CAST(x AS DOUBLE) * {similarity.SCALE}) AS BIGINT))),"
+        f" s -> (CAST(s AS DOUBLE) / {similarity.SCALE}) / n)"
     )
-    cent = cent_flat.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-        ).alias("cv")
+    cent = (
+        emb.groupBy("label")
+        .agg(F.collect_list("embedding").alias("vs"), F.count(F.lit(1)).alias("n"))
+        .select("label", F.expr(fold).alias("cv"))
     )
     cent = cent.withColumn("cn", F.sqrt(similarity.sq_norm(F.col("cv"))))
 
