@@ -150,8 +150,32 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
+    # The envelope is measured twice because micro-batch latency is sensitive
+    # to co-running batch load (executor threads are shared in local mode,
+    # exactly as executor slots are shared on a cluster): once isolated --
+    # the engine's intrinsic envelope -- and once with a continuous batch
+    # aggregation looping on the same session, the worst-case a mixed
+    # batch+streaming deployment sees.
     envelope = streaming_envelope(spark)
-    print(f"# streaming_envelope: {envelope}", file=sys.stderr)
+    print(f"# streaming_envelope (isolated): {envelope}", file=sys.stderr)
+
+    import threading
+
+    stop = threading.Event()
+
+    def batch_load() -> None:
+        while not stop.is_set():
+            specs["q5_region_revenue"].builder(spark, sf_dir).count()
+
+    loader = threading.Thread(target=batch_load, daemon=True)
+    loader.start()
+    try:
+        envelope_concurrent = streaming_envelope(spark)
+    finally:
+        stop.set()
+        loader.join(timeout=60)
+    envelope_concurrent["batch_load"] = "q5_region_revenue loop"
+    print(f"# streaming_envelope (concurrent): {envelope_concurrent}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -160,6 +184,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "streaming": envelope,
+        "streaming_isolated": envelope,
+        "streaming_concurrent": envelope_concurrent,
         "sf": sf,
     }))
 

@@ -67,6 +67,13 @@ PRIORITY: tuple[str, ...] = (
     "event_time_sliding_hourly",
     "session_windows_per_user",
     "events_running_stats",
+    # benched TPC-H headliners (q1 enters via the tail; these four are the
+    # other bench-measured shapes, stamped so every headline bench number
+    # carries a driver-side correctness row)
+    "q3_top_revenue_orders",
+    "q5_region_revenue",
+    "q7_nation_trade_flows",
+    "q17_below_avg_quantity_revenue",
     # relational operator families (join kinds, set ops, grouping sets)
     "window_topn_per_group",
     "left_join_order_coverage",
@@ -89,16 +96,17 @@ PRIORITY: tuple[str, ...] = (
     "quality_filter_route",
     "decontamination_ngrams",
     "stratified_sample_by_lang",
-    # text analysis + dedup
+    # text analysis + dedup (doc_fingerprint / token_count / lang_id /
+    # simhash_fingerprint rotate to the tail: each is subsumed by a green
+    # family member above or below -- token_stats/lang routing/dedup_exact
+    # cover the text features, simhash_neardup_pairs recomputes and verifies
+    # the fingerprint -- and all stay hash-checked vs the oracle in
+    # tests/test_queries_oracle.py)
     "dedup_exact",
-    "doc_fingerprint",
-    "token_count",
     "text_quality",
-    "lang_id",
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard_neardup",
-    "simhash_fingerprint",
     "simhash_neardup_pairs",
     "bpe_token_stats",
     "dedup_components",

@@ -57,15 +57,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         # events.ts encoding varies across generator versions: parquet
-        # TIMESTAMP(NANOS) surfaces as LongType (via nanosAsLong) and needs
-        # truncation to micros; TIMESTAMP(MICROS) surfaces as a timestamp
-        # type directly. Normalize both to timestamp_ntz so downstream plans
-        # and the DuckDB oracle see identical UTC wall-clock values.
+        # TIMESTAMP(NANOS) surfaces as LongType (via nanosAsLong), a
+        # logical-type-less INT64 micros column ALSO surfaces as LongType,
+        # and TIMESTAMP(MICROS) surfaces as a timestamp type directly.
+        # Normalize all to timestamp_ntz so downstream plans and the DuckDB
+        # oracle see identical UTC wall-clock values. The long case
+        # disambiguates ns-vs-us row-locally by magnitude: plausible epochs
+        # are ~1.7e18 ns vs ~1.7e15 us -- three orders apart -- so 1e17
+        # splits them cleanly for any date from 1973 to 5138; an unconditional
+        # `div 1000` would silently shift micros-encoded values 1000x.
         ts_type = df.schema["ts"].dataType.typeName()
-        if ts_type in ("long", "bigint"):
+        if ts_type == "long":
             df = df.withColumn(
                 "ts",
-                F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)"),
+                F.expr(
+                    "cast(timestamp_micros(CASE WHEN abs(ts) >= 100000000000000000"
+                    " THEN ts div 1000 ELSE ts END) as timestamp_ntz)"
+                ),
             )
         elif ts_type != "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))

@@ -35,7 +35,9 @@ def test_reference_scripts_end_to_end(spark, workload, tmp_path):
     eng = Engine(spark, warehouse=str(tmp_path / "wh"))
     eng.bind_source("pg_osb_tickets", workload["tickets"], osb.TICKETS_SCHEMA)
     eng.bind_source("pg_osb_movies", workload["movies"], osb.MOVIES_SCHEMA)
+    eng.bind_source("pg_osb_users", workload["users"], osb.USERS_SCHEMA)
 
+    eng.execute((FIXTURES / "users-cdc.sql").read_text())
     eng.execute((FIXTURES / "movies-cdc.sql").read_text())
     eng.execute((FIXTURES / "tickets-cdc.sql").read_text())
     eng.await_all()
@@ -45,6 +47,14 @@ def test_reference_scripts_end_to_end(spark, workload, tmp_path):
     tickets = eng.snapshot("tickets_staging")
     assert movies.count() == 10  # 2 inserts x 5 epochs, updates collapse
     assert tickets.count() > 0
+
+    # users pipeline (reference users-cdc.sql) through the same front-end:
+    # 1 insert per epoch, no updates -> one row per user
+    users = eng.snapshot("users_staging")
+    urows = {r.user_id: r for r in users.collect()}
+    assert sorted(urows) == [1, 2, 3, 4, 5]
+    assert urows[3].username == "user_3"
+    assert urows[3].email == "user_3@example.com"
 
     eng.execute((FIXTURES / "revenue-analytics.sql").read_text())
     served = eng.snapshot("movie_revenue_realtime")
