@@ -253,6 +253,165 @@ def decontamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- PII redaction ----------------------------------------------------------
+# Java (Spark) and RE2 (DuckDB) compatible patterns: no backrefs, no
+# lookaround; \b and non-capturing groups work in both.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b555-[0-9]{4}\b"
+_PII_IP = r"\b(?:[0-9]{1,3}\.)(?:[0-9]{1,3}\.)(?:[0-9]{1,3}\.)[0-9]{1,3}\b"
+
+
+@register(
+    "pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(contact,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS redacted,
+           CAST(len(regexp_extract_all(contact, '{_PII_EMAIL}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(contact, '{_PII_PHONE}')) AS INT) AS n_phones,
+           CAST(len(regexp_extract_all(contact, '{_PII_IP}')) AS INT) AS n_ips
+    FROM (
+      SELECT doc_id,
+             text || ' contact: user_' || CAST(doc_id AS VARCHAR)
+                  || '@example.com phone 555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS contact
+      FROM documents
+    )
+    """,
+    description="PII redaction (email / phone / IPv4 -> typed placeholder"
+    " tokens) plus per-document match counts -- the scrub step every"
+    " training-data pipeline runs before tokenization. Pure row-local"
+    " regexp_replace chains (JVM-side, codegen'd; zero UDFs, zero shuffle)."
+    " The synthetic corpus carries no natural PII, so the query seeds"
+    " deterministic doc_id-derived contact strings inline to genuinely"
+    " exercise the redaction paths; production callers run the same"
+    " expressions over the raw text column.",
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" contact: user_"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com phone 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("contact"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ),
+        _PII_IP,
+        "<IP>",
+    )
+    # F.regexp_extract_all (not F.expr) so patterns need no SQL string-literal
+    # escaping: '\b' inside a SQL literal would parse as backspace
+    count = lambda p: F.size(  # noqa: E731
+        F.regexp_extract_all(F.col("contact"), F.lit(p), F.lit(0))
+    )
+    return d.select("doc_id", contact.alias("contact")).select(
+        "doc_id",
+        redacted.alias("redacted"),
+        count(_PII_EMAIL).alias("n_emails"),
+        count(_PII_PHONE).alias("n_phones"),
+        count(_PII_IP).alias("n_ips"),
+    )
+
+
+# --- sequence packing -------------------------------------------------------
+
+PACK_TOKENS = 2048  # context-window length the token stream is chopped into
+PACK_SHARD = 1024  # doc ids per prefix-sum shard (contiguous ranges, so
+                   # (shard, doc_id) order IS doc_id order)
+
+
+@register(
+    "sequence_pack_offsets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+      FROM tok
+    )
+    SELECT doc_id, n_tokens,
+           cend - n_tokens AS start_offset,
+           (cend - n_tokens) // {PACK_TOKENS} AS first_pack,
+           (CASE WHEN n_tokens = 0 THEN cend - n_tokens ELSE cend - 1 END)
+             // {PACK_TOKENS} AS last_pack,
+           (CASE WHEN n_tokens = 0 THEN cend - n_tokens ELSE cend - 1 END)
+             // {PACK_TOKENS} - (cend - n_tokens) // {PACK_TOKENS} + 1 AS n_packs
+    FROM cum
+    """,
+    description=f"Sequence packing for pretraining: every document's token"
+    f" span [start_offset, start_offset + n_tokens) in the doc_id-ordered"
+    f" concatenated token stream, and the {PACK_TOKENS}-token context windows"
+    f" (packs) it lands in. The global running sum is computed as a"
+    f" DISTRIBUTED prefix sum -- per-shard window (shards are contiguous"
+    f" {PACK_SHARD}-id ranges, embarrassingly parallel) + a shard-total"
+    f" cumulative base that is metadata-sized (one row per shard) and"
+    f" broadcast back -- never a single-partition window over the corpus,"
+    f" which is the scale trap a naive ORDER BY cumsum falls into at 100 TB.",
+)
+def sequence_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.expr(f"doc_id div {PACK_SHARD}").alias("__shard"),
+    )
+    # stage 1: per-shard running sum (parallel across shards)
+    w_local = (
+        Window.partitionBy("__shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tok.withColumn("__lcum", F.sum("n_tokens").over(w_local))
+    # stage 2: shard base offsets -- one row per shard, so the ordered window
+    # here is metadata-sized by construction; broadcast the result back
+    w_base = (
+        Window.orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        tok.groupBy("__shard")
+        .agg(F.sum("n_tokens").alias("__stot"))
+        .select(
+            "__shard",
+            F.coalesce(F.sum("__stot").over(w_base), F.lit(0)).alias("__base"),
+        )
+    )
+    joined = local.join(F.broadcast(bases), "__shard").select(
+        "doc_id",
+        "n_tokens",
+        F.expr("__base + __lcum - n_tokens").alias("start_offset"),
+        F.expr(f"(__base + __lcum - n_tokens) div {PACK_TOKENS}").alias("first_pack"),
+        F.expr(
+            f"(CASE WHEN n_tokens = 0 THEN __base + __lcum - n_tokens"
+            f" ELSE __base + __lcum - 1 END) div {PACK_TOKENS}"
+        ).alias("last_pack"),
+    )
+    return joined.withColumn(
+        "n_packs", F.col("last_pack") - F.col("first_pack") + 1
+    )
+
+
 @register(
     "stratified_sample_by_lang",
     oracle=f"""
