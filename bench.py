@@ -90,6 +90,13 @@ def streaming_envelope(spark, rows_per_sec: int = 100, run_secs: int = 25) -> di
     # picking 'bucket.num' in the reference)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # run the stream's jobs in a dedicated FAIR pool (session.py sets
+    # spark.scheduler.mode=FAIR): the micro-batch thread inherits this local
+    # property, so trigger executions round-robin with -- instead of queueing
+    # behind -- any co-running batch stages. This is what bounds the
+    # concurrent-envelope p95; without it a single long batch stage holds all
+    # executor threads for its full duration.
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "latency")
     with tempfile.TemporaryDirectory() as ckpt:
         q = (
             windowed.writeStream.format("memory")
@@ -100,6 +107,7 @@ def streaming_envelope(spark, rows_per_sec: int = 100, run_secs: int = 25) -> di
             .start()
         )
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
         try:
             time.sleep(run_secs)
             progress = [json.loads(p.json) for p in q.recentProgress]

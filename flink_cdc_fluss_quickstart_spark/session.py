@@ -35,6 +35,13 @@ _BASE_CONF: dict[str, str] = {
     # the events table is written with TIMESTAMP(NANOS) parquet type, which
     # Spark only reads as raw long; tables.py converts back to timestamp
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # FAIR scheduling so streaming micro-batches are not queued behind
+    # long-running batch stages when both share one session (the reference
+    # runs streaming jobs on dedicated slots; pools are Spark's analogue).
+    # Threads opt into a pool via the spark.scheduler.pool local property --
+    # see streaming_envelope in bench.py; default-pool behavior for a single
+    # workload is unchanged.
+    "spark.scheduler.mode": "FAIR",
 }
 
 
