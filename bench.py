@@ -42,6 +42,8 @@ HEADLINE = (
     "token_stats_by_lang",
     "repetition_signals",
     "decontamination_ngrams",
+    "pii_redact",
+    "sequence_pack_offsets",
     "betting_tickets_analytics",
     "embedding_cosine_topk",
     "embedding_ann_lsh",
