@@ -412,6 +412,65 @@ def sequence_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TEMP_ALPHA = 0.5  # temperature exponent: target language share ~ n_l^alpha
+
+
+@register(
+    "temperature_resample_by_lang",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),
+    r AS (
+      SELECT lang,
+             CAST(floor(pow(CAST((SELECT MIN(n_l) FROM c) AS DOUBLE)
+                            / CAST(n_l AS DOUBLE), {1.0 - TEMP_ALPHA}) * 1000000)
+                  AS BIGINT) AS keep_threshold
+      FROM c
+    )
+    SELECT d.doc_id, d.lang, r.keep_threshold
+    FROM (SELECT doc_id, lang, CAST({_DUCK_HEX8} % 1000000 AS BIGINT) AS b
+          FROM documents) d
+    JOIN r ON d.lang = r.lang
+    WHERE d.b < r.keep_threshold
+    """,
+    description=f"Temperature resampling of the language mix (target share ~"
+    f" n_l^{TEMP_ALPHA}, the mT5/XLM-R-style flattening): per-language keep"
+    f" rate (n_min/n_l)^{1.0 - TEMP_ALPHA} derived from the ACTUAL corpus"
+    f" distribution -- a two-phase data-dependent sample: one tiny"
+    f" per-language count aggregate broadcast back onto a row-local"
+    f" md5-bucket predicate. Unlike stratified_sample_by_lang's fixed rates,"
+    f" the rates here follow the data; unlike random sampling, membership is"
+    f" a pure function of doc_id (stable under re-runs and corpus growth)."
+    f" pow on IEEE doubles is identical across engines, so the thresholds"
+    f" hash-match the oracle exactly.",
+)
+def temperature_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    n_min = counts.agg(F.min("n_l").alias("n_min"))
+    rates = counts.crossJoin(F.broadcast(n_min)).select(
+        "lang",
+        F.floor(
+            F.pow(
+                F.col("n_min").cast("double") / F.col("n_l").cast("double"),
+                F.lit(1.0 - TEMP_ALPHA),
+            )
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("keep_threshold"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 1_000_000
+    )
+    return (
+        d.select("doc_id", "lang", bucket.alias("b"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("b") < F.col("keep_threshold"))
+        .select("doc_id", "lang", "keep_threshold")
+    )
+
+
 @register(
     "stratified_sample_by_lang",
     oracle=f"""

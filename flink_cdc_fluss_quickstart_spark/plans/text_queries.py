@@ -438,6 +438,47 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_keep_representatives",
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MH_SQL.format(mh_exprs=_MH_EXPRS)}),
+    pairs AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        {_band_pairs_sql("sig")}
+      )
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS doc_id, MIN(d) AS component_id FROM reach GROUP BY s)
+    SELECT d.doc_id, d.lang, d.source, d.n_chars
+    FROM documents d JOIN comp c ON d.doc_id = c.doc_id
+    WHERE c.doc_id = c.component_id
+    """,
+    description="The dedup END STEP: materialize the deduplicated corpus by"
+    " keeping one representative per near-dup cluster (the minimum doc_id --"
+    " exactly the component id, so the filter is component_id = doc_id, a"
+    " row-local predicate over the CC output joined back to the corpus;"
+    " deterministic, no per-cluster window needed). This is the query a"
+    " pipeline actually ships to tokenization after minhash_lsh_pairs +"
+    " dedup_components.",
+)
+def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text")
+    pairs = dedup.minhash_band_pairs(sig, "doc_id", dedup.BAND_COLS)
+    comp = dedup.connected_components(pairs, d.select("doc_id"), id_col="doc_id")
+    reps = comp.filter(F.col("doc_id") == F.col("component_id")).select("doc_id")
+    return d.join(reps, "doc_id").select("doc_id", "lang", "source", "n_chars")
+
+
+@register(
     "repetition_signals",
     oracle="""
     WITH docs AS (

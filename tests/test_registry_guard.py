@@ -55,6 +55,9 @@ EXPECTED = {
     "quality_filter_route",
     "decontamination_ngrams",
     "stratified_sample_by_lang",
+    "pii_redact",
+    "sequence_pack_offsets",
+    "temperature_resample_by_lang",
     # text / dedup
     "dedup_exact",
     "doc_fingerprint",
@@ -68,6 +71,7 @@ EXPECTED = {
     "simhash_neardup_pairs",
     "bpe_token_stats",
     "dedup_components",
+    "dedup_keep_representatives",
     "repetition_signals",
     # similarity
     "embedding_cosine_topk",
