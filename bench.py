@@ -187,6 +187,12 @@ def main() -> None:
     envelope_concurrent["batch_load"] = "q5_region_revenue loop"
     print(f"# streaming_envelope (concurrent): {envelope_concurrent}", file=sys.stderr)
 
+    # headroom probe: 100x the reference's ~10 ev/s recordable envelope
+    # (isolated; documents how far the same pipeline is from saturating --
+    # micro-batch cost is state-commit dominated, so rate barely moves it)
+    envelope_headroom = streaming_envelope(spark, rows_per_sec=1000)
+    print(f"# streaming_envelope (1000 ev/s): {envelope_headroom}", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_queries_total_runtime",
@@ -196,6 +202,7 @@ def main() -> None:
         "streaming": envelope,
         "streaming_isolated": envelope,
         "streaming_concurrent": envelope_concurrent,
+        "streaming_headroom": envelope_headroom,
         "sf": sf,
     }))
 
