@@ -343,9 +343,11 @@ PACK_SHARD = 1024  # doc ids per prefix-sum shard (contiguous ranges, so
       FROM documents
     ),
     cum AS (
+      -- the window SUM returns HUGEINT in DuckDB; cast so the exposed
+      -- derived columns stay BIGINT like Spark's (type-sensitive gate)
       SELECT doc_id, n_tokens,
-             SUM(n_tokens) OVER (ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cend
+             CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cend
       FROM tok
     )
     SELECT doc_id, n_tokens,
