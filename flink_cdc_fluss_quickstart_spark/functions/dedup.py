@@ -366,38 +366,48 @@ def simhash_neardup_pairs(
     self-join cost is N^2/2^b. 16-bit bands keep that sub-quadratic out to
     billions of documents where 8-bit bands go quadratic at millions.
 
-    Only (id, simhash, band_key) rows shuffle -- never documents. Output:
-    distinct (id_a, id_b, hamming) with id_a < id_b.
+    The 4 band keys are exploded row-locally to (id, band_idx, band_key) and
+    matched with ONE equi self-join on the compound key (the same shape as
+    minhash_band_pairs) -- one exchange total instead of a 4-branch join
+    union, and only (id, simhash, band_key) rows shuffle, never documents.
+    The keyed frame feeds both self-join sides, so it is persisted: the
+    fingerprint computation runs once.
 
-    Fingerprints feed 2 x 4 plan branches -> persisted, computed once.
+    Output: distinct (id_a, id_b, hamming) with id_a < id_b.
     """
     from pyspark import StorageLevel
 
-    fingerprints = fingerprints.persist(StorageLevel.MEMORY_AND_DISK)
     mask = (1 << SIMHASH_BAND_BITS) - 1
-    pairs = None
-    for k in range(SIMHASH_BANDS):
-        # shift-then-mask: a shifted mask literal (65535 << 48) would overflow
-        # int64; arithmetic shift right + mask is sign-safe in both engines
-        band = (
-            F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * k)
-            .bitwiseAND(F.lit(mask))
-            .alias("band_key")
+    # shift-then-mask: a shifted mask literal (65535 << 48) would overflow
+    # int64; arithmetic shift right + mask is sign-safe in both engines
+    bands = F.array(
+        *[
+            F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * k).bitwiseAND(F.lit(mask))
+            for k in range(SIMHASH_BANDS)
+        ]
+    )
+    keyed = (
+        fingerprints.select(F.col(id_col), F.col("simhash"), F.posexplode(bands))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
         )
-        banded = fingerprints.select(F.col(id_col), F.col("simhash"), band)
-        a, b = banded.alias("a"), banded.alias("b")
-        p = (
-            a.join(b, F.col("a.band_key") == F.col("b.band_key"))
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
-            )
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
         )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    assert pairs is not None
-    return pairs.filter(F.col("hamming") <= max_hamming).distinct()
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def ngram_jaccard(
