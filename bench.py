@@ -134,6 +134,12 @@ def streaming_envelope(spark, rows_per_sec: int = 100, run_secs: int = 25) -> di
     }
 
 
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -151,6 +157,17 @@ def main() -> None:
     spark.range(64, numPartitions=32).mapInPandas(
         lambda it: it, schema="id long"
     ).count()
+
+    # machine-noise calibration: a fixed CPU-bound job, best of 3. Query
+    # times are single-shot and share the host with whatever else runs on
+    # it; this floor lets round-over-round comparisons normalize ambient
+    # load (a calib 2x above typical means the whole run is inflated).
+    calib = min(
+        _timed(lambda: spark.range(200_000_000, numPartitions=32)
+               .select(F.sum((F.col("id") % 97).cast("long"))).collect())
+        for _ in range(3)
+    )
+    print(f"# calibration (fixed 200M-row mod-sum): {calib:.3f}s", file=sys.stderr)
 
     for name in HEADLINE:
         spec = specs[name]
@@ -203,6 +220,7 @@ def main() -> None:
         "streaming_isolated": envelope,
         "streaming_concurrent": envelope_concurrent,
         "streaming_headroom": envelope_headroom,
+        "calibration_sec": round(calib, 3),
         "sf": sf,
     }))
 
