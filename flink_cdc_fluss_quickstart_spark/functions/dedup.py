@@ -612,6 +612,96 @@ def jaccard_neardup(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = WORD_SHINGLE_LEN,
+    min_containment: float = 0.7,
+    digest=md5_digest,
+) -> DataFrame:
+    """Asymmetric near-dup scoring over LSH candidates: containment
+    c(A in B) = |A n B| / |A| in both directions, keeping pairs where either
+    direction reaches `min_containment` -- the quote/subset detector that
+    symmetric Jaccard misses (a doc fully embedded in a 3x larger doc has
+    J ~ 0.33 but containment 1.0).
+
+    Candidate generation is the SAME threshold-derived banded-LSH self-join
+    as jaccard_neardup (one compound-key equi join; digests shuffle, never
+    documents), so candidates are near-mirror pairs and supersets of
+    comparable size. Honest scope note: minhash-LSH estimates JACCARD, so a
+    tiny fragment inside a huge document may not surface as a candidate;
+    exhaustive small-in-big search needs asymmetric LSH, which is a
+    different index. No size-ratio prune is applied -- the Jaccard bound
+    J <= min/max does not bound containment.
+
+    Output: (id_a, id_b, containment_ab, containment_ba) with id_a < id_b.
+    """
+    from pyspark import StorageLevel
+
+    n_perms, n_bands, n_rows = lsh_params()
+    out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
+    hs = out.select(id_col, F.array_distinct(word_shingle_array("__norm", n)).alias("__sh"))
+    hs = hs.select(id_col, F.transform(F.col("__sh"), digest).alias("__hs"))
+    hs = hs.withColumn("__x", F.transform("__hs", lambda h: _hex_long(h, 1) % _MH_PRIME))
+    hs = hs.withColumn("__mh", F.expr(perm_fold_expr(n_perms)))
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.element_at("__mh", b * n_rows + r + 1) for r in range(n_rows)]
+            )
+        ).alias(f"bk_{b}")
+        for b in range(n_bands)
+    ]
+    sh_col = F.transform(
+        F.col("__hs"), lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    ).alias("sh")
+    prof = (
+        hs.select(id_col, *band_keys, sh_col)
+        .withColumn("sh_n", F.size("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    keyed = (
+        prof.select(
+            F.col(id_col),
+            F.posexplode(F.array(*[F.col(f"bk_{b}") for b in range(n_bands)])),
+        )
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
+    )
+    ka, kb = keyed.alias("a"), keyed.alias("b")
+    pairs = (
+        ka.join(
+            kb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sets_a = prof.select(
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("sh_n").alias("n_a")
+    )
+    sets_b = prof.select(
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("sh_n").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    return (
+        pairs.join(sets_a, "id_a")
+        .join(sets_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (inter / F.col("n_a")).alias("containment_ab"),
+            (inter / F.col("n_b")).alias("containment_ba"),
+        )
+        .filter(
+            F.greatest("containment_ab", "containment_ba") >= F.lit(min_containment)
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     nodes: DataFrame,

@@ -375,6 +375,43 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_containment_pairs",
+    oracle=f"""
+    WITH prof AS (
+      SELECT doc_id, s, {_MH_EXPRS}
+      FROM (
+        SELECT doc_id, s, {_X_COL}
+        FROM (
+          SELECT doc_id, s, {_HS_COL}
+          FROM (SELECT doc_id, {_shingles_sql()} AS s FROM ({_WORD_DOCS}))
+        )
+      )
+    ),
+    pairs AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        {_band_pairs_sql("prof")}
+      )
+    )
+    SELECT id_a, id_b, containment_ab, containment_ba FROM (
+      SELECT p.id_a, p.id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) AS containment_ab,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(b.s) AS containment_ba
+      FROM pairs p JOIN prof a ON p.id_a = a.doc_id JOIN prof b ON p.id_b = b.doc_id
+    ) WHERE greatest(containment_ab, containment_ba) >= 0.7
+    """,
+    description="Asymmetric near-dup (quote/subset) detection: containment"
+    " |A n B|/|A| scored both directions over the threshold-derived LSH"
+    " candidates -- catches documents embedded in larger ones, which"
+    " symmetric Jaccard under-scores (J ~ 1/3 for a 3x-size superset but"
+    " containment 1.0). Same banded candidate join as the Jaccard path;"
+    " no size-ratio prune (the J <= min/max bound does not apply).",
+)
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(d, "doc_id", "text", min_containment=0.7)
+
+
+@register(
     "bpe_token_stats",
     oracle=r"""
     SELECT doc_id,

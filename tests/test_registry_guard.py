@@ -67,6 +67,7 @@ EXPECTED = {
     "minhash_signatures",
     "minhash_lsh_pairs",
     "ngram_jaccard_neardup",
+    "ngram_containment_pairs",
     "simhash_fingerprint",
     "simhash_neardup_pairs",
     "bpe_token_stats",
