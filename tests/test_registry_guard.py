@@ -156,3 +156,13 @@ def test_priority_names_exist_and_lead_the_ordering():
 def test_oracle_sql_order_matches_queries_order():
     qnames = [n for n in all_queries() if n in all_oracle_sql()]
     assert list(all_oracle_sql()) == qnames
+
+
+def test_bench_headline_names_resolve():
+    """Every name bench.py times must be registered -- a typo there would
+    crash the external bench run instead of recording timings."""
+    import bench
+
+    registered = set(all_queries())
+    missing = [n for n in bench.HEADLINE if n not in registered]
+    assert not missing, f"bench.HEADLINE names not registered: {missing}"
