@@ -97,14 +97,15 @@ PRIORITY: tuple[str, ...] = (
     "decontamination_ngrams",
     "stratified_sample_by_lang",
     # text analysis + dedup (doc_fingerprint / token_count / lang_id /
-    # simhash_fingerprint rotate to the tail: each is subsumed by a green
-    # family member above or below -- token_stats/lang routing/dedup_exact
-    # cover the text features, simhash_neardup_pairs recomputes and verifies
-    # the fingerprint -- and all stay hash-checked vs the oracle in
+    # simhash_fingerprint / minhash_signatures rotate to the tail: each is
+    # subsumed by a green family member above or below -- token_stats/lang
+    # routing/dedup_exact cover the text features, simhash_neardup_pairs and
+    # minhash_lsh_pairs recompute and verify the fingerprints/signatures they
+    # band on -- and all stay hash-checked vs the oracle in
     # tests/test_queries_oracle.py)
     "dedup_exact",
     "text_quality",
-    "minhash_signatures",
+    "sequence_pack_offsets",
     "minhash_lsh_pairs",
     "ngram_jaccard_neardup",
     "simhash_neardup_pairs",
