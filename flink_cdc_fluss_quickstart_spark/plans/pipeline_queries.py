@@ -414,6 +414,46 @@ def sequence_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "domain_mix_report",
+    oracle=r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS doc_share,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+    description="Corpus-composition report by source domain: doc counts,"
+    " exact token totals, share of corpus, language spread -- the"
+    " mix-monitoring step every pipeline runs before and after filtering."
+    " One grouped aggregation plus a scalar total joined in by Catalyst"
+    " (broadcast of one row); map-side partials carry four numbers per"
+    " domain.",
+)
+def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    total = d.agg(F.count(F.lit(1)).cast("double").alias("__total"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            (F.col("n_docs").cast("double") / F.col("__total")).alias("doc_share"),
+            "n_langs",
+        )
+    )
+
+
 TEMP_ALPHA = 0.5  # temperature exponent: target language share ~ n_l^alpha
 
 

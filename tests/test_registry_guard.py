@@ -58,6 +58,7 @@ EXPECTED = {
     "pii_redact",
     "sequence_pack_offsets",
     "temperature_resample_by_lang",
+    "domain_mix_report",
     # text / dedup
     "dedup_exact",
     "doc_fingerprint",
