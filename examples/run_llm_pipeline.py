@@ -1,0 +1,90 @@
+"""Run the LLM-training-data pipeline end-to-end on the provided corpus:
+
+    python examples/run_llm_pipeline.py [sf_dir] [out_dir]
+
+Composes the registered operators into the corpus -> training-shards path a
+real pipeline ships:
+
+    1. domain_mix_report          -- what's in the raw corpus
+    2. quality_filter_route       -- keep/drop/review routing
+    3. dedup_keep_representatives -- one doc per near-dup cluster
+    4. dataset_split_assign       -- stable train/val/test membership
+    5. decontamination_ngrams     -- flag test-set overlap
+    6. sequence_pack_offsets      -- context-window packing offsets
+    7. write train shards partitioned by split
+
+Every step is a registered query (same code the correctness gate verifies);
+this script is the composition glue, joining on doc_id -- all equi joins on
+the stable id, no operator-private state crossing steps.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from flink_cdc_fluss_quickstart_spark.session import get_spark  # noqa: E402
+from flink_cdc_fluss_quickstart_spark.plans.registry import all_specs  # noqa: E402
+from flink_cdc_fluss_quickstart_spark.tables import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="llm_shards_")
+    spark = get_spark("llm-pipeline-example")
+    spark.sparkContext.setLogLevel("ERROR")
+    q = all_specs()
+
+    print("== 1. raw corpus composition")
+    q["domain_mix_report"].builder(spark, sf_dir).orderBy(F.desc("n_docs")).show(5)
+
+    print("== 2-3. quality routing + near-dup representatives")
+    routes = q["quality_filter_route"].builder(spark, sf_dir)
+    kept_route = routes.filter(F.col("route").startswith("keep:")).select("doc_id")
+    reps = q["dedup_keep_representatives"].builder(spark, sf_dir).select("doc_id")
+    clean = kept_route.join(reps, "doc_id")
+
+    print("== 4-5. split assignment + decontamination flags")
+    splits = q["dataset_split_assign"].builder(spark, sf_dir).select("doc_id", "split")
+    contaminated = (
+        q["decontamination_ngrams"].builder(spark, sf_dir)
+        .filter(F.col("flagged"))
+        .select("doc_id")
+        .withColumn("__contaminated", F.lit(True))
+    )
+
+    print("== 6. packing offsets")
+    packs = q["sequence_pack_offsets"].builder(spark, sf_dir).select(
+        "doc_id", "n_tokens", "start_offset", "first_pack"
+    )
+
+    print("== 7. materialize shards")
+    docs = load_table(spark, sf_dir, "documents")
+    shards = (
+        docs.join(clean, "doc_id")
+        .join(splits, "doc_id")
+        .join(F.broadcast(contaminated), "doc_id", "left")
+        .filter(F.col("__contaminated").isNull())  # drop leaked test overlap
+        .join(packs, "doc_id")
+        .select("doc_id", "split", "lang", "source", "n_tokens",
+                "start_offset", "first_pack", "text")
+    )
+    shards.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+
+    out = spark.read.parquet(out_dir)
+    summary = out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("tokens")
+    )
+    summary.orderBy("split").show()
+    n_raw = docs.count()
+    n_out = out.count()
+    print(f"corpus {n_raw} docs -> {n_out} training docs ({out_dir})")
+
+
+if __name__ == "__main__":
+    main()
