@@ -59,6 +59,36 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(multimodal.attach_payload(docs))
 
 
+RESIZE_BYTES = 64  # resize target for the registered query
+
+
+@register(
+    "multimodal_resize",
+    oracle=f"""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           least(octet_length(encode(text)), {RESIZE_BYTES}) AS n_bytes,
+           substr(hex(encode(text)), 1, {2 * RESIZE_BYTES}) AS payload_hex
+    FROM documents
+    """,
+    description=f"Payload resize to {RESIZE_BYTES} bytes with metadata kept"
+    " in sync -- the downscale step of an image/video pipeline, JVM-side"
+    " byte truncation standing in for decode-resize-encode (the stub seam"
+    " documented in functions/multimodal.resize_payload). The resized"
+    " payload is compared as hex so the byte-level truncation (including"
+    " mid-UTF-8-char cuts on multibyte text) is verified exactly.",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frame = multimodal.resize_payload(multimodal.attach_payload(docs), RESIZE_BYTES)
+    return frame.select(
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        F.hex(F.col("payload")).alias("payload_hex"),
+    )
+
+
 @register(
     "multimodal_quality_gate",
     oracle=f"""

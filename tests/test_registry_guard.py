@@ -49,6 +49,7 @@ EXPECTED = {
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "multimodal_quality_gate",
+    "multimodal_resize",
     # pipeline
     "dataset_split_assign",
     "token_stats_by_lang",
