@@ -176,6 +176,9 @@ def main() -> None:
         n = df.count()  # forces full execution; avoids driver-side collect cost
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # drop intra-query persists AFTER the timing so per-query numbers
+        # stay independent and later queries don't inherit cache pressure
+        spark.catalog.clearCache()
 
     # The envelope is measured twice because micro-batch latency is sensitive
     # to co-running batch load (executor threads are shared in local mode,

@@ -473,6 +473,88 @@ def ngram_jaccard(
 EST_SLICES = 8  # 16-bit minhash components used to ESTIMATE Jaccard cheaply
 
 
+def _lsh_shingle_profile(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    threshold: float,
+    digest,
+    est_slices: int = 0,
+) -> tuple[DataFrame, int]:
+    """Shared per-document LSH profile (ONE digest per distinct shingle,
+    sliced three ways -- see jaccard_neardup's docstring) used by both the
+    Jaccard and containment paths, so the band/fold wiring cannot
+    desynchronize between them or from the DuckDB oracle spellings.
+
+    Returns (prof, n_bands): prof is persisted (it feeds both self-join
+    sides plus the verify joins) with columns
+    (id, bk_0..bk_{bands-1}, [est_0..est_{est_slices-1},] sh, sh_n).
+    """
+    from pyspark import StorageLevel
+
+    n_perms, n_bands, n_rows = lsh_params(threshold)
+    out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
+    hs = out.select(
+        id_col, F.array_distinct(word_shingle_array("__norm", n)).alias("__sh")
+    )
+    hs = hs.select(id_col, F.transform(F.col("__sh"), digest).alias("__hs"))
+    hs = hs.withColumn("__x", F.transform("__hs", lambda h: _hex_long(h, 1) % _MH_PRIME))
+    # all signature components in ONE fold pass (see perm_fold_expr), then
+    # each band's row-components fold into ONE key column so the persisted
+    # profile stays narrow (n_bands keys, not n_perms components); '|' join
+    # of the decimal component values is injective
+    hs = hs.withColumn("__mh", F.expr(perm_fold_expr(n_perms)))
+    band_keys = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.element_at("__mh", b * n_rows + r + 1) for r in range(n_rows)]
+            )
+        ).alias(f"bk_{b}")
+        for b in range(n_bands)
+    ]
+    est_cols = [
+        F.array_min(
+            F.transform(F.col("__hs"), lambda h, s=4 * k + 1: F.substring(h, s, 4))
+        ).alias(f"est_{k}")
+        for k in range(est_slices)
+    ]
+    sh_col = F.transform(
+        F.col("__hs"), lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    ).alias("sh")
+    prof = (
+        hs.select(id_col, *band_keys, *est_cols, sh_col)
+        .withColumn("sh_n", F.size("sh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return prof, n_bands
+
+
+def _band_candidates(prof: DataFrame, id_col: str, n_bands: int) -> DataFrame:
+    """Candidate pairs from the profile's band keys: exploded row-locally and
+    matched with ONE compound-key self-join (same shape as
+    minhash_band_pairs). Output: distinct (id_a, id_b), id_a < id_b."""
+    keyed = (
+        prof.select(
+            F.col(id_col),
+            F.posexplode(F.array(*[F.col(f"bk_{b}") for b in range(n_bands)])),
+        )
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
+    )
+    ka, kb = keyed.alias("a"), keyed.alias("b")
+    return (
+        ka.join(
+            kb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 def jaccard_neardup(
     df: DataFrame,
     id_col: str,
@@ -509,67 +591,10 @@ def jaccard_neardup(
     """
     import math
 
-    from pyspark import StorageLevel
-
-    n_perms, n_bands, n_rows = lsh_params(min_jaccard)
-    out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
-    hs = out.select(
-        id_col, F.array_distinct(word_shingle_array("__norm", n)).alias("__sh")
+    prof, n_bands = _lsh_shingle_profile(
+        df, id_col, text_col, n, min_jaccard, digest, est_slices=EST_SLICES
     )
-    hs = hs.select(id_col, F.transform(F.col("__sh"), digest).alias("__hs"))
-    hs = hs.withColumn("__x", F.transform("__hs", lambda h: _hex_long(h, 1) % _MH_PRIME))
-
-    def slice_at(start: int, width: int):
-        return lambda h: F.substring(h, start, width)
-
-    # all signature components in ONE fold pass (see perm_fold_expr), then
-    # each band's row-components fold into ONE key column so the persisted
-    # profile stays narrow (n_bands keys, not n_perms components); '|' join
-    # of the decimal component values is injective
-    hs = hs.withColumn("__mh", F.expr(perm_fold_expr(n_perms)))
-    band_keys = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.element_at("__mh", b * n_rows + r + 1) for r in range(n_rows)]
-            )
-        ).alias(f"bk_{b}")
-        for b in range(n_bands)
-    ]
-    est_cols = [
-        F.array_min(F.transform(F.col("__hs"), slice_at(4 * k + 1, 4))).alias(f"est_{k}")
-        for k in range(EST_SLICES)
-    ]
-    sh_col = F.transform(
-        F.col("__hs"), lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-    ).alias("sh")
-    prof = (
-        hs.select(id_col, *band_keys, *est_cols, sh_col)
-        .withColumn("sh_n", F.size("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-
-    # candidate generation: threshold-derived bands, exploded row-locally and
-    # matched with ONE compound-key self-join (same shape as
-    # minhash_band_pairs) over the already-persisted profile
-    keyed = (
-        prof.select(
-            F.col(id_col),
-            F.posexplode(F.array(*[F.col(f"bk_{b}") for b in range(n_bands)])),
-        )
-        .withColumnRenamed("pos", "band_idx")
-        .withColumnRenamed("col", "band_key")
-    )
-    ka, kb = keyed.alias("a"), keyed.alias("b")
-    pairs = (
-        ka.join(
-            kb,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key")),
-        )
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    pairs = _band_candidates(prof, id_col, n_bands)
 
     # stage 1 -- gate on NARROW columns only. The est/sh_n frame carries 8
     # short strings + an int per doc; joining the full shingle arrays to all
@@ -637,49 +662,10 @@ def containment_pairs(
 
     Output: (id_a, id_b, containment_ab, containment_ba) with id_a < id_b.
     """
-    from pyspark import StorageLevel
-
-    n_perms, n_bands, n_rows = lsh_params()
-    out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
-    hs = out.select(id_col, F.array_distinct(word_shingle_array("__norm", n)).alias("__sh"))
-    hs = hs.select(id_col, F.transform(F.col("__sh"), digest).alias("__hs"))
-    hs = hs.withColumn("__x", F.transform("__hs", lambda h: _hex_long(h, 1) % _MH_PRIME))
-    hs = hs.withColumn("__mh", F.expr(perm_fold_expr(n_perms)))
-    band_keys = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.element_at("__mh", b * n_rows + r + 1) for r in range(n_rows)]
-            )
-        ).alias(f"bk_{b}")
-        for b in range(n_bands)
-    ]
-    sh_col = F.transform(
-        F.col("__hs"), lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
-    ).alias("sh")
-    prof = (
-        hs.select(id_col, *band_keys, sh_col)
-        .withColumn("sh_n", F.size("sh"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    prof, n_bands = _lsh_shingle_profile(
+        df, id_col, text_col, n, DEFAULT_JACCARD, digest
     )
-    keyed = (
-        prof.select(
-            F.col(id_col),
-            F.posexplode(F.array(*[F.col(f"bk_{b}") for b in range(n_bands)])),
-        )
-        .withColumnRenamed("pos", "band_idx")
-        .withColumnRenamed("col", "band_key")
-    )
-    ka, kb = keyed.alias("a"), keyed.alias("b")
-    pairs = (
-        ka.join(
-            kb,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key")),
-        )
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    pairs = _band_candidates(prof, id_col, n_bands)
     sets_a = prof.select(
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("sh_n").alias("n_a")
     )

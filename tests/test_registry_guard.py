@@ -160,11 +160,21 @@ def test_oracle_sql_order_matches_queries_order():
     assert list(all_oracle_sql()) == qnames
 
 
-def test_bench_headline_names_resolve():
-    """Every name bench.py times must be registered -- a typo there would
-    crash the external bench run instead of recording timings."""
+def test_hardcoded_name_lists_resolve():
+    """Every hardcoded query-name list outside the registry must resolve --
+    a typo or rename would otherwise crash the external bench run (no
+    BENCH recorded) or the PLANS/SCALE regeneration."""
     import bench
+    import importlib
+
+    explain_report = importlib.import_module("tools.explain_report")
+    scale_smoke = importlib.import_module("tools.scale_smoke")
 
     registered = set(all_queries())
-    missing = [n for n in bench.HEADLINE if n not in registered]
-    assert not missing, f"bench.HEADLINE names not registered: {missing}"
+    for label, names in (
+        ("bench.HEADLINE", bench.HEADLINE),
+        ("explain_report.REPORT", explain_report.REPORT),
+        ("scale_smoke.OPS", scale_smoke.OPS),
+    ):
+        missing = [n for n in names if n not in registered]
+        assert not missing, f"{label} names not registered: {missing}"

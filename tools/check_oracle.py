@@ -51,13 +51,21 @@ _VALUE_CLASS = {
 }
 
 
+def _spark_class(type_name: str) -> str | None:
+    if type_name.startswith("decimal"):  # typeName() is 'decimal(p,s)'
+        return "decimal"
+    return _VALUE_CLASS.get(type_name)
+
+
 def _arrow_class(t: str) -> str | None:
+    # DuckDB HUGEINT surfaces as decimal128(38,0) -- NOT int-class: it
+    # reaches the comparing harness as Decimal/float, not int
+    if t.startswith("decimal"):
+        return "decimal"
     if t.startswith(("int", "uint")):
         return "int"
-    if t in ("double", "float", "halffloat") or t.startswith("decimal"):
-        # decimal includes DuckDB HUGEINT (decimal128(38,0)) -- NOT int-class:
-        # it reaches the comparing harness as Decimal/float, not int
-        return "float" if not t.startswith("decimal") else "decimal"
+    if t in ("double", "float", "halffloat"):
+        return "float"
     if t in ("string", "large_string"):
         return "str"
     if t == "bool":
@@ -71,7 +79,7 @@ def _type_mismatches(spark_schema, arrow_schema) -> list[str]:
     out = []
     arrow_types = {f.name: str(f.type) for f in arrow_schema}
     for f in spark_schema.fields:
-        sc = _VALUE_CLASS.get(f.dataType.typeName())
+        sc = _spark_class(f.dataType.typeName())
         at = arrow_types.get(f.name)
         ac = _arrow_class(at) if at is not None else None
         if sc is None or ac is None:
@@ -153,6 +161,10 @@ def main() -> int:
         else:
             print(f"PASS {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
+        # several operators persist intra-query frames (profile/keyed frames
+        # feeding both self-join sides); drop them between queries so a full
+        # gate run over all specs doesn't accumulate cached RDDs
+        spark.catalog.clearCache()
     print(f"== {n_pass} pass, {n_weak} weak, {n_fail} fail")
     return 1 if n_fail else 0
 
