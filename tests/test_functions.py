@@ -163,3 +163,29 @@ def test_fast_digest_hash_seam(spark):
     # exact Jaccard threshold makes outputs candidate-set-insensitive on a
     # dup-dense corpus; allow a small recall delta from banding differences
     assert len(fp & mp) >= int(0.9 * max(len(mp), 1))
+
+
+def test_lsh_params_derivation_invariants():
+    """The width derivation must pin the capture-curve midpoint at the
+    threshold and meet the clear-dup recall floor with the CHEAPEST config
+    whenever one exists within the permutation budget."""
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import lsh_params
+
+    # the documented default: 24 perms = 8 bands x 3 rows at t=0.5
+    assert lsh_params(0.5) == (24, 8, 3)
+
+    for t in (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9):
+        n_perms, bands, rows = lsh_params(t)
+        assert n_perms == bands * rows <= 64
+        midpoint = (1.0 / bands) ** (1.0 / rows)
+        assert abs(midpoint - t) < 0.06, (t, bands, rows, midpoint)
+        j_clear = min(t + 0.2, 1.0)
+        recall = 1.0 - (1.0 - j_clear**rows) ** bands
+        # when the floor is achievable at this threshold, the pick meets it
+        achievable = any(
+            1.0 - (1.0 - j_clear**r) ** max(2, round((1.0 / t) ** r)) >= 0.95
+            for r in range(2, 13)
+            if max(2, round((1.0 / t) ** r)) * r <= 64
+        )
+        if achievable:
+            assert recall >= 0.95, (t, bands, rows, recall)
