@@ -180,6 +180,16 @@ def main() -> None:
         # stay independent and later queries don't inherit cache pressure
         spark.catalog.clearCache()
 
+    # second calibration reading right before the envelopes: ambient host
+    # load can differ between the batch phase and the streaming phase, and
+    # envelope p95 is the number most sensitive to it
+    calib_streaming = min(
+        _timed(lambda: spark.range(200_000_000, numPartitions=32)
+               .select(F.sum((F.col("id") % 97).cast("long"))).collect())
+        for _ in range(3)
+    )
+    print(f"# calibration before envelopes: {calib_streaming:.3f}s", file=sys.stderr)
+
     # The envelope is measured twice because micro-batch latency is sensitive
     # to co-running batch load (executor threads are shared in local mode,
     # exactly as executor slots are shared on a cluster): once isolated --
@@ -224,6 +234,7 @@ def main() -> None:
         "streaming_concurrent": envelope_concurrent,
         "streaming_headroom": envelope_headroom,
         "calibration_sec": round(calib, 3),
+        "calibration_before_streaming_sec": round(calib_streaming, 3),
         "sf": sf,
     }))
 
