@@ -212,6 +212,51 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_dedup_representatives",
+    oracle=f"""
+    WITH RECURSIVE bk AS ({_BUCKETED}),
+    p AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_PAIR_DOT} / ({_PAIR_ANORM} * {_PAIR_BNORM}) AS cosine_sim
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      ) WHERE cosine_sim >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM p
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM p
+    ),
+    reach(s, d) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS vec_id, MIN(d) AS component_id FROM reach GROUP BY s)
+    SELECT e.vec_id, e.label
+    FROM embeddings e JOIN comp c ON e.vec_id = c.vec_id
+    WHERE c.vec_id = c.component_id
+    """,
+    description="Embedding-side dedup end step (the vector twin of"
+    " dedup_keep_representatives): connected components over the"
+    " LSH-bucketed cosine near-dup pair graph, keeping the minimum vec_id"
+    " per cluster -- pointer-jumping CC (O(log diameter) rounds, loop over"
+    " rounds never rows) then a row-local component_id = vec_id filter"
+    " joined back to the corpus.",
+)
+def embedding_dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import connected_components
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    pairs = embedding_cosine_neardup(spark, sf_dir).select("id_a", "id_b")
+    comp = connected_components(
+        pairs, emb.select("vec_id"), id_col="vec_id", src_col="id_a", dst_col="id_b"
+    )
+    reps = comp.filter(F.col("vec_id") == F.col("component_id")).select("vec_id")
+    return emb.join(reps, "vec_id").select("vec_id", "label")
+
+
+@register(
     "embedding_label_centroids",
     oracle="""
     WITH flat AS (

@@ -82,6 +82,7 @@ EXPECTED = {
     "embedding_ann_multiprobe",
     "embedding_ann_ivf",
     "embedding_cosine_neardup",
+    "embedding_dedup_representatives",
     "embedding_label_centroids",
     # TPC-H
     "q1_pricing_summary",
