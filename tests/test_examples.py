@@ -1,0 +1,27 @@
+"""The end-to-end example scripts must keep running: they are the composed
+showcase of the operator surface, and a rename or schema drift in any step
+should fail CI, not the demo."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def test_llm_pipeline_example_runs(tmp_path):
+    out = tmp_path / "shards"
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "run_llm_pipeline.py"),
+         "/root/testdata/sf0.001", str(out)],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "training docs" in proc.stdout
+    # shards materialized, partitioned by split
+    splits = {p.name for p in out.glob("split=*")}
+    assert "split=train" in splits, sorted(out.iterdir())
