@@ -140,6 +140,16 @@ def _timed(fn) -> float:
     return time.time() - t0
 
 
+def _calibrate(spark) -> float:
+    """Fixed CPU-bound job (200M-row mod-sum), best of 3 -- the ambient-load
+    floor both calibration readings measure, defined once."""
+    return min(
+        _timed(lambda: spark.range(200_000_000, numPartitions=32)
+               .select(F.sum((F.col("id") % 97).cast("long"))).collect())
+        for _ in range(3)
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -162,11 +172,7 @@ def main() -> None:
     # times are single-shot and share the host with whatever else runs on
     # it; this floor lets round-over-round comparisons normalize ambient
     # load (a calib 2x above typical means the whole run is inflated).
-    calib = min(
-        _timed(lambda: spark.range(200_000_000, numPartitions=32)
-               .select(F.sum((F.col("id") % 97).cast("long"))).collect())
-        for _ in range(3)
-    )
+    calib = _calibrate(spark)
     print(f"# calibration (fixed 200M-row mod-sum): {calib:.3f}s", file=sys.stderr)
 
     for name in HEADLINE:
@@ -183,11 +189,7 @@ def main() -> None:
     # second calibration reading right before the envelopes: ambient host
     # load can differ between the batch phase and the streaming phase, and
     # envelope p95 is the number most sensitive to it
-    calib_streaming = min(
-        _timed(lambda: spark.range(200_000_000, numPartitions=32)
-               .select(F.sum((F.col("id") % 97).cast("long"))).collect())
-        for _ in range(3)
-    )
+    calib_streaming = _calibrate(spark)
     print(f"# calibration before envelopes: {calib_streaming:.3f}s", file=sys.stderr)
 
     # The envelope is measured twice because micro-batch latency is sensitive

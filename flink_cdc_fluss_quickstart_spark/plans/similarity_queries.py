@@ -173,15 +173,22 @@ _PAIR_BNORM = (
 )
 
 
+# scored within-bucket pair subquery + threshold, shared by the neardup and
+# dedup-representatives oracles so the two cannot drift apart
+_NEARDUP_PAIRS_SQL = f"""
+      SELECT id_a, id_b, cosine_sim FROM (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_PAIR_DOT} / ({_PAIR_ANORM} * {_PAIR_BNORM}) AS cosine_sim
+        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      ) WHERE cosine_sim >= 0.4
+"""
+
+
 @register(
     "embedding_cosine_neardup",
     oracle=f"""
     WITH bk AS ({_BUCKETED})
-    SELECT id_a, id_b, cosine_sim FROM (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             {_PAIR_DOT} / ({_PAIR_ANORM} * {_PAIR_BNORM}) AS cosine_sim
-      FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    ) WHERE cosine_sim >= 0.4
+    {_NEARDUP_PAIRS_SQL}
     """,
     description="Embedding-cosine near-dup pairs: sign-LSH bucket self-join"
     " (never all-pairs) + exact cosine threshold. The 100 TB shape: pairs are"
@@ -216,11 +223,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH RECURSIVE bk AS ({_BUCKETED}),
     p AS (
-      SELECT id_a, id_b FROM (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               {_PAIR_DOT} / ({_PAIR_ANORM} * {_PAIR_BNORM}) AS cosine_sim
-        FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-      ) WHERE cosine_sim >= 0.4
+      SELECT id_a, id_b FROM ({_NEARDUP_PAIRS_SQL})
     ),
     edges AS (
       SELECT id_a AS s, id_b AS d FROM p

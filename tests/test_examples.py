@@ -8,6 +8,8 @@ import subprocess
 import sys
 from pathlib import Path
 
+from tests.conftest import SF_SMALL
+
 REPO = Path(__file__).resolve().parent.parent
 
 
@@ -15,7 +17,7 @@ def test_llm_pipeline_example_runs(tmp_path):
     out = tmp_path / "shards"
     proc = subprocess.run(
         [sys.executable, str(REPO / "examples" / "run_llm_pipeline.py"),
-         "/root/testdata/sf0.001", str(out)],
+         SF_SMALL, str(out)],
         capture_output=True,
         text=True,
         timeout=600,
