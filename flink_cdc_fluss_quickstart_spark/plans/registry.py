@@ -61,12 +61,13 @@ PRIORITY: tuple[str, ...] = (
     "changelog_aware_aggregation",
     "betting_tickets_analytics",
     # event streams: JSON decode, sketches, time windows, running stats
+    # (event_time_sliding_hourly / events_running_stats rotate to the tail:
+    # tumbling+session keep W2 proven, window_topn_per_group keeps OVER
+    # windows proven; both stay hash-checked in tests/test_queries_oracle.py)
     "events_json_props_stats",
     "approx_distinct_users_daily",
     "event_time_tumbling_hourly",
-    "event_time_sliding_hourly",
     "session_windows_per_user",
-    "events_running_stats",
     # benched TPC-H headliners (q1 enters via the tail; these four are the
     # other bench-measured shapes, stamped so every headline bench number
     # carries a driver-side correctness row)
@@ -90,12 +91,16 @@ PRIORITY: tuple[str, ...] = (
     "multimodal_feature_extract",
     "multimodal_frame_sample",
     "multimodal_quality_gate",
-    # training-data pipeline routing/sampling
+    "multimodal_resize",
+    # training-data pipeline routing/sampling (pii_redact is a bench
+    # headliner: every benched query must carry a driver correctness row)
     "dataset_split_assign",
     "token_stats_by_lang",
     "quality_filter_route",
     "decontamination_ngrams",
     "stratified_sample_by_lang",
+    "pii_redact",
+    "temperature_resample_by_lang",
     # text analysis + dedup (doc_fingerprint / token_count / lang_id /
     # simhash_fingerprint / minhash_signatures rotate to the tail: each is
     # subsumed by a green family member above or below -- token_stats/lang
@@ -103,19 +108,21 @@ PRIORITY: tuple[str, ...] = (
     # minhash_lsh_pairs recompute and verify the fingerprints/signatures they
     # band on -- and all stay hash-checked vs the oracle in
     # tests/test_queries_oracle.py)
+    # (bpe_token_stats rotates to the tail: token_stats_by_lang/text_quality
+    # keep the token-stats family proven)
     "dedup_exact",
     "text_quality",
     "sequence_pack_offsets",
     "minhash_lsh_pairs",
     "ngram_jaccard_neardup",
+    "ngram_containment_pairs",
     "simhash_neardup_pairs",
-    "bpe_token_stats",
     "dedup_components",
     "repetition_signals",
-    # embedding similarity
+    # embedding similarity (embedding_ann_multiprobe rotates to the tail:
+    # ann_lsh + ann_ivf keep the ANN family proven)
     "embedding_cosine_topk",
     "embedding_ann_lsh",
-    "embedding_ann_multiprobe",
     "embedding_ann_ivf",
     "embedding_cosine_neardup",
     "embedding_label_centroids",

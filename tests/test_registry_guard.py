@@ -156,6 +156,22 @@ def test_priority_names_exist_and_lead_the_ordering():
     assert critical <= head, f"critical queries past position 50: {critical - head}"
 
 
+def test_every_bench_headline_is_driver_stamped():
+    """Every query bench.py measures must sit within the first 50 emitted
+    queries: the external verification harness budgets 50 correctness rows
+    per run, and a benched-but-unstamped query quotes a performance number
+    with no matching correctness row (round-4 regression: pii_redact)."""
+    import bench
+
+    names = list(all_queries())
+    head = set(names[:50])
+    unstamped = [n for n in bench.HEADLINE if n not in head]
+    assert not unstamped, (
+        f"bench HEADLINE queries past position 50 (no driver correctness "
+        f"row): {unstamped}"
+    )
+
+
 def test_oracle_sql_order_matches_queries_order():
     qnames = [n for n in all_queries() if n in all_oracle_sql()]
     assert list(all_oracle_sql()) == qnames
