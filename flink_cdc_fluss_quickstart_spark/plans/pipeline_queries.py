@@ -364,10 +364,13 @@ PACK_SHARD = 1024  # doc ids per prefix-sum shard (contiguous ranges, so
     f" concatenated token stream, and the {PACK_TOKENS}-token context windows"
     f" (packs) it lands in. The global running sum is computed as a"
     f" DISTRIBUTED prefix sum -- per-shard window (shards are contiguous"
-    f" {PACK_SHARD}-id ranges, embarrassingly parallel) + a shard-total"
-    f" cumulative base that is metadata-sized (one row per shard) and"
-    f" broadcast back -- never a single-partition window over the corpus,"
-    f" which is the scale trap a naive ORDER BY cumsum falls into at 100 TB.",
+    f" {PACK_SHARD}-id ranges, embarrassingly parallel) + a TWO-LEVEL"
+    f" shard-base prefix sum: shard totals cumsum within super-shards of"
+    f" {PACK_SHARD} shards each (parallel), then one ordered window over"
+    f" super-shard totals only. The single-partition frame is therefore"
+    f" bounded at corpus_docs / {PACK_SHARD}^2 rows (~1e5 rows even at 1e11"
+    f" docs), never corpus- or shard-count-sized -- the scale trap a naive"
+    f" ORDER BY cumsum falls into at 100 TB, one level up.",
 )
 def sequence_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -385,19 +388,36 @@ def sequence_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = tok.withColumn("__lcum", F.sum("n_tokens").over(w_local))
-    # stage 2: shard base offsets -- one row per shard, so the ordered window
-    # here is metadata-sized by construction; broadcast the result back
-    w_base = (
-        Window.orderBy("__shard")
+    # stage 2: shard base offsets, themselves a two-level prefix sum so no
+    # frame is ever more than corpus/PACK_SHARD^2 rows wide:
+    #   2a. shard totals, grouped into super-shards of PACK_SHARD shards;
+    #       cumsum of earlier shards WITHIN the super-shard (parallel)
+    #   2b. super-shard totals -- one row per PACK_SHARD^2 docs -- through
+    #       the only ordered global window, then broadcast-joined back
+    shard_tot = tok.groupBy("__shard").agg(F.sum("n_tokens").alias("__stot"))
+    shard_tot = shard_tot.withColumn(
+        "__super", F.expr(f"__shard div {PACK_SHARD}")
+    )
+    w_in_super = (
+        Window.partitionBy("__super")
+        .orderBy("__shard")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    bases = (
-        tok.groupBy("__shard")
-        .agg(F.sum("n_tokens").alias("__stot"))
+    shard_tot = shard_tot.withColumn(
+        "__lbase", F.coalesce(F.sum("__stot").over(w_in_super), F.lit(0))
+    )
+    w_super = Window.orderBy("__super").rowsBetween(Window.unboundedPreceding, -1)
+    super_bases = (
+        shard_tot.groupBy("__super")
+        .agg(F.sum("__stot").alias("__sstot"))
         .select(
-            "__shard",
-            F.coalesce(F.sum("__stot").over(w_base), F.lit(0)).alias("__base"),
+            "__super",
+            F.coalesce(F.sum("__sstot").over(w_super), F.lit(0)).alias("__sbase"),
         )
+    )
+    bases = (
+        shard_tot.join(F.broadcast(super_bases), "__super")
+        .select("__shard", (F.col("__sbase") + F.col("__lbase")).alias("__base"))
     )
     joined = local.join(F.broadcast(bases), "__shard").select(
         "doc_id",
