@@ -430,26 +430,40 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    scale = F.lit(similarity.SCALE)
 
-    # coarse quantizer: exact fixed-point per-label centroid vectors in ONE
-    # groupBy(label): gather the cell's vectors and fold them element-wise
-    # row-locally (floor-scaled BIGINT sums -- integer addition, so the fold
-    # order cannot change the result vs the oracle's per-dim SUM). One
-    # shuffle keyed on the cell id instead of the posexplode rows x DIM
-    # reduce + collect_list re-assembly (two shuffles) it replaces; per-cell
-    # state is bounded by cell size, the same bound the scoring join already
-    # carries.
-    fold = (
-        f"transform(aggregate(vs, array_repeat(CAST(0 AS BIGINT), {DIM}),"
-        f" (acc, v) -> zip_with(acc, v,"
-        f" (a, x) -> a + CAST(floor(CAST(x AS DOUBLE) * {similarity.SCALE}) AS BIGINT))),"
-        f" s -> (CAST(s AS DOUBLE) / {similarity.SCALE}) / n)"
+    # coarse quantizer: exact fixed-point per-label centroid vectors as a
+    # TWO-LEVEL streaming aggregate. Level 1 posexplodes to (label, dim,
+    # floor-scaled BIGINT) and integer-SUMs per (label, dim): Catalyst plans
+    # the usual partial/final HashAggregate pair, so per-buffer state is a
+    # single long, the explode is pipelined (never materialized), and the
+    # exchange carries only n_labels x DIM partial rows per map task --
+    # map-side combine does the data reduction. Level 2 reassembles the DIM
+    # per-dim sums into the centroid array (collect_list of DIM structs =
+    # O(DIM) state per label). Integer addition is order-independent, so the
+    # result is bit-identical to the oracle's per-dim SUM regardless of
+    # partitioning. A hot cell costs nothing extra: its rows spread over
+    # DIM keys and fold into scalars before they ever shuffle (the previous
+    # collect_list-then-fold shape buffered O(cell_size x DIM) per
+    # aggregation buffer -- an executor OOM at corpus scale).
+    per_dim = (
+        emb.select("label", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * similarity.SCALE).cast("bigint")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
     cent = (
-        emb.groupBy("label")
-        .agg(F.collect_list("embedding").alias("vs"), F.count(F.lit(1)).alias("n"))
-        .select("label", F.expr(fold).alias("cv"))
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s", "n"))).alias("ds"))
+        .select(
+            "label",
+            F.expr(
+                f"transform(ds, p -> (CAST(p.s AS DOUBLE) / {similarity.SCALE}) / p.n)"
+            ).alias("cv"),
+        )
     )
     cent = cent.withColumn("cn", F.sqrt(similarity.sq_norm(F.col("cv"))))
 
