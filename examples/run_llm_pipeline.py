@@ -28,6 +28,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."
 
 import pyspark.sql.functions as F  # noqa: E402
 
+from flink_cdc_fluss_quickstart_spark.functions import dedup  # noqa: E402
 from flink_cdc_fluss_quickstart_spark.session import get_spark  # noqa: E402
 from flink_cdc_fluss_quickstart_spark.plans.registry import all_specs  # noqa: E402
 from flink_cdc_fluss_quickstart_spark.tables import load_table  # noqa: E402
@@ -75,6 +76,10 @@ def main() -> None:
                 "start_offset", "first_pack", "text")
     )
     shards.write.mode("overwrite").partitionBy("split").parquet(out_dir)
+    # the near-dup/decontamination steps persist their profile frames; the
+    # write above materialized everything, so release them (cache hygiene
+    # for long-lived sessions -- see functions/dedup.py docstring)
+    dedup.release_caches()
 
     out = spark.read.parquet(out_dir)
     summary = out.groupBy("split").agg(

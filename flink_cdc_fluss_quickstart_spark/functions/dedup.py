@@ -8,6 +8,15 @@ Designed for the 100 TB posture:
 - all hashing is md5-based so every step is deterministic AND reproducible in
   the DuckDB oracle (Spark's xxhash64 is faster but engine-private; a
   production deployment swaps the hash in one place here).
+
+Cache hygiene: the profile/band frames that feed both sides of a candidate
+self-join are persisted (MEMORY_AND_DISK) so the expensive signature pass
+runs once, not per side. Every such persist is tracked; long-lived sessions
+that run the dedup family repeatedly should call `release_caches()` after
+materializing each query's results (bench.py clears the whole cache instead;
+examples/run_llm_pipeline.py and tools/scale_smoke.py call it). Blocks are
+LRU-evictable either way, so an unreleased frame degrades to recompute, never
+to an OOM -- but releasing keeps the block manager flat.
 """
 
 from __future__ import annotations
@@ -19,6 +28,29 @@ from flink_cdc_fluss_quickstart_spark.functions.text import normalized_text
 from flink_cdc_fluss_quickstart_spark.tables import spread
 
 SHINGLE_LEN = 5  # character shingles over normalized text
+
+# --- cache lifecycle ---------------------------------------------------------
+# frames persisted by dedup operators, released via release_caches()
+_CACHED: list[DataFrame] = []
+
+
+def _track(df: DataFrame) -> DataFrame:
+    _CACHED.append(df)
+    return df
+
+
+def release_caches() -> None:
+    """Unpersist every profile/band frame persisted by earlier dedup calls.
+
+    Call after the results of a dedup query have been materialized (the
+    frames feed lazy self-joins, so releasing earlier just means recompute).
+    Idempotent; safe if the session already cleared its cache."""
+    while _CACHED:
+        df = _CACHED.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # session torn down or cache already cleared
 
 # --- LSH parameter derivation -------------------------------------------------
 # The (n_perms, bands, rows) triple is DERIVED from the target Jaccard
@@ -258,7 +290,7 @@ def minhash_band_pairs(
     keys = F.array(
         *[F.md5(F.concat_ws("|", *[F.col(c) for c in cols])) for cols in band_cols]
     )
-    keyed = (
+    keyed = _track(
         signatures.select(F.col(id_col), F.posexplode(keys))
         .withColumnRenamed("pos", "band_idx")
         .withColumnRenamed("col", "band_key")
@@ -386,7 +418,7 @@ def simhash_neardup_pairs(
             for k in range(SIMHASH_BANDS)
         ]
     )
-    keyed = (
+    keyed = _track(
         fingerprints.select(F.col(id_col), F.col("simhash"), F.posexplode(bands))
         .withColumnRenamed("pos", "band_idx")
         .withColumnRenamed("col", "band_key")
@@ -437,7 +469,7 @@ def ngram_jaccard(
     """
     from pyspark import StorageLevel
 
-    norm = (
+    norm = _track(
         spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
         .select(F.col(id_col), F.array_distinct(shingle_array("__norm", n)).alias("__sh"))
         .select(
@@ -522,7 +554,7 @@ def _lsh_shingle_profile(
     sh_col = F.transform(
         F.col("__hs"), lambda h: F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
     ).alias("sh")
-    prof = (
+    prof = _track(
         hs.select(id_col, *band_keys, *est_cols, sh_col)
         .withColumn("sh_n", F.size("sh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
