@@ -474,7 +474,13 @@ def domain_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-TEMP_ALPHA = 0.5  # temperature exponent: target language share ~ n_l^alpha
+# Temperature exponent: target language share ~ n_l^alpha. NOTE: the oracle's
+# hash equality relies on pow() producing bit-identical doubles in the JVM and
+# DuckDB at floor(x * 1e6) boundaries; 1 - 0.5 = 0.5 is effectively sqrt,
+# which IEEE 754 requires to be correctly rounded, so this holds exactly. If
+# TEMP_ALPHA ever changes, pow is only ~1-ulp-accurate cross-engine --
+# compare keep_threshold with a tolerance or derive it in integer arithmetic.
+TEMP_ALPHA = 0.5
 
 
 @register(
