@@ -334,9 +334,9 @@ PACK_SHARD = 1024  # doc ids per prefix-sum shard (contiguous ranges, so
                    # (shard, doc_id) order IS doc_id order)
 
 
-@register(
-    "sequence_pack_offsets",
-    oracle=f"""
+# The packing oracle is shared: sequence_pack_offsets verifies it row-by-row
+# and pack_efficiency_report aggregates over it (nested as a CTE subquery).
+_PACK_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id,
              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
@@ -358,7 +358,12 @@ PACK_SHARD = 1024  # doc ids per prefix-sum shard (contiguous ranges, so
            (CASE WHEN n_tokens = 0 THEN cend - n_tokens ELSE cend - 1 END)
              // {PACK_TOKENS} - (cend - n_tokens) // {PACK_TOKENS} + 1 AS n_packs
     FROM cum
-    """,
+"""
+
+
+@register(
+    "sequence_pack_offsets",
+    oracle=_PACK_ORACLE,
     description=f"Sequence packing for pretraining: every document's token"
     f" span [start_offset, start_offset + n_tokens) in the doc_id-ordered"
     f" concatenated token stream, and the {PACK_TOKENS}-token context windows"
@@ -431,6 +436,139 @@ def sequence_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.withColumn(
         "n_packs", F.col("last_pack") - F.col("first_pack") + 1
+    )
+
+
+@register(
+    "pack_efficiency_report",
+    oracle=f"""
+    WITH packed AS ({_PACK_ORACLE}),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN last_pack > first_pack THEN 1 ELSE 0 END) AS BIGINT)
+               AS crossing_docs,
+             CAST(SUM(n_packs) AS BIGINT) AS doc_pack_spans
+      FROM packed
+    )
+    SELECT n_docs, total_tokens,
+           (total_tokens + {PACK_TOKENS - 1}) // {PACK_TOKENS} AS n_packs,
+           crossing_docs,
+           ((total_tokens + {PACK_TOKENS - 1}) // {PACK_TOKENS}) * {PACK_TOKENS}
+             - total_tokens AS pad_tokens,
+           CAST(total_tokens AS DOUBLE)
+             / CAST(((total_tokens + {PACK_TOKENS - 1}) // {PACK_TOKENS})
+                    * {PACK_TOKENS} AS DOUBLE) AS utilization,
+           CAST(doc_pack_spans AS DOUBLE)
+             / CAST((total_tokens + {PACK_TOKENS - 1}) // {PACK_TOKENS} AS DOUBLE)
+             AS avg_docs_per_pack
+    FROM agg
+    """,
+    description=f"Packing-efficiency report over the {PACK_TOKENS}-token"
+    f" context windows: corpus totals, boundary-crossing doc count, padding"
+    f" waste in the final pack, utilization, and average docs touched per"
+    f" pack -- the go/no-go numbers a pipeline checks before burning GPU"
+    f" hours on a packing layout. Composes the sequence_pack_offsets plan"
+    f" (same two-level distributed prefix sum) into ONE single-row global"
+    f" aggregate; every ratio divides two exact BIGINTs in DOUBLE, so both"
+    f" engines run the identical float op.",
+)
+def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = sequence_pack_offsets(spark, sf_dir)
+    agg = p.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("last_pack") > F.col("first_pack"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("crossing_docs"),
+        F.sum("n_packs").cast("bigint").alias("doc_pack_spans"),
+    )
+    n_packs = F.expr(f"(total_tokens + {PACK_TOKENS - 1}) div {PACK_TOKENS}")
+    return agg.select(
+        "n_docs",
+        "total_tokens",
+        n_packs.alias("n_packs"),
+        "crossing_docs",
+        (n_packs * PACK_TOKENS - F.col("total_tokens")).alias("pad_tokens"),
+        (
+            F.col("total_tokens").cast("double")
+            / (n_packs * PACK_TOKENS).cast("double")
+        ).alias("utilization"),
+        (
+            F.col("doc_pack_spans").cast("double") / n_packs.cast("double")
+        ).alias("avg_docs_per_pack"),
+    )
+
+
+SHUFFLE_BUCKETS = 4096  # 16^3: shuffle bucket = first 3 md5 hex chars
+
+# first 3 md5 hex chars parsed positionally (DuckDB has no hex->int cast)
+_DUCK_HEX3 = (
+    "list_sum(list_transform(range(1, 4), j -> "
+    "CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j::int, 1)) - 1)"
+    " * (16 ** (3 - j)) AS BIGINT)))"
+)
+
+
+@register(
+    "training_shuffle_order",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx,
+             CAST({_DUCK_HEX3} AS BIGINT) AS shuffle_bucket
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, shuffle_bucket,
+             CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_bucket
+                                     ORDER BY hx, doc_id) - 1 AS BIGINT) AS bucket_pos
+      FROM h
+    ),
+    bases AS (
+      SELECT shuffle_bucket,
+             CAST(COALESCE(SUM(cnt) OVER (ORDER BY shuffle_bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+      FROM (SELECT shuffle_bucket, COUNT(*) AS cnt FROM h GROUP BY shuffle_bucket)
+    )
+    SELECT p.doc_id, p.shuffle_bucket, p.bucket_pos,
+           p.bucket_pos + b.base AS global_pos
+    FROM pos p JOIN bases b USING (shuffle_bucket)
+    """,
+    description=f"Deterministic global training-shuffle order: every document"
+    f" gets a stable position in a pseudo-random permutation (rank of"
+    f" md5(doc_id)), so epoch data order is reproducible across runs and"
+    f" resumable mid-epoch -- what a real loader needs instead of an"
+    f" unseedable distributed random shuffle. Distributed shape: rank WITHIN"
+    f" {SHUFFLE_BUCKETS} hash-prefix buckets (parallel window), bucket base"
+    f" offsets from a {SHUFFLE_BUCKETS}-row prefix sum (metadata-sized,"
+    f" broadcast back) -- the same two-level pattern as sequence packing;"
+    f" no global sort, no single-partition data window.",
+)
+def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hx")
+    ).withColumn(
+        "shuffle_bucket", F.conv(F.substring("hx", 1, 3), 16, 10).cast("bigint")
+    )
+    w = Window.partitionBy("shuffle_bucket").orderBy("hx", "doc_id")
+    pos = h.withColumn("bucket_pos", (F.row_number().over(w) - 1).cast("bigint"))
+    wb = Window.orderBy("shuffle_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        h.groupBy("shuffle_bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "shuffle_bucket",
+            F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("bigint").alias("base"),
+        )
+    )
+    return pos.join(F.broadcast(bases), "shuffle_bucket").select(
+        "doc_id",
+        "shuffle_bucket",
+        "bucket_pos",
+        (F.col("bucket_pos") + F.col("base")).alias("global_pos"),
     )
 
 

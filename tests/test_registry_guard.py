@@ -58,6 +58,8 @@ EXPECTED = {
     "stratified_sample_by_lang",
     "pii_redact",
     "sequence_pack_offsets",
+    "pack_efficiency_report",
+    "training_shuffle_order",
     "temperature_resample_by_lang",
     "domain_mix_report",
     # text / dedup
