@@ -12,6 +12,8 @@ real pipeline ships:
     5. decontamination_ngrams     -- flag test-set overlap
     6. sequence_pack_offsets      -- context-window packing offsets
     7. write train shards partitioned by split
+    8. pack_efficiency_report     -- padding waste / utilization go-no-go
+    9. training_shuffle_order     -- stable pseudo-random load order
 
 Every step is a registered query (same code the correctness gate verifies);
 this script is the composition glue, joining on doc_id -- all equi joins on
@@ -89,6 +91,13 @@ def main() -> None:
     n_raw = docs.count()
     n_out = out.count()
     print(f"corpus {n_raw} docs -> {n_out} training docs ({out_dir})")
+
+    print("== 8. packing efficiency (full corpus)")
+    q["pack_efficiency_report"].builder(spark, sf_dir).show()
+
+    print("== 9. training shuffle order (first 5 positions)")
+    shuffle = q["training_shuffle_order"].builder(spark, sf_dir)
+    shuffle.orderBy("global_pos").limit(5).show()
 
 
 if __name__ == "__main__":
