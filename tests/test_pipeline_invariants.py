@@ -1,0 +1,60 @@
+"""Invariant tests for the packing/shuffle composition operators, run at a
+different SF than the oracle gate (sf0.01 vs the driver's sf0.01 hash check
+at the same tables -- these assert STRUCTURAL properties the hash compare
+can't express: permutation bijectivity, pack-count conservation)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_cdc_fluss_quickstart_spark.plans.pipeline_queries import PACK_TOKENS
+from flink_cdc_fluss_quickstart_spark.plans.registry import all_specs
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_training_shuffle_order_is_a_permutation(spark):
+    """global_pos must be a bijection onto [0, n): every doc gets exactly one
+    position, no gaps, no collisions -- the property a resumable loader
+    depends on."""
+    df = all_specs()["training_shuffle_order"].builder(spark, SF)
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("global_pos").alias("n_distinct"),
+        F.min("global_pos").alias("lo"),
+        F.max("global_pos").alias("hi"),
+    ).collect()[0]
+    assert stats.n_distinct == stats.n
+    assert stats.lo == 0
+    assert stats.hi == stats.n - 1
+
+
+def test_training_shuffle_order_is_stable_and_looks_shuffled(spark):
+    spec = all_specs()["training_shuffle_order"]
+    a = {r.doc_id: r.global_pos for r in spec.builder(spark, SF).collect()}
+    b = {r.doc_id: r.global_pos for r in spec.builder(spark, SF).collect()}
+    assert a == b  # deterministic across runs
+    # and it is not the identity / doc_id order (it actually shuffles):
+    in_id_order = sum(1 for doc_id, pos in a.items() if doc_id == pos)
+    assert in_id_order < len(a) * 0.01
+
+
+def test_pack_efficiency_report_invariants(spark):
+    rep = all_specs()["pack_efficiency_report"].builder(spark, SF).collect()[0]
+    packs = all_specs()["sequence_pack_offsets"].builder(spark, SF)
+    # pack count conserves tokens: n_packs is exactly enough windows
+    assert (rep.n_packs - 1) * PACK_TOKENS < rep.total_tokens <= rep.n_packs * PACK_TOKENS
+    assert rep.pad_tokens == rep.n_packs * PACK_TOKENS - rep.total_tokens
+    assert 0 <= rep.pad_tokens < PACK_TOKENS
+    assert 0.0 < rep.utilization <= 1.0
+    assert 0 <= rep.crossing_docs <= rep.n_docs
+    # the report's totals equal the per-doc frame it composes
+    agg = packs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.max(F.col("start_offset") + F.col("n_tokens")).alias("end"),
+    ).collect()[0]
+    assert rep.n_docs == agg.n_docs
+    assert rep.total_tokens == agg.total_tokens == agg.end
+    # avg_docs_per_pack >= 1 whenever there is at least one doc per pack slot
+    assert rep.avg_docs_per_pack * rep.n_packs >= rep.n_docs
