@@ -223,10 +223,14 @@ def main() -> None:
         envelope_concurrent = streaming_envelope(spark, run_secs=45)
     finally:
         stop.set()
-        # join WITHOUT timeout: the loop exits after its in-flight q5
-        # iteration, and that iteration must finish before the isolated
-        # headroom probe below starts or it pollutes the measurement
-        loader.join()
+        # the loop exits after its in-flight q5 iteration, which must finish
+        # before the isolated headroom probe below starts or it pollutes the
+        # measurement; a generous bound (vs unbounded join) keeps a wedged
+        # Spark job from hanging the whole bench with no JSON emitted
+        loader.join(timeout=300)
+        if loader.is_alive():
+            print("# WARNING: batch loader still running after 300s; "
+                  "headroom envelope may be polluted", file=sys.stderr)
     envelope_concurrent["batch_load"] = "q5_region_revenue loop"
     print(f"# streaming_envelope (concurrent): {envelope_concurrent}", file=sys.stderr)
 

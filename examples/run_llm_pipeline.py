@@ -78,9 +78,9 @@ def main() -> None:
                 "start_offset", "first_pack", "text")
     )
     shards.write.mode("overwrite").partitionBy("split").parquet(out_dir)
-    # the near-dup/decontamination steps persist their profile frames; the
-    # write above materialized everything, so release them (cache hygiene
-    # for long-lived sessions -- see functions/dedup.py docstring)
+    # the near-dup representatives step (step 3) persisted its LSH profile
+    # frames; the write above materialized everything, so release them
+    # (cache hygiene for long-lived sessions -- see functions/dedup.py)
     dedup.release_caches()
 
     out = spark.read.parquet(out_dir)

@@ -13,13 +13,18 @@ Cache hygiene: the profile/band frames that feed both sides of a candidate
 self-join are persisted (MEMORY_AND_DISK) so the expensive signature pass
 runs once, not per side. Every such persist is tracked; long-lived sessions
 that run the dedup family repeatedly should call `release_caches()` after
-materializing each query's results (bench.py clears the whole cache instead;
-examples/run_llm_pipeline.py and tools/scale_smoke.py call it). Blocks are
-LRU-evictable either way, so an unreleased frame degrades to recompute, never
-to an OOM -- but releasing keeps the block manager flat.
+materializing each query's results (examples/run_llm_pipeline.py does;
+bench.py and tools/scale_smoke.py clear the whole session cache between
+queries instead). Blocks are LRU-evictable either way, so an unreleased
+frame degrades to recompute, never to an OOM -- but releasing keeps the
+block manager flat. The tracker itself is bounded (oldest entries are
+auto-released past a high-water mark), so clearCache-only consumers don't
+accumulate driver-side frame references either.
 """
 
 from __future__ import annotations
+
+import threading
 
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
@@ -30,12 +35,29 @@ from flink_cdc_fluss_quickstart_spark.tables import spread
 SHINGLE_LEN = 5  # character shingles over normalized text
 
 # --- cache lifecycle ---------------------------------------------------------
-# frames persisted by dedup operators, released via release_caches()
+# frames persisted by dedup operators, released via release_caches(); capped
+# so consumers that never call release (they clearCache instead) don't grow
+# an unbounded driver-side reference list. Releasing an old entry is always
+# safe: a lazy plan that still references it just recomputes.
 _CACHED: list[DataFrame] = []
+_CACHED_MAX = 16
+_CACHED_LOCK = threading.Lock()
+
+
+def _release(df: DataFrame) -> None:
+    try:
+        df.unpersist(blocking=False)
+    except Exception:
+        pass  # session torn down or cache already cleared
 
 
 def _track(df: DataFrame) -> DataFrame:
-    _CACHED.append(df)
+    with _CACHED_LOCK:
+        _CACHED.append(df)
+        evicted = _CACHED[:-_CACHED_MAX]
+        del _CACHED[:-_CACHED_MAX]
+    for old in evicted:
+        _release(old)
     return df
 
 
@@ -45,12 +67,11 @@ def release_caches() -> None:
     Call after the results of a dedup query have been materialized (the
     frames feed lazy self-joins, so releasing earlier just means recompute).
     Idempotent; safe if the session already cleared its cache."""
-    while _CACHED:
-        df = _CACHED.pop()
-        try:
-            df.unpersist(blocking=False)
-        except Exception:
-            pass  # session torn down or cache already cleared
+    with _CACHED_LOCK:
+        drained = _CACHED[:]
+        _CACHED.clear()
+    for df in drained:
+        _release(df)
 
 # --- LSH parameter derivation -------------------------------------------------
 # The (n_perms, bands, rows) triple is DERIVED from the target Jaccard

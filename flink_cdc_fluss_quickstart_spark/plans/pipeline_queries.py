@@ -372,10 +372,13 @@ _PACK_ORACLE = f"""
     f" {PACK_SHARD}-id ranges, embarrassingly parallel) + a TWO-LEVEL"
     f" shard-base prefix sum: shard totals cumsum within super-shards of"
     f" {PACK_SHARD} shards each (parallel), then one ordered window over"
-    f" super-shard totals only. The single-partition frame is therefore"
-    f" bounded at corpus_docs / {PACK_SHARD}^2 rows (~1e5 rows even at 1e11"
-    f" docs), never corpus- or shard-count-sized -- the scale trap a naive"
-    f" ORDER BY cumsum falls into at 100 TB, one level up.",
+    f" super-shard totals only. The single-partition frame and the one"
+    f" hint-broadcast frame are therefore bounded at corpus_docs /"
+    f" {PACK_SHARD}^2 rows (~1e5 rows even at 1e11 docs); the per-shard"
+    f" bases join carries no broadcast hint, so the planner co-partitions"
+    f" it on the shard key at scale instead of driver-materializing a"
+    f" shard-count-sized broadcast -- the scale trap a naive ORDER BY"
+    f" cumsum falls into at 100 TB, one level up.",
 )
 def sequence_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -424,7 +427,14 @@ def sequence_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard_tot.join(F.broadcast(super_bases), "__super")
         .select("__shard", (F.col("__sbase") + F.col("__lbase")).alias("__base"))
     )
-    joined = local.join(F.broadcast(bases), "__shard").select(
+    # NO broadcast hint on the bases join: bases is one row per shard
+    # (corpus/PACK_SHARD), which AQE broadcasts at test scale but must
+    # hash-join at extreme scale -- `local` is already partitioned by
+    # __shard from the stage-1 window, so the planner co-partitions instead
+    # of driver-materializing a shard-count-sized broadcast. (super_bases
+    # above IS hint-broadcast: it is corpus/PACK_SHARD^2 rows, the bounded
+    # frame.)
+    joined = local.join(bases, "__shard").select(
         "doc_id",
         "n_tokens",
         F.expr("__base + __lcum - n_tokens").alias("start_offset"),

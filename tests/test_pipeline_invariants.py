@@ -1,7 +1,7 @@
-"""Invariant tests for the packing/shuffle composition operators, run at a
-different SF than the oracle gate (sf0.01 vs the driver's sf0.01 hash check
-at the same tables -- these assert STRUCTURAL properties the hash compare
-can't express: permutation bijectivity, pack-count conservation)."""
+"""Invariant tests for the packing/shuffle composition operators, run at
+sf0.01 (a different SF than the repo oracle suite's sf0.001) -- these assert
+STRUCTURAL properties the hash compare can't express: permutation
+bijectivity, pack-count conservation."""
 
 from __future__ import annotations
 
@@ -10,7 +10,7 @@ import pyspark.sql.functions as F
 from flink_cdc_fluss_quickstart_spark.plans.pipeline_queries import PACK_TOKENS
 from flink_cdc_fluss_quickstart_spark.plans.registry import all_specs
 
-SF = "/root/testdata/sf0.01"
+from tests.conftest import SF_MEDIUM as SF
 
 
 def test_training_shuffle_order_is_a_permutation(spark):
