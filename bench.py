@@ -44,6 +44,8 @@ HEADLINE = (
     "decontamination_ngrams",
     "pii_redact",
     "sequence_pack_offsets",
+    "pack_efficiency_report",
+    "training_shuffle_order",
     "betting_tickets_analytics",
     "embedding_cosine_topk",
     "embedding_ann_lsh",
