@@ -197,6 +197,80 @@ def word_shingle_array(norm_col: str, n: int = WORD_SHINGLE_LEN) -> Column:
     return F.expr(f"slice({expr}, 1, greatest(size({w}) - {n - 1}, 1))")
 
 
+# --- winnowing (rolling-hash fingerprinting) --------------------------------
+
+WINNOW_K = 8  # char k-gram length
+WINNOW_W = 4  # winnowing window in grams; any shared substring of at least
+              # WINNOW_K + WINNOW_W - 1 = 11 chars shares a fingerprint
+
+def winnow_fingerprint_frame(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Winnowing fingerprint set per document (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 'local algorithms for document fingerprinting'): hash every
+    POSITIONAL char k-gram of the normalized text, keep the minimum of each
+    sliding window of WINNOW_W consecutive hashes, distinct the selections.
+    Unlike minhash (a similarity ESTIMATE), winnowing GUARANTEES any common
+    substring of length >= k + w - 1 contributes a shared fingerprint --
+    the standard primitive for partial-overlap/plagiarism-style detection.
+
+    Scale shape: everything is row-local array math until the final explode;
+    the sliding-window minimum is computed by zip_with DOUBLING (window 2 =
+    elementwise least of the hash array and itself shifted 1; window 4 =
+    least of window-2 and itself shifted 2), with each stage referencing the
+    previous stage's column several times so Catalyst keeps the projection
+    boundary (same ARGUMENTS-not-lambda-captured discipline as
+    word_shingle_array -- no per-element recompute). Output: one
+    (id, fingerprint BIGINT) row per selected hash; what downstream joins
+    shuffle is 8-byte fingerprints, never documents.
+    """
+    k, w = WINNOW_K, WINNOW_W
+    # spread first: the positional-gram hashing is the expensive part and the
+    # input may arrive as a handful of file partitions
+    norm = spread(df).select(
+        F.col(id_col), normalized_text(F.col(text_col)).alias("__norm")
+    )
+    grams = norm.select(
+        id_col,
+        F.expr(
+            f"transform(sequence(1, greatest(length(__norm) - {k - 1}, 1)),"
+            f" i -> substring(__norm, i, {k}))"
+        ).alias("__g"),
+    )
+    hashes = grams.select(
+        id_col,
+        F.expr(
+            "transform(__g, g ->"
+            " CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("__h"),
+    )
+    # sliding min by doubling: least() skips the nulls zip_with pads with,
+    # so trailing windows truncate at the array end (docs shorter than w
+    # grams produce the min of what exists -- mirrored in the oracle's
+    # clamped list slicing)
+    m2 = hashes.select(
+        id_col,
+        F.expr(
+            "zip_with(__h, slice(__h, 2, size(__h)), (a, b) -> least(a, b))"
+        ).alias("__m2"),
+    )
+    fps = m2.select(
+        id_col,
+        F.expr(
+            f"array_distinct(slice("
+            f"zip_with(__m2, slice(__m2, 3, size(__m2)), (a, b) -> least(a, b)),"
+            f" 1, greatest(size(__m2) - {w - 1}, 1)))"
+        ).alias("__fps"),
+    )
+    # materialize the array frame BEFORE exploding: fusing the whole HOF
+    # chain into the Generate is ~5x slower than computing the arrays and
+    # exploding from the materialized frame (measured 20s -> 4s at sf0.01),
+    # and the frame also feeds both uses in the overlap-pairs query. Tracked
+    # persist -- released via release_caches() like every dedup profile.
+    from pyspark import StorageLevel
+
+    fps = _track(fps.persist(StorageLevel.MEMORY_AND_DISK))
+    return fps.select(id_col, F.explode("__fps").alias("fingerprint"))
+
+
 # Permutation family: ONE md5 per distinct shingle reduced to a value
 # x in [0, p), then component k applies the 2-universal map
 # (a_k*x + b_k) mod p with fixed per-component constants -- the same

@@ -161,6 +161,101 @@ _NORM_DOCS = (
     " FROM documents"
 )
 
+# --- winnowing (rolling-hash fingerprints) ----------------------------------
+
+# per-doc winnowed fingerprint rows, the oracle twin of
+# dedup.winnow_fingerprint_frame: positional char k-grams -> 60-bit md5-prefix
+# hashes -> min per sliding window of w (clamped at the array end, exactly
+# like the zip_with null-skip on the Spark side) -> distinct
+_WINNOW_FPS = f"""
+      SELECT doc_id, unnest(fps) AS fingerprint FROM (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 range(1, greatest(len(hs) - {dedup.WINNOW_W - 1}, 1) + 1),
+                 i -> list_min(hs[i::int:(i + {dedup.WINNOW_W - 1})::int]))) AS fps
+        FROM (
+          SELECT doc_id,
+                 list_transform(
+                   list_transform(range(1, greatest(len(norm) - {dedup.WINNOW_K - 1}, 1) + 1),
+                                  i -> substr(norm, i::int, {dedup.WINNOW_K})),
+                   g -> CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)) AS hs
+          FROM ({_NORM_DOCS})
+        )
+      )
+"""
+
+# Stop-gram cap: a fingerprint present in more docs than this is template/
+# boilerplate noise, and every such fingerprint contributes O(df^2) candidate
+# pairs -- dropping them is both the precision filter and the skew guard. 5
+# of 500 docs = 1%; at production scale derive it as a corpus fraction.
+WINNOW_MAX_DOC_FREQ = 5
+WINNOW_MIN_SHARED = 5  # pairs must share at least this many fingerprints
+
+
+@register(
+    "winnow_fingerprints",
+    oracle=f"SELECT doc_id, fingerprint FROM ({_WINNOW_FPS})",
+    description=f"Winnowing document fingerprints (Schleimer et al., SIGMOD"
+    f" 2003): minimum hash of every {dedup.WINNOW_W}-gram sliding window"
+    f" over positional {dedup.WINNOW_K}-char-gram hashes, distinct per doc."
+    f" Unlike minhash this GUARANTEES any shared substring of >="
+    f" {dedup.WINNOW_K + dedup.WINNOW_W - 1} chars contributes a shared"
+    f" fingerprint -- the partial-overlap/quote-detection primitive. All"
+    f" row-local array math (sliding min via zip_with doubling, no explode"
+    f" until the final fingerprint rows).",
+)
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprint_frame(d, "doc_id", "text")
+
+
+@register(
+    "winnow_overlap_pairs",
+    oracle=f"""
+    WITH fp AS ({_WINNOW_FPS}),
+    keep AS (
+      SELECT fingerprint FROM fp GROUP BY fingerprint
+      HAVING COUNT(*) <= {WINNOW_MAX_DOC_FREQ}
+    ),
+    fpk AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN keep USING (fingerprint))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_fps
+    FROM fpk a JOIN fpk b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """,
+    description=f"Partial-overlap candidate pairs from shared winnowing"
+    f" fingerprints: fingerprints seen in more than {WINNOW_MAX_DOC_FREQ}"
+    f" docs are dropped first (stop-gram cap -- boilerplate phrases would"
+    f" otherwise bucket unrelated documents, the same skew-guard as capped"
+    f" LSH bands), then a fingerprint-keyed self-join counts shared"
+    f" fingerprints per pair (>= {WINNOW_MIN_SHARED} suppresses single-hash"
+    f" coincidences). What shuffles is (doc_id, 8-byte fingerprint) rows"
+    f" co-partitioned on the fingerprint -- never document text.",
+)
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # winnow_fingerprint_frame persists its array frame (tracked), so the
+    # stop-gram count and the pair join below each re-explode from cache --
+    # the expensive gram hashing runs once
+    fp = dedup.winnow_fingerprint_frame(d, "doc_id", "text")
+    keep = (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= WINNOW_MAX_DOC_FREQ)
+        .select("fingerprint")
+    )
+    fpk = fp.join(keep, "fingerprint")
+    a = fpk.select(F.col("fingerprint"), F.col("doc_id").alias("id_a"))
+    b = fpk.select(F.col("fingerprint"), F.col("doc_id").alias("id_b"))
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fps"))
+        .filter(F.col("n_shared_fps") >= WINNOW_MIN_SHARED)
+    )
+
 # word array per document (the word-n-gram shingle base, mirroring
 # dedup.word_shingle_array's normalized-word unit)
 _WORD_DOCS = f"SELECT doc_id, string_split(norm, ' ') AS w FROM ({_NORM_DOCS})"

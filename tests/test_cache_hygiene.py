@@ -16,6 +16,8 @@ DEDUP_QUERIES = (
     "ngram_jaccard_neardup",
     "ngram_containment_pairs",
     "simhash_neardup_pairs",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
 )
 
 

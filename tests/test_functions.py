@@ -189,3 +189,44 @@ def test_lsh_params_derivation_invariants():
         )
         if achievable:
             assert recall >= 0.95, (t, bands, rows, recall)
+
+
+def test_winnowing_guarantee_and_brute_force_match(spark):
+    """The winnowing contract (Schleimer et al.): (1) selected fingerprints
+    match a brute-force Python winnow of the same k-gram hash sequence;
+    (2) two docs sharing a substring of >= K + W - 1 chars share at least
+    one fingerprint."""
+    import hashlib
+
+    shared = "the quick brown fox jumps over the lazy dog"  # >> 11 chars
+    docs = [
+        (0, f"AAA unrelated prefix {shared} AAA tail one"),
+        (1, f"BBB other start {shared} differing end BBB"),
+        (2, "completely different text with nothing in common at all here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.fingerprint)
+        for r in dedup.winnow_fingerprint_frame(df, "doc_id", "text").collect()
+    }
+    dedup.release_caches()
+
+    # brute-force twin: normalize -> positional k-grams -> 60-bit md5-prefix
+    # hashes -> min per window of W -> distinct
+    import re
+
+    k, w = dedup.WINNOW_K, dedup.WINNOW_W
+    expected = set()
+    for doc_id, txt in docs:
+        norm = re.sub(r"[^a-z0-9]+", " ", txt.lower()).strip()
+        grams = [norm[i:i + k] for i in range(max(len(norm) - k + 1, 1))]
+        hs = [int(hashlib.md5(g.encode()).hexdigest()[:15], 16) for g in grams]
+        mins = {min(hs[i:i + w]) for i in range(max(len(hs) - w + 1, 1))}
+        expected |= {(doc_id, m) for m in mins}
+    assert got == expected
+
+    fp0 = {f for d, f in got if d == 0}
+    fp1 = {f for d, f in got if d == 1}
+    fp2 = {f for d, f in got if d == 2}
+    assert fp0 & fp1, "docs sharing a long substring must share a fingerprint"
+    assert not (fp0 & fp2) and not (fp1 & fp2)

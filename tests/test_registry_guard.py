@@ -74,6 +74,8 @@ EXPECTED = {
     "ngram_containment_pairs",
     "simhash_fingerprint",
     "simhash_neardup_pairs",
+    "winnow_fingerprints",
+    "winnow_overlap_pairs",
     "bpe_token_stats",
     "dedup_components",
     "dedup_keep_representatives",
