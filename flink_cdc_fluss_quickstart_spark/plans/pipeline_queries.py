@@ -215,7 +215,11 @@ def quality_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     " volume, never materializing document pairs.",
 )
 def decontamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from flink_cdc_fluss_quickstart_spark.tables import spread
+
+    # spread: the per-gram md5 is the dominant cost and the bench corpus
+    # arrives as one file split (no-op at scale where inputs are pre-split)
+    d = spread(load_table(spark, sf_dir, "documents"))
     bucket = (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
         .cast("bigint") % 100
@@ -224,9 +228,6 @@ def decontamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", bucket.alias("bucket"), F.split("text", " ").alias("l"))
         .filter(F.size("l") >= 8)
     )
-    # slice() and element_at() are 1-based, matching DuckDB list slicing
-    gexpr = ("transform(sequence(1, size(l) - 7),"
-             " i -> substring(md5(concat_ws(' ', slice(l, i, 8))), 1, 16))")
     # Single pass over the corpus, no cache: group by gram hash, folding the
     # train side to a 0/1 flag and the test side to the distinct doc set
     # (collect_set both dedupes repeated in-document grams and drops nulls
@@ -235,9 +236,22 @@ def decontamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries leaks no cache. Set size per gram is bounded by the number of
     # *test-split* documents containing that exact 8-gram -- rare enough that
     # skew is a non-issue even at corpus scale.
-    grams = base.select(
-        "doc_id", "bucket", F.explode(F.expr(gexpr)).alias("g")
-    ).filter((F.col("bucket") < 90) | (F.col("bucket") >= 95))
+    #
+    # Shape note: the Generate explodes integer POSITIONS only; the md5 runs
+    # in the codegen'd projection after it (slice()/concat_ws are 1-based,
+    # matching DuckDB list slicing). Fusing the hash transform into the
+    # Generate's generator drops the whole chain out of whole-stage codegen
+    # -- measured ~1.5-2x slower at sf0.1. Bucket rows 90-94 (val split)
+    # are dropped BEFORE the explode: they feed neither side.
+    idx = base.filter((F.col("bucket") < 90) | (F.col("bucket") >= 95)).select(
+        "doc_id", "bucket", "l",
+        F.explode(F.expr("sequence(1, size(l) - 7)")).alias("__i"),
+    )
+    grams = idx.select(
+        "doc_id",
+        "bucket",
+        F.expr("substring(md5(concat_ws(' ', slice(l, __i, 8))), 1, 16)").alias("g"),
+    )
     per_gram = grams.groupBy("g").agg(
         F.max(F.when(F.col("bucket") < 90, 1).otherwise(0)).alias("in_train"),
         F.collect_set(F.when(F.col("bucket") >= 95, F.col("doc_id"))).alias("test_docs"),

@@ -667,10 +667,14 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.split("text", " ").alias("l"))
         .filter(F.size("l") >= 3)
     )
-    # element_at is 1-based, matching DuckDB's l[i]
-    bigram = "transform(sequence(1, size(l) - 1), i -> concat(element_at(l, i), ' ', element_at(l, i + 1)))"
-    trigram = ("transform(sequence(1, size(l) - 2), i -> concat(element_at(l, i), ' ',"
-               " element_at(l, i + 1), ' ', element_at(l, i + 2)))")
+    # element_at is 1-based, matching DuckDB's l[i]. The Generates explode
+    # integer POSITIONS; the n-gram concat runs in the codegen'd projection
+    # after them (fusing the transform into the generator drops it out of
+    # whole-stage codegen -- ~30% slower, same finding as
+    # decontamination_ngrams at 2x for its md5 grams).
+    bigram = "concat(element_at(l, __i), ' ', element_at(l, __i + 1))"
+    trigram = ("concat(element_at(l, __i), ' ', element_at(l, __i + 1), ' ',"
+               " element_at(l, __i + 2))")
     words = (
         d.select("doc_id", F.explode("l").alias("tok"))
         .groupBy("doc_id", "tok").count()
@@ -678,13 +682,15 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("count").alias("n"), F.max("count").alias("maxc"))
     )
     bi = (
-        d.select("doc_id", F.explode(F.expr(bigram)).alias("bg"))
+        d.select("doc_id", "l", F.explode(F.expr("sequence(1, size(l) - 1)")).alias("__i"))
+        .select("doc_id", F.expr(bigram).alias("bg"))
         .groupBy("doc_id", "bg").count()
         .groupBy("doc_id")
         .agg(F.sum("count").alias("bn"), F.max("count").alias("bmaxc"))
     )
     tri = (
-        d.select("doc_id", F.explode(F.expr(trigram)).alias("tg"))
+        d.select("doc_id", "l", F.explode(F.expr("sequence(1, size(l) - 2)")).alias("__i"))
+        .select("doc_id", F.expr(trigram).alias("tg"))
         .groupBy("doc_id", "tg").count()
         .groupBy("doc_id")
         .agg(
