@@ -228,36 +228,45 @@ def winnow_fingerprint_frame(df: DataFrame, id_col: str, text_col: str) -> DataF
     norm = spread(df).select(
         F.col(id_col), normalized_text(F.col(text_col)).alias("__norm")
     )
-    grams = norm.select(
-        id_col,
-        F.expr(
-            f"transform(sequence(1, greatest(length(__norm) - {k - 1}, 1)),"
-            f" i -> substring(__norm, i, {k}))"
-        ).alias("__g"),
-    )
-    hashes = grams.select(
+    grams = norm.select(id_col, shingle_array("__norm", k).alias("__g"))
+    cur = grams.select(
         id_col,
         F.expr(
             "transform(__g, g ->"
             " CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))"
-        ).alias("__h"),
+        ).alias("__m"),
     )
-    # sliding min by doubling: least() skips the nulls zip_with pads with,
-    # so trailing windows truncate at the array end (docs shorter than w
-    # grams produce the min of what exists -- mirrored in the oracle's
-    # clamped list slicing)
-    m2 = hashes.select(
+    # sliding min via sparse-table doubling, derived from w (not hardcoded):
+    # window-2p minima = elementwise least of window-p minima and themselves
+    # shifted p; a non-power-of-2 tail combines the largest power-of-2 table
+    # with itself shifted w - p (windows overlap; min is idempotent).
+    # least() skips the nulls zip_with pads with, so trailing windows
+    # truncate at the array end (docs shorter than w grams produce the min
+    # of what exists -- mirrored in the oracle's clamped list slicing).
+    # Each stage references the previous column several times (arguments,
+    # never lambda-captured), keeping the projection boundary.
+    p = 1
+    while p * 2 <= w:
+        cur = cur.select(
+            id_col,
+            F.expr(
+                f"zip_with(__m, slice(__m, {p + 1}, size(__m)),"
+                f" (a, b) -> least(a, b))"
+            ).alias("__m"),
+        )
+        p *= 2
+    if p < w:
+        cur = cur.select(
+            id_col,
+            F.expr(
+                f"zip_with(__m, slice(__m, {w - p + 1}, size(__m)),"
+                f" (a, b) -> least(a, b))"
+            ).alias("__m"),
+        )
+    fps = cur.select(
         id_col,
         F.expr(
-            "zip_with(__h, slice(__h, 2, size(__h)), (a, b) -> least(a, b))"
-        ).alias("__m2"),
-    )
-    fps = m2.select(
-        id_col,
-        F.expr(
-            f"array_distinct(slice("
-            f"zip_with(__m2, slice(__m2, 3, size(__m2)), (a, b) -> least(a, b)),"
-            f" 1, greatest(size(__m2) - {w - 1}, 1)))"
+            f"array_distinct(slice(__m, 1, greatest(size(__m) - {w - 1}, 1)))"
         ).alias("__fps"),
     )
     # materialize the array frame BEFORE exploding: fusing the whole HOF

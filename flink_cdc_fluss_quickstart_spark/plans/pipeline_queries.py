@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_cdc_fluss_quickstart_spark.functions import text
 from flink_cdc_fluss_quickstart_spark.plans.registry import register
-from flink_cdc_fluss_quickstart_spark.tables import load_table
+from flink_cdc_fluss_quickstart_spark.tables import load_table, spread
 
 # DuckDB has no hex->int cast; parse the first 8 md5 hex digits positionally.
 # Spark side uses conv() -- same value, different spelling.
@@ -215,8 +215,6 @@ def quality_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     " volume, never materializing document pairs.",
 )
 def decontamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from flink_cdc_fluss_quickstart_spark.tables import spread
-
     # spread: the per-gram md5 is the dominant cost and the bench corpus
     # arrives as one file split (no-op at scale where inputs are pre-split)
     d = spread(load_table(spark, sf_dir, "documents"))

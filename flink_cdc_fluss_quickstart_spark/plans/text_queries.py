@@ -184,11 +184,15 @@ _WINNOW_FPS = f"""
       )
 """
 
-# Stop-gram cap: a fingerprint present in more docs than this is template/
+# Stop-gram cap: a fingerprint present in more docs than the cap is template/
 # boilerplate noise, and every such fingerprint contributes O(df^2) candidate
-# pairs -- dropping them is both the precision filter and the skew guard. 5
-# of 500 docs = 1%; at production scale derive it as a corpus fraction.
-WINNOW_MAX_DOC_FREQ = 5
+# pairs -- dropping them is both the precision filter and the skew guard.
+# The cap is DERIVED from the corpus (1% of docs, floored at 5): a fixed
+# count would either pass boilerplate at small corpora or, worse, drop every
+# legitimately-shared fingerprint once the corpus grows past floor/df ratios
+# (replicating the corpus 10x must not silently empty the join).
+WINNOW_CAP_FLOOR = 5
+WINNOW_CAP_DENOM = 100  # cap = greatest(floor, n_docs // denom)
 WINNOW_MIN_SHARED = 5  # pairs must share at least this many fingerprints
 
 
@@ -215,7 +219,8 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH fp AS ({_WINNOW_FPS}),
     keep AS (
       SELECT fingerprint FROM fp GROUP BY fingerprint
-      HAVING COUNT(*) <= {WINNOW_MAX_DOC_FREQ}
+      HAVING COUNT(*) <= GREATEST({WINNOW_CAP_FLOOR},
+        (SELECT COUNT(*) FROM documents) // {WINNOW_CAP_DENOM})
     ),
     fpk AS (SELECT fp.doc_id, fp.fingerprint FROM fp JOIN keep USING (fingerprint))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -225,10 +230,11 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
     """,
     description=f"Partial-overlap candidate pairs from shared winnowing"
-    f" fingerprints: fingerprints seen in more than {WINNOW_MAX_DOC_FREQ}"
-    f" docs are dropped first (stop-gram cap -- boilerplate phrases would"
-    f" otherwise bucket unrelated documents, the same skew-guard as capped"
-    f" LSH bands), then a fingerprint-keyed self-join counts shared"
+    f" fingerprints: fingerprints seen in more than max({WINNOW_CAP_FLOOR},"
+    f" corpus/{WINNOW_CAP_DENOM}) docs are dropped first (corpus-derived"
+    f" stop-gram cap -- boilerplate phrases would otherwise bucket unrelated"
+    f" documents, the same skew-guard as capped LSH bands), then a"
+    f" fingerprint-keyed self-join counts shared"
     f" fingerprints per pair (>= {WINNOW_MIN_SHARED} suppresses single-hash"
     f" coincidences). What shuffles is (doc_id, 8-byte fingerprint) rows"
     f" co-partitioned on the fingerprint -- never document text.",
@@ -239,10 +245,17 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stop-gram count and the pair join below each re-explode from cache --
     # the expensive gram hashing runs once
     fp = dedup.winnow_fingerprint_frame(d, "doc_id", "text")
+    cap = d.agg(
+        F.greatest(
+            F.lit(WINNOW_CAP_FLOOR),
+            F.expr(f"count(1) div {WINNOW_CAP_DENOM}"),
+        ).alias("__cap")
+    )
     keep = (
         fp.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("__df"))
-        .filter(F.col("__df") <= WINNOW_MAX_DOC_FREQ)
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("__df") <= F.col("__cap"))
         .select("fingerprint")
     )
     fpk = fp.join(keep, "fingerprint")
