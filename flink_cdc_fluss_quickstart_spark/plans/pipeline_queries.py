@@ -733,3 +733,62 @@ def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hash_bucket") < F.col("rate"))
         .select("doc_id", "lang", "hash_bucket")
     )
+
+
+# --- context-window chunking -------------------------------------------------
+
+CHUNK_TOKENS = 64   # tokens per chunk (the model context window)
+CHUNK_STRIDE = 48   # tokens between chunk starts (< CHUNK_TOKENS => overlap)
+
+
+@register(
+    "context_chunks",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST((start_tok - 1) // {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start_tok AS BIGINT) AS start_tok,
+           CAST(least({CHUNK_TOKENS}, len(w) - start_tok + 1) AS BIGINT) AS chunk_len,
+           md5(array_to_string(
+             list_slice(w, start_tok,
+                        start_tok + least({CHUNK_TOKENS}, len(w) - start_tok + 1) - 1),
+             ' ')) AS chunk_hash
+    FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1, {CHUNK_STRIDE})) AS start_tok
+          FROM tok)
+    """,
+    description=f"Sliding context-window chunking: each document's token"
+    f" stream is cut into {CHUNK_TOKENS}-token chunks every {CHUNK_STRIDE}"
+    f" tokens (overlap = {CHUNK_TOKENS - CHUNK_STRIDE} tokens, the"
+    f" HF-tokenizer `stride` shape used for long-document SFT/eval windows);"
+    f" chunks are emitted as (start, length, content digest) so row width"
+    f" stays bounded. Pure row-local work -- the Generate explodes integer"
+    f" START POSITIONS only and the slice/concat/md5 run in the projection"
+    f" after it (the generator-vs-projection codegen rule); zero shuffles,"
+    f" embarrassingly parallel at any corpus size.",
+)
+def context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = spread(d).select(
+        "doc_id", F.expr(r"split(trim(text), '\\s+')").alias("w")
+    )
+    starts = tok.select(
+        "doc_id",
+        "w",
+        F.explode(F.expr(f"sequence(1, size(w), {CHUNK_STRIDE})")).alias("start_tok"),
+    )
+    chunk_len = F.expr(f"least({CHUNK_TOKENS}, size(w) - start_tok + 1)")
+    return starts.select(
+        "doc_id",
+        F.expr(f"(start_tok - 1) div {CHUNK_STRIDE}").cast("bigint").alias("chunk_idx"),
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        chunk_len.cast("bigint").alias("chunk_len"),
+        F.md5(
+            F.expr(
+                f"array_join(slice(w, start_tok,"
+                f" least({CHUNK_TOKENS}, size(w) - start_tok + 1)), ' ')"
+            )
+        ).alias("chunk_hash"),
+    )

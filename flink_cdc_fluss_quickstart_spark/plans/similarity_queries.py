@@ -510,3 +510,143 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+# --- distributed k-means (self-trained coarse quantizer) ---------------------
+
+KMEANS_K = 8      # clusters; init = the K lowest vec_ids (deterministic)
+KMEANS_ITERS = 2  # Lloyd refinement rounds (fixed, so the oracle can unroll)
+
+# exact fixed-point squared L2 distance between the float corpus vector and a
+# DOUBLE centroid: per-dim floor((x-y)^2 * SCALE) BIGINTs summed -- integer
+# addition is order-independent, so assignment is bit-identical to the oracle
+_KM_D2 = (
+    "aggregate(zip_with(embedding, c.cv, (x, y) ->"
+    " CAST(floor((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) * 1e12) AS BIGINT)),"
+    " CAST(0 AS BIGINT), (a, b) -> a + b)"
+)
+_KM_PICK = (
+    f"array_min(transform(__cents, c -> named_struct("
+    f"'d', {_KM_D2}, 'k', c.cluster)))"
+)
+
+
+def _km_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Row-local nearest-centroid assignment: centroids collapse to ONE row
+    (K x DIM doubles -- metadata-sized at any corpus scale), broadcast, and
+    the argmin folds over that array per corpus row. Zero shuffle; ties break
+    to the lowest cluster id via lexicographic struct ordering."""
+    packed = cents.agg(F.collect_list(F.struct("cluster", "cv")).alias("__cents"))
+    return (
+        emb.crossJoin(F.broadcast(packed))
+        .select("vec_id", "embedding", F.expr(_KM_PICK).alias("__pick"))
+        .select(
+            "vec_id",
+            "embedding",
+            F.col("__pick.k").alias("cluster"),
+            F.col("__pick.d").alias("__d2"),
+        )
+    )
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Centroid recomputation as the same two-level streaming aggregate as
+    embedding_ann_ivf's: level 1 integer-sums floor-scaled components per
+    (cluster, dim) -- partial/final HashAggregate, O(1) state per buffer,
+    map-side combine does the reduction; level 2 reassembles DIM per-dim
+    means into the centroid array (O(DIM) state per cluster)."""
+    per_dim = (
+        assigned.select("cluster", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("cluster", "dim")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * similarity.SCALE).cast("bigint")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        per_dim.groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s", "n"))).alias("ds"))
+        .select(
+            "cluster",
+            F.expr(
+                f"transform(ds, p -> (CAST(p.s AS DOUBLE) / {similarity.SCALE}) / p.n)"
+            ).alias("cv"),
+        )
+    )
+
+
+def _km_oracle() -> str:
+    """Unrolled DuckDB twin of the Lloyd loop (fixed KMEANS_ITERS makes the
+    recursion a static CTE chain), op-for-op: same fixed-point distance, same
+    struct-min tie-break, same per-dim integer sums."""
+    d2 = (
+        "CAST(list_sum(list_transform(embedding, (x, i) ->"
+        " CAST(floor((x::DOUBLE - c.cv[i]) * (x::DOUBLE - c.cv[i]) * 1e12) AS BIGINT)))"
+        " AS BIGINT)"
+    )
+    assign = (
+        "SELECT vec_id, embedding,"
+        f" list_min(list_transform(cs, c -> {{'d': {d2}, 'k': c.cluster}})) AS pick"
+        " FROM embeddings CROSS JOIN"
+        " (SELECT list({'cluster': cluster, 'cv': cv}) AS cs FROM __SRC__)"
+    )
+    update = """
+      SELECT cluster, list(cvx ORDER BY dim) AS cv FROM (
+        SELECT pick.k AS cluster, s.i AS dim,
+               (CAST(SUM(CAST(floor(s.x::DOUBLE * 1e12) AS BIGINT)) AS DOUBLE) / 1e12)
+                 / COUNT(*) AS cvx
+        FROM (SELECT pick,
+                     unnest(list_transform(embedding, (x, i) -> {'i': i, 'x': x})) AS s
+              FROM __SRC__)
+        GROUP BY pick.k, s.i
+      ) GROUP BY cluster
+    """
+    parts = [
+        f"WITH c0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster,"
+        f" list_transform(embedding, x -> x::DOUBLE) AS cv"
+        f" FROM embeddings WHERE vec_id < {KMEANS_K})"
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append(f", a{it} AS ({assign.replace('__SRC__', f'c{it - 1}')})")
+        parts.append(f", c{it} AS ({update.replace('__SRC__', f'a{it}')})")
+    parts.append(
+        f", fin AS ({assign.replace('__SRC__', f'c{KMEANS_ITERS}')})"
+        " SELECT vec_id, pick.k AS cluster,"
+        " CAST(pick.d AS DOUBLE) / 1e12 AS dist_sq FROM fin"
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=_km_oracle(),
+    description=f"Distributed k-means (Lloyd) over the embedding corpus:"
+    f" {KMEANS_ITERS} refinement rounds from a deterministic seed (the"
+    f" {KMEANS_K} lowest vec_ids), emitting each vector's final cluster and"
+    f" exact fixed-point squared distance -- the SELF-TRAINED coarse"
+    f" quantizer that replaces embedding_ann_ivf's label cells when no labels"
+    f" exist. Per round: centroids collapse to one K x DIM row and BROADCAST"
+    f" (assignment is a row-local array fold, zero shuffle -- never an N x K"
+    f" shuffle join), then ONE (cluster, dim)-keyed partial/final aggregate"
+    f" recomputes means with O(1)-state integer buffers. The driver loop runs"
+    f" {KMEANS_ITERS} rounds, never rows; cost at 100 TB is"
+    f" {KMEANS_ITERS + 1} corpus scans + {KMEANS_ITERS} bounded shuffles."
+    f" All arithmetic is floor-scaled BIGINT (order-independent), so the"
+    f" result is bit-identical to the oracle's unrolled CTE chain.",
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("bigint").alias("cluster"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _km_update(_km_assign(emb, cents))
+    final = _km_assign(emb, cents)
+    return final.select(
+        "vec_id",
+        "cluster",
+        (F.col("__d2").cast("double") / similarity.SCALE).alias("dist_sq"),
+    )

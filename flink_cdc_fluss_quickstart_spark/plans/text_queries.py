@@ -545,6 +545,148 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- corpus-statistical quality scoring -------------------------------------
+
+# Head/tail split bound for the vocabulary join: tokens carrying >= 1/HEAD_DENOM
+# of all token mass. At most HEAD_DENOM tokens can clear the bar regardless of
+# corpus size, so the broadcast side is bounded by construction -- the Zipf
+# head ("the", "of", ...) that would otherwise make the tok-keyed join skewed
+# rides a broadcast; the long tail (bounded at < 0.1% of rows per key) takes
+# the ordinary shuffle join.
+LM_HEAD_DENOM = 1000
+
+
+@register(
+    "unigram_lm_surprisal",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dtf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, tok
+    ),
+    vocab AS (
+      SELECT tok, CAST(SUM(tf) AS BIGINT) AS c FROM dtf GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * (length(bin(tot.n)) - length(bin(v.c)))) AS BIGINT)
+             AS surprisal_bits,
+           CAST(SUM(tf * (length(bin(tot.n)) - length(bin(v.c)))) AS DOUBLE)
+             / SUM(tf) AS bits_per_token
+    FROM dtf JOIN vocab v USING (tok) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    description="CCNet-style statistical-LM quality score: a unigram LM is"
+    " fit on the corpus itself (token -> count) and every document scored by"
+    " its total/average token surprisal -- fluent text made of common tokens"
+    " scores low, gibberish and rare-token soup scores high. Surprisal is"
+    " integer-quantized to whole bits (floor(log2 N) - floor(log2 c) via"
+    " length(bin(x)), exact in both engines -- no cross-engine float-log"
+    " drift, same determinism rule as the fixed-point embedding math); the"
+    " one float op is the final per-doc division. Scale shape: doc-side"
+    " term frequencies aggregate BEFORE the vocabulary join, and the join"
+    f" itself is frequency-split -- tokens holding >= 1/{LM_HEAD_DENOM} of"
+    f" total token mass (at most {LM_HEAD_DENOM} rows by construction, the"
+    " Zipf head that would skew a tok-keyed shuffle) broadcast, the tail"
+    " shuffle-joins with per-key skew bounded below 1/"
+    f"{LM_HEAD_DENOM} of corpus mass.",
+)
+def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dtf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = dtf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    tot = vocab.agg(F.sum("c").alias("__n"))
+    vocab = vocab.crossJoin(F.broadcast(tot))
+    head = vocab.filter(F.col("c") * LM_HEAD_DENOM >= F.col("__n"))
+    tail = vocab.filter(F.col("c") * LM_HEAD_DENOM < F.col("__n"))
+    scored = dtf.join(F.broadcast(head), "tok").unionByName(dtf.join(tail, "tok"))
+    bits = F.col("tf") * (F.length(F.bin("__n")) - F.length(F.bin("c")))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(bits).alias("surprisal_bits"),
+            (F.sum(bits).cast("double") / F.sum("tf")).alias("bits_per_token"),
+        )
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dtf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, tok
+    ),
+    docfreq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dtf GROUP BY tok
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, idf_bits, score_bits, rank FROM (
+      SELECT doc_id, tok AS term, tf,
+             CAST(length(bin(nd.n_docs)) - length(bin(d.df)) AS BIGINT) AS idf_bits,
+             CAST(tf * (length(bin(nd.n_docs)) - length(bin(d.df))) AS BIGINT)
+               AS score_bits,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY
+               tf * (length(bin(nd.n_docs)) - length(bin(d.df))) DESC, tok ASC)
+               AS rank
+      FROM dtf JOIN docfreq d USING (tok) CROSS JOIN nd
+    ) WHERE rank <= {TFIDF_TOP_K}
+    """,
+    description=f"TF-IDF keyword extraction: top-{TFIDF_TOP_K} terms per"
+    " document by term-frequency x inverse-document-frequency, the classic"
+    " topic/keyword feature for corpus curation. IDF is integer-quantized"
+    " (floor(log2 n_docs) - floor(log2 df) whole bits, exact in both"
+    " engines) so scores are pure BIGINT arithmetic -- deterministic"
+    " ordering with the term itself as tie-break. Shuffles are keyed on"
+    " (doc_id, tok), tok, then doc_id; the per-doc window ranks at most"
+    " |doc vocabulary| rows per key, and the docfreq join is frequency-split"
+    " like unigram_lm_surprisal's (tokens holding >= 1/"
+    f"{LM_HEAD_DENOM} of all (doc, token) pairs -- at most {LM_HEAD_DENOM}"
+    " rows -- broadcast; the tail shuffle-joins skew-bounded).",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    dtf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = dtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    pairs_tot = docfreq.agg(F.sum("df").alias("__p"))
+    docfreq = docfreq.crossJoin(F.broadcast(pairs_tot))
+    head = docfreq.filter(F.col("df") * LM_HEAD_DENOM >= F.col("__p")).drop("__p")
+    tail = docfreq.filter(F.col("df") * LM_HEAD_DENOM < F.col("__p")).drop("__p")
+    joined = dtf.join(F.broadcast(head), "tok").unionByName(dtf.join(tail, "tok"))
+    nd = d.agg(F.count(F.lit(1)).alias("__n_docs"))
+    idf_bits = F.length(F.bin("__n_docs")) - F.length(F.bin("df"))
+    scored = (
+        joined
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "tf",
+            idf_bits.cast("bigint").alias("idf_bits"),
+            (F.col("tf") * idf_bits).cast("bigint").alias("score_bits"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_bits"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+    )
+
+
 @register(
     "dedup_components",
     oracle=f"""

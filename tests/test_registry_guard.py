@@ -62,6 +62,7 @@ EXPECTED = {
     "training_shuffle_order",
     "temperature_resample_by_lang",
     "domain_mix_report",
+    "context_chunks",
     # text / dedup
     "dedup_exact",
     "doc_fingerprint",
@@ -77,6 +78,8 @@ EXPECTED = {
     "winnow_fingerprints",
     "winnow_overlap_pairs",
     "bpe_token_stats",
+    "unigram_lm_surprisal",
+    "tfidf_top_terms",
     "dedup_components",
     "dedup_keep_representatives",
     "repetition_signals",
@@ -88,6 +91,7 @@ EXPECTED = {
     "embedding_cosine_neardup",
     "embedding_dedup_representatives",
     "embedding_label_centroids",
+    "kmeans_embeddings",
     # TPC-H
     "q1_pricing_summary",
     "q2_min_cost_supplier",
