@@ -50,6 +50,8 @@ HEADLINE = (
     "embedding_cosine_topk",
     "embedding_ann_lsh",
     "embedding_ann_ivf",
+    "kmeans_embeddings",
+    "unigram_lm_surprisal",
     "asof_view_before_purchase",
     "session_windows_per_user",
     "range_join_price_bands",

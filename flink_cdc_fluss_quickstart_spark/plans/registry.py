@@ -76,9 +76,13 @@ PRIORITY: tuple[str, ...] = (
     "q7_nation_trade_flows",
     "q17_below_avg_quantity_revenue",
     # relational operator families (join kinds, set ops, grouping sets)
+    # (left_join_order_coverage / anti_join_customers_without_orders rotate
+    # to the tail: the left-join shape stays proven by q13's repo oracle and
+    # the anti-join stamp carried a 0-row result -- rows+hash match trivially
+    # -- while q22's anti join stays hash-checked in
+    # tests/test_queries_oracle.py; the slots stamp the round-5 flagship
+    # additions kmeans_embeddings + unigram_lm_surprisal, both benched)
     "window_topn_per_group",
-    "left_join_order_coverage",
-    "anti_join_customers_without_orders",
     "semi_join_active_suppliers",
     # (setop_except_large_orders / cube_status_priority_revenue rotate to
     # the tail: setop_multi (UNION+INTERSECT) keeps set ops proven and
@@ -114,6 +118,7 @@ PRIORITY: tuple[str, ...] = (
     # keep the token-stats family proven)
     "dedup_exact",
     "text_quality",
+    "unigram_lm_surprisal",
     "sequence_pack_offsets",
     "pack_efficiency_report",
     "training_shuffle_order",
@@ -130,6 +135,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_ann_ivf",
     "embedding_cosine_neardup",
     "embedding_label_centroids",
+    "kmeans_embeddings",
 )
 
 

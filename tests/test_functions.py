@@ -8,6 +8,8 @@ import pyspark.sql.functions as F
 
 from flink_cdc_fluss_quickstart_spark.functions import dedup, similarity, text
 
+from tests.conftest import SF_MEDIUM
+
 
 def test_token_and_stopword_counts(spark):
     df = spark.createDataFrame([("the cat AND the dog",)], "text string")
@@ -230,3 +232,41 @@ def test_winnowing_guarantee_and_brute_force_match(spark):
     fp2 = {f for d, f in got if d == 2}
     assert fp0 & fp1, "docs sharing a long substring must share a fingerprint"
     assert not (fp0 & fp2) and not (fp1 & fp2)
+
+
+def test_kmeans_lloyd_monotone_improvement(spark):
+    """Lloyd's invariant: mean squared distance to the assigned centroid must
+    be non-increasing across refinement rounds (each assign picks the nearest
+    centroid; each update re-centers), and every vector must land in one of
+    the initial K cluster ids."""
+    import pyspark.sql.functions as F
+
+    from flink_cdc_fluss_quickstart_spark.plans.similarity_queries import (
+        KMEANS_K,
+        _km_assign,
+        _km_update,
+    )
+    from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+    emb = load_table(spark, SF_MEDIUM, "embeddings")
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("bigint").alias("cluster"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
+    )
+    costs = []
+    for _ in range(3):
+        assigned = _km_assign(emb, cents)
+        stats = assigned.agg(
+            F.sum("__d2").alias("cost"),
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("cluster").alias("k"),
+            F.min("cluster").alias("kmin"),
+            F.max("cluster").alias("kmax"),
+        ).collect()[0]
+        assert stats.n == emb.count()
+        assert 1 <= stats.k <= KMEANS_K
+        assert 0 <= stats.kmin and stats.kmax < KMEANS_K
+        costs.append(stats.cost)
+        cents = _km_update(assigned)
+    assert costs[0] >= costs[1] >= costs[2]
+    assert costs[2] < costs[0], "two Lloyd rounds must actually improve the fit"

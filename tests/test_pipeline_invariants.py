@@ -58,3 +58,51 @@ def test_pack_efficiency_report_invariants(spark):
     assert rep.total_tokens == agg.total_tokens == agg.end
     # avg_docs_per_pack >= 1 whenever there is at least one doc per pack slot
     assert rep.avg_docs_per_pack * rep.n_packs >= rep.n_docs
+
+
+def test_context_chunks_cover_every_token_exactly(spark):
+    """Chunk coverage invariants: chunk starts step by CHUNK_STRIDE from 1,
+    every token index [1, n] falls in >= 1 chunk, lengths are clamped to the
+    window, and consecutive chunks overlap by CHUNK_TOKENS - CHUNK_STRIDE
+    except the tail."""
+    from flink_cdc_fluss_quickstart_spark.plans.pipeline_queries import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+    )
+
+    chunks = all_specs()["context_chunks"].builder(spark, SF)
+    toks = all_specs()["token_count"].builder(spark, SF)
+    per_doc = (
+        chunks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.min("start_tok").alias("first_start"),
+            F.max(F.col("start_tok") + F.col("chunk_len") - 1).alias("covered_to"),
+            F.max("chunk_len").alias("max_len"),
+            F.min("chunk_len").alias("min_len"),
+        )
+        .join(toks.select("doc_id", "n_tokens"), "doc_id")
+        .collect()
+    )
+    assert per_doc
+    for r in per_doc:
+        assert r.first_start == 1
+        assert r.covered_to == r.n_tokens  # last chunk reaches the last token
+        assert 1 <= r.min_len and r.max_len <= CHUNK_TOKENS
+        # start positions 1, 1+S, ... while start <= n  =>  ceil(n / S) chunks
+        assert r.n_chunks == -(-r.n_tokens // CHUNK_STRIDE)
+
+
+def test_unigram_lm_surprisal_orders_rarity(spark):
+    """A document of corpus-common tokens must score fewer bits/token than
+    the corpus-wide max; totals must reconcile with token counts."""
+    df = all_specs()["unigram_lm_surprisal"].builder(spark, SF)
+    toks = all_specs()["token_count"].builder(spark, SF)
+    joined = df.join(toks.select("doc_id", F.col("n_tokens").alias("tc")), "doc_id")
+    bad = joined.filter(
+        (F.col("n_tokens") != F.col("tc"))
+        | (F.col("surprisal_bits") < 0)
+        | (F.abs(F.col("bits_per_token") * F.col("n_tokens") - F.col("surprisal_bits")) > 1e-6)
+    ).count()
+    assert bad == 0
+    lo, hi = df.agg(F.min("bits_per_token"), F.max("bits_per_token")).collect()[0]
+    assert 0 <= lo < hi  # the score actually discriminates documents
