@@ -7,6 +7,7 @@ real pipeline ships:
 
     1. domain_mix_report          -- what's in the raw corpus
     2. quality_filter_route       -- keep/drop/review routing
+    2b. unigram_lm_surprisal      -- corpus-statistical LM cut (worst 5%)
     3. dedup_keep_representatives -- one doc per near-dup cluster
     4. dataset_split_assign       -- stable train/val/test membership
     5. decontamination_ngrams     -- flag test-set overlap
@@ -46,11 +47,22 @@ def main() -> None:
     print("== 1. raw corpus composition")
     q["domain_mix_report"].builder(spark, sf_dir).orderBy(F.desc("n_docs")).show(5)
 
-    print("== 2-3. quality routing + near-dup representatives")
+    print("== 2-3. quality routing + LM-surprisal cut + near-dup representatives")
     routes = q["quality_filter_route"].builder(spark, sf_dir)
     kept_route = routes.filter(F.col("route").startswith("keep:")).select("doc_id")
+    # corpus-statistical quality: drop the 5% highest-surprisal documents
+    # (gibberish / rare-token soup under the corpus-fit unigram LM); the
+    # threshold is a data-dependent scalar, broadcast like the temperature
+    # resampling rates
+    lm = q["unigram_lm_surprisal"].builder(spark, sf_dir)
+    cut = lm.agg(F.expr("percentile(bits_per_token, 0.95D)").alias("__cut"))
+    fluent = (
+        lm.crossJoin(F.broadcast(cut))
+        .filter(F.col("bits_per_token") <= F.col("__cut"))
+        .select("doc_id")
+    )
     reps = q["dedup_keep_representatives"].builder(spark, sf_dir).select("doc_id")
-    clean = kept_route.join(reps, "doc_id")
+    clean = kept_route.join(fluent, "doc_id").join(reps, "doc_id")
 
     print("== 4-5. split assignment + decontamination flags")
     splits = q["dataset_split_assign"].builder(spark, sf_dir).select("doc_id", "split")
@@ -78,9 +90,9 @@ def main() -> None:
                 "start_offset", "first_pack", "text")
     )
     shards.write.mode("overwrite").partitionBy("split").parquet(out_dir)
-    # the near-dup representatives step (step 3) persisted its LSH profile
-    # frames; the write above materialized everything, so release them
-    # (cache hygiene for long-lived sessions -- see functions/dedup.py)
+    # steps 2b/3 persisted tracked frames (the LM's doc-term-frequency frame,
+    # the LSH profiles); the write above materialized everything, so release
+    # them (cache hygiene for long-lived sessions -- see functions/dedup.py)
     dedup.release_caches()
 
     out = spark.read.parquet(out_dir)

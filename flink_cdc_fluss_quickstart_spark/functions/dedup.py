@@ -61,6 +61,14 @@ def _track(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_cache(df: DataFrame) -> DataFrame:
+    """Public seam for OTHER operator families (e.g. the corpus-statistics
+    text queries) that persist a shared intermediate frame: registers it in
+    the same capped, release_caches()-managed list as the dedup profiles so
+    one hygiene call covers every library-persisted frame."""
+    return _track(df)
+
+
 def release_caches() -> None:
     """Unpersist every profile/band frame persisted by earlier dedup calls.
 

@@ -650,3 +650,88 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster",
         (F.col("__d2").cast("double") / similarity.SCALE).alias("dist_sq"),
     )
+
+
+# --- int8 scalar quantization ------------------------------------------------
+
+QUANT_LEVELS = 255  # uint8 code range [0, 255]
+
+
+@register(
+    "embedding_int8_quantize",
+    oracle=f"""
+    WITH stats AS (
+      SELECT s.i AS dim,
+             MIN(s.x::DOUBLE) AS mn,
+             MAX(s.x::DOUBLE) AS mx
+      FROM (SELECT unnest(list_transform(embedding, (x, i) -> {{'i': i, 'x': x}})) AS s
+            FROM embeddings)
+      GROUP BY s.i
+    ),
+    rng AS (SELECT list({{'dim': dim, 'mn': mn, 'mx': mx}} ORDER BY dim) AS st FROM stats)
+    SELECT vec_id,
+           array_to_string(
+             list_transform(embedding, (x, i) -> CAST(least({QUANT_LEVELS}, greatest(0,
+               CAST(floor(((x::DOUBLE - st[i].mn)
+                 / (CASE WHEN st[i].mx = st[i].mn THEN 1.0 ELSE st[i].mx - st[i].mn END))
+                 * {QUANT_LEVELS}.0) AS BIGINT))) AS INTEGER)),
+             '-') AS codes,
+           list_max(list_transform(embedding, (x, i) -> abs(x::DOUBLE -
+             (st[i].mn + (CAST(least({QUANT_LEVELS}, greatest(0,
+               CAST(floor(((x::DOUBLE - st[i].mn)
+                 / (CASE WHEN st[i].mx = st[i].mn THEN 1.0 ELSE st[i].mx - st[i].mn END))
+                 * {QUANT_LEVELS}.0) AS BIGINT))) AS DOUBLE) / {QUANT_LEVELS}.0)
+               * (st[i].mx - st[i].mn))))) AS max_abs_err
+    FROM embeddings CROSS JOIN rng
+    """,
+    description=f"Int8 scalar quantization of the embedding store (the 4x"
+    f" compression step a 100 TB vector corpus takes before ANN serving):"
+    f" per-dimension corpus min/max -> uint8 code"
+    f" floor((x-mn)/(mx-mn)*{QUANT_LEVELS}), emitted as a dash-joined code"
+    f" string plus the exact per-vector max reconstruction error."
+    f" Determinism without fixed-point tricks: min/max SELECT exact float"
+    f" values (order-independent), and every downstream op is a single"
+    f" explicitly-parenthesized IEEE double op on identical inputs, so both"
+    f" engines produce bit-identical codes. Scale shape: ONE"
+    f" (dim)-keyed partial/final aggregate (O(1) state, {'{:,}'.format(64)}"
+    f" final rows), ranges broadcast back as one metadata row, quantization"
+    f" itself row-local -- a single bounded shuffle regardless of corpus"
+    f" size; constant dimensions quantize to code 0 via the guarded range.",
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    stats = (
+        emb.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy((F.col("pos") + 1).alias("dim"))
+        .agg(
+            F.min(F.col("x").cast("double")).alias("mn"),
+            F.max(F.col("x").cast("double")).alias("mx"),
+        )
+    )
+    rng = stats.agg(F.array_sort(F.collect_list(F.struct("dim", "mn", "mx"))).alias("st"))
+    code = (
+        f"CAST(least({QUANT_LEVELS}, greatest(0,"
+        f" CAST(floor(((CAST(x AS DOUBLE) - st[i - 1].mn)"
+        f" / (CASE WHEN st[i - 1].mx = st[i - 1].mn THEN 1.0D"
+        f" ELSE st[i - 1].mx - st[i - 1].mn END))"
+        f" * {QUANT_LEVELS}.0D) AS BIGINT))) AS INT)"
+    )
+    err = (
+        f"abs(CAST(x AS DOUBLE) - (st[i - 1].mn"
+        f" + (CAST({code} AS DOUBLE) / {QUANT_LEVELS}.0D)"
+        f" * (st[i - 1].mx - st[i - 1].mn)))"
+    )
+    return (
+        emb.crossJoin(F.broadcast(rng))
+        .select(
+            "vec_id",
+            F.expr(
+                "array_join(zip_with(embedding, sequence(1, size(embedding)),"
+                f" (x, i) -> CAST({code} AS STRING)), '-')"
+            ).alias("codes"),
+            F.expr(
+                "array_max(zip_with(embedding, sequence(1, size(embedding)),"
+                f" (x, i) -> {err}))"
+            ).alias("max_abs_err"),
+        )
+    )

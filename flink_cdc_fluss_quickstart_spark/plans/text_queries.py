@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_cdc_fluss_quickstart_spark.functions import dedup, text
 from flink_cdc_fluss_quickstart_spark.plans.registry import register
-from flink_cdc_fluss_quickstart_spark.tables import load_table
+from flink_cdc_fluss_quickstart_spark.tables import load_table, spread
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
@@ -194,6 +194,7 @@ _WINNOW_FPS = f"""
 WINNOW_CAP_FLOOR = 5
 WINNOW_CAP_DENOM = 100  # cap = greatest(floor, n_docs // denom)
 WINNOW_MIN_SHARED = 5  # pairs must share at least this many fingerprints
+WINNOW_DOCS_PER_PART = 200  # pair-join partition sizing: docs per task
 
 
 @register(
@@ -240,6 +241,8 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     f" co-partitioned on the fingerprint -- never document text.",
 )
 def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
     d = load_table(spark, sf_dir, "documents")
     # winnow_fingerprint_frame persists its array frame (tracked), so the
     # stop-gram count and the pair join below each re-explode from cache --
@@ -258,7 +261,30 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("__df") <= F.col("__cap"))
         .select("fingerprint")
     )
-    fpk = fp.join(keep, "fingerprint")
+    # the keep list is CORPUS-sized (one row per surviving distinct
+    # fingerprint), so it must never ride a broadcast: at a 50k-doc corpus
+    # its runtime size slipped under the AQE broadcast threshold and the
+    # driver-side build OOM'd the heap. The merge hint pins a sort-merge
+    # join co-partitioned on the fingerprint -- the same partitioning the
+    # band self-join below consumes. (A window-count filter was tried
+    # instead and is WORSE: WindowExec buffers whole partitions per task,
+    # where this groupBy aggregates with O(1) state per key.)
+    fpk = fp.join(keep.hint("merge"), "fingerprint")
+    # the pair self-join EXPLODES: each fingerprint of doc-frequency df
+    # emits df^2 rows, so per-task volume is input-partition bytes x df --
+    # invisible to AQE's skew split, which reads INPUT partition sizes.
+    # Size the join's partitioning from the corpus so per-task pair volume
+    # stays bounded as the corpus (and with it the derived stop-gram cap)
+    # grows: ~WINNOW_DOCS_PER_PART docs' worth of fingerprints per task.
+    # The doc count is one metadata scalar (same license as the CC
+    # convergence sum); AQE coalesces the extra partitions away at small
+    # corpora, so the floor keeps test-scale plans unchanged.
+    n_docs = d.count()
+    parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        n_docs // WINNOW_DOCS_PER_PART,
+    )
+    fpk = fpk.repartition(parts, "fingerprint")
     a = fpk.select(F.col("fingerprint"), F.col("doc_id").alias("id_a"))
     b = fpk.select(F.col("fingerprint"), F.col("doc_id").alias("id_b"))
     return (
@@ -556,6 +582,23 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_HEAD_DENOM = 1000
 
 
+def _cached(df: DataFrame) -> DataFrame:
+    """Tracked MEMORY_AND_DISK persist, released via dedup.release_caches()."""
+    from pyspark import StorageLevel
+
+    return dedup.track_cache(df.persist(StorageLevel.MEMORY_AND_DISK))
+
+
+def _doc_tf(d: DataFrame) -> DataFrame:
+    """Shared (doc_id, tok) -> tf frame, PERSISTED: it feeds both branches of
+    the frequency-split join AND the per-token rollup (vocab / docfreq) --
+    without the persist each consumer re-scans and re-explodes the corpus
+    (the plan audit showed 6 scans for unigram_lm_surprisal), the same
+    finding as the winnowing array frame. Corpus-sized, spills to disk."""
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return _cached(toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+
+
 @register(
     "unigram_lm_surprisal",
     oracle="""
@@ -596,9 +639,10 @@ LM_HEAD_DENOM = 1000
 )
 def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    dtf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    vocab = dtf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    dtf = _doc_tf(spread(d))
+    # vocab feeds the head/tail split plus the total-mass scalar: persisted
+    # too (|vocabulary|-sized, far smaller than dtf)
+    vocab = _cached(dtf.groupBy("tok").agg(F.sum("tf").alias("c")))
     tot = vocab.agg(F.sum("c").alias("__n"))
     vocab = vocab.crossJoin(F.broadcast(tot))
     head = vocab.filter(F.col("c") * LM_HEAD_DENOM >= F.col("__n"))
@@ -659,9 +703,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
-    dtf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
-    docfreq = dtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    dtf = _doc_tf(spread(d))
+    docfreq = _cached(dtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
     pairs_tot = docfreq.agg(F.sum("df").alias("__p"))
     docfreq = docfreq.crossJoin(F.broadcast(pairs_tot))
     head = docfreq.filter(F.col("df") * LM_HEAD_DENOM >= F.col("__p")).drop("__p")

@@ -35,6 +35,26 @@ _BASE_CONF: dict[str, str] = {
     # the events table is written with TIMESTAMP(NANOS) parquet type, which
     # Spark only reads as raw long; tables.py converts back to timestamp
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # local-mode heap: in local[N] the ONE driver JVM is also every
+    # executor, and PySpark's default 1g heap OOMs the spill machinery
+    # under 32-way sort-merge fan-out (winnowing pair join at a 50k-doc
+    # corpus). Sized 4g, env-overridable; cluster deployments override via
+    # spark-submit conf (takes effect at JVM launch, exactly when
+    # get_spark runs).
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+    # ...but a bigger heap alone made banded self-joins 3.5-8x SLOWER under
+    # the default G1 collector: with more execution memory the shuffle
+    # sorters grow their pointer arrays to ~256 MB single allocations, which
+    # G1 treats as humongous objects and stalls on ("GCLocker too often"
+    # warnings; ZGC chokes the same way, and ParallelGC fixes batch but
+    # doubles streaming micro-batch p95 with its stop-the-world pauses).
+    # Capping sorter growth at the SOURCE keeps every allocation
+    # region-friendly: batch self-joins return to their best times
+    # (simhash 50k-doc corpus: 17s -> 3.6s) AND G1's low pauses keep the
+    # streaming envelope at p95 ~0.57s. 4M records/sorter = 32 MB pointer
+    # arrays; spills beyond that are compact sorted runs, which is the
+    # behavior the small default heap enforced by accident.
+    "spark.shuffle.spill.numElementsForceSpillThreshold": "4000000",
     # FAIR scheduling so streaming micro-batches are not queued behind
     # long-running batch stages when both share one session (the reference
     # runs streaming jobs on dedicated slots; pools are Spark's analogue).

@@ -24,6 +24,10 @@ DEDUP_QUERIES = (
     "simhash_neardup_pairs",
     "winnow_fingerprints",
     "winnow_overlap_pairs",
+    # corpus-statistics queries persist through the same tracker
+    # (dedup.track_cache): the shared doc-term-frequency frame + its rollup
+    "unigram_lm_surprisal",
+    "tfidf_top_terms",
 )
 
 

@@ -92,6 +92,7 @@ EXPECTED = {
     "embedding_dedup_representatives",
     "embedding_label_centroids",
     "kmeans_embeddings",
+    "embedding_int8_quantize",
     # TPC-H
     "q1_pricing_summary",
     "q2_min_cost_supplier",
