@@ -792,3 +792,98 @@ def context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_hash"),
     )
+
+
+# --- length-bucketed batch assembly ------------------------------------------
+
+BATCH_DOCS = 32       # documents per training batch within a length bucket
+BATCH_SUBBUCKETS = 256  # hash-prefix sub-buckets for the two-level rank
+
+
+@register(
+    "length_bucket_batches",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             md5(CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tokens, hx,
+             CAST(length(bin(greatest(n_tokens, 1))) AS BIGINT) AS bucket,
+             CAST(instr('0123456789abcdef', substr(hx, 1, 1)) - 1 AS BIGINT) * 16
+               + CAST(instr('0123456789abcdef', substr(hx, 2, 1)) - 1 AS BIGINT) AS sub
+      FROM tok
+    ),
+    pos AS (
+      SELECT doc_id, n_tokens, bucket, sub,
+             CAST(ROW_NUMBER() OVER (PARTITION BY bucket, sub
+                                     ORDER BY hx, doc_id) - 1 AS BIGINT) AS sub_pos
+      FROM b
+    ),
+    bases AS (
+      SELECT bucket, sub,
+             CAST(COALESCE(SUM(cnt) OVER (PARTITION BY bucket ORDER BY sub
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+      FROM (SELECT bucket, sub, COUNT(*) AS cnt FROM b GROUP BY bucket, sub)
+    )
+    SELECT p.doc_id, p.n_tokens, p.bucket,
+           p.sub_pos + s.base AS bucket_pos,
+           (p.sub_pos + s.base) // {BATCH_DOCS} AS batch_idx,
+           (p.sub_pos + s.base) % {BATCH_DOCS} AS pos_in_batch
+    FROM pos p JOIN bases s ON p.bucket = s.bucket AND p.sub = s.sub
+    """,
+    description=f"Length-bucketed batch assembly (the GPU batch-efficiency"
+    f" step: batching similar-length docs minimizes padding waste):"
+    f" power-of-2 length buckets (floor(log2 n_tokens) via length(bin(x)),"
+    f" exact in both engines), a deterministic pseudo-random order inside"
+    f" each bucket (rank of md5(doc_id) -- reproducible epochs, the same"
+    f" property as training_shuffle_order), and {BATCH_DOCS}-doc batch"
+    f" ids. Distributed shape: rank WITHIN (bucket, {BATCH_SUBBUCKETS}"
+    f" hash-prefix sub-buckets) in parallel windows, then per-bucket base"
+    f" offsets from a {BATCH_SUBBUCKETS}-row-per-bucket prefix sum"
+    f" (metadata-sized) -- the same two-level pattern as sequence packing;"
+    f" no bucket-wide window ever ranks the full corpus through one"
+    f" partition.",
+)
+def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("hx"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "hx",
+        F.length(F.bin(F.greatest(F.col("n_tokens"), F.lit(1)))).cast("bigint").alias("bucket"),
+        F.conv(F.substring("hx", 1, 2), 16, 10).cast("bigint").alias("sub"),
+    )
+    w = Window.partitionBy("bucket", "sub").orderBy("hx", "doc_id")
+    pos = b.withColumn("sub_pos", (F.row_number().over(w) - 1).cast("bigint"))
+    wb = (
+        Window.partitionBy("bucket").orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        b.groupBy("bucket", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "bucket",
+            "sub",
+            F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("bigint").alias("base"),
+        )
+    )
+    out = pos.join(F.broadcast(bases), ["bucket", "sub"])
+    bucket_pos = F.col("sub_pos") + F.col("base")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "bucket",
+        bucket_pos.alias("bucket_pos"),
+        F.expr(f"(sub_pos + base) div {BATCH_DOCS}").alias("batch_idx"),
+        (bucket_pos % BATCH_DOCS).alias("pos_in_batch"),
+    )

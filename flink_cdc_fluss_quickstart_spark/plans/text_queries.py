@@ -906,3 +906,89 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("tdupc").cast("double") / F.col("tn").cast("double")).alias("dup_trigram_frac"),
         )
     )
+
+
+@register(
+    "bigram_lm_surprisal",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    dbf AS (
+      SELECT doc_id, prev, cur, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id,
+                   unnest(list_transform(range(1, len(l)), i -> l[i::int])) AS prev,
+                   unnest(list_transform(range(1, len(l)), i -> l[(i+1)::int])) AS cur
+            FROM docs)
+      GROUP BY doc_id, prev, cur
+    ),
+    vocab AS (
+      SELECT prev, cur, CAST(SUM(tf) AS BIGINT) AS c FROM dbf GROUP BY prev, cur
+    ),
+    scored_vocab AS (
+      SELECT v.prev, v.cur,
+             CAST(length(bin(p.cp)) - length(bin(v.c)) AS BIGINT) AS bits
+      FROM vocab v JOIN (SELECT prev, CAST(SUM(c) AS BIGINT) AS cp
+                         FROM vocab GROUP BY prev) p USING (prev)
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(tf * bits) AS BIGINT) AS bigram_bits,
+           CAST(SUM(tf * bits) AS DOUBLE) / SUM(tf) AS bits_per_bigram
+    FROM dbf JOIN scored_vocab USING (prev, cur)
+    GROUP BY doc_id
+    """,
+    description="Bigram-LM quality score (the KenLM-shaped ladder rung above"
+    " unigram_lm_surprisal): each document's average CONDITIONAL surprisal"
+    " -log2 P(w_i | w_{i-1}) under a bigram model fit on the corpus itself --"
+    " catches word-salad that unigram stats miss (common words in impossible"
+    " orders score high). Same integer-bit quantization (length(bin(x)),"
+    " exact both engines; the one float op is the final division)."
+    " Scale shape: surprisal is computed once per DISTINCT bigram in"
+    " vocab space (bits(c_prev) - bits(c_bigram)) -- the corpus-sized"
+    " doc-frequency frame joins the scored vocabulary frequency-split like"
+    " the unigram path (the <= LM_HEAD_DENOM bigrams holding >= 1/"
+    f"{LM_HEAD_DENOM} of bigram mass broadcast; the tail shuffle-joins"
+    " skew-bounded), and the doc-term frame is a tracked persist feeding"
+    " both the vocab rollup and the join.",
+)
+def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    docs = d.select("doc_id", F.split("text", " ").alias("l")).filter(F.size("l") >= 2)
+    # positions explode; the bigram concat stays in the codegen'd projection
+    pairs = docs.select(
+        "doc_id",
+        "l",
+        F.explode(F.expr("sequence(1, size(l) - 1)")).alias("__i"),
+    ).select(
+        "doc_id",
+        F.expr("element_at(l, __i)").alias("prev"),
+        F.expr("element_at(l, __i + 1)").alias("cur"),
+    )
+    dbf = _cached(pairs.groupBy("doc_id", "prev", "cur").agg(F.count(F.lit(1)).alias("tf")))
+    vocab = _cached(dbf.groupBy("prev", "cur").agg(F.sum("tf").alias("c")))
+    prev_tot = vocab.groupBy("prev").agg(F.sum("c").alias("cp"))
+    scored_vocab = vocab.join(prev_tot, "prev").select(
+        "prev",
+        "cur",
+        "c",
+        (F.length(F.bin("cp")) - F.length(F.bin("c"))).cast("bigint").alias("bits"),
+    )
+    mass = scored_vocab.agg(F.sum("c").alias("__m"))
+    scored_vocab = scored_vocab.crossJoin(F.broadcast(mass))
+    head = scored_vocab.filter(F.col("c") * LM_HEAD_DENOM >= F.col("__m")).select("prev", "cur", "bits")
+    tail = scored_vocab.filter(F.col("c") * LM_HEAD_DENOM < F.col("__m")).select("prev", "cur", "bits")
+    joined = dbf.join(F.broadcast(head), ["prev", "cur"]).unionByName(
+        dbf.join(tail, ["prev", "cur"])
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf") * F.col("bits")).alias("bigram_bits"),
+            (
+                F.sum(F.col("tf") * F.col("bits")).cast("double") / F.sum("tf")
+            ).alias("bits_per_bigram"),
+        )
+    )

@@ -27,6 +27,7 @@ DEDUP_QUERIES = (
     # corpus-statistics queries persist through the same tracker
     # (dedup.track_cache): the shared doc-term-frequency frame + its rollup
     "unigram_lm_surprisal",
+    "bigram_lm_surprisal",
     "tfidf_top_terms",
 )
 

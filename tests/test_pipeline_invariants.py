@@ -106,3 +106,37 @@ def test_unigram_lm_surprisal_orders_rarity(spark):
     assert bad == 0
     lo, hi = df.agg(F.min("bits_per_token"), F.max("bits_per_token")).collect()[0]
     assert 0 <= lo < hi  # the score actually discriminates documents
+
+
+def test_length_bucket_batches_structure(spark):
+    """Batch assembly invariants: bucket_pos is a bijection onto [0, n) per
+    bucket, every batch holds exactly BATCH_DOCS docs except possibly the
+    bucket's last, pos_in_batch matches bucket_pos arithmetic, and the
+    assignment is deterministic across runs."""
+    from flink_cdc_fluss_quickstart_spark.plans.pipeline_queries import BATCH_DOCS
+
+    spec = all_specs()["length_bucket_batches"]
+    df = spec.builder(spark, SF)
+    per_bucket = (
+        df.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct("bucket_pos").alias("nd"),
+            F.min("bucket_pos").alias("lo"),
+            F.max("bucket_pos").alias("hi"),
+        )
+    ).collect()
+    assert per_bucket
+    for r in per_bucket:
+        assert r.nd == r.n and r.lo == 0 and r.hi == r.n - 1
+    bad_batch = (
+        df.groupBy("bucket", "batch_idx").agg(
+            F.count(F.lit(1)).alias("sz"), F.max("batch_idx").alias("bi")
+        )
+        .join(df.groupBy("bucket").agg(F.max("batch_idx").alias("last")), "bucket")
+        .filter((F.col("sz") != BATCH_DOCS) & (F.col("batch_idx") != F.col("last")))
+        .count()
+    )
+    assert bad_batch == 0
+    a = {r.doc_id: (r.bucket, r.batch_idx, r.pos_in_batch) for r in df.collect()}
+    b = {r.doc_id: (r.bucket, r.batch_idx, r.pos_in_batch) for r in spec.builder(spark, SF).collect()}
+    assert a == b

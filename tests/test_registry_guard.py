@@ -63,6 +63,7 @@ EXPECTED = {
     "temperature_resample_by_lang",
     "domain_mix_report",
     "context_chunks",
+    "length_bucket_batches",
     # text / dedup
     "dedup_exact",
     "doc_fingerprint",
@@ -79,6 +80,7 @@ EXPECTED = {
     "winnow_overlap_pairs",
     "bpe_token_stats",
     "unigram_lm_surprisal",
+    "bigram_lm_surprisal",
     "tfidf_top_terms",
     "dedup_components",
     "dedup_keep_representatives",
