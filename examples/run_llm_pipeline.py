@@ -15,6 +15,7 @@ real pipeline ships:
     7. write train shards partitioned by split
     8. pack_efficiency_report     -- padding waste / utilization go-no-go
     9. training_shuffle_order     -- stable pseudo-random load order
+    10. length_bucket_batches     -- GPU batch assembly by length bucket
 
 Every step is a registered query (same code the correctness gate verifies);
 this script is the composition glue, joining on doc_id -- all equi joins on
@@ -110,6 +111,13 @@ def main() -> None:
     print("== 9. training shuffle order (first 5 positions)")
     shuffle = q["training_shuffle_order"].builder(spark, sf_dir)
     shuffle.orderBy("global_pos").limit(5).show()
+
+    print("== 10. length-bucketed batch assembly (batches per bucket)")
+    batches = q["length_bucket_batches"].builder(spark, sf_dir)
+    batches.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.max("batch_idx") + 1).alias("n_batches"),
+    ).orderBy("bucket").show()
 
 
 if __name__ == "__main__":
