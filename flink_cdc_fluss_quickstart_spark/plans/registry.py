@@ -93,9 +93,12 @@ PRIORITY: tuple[str, ...] = (
     "distinct_agg_parts_per_priority",
     "asof_view_before_purchase",
     "range_join_price_bands",
-    # multimodal plumbing
+    # multimodal plumbing (multimodal_frame_sample rotates to the tail:
+    # feature_extract + quality_gate + resize keep the Arrow mapInPandas
+    # family proven with three stamps; the slot stamps the round-5
+    # winnowing flagship, and frame_sample stays hash-checked in
+    # tests/test_queries_oracle.py)
     "multimodal_feature_extract",
-    "multimodal_frame_sample",
     "multimodal_quality_gate",
     "multimodal_resize",
     # training-data pipeline routing/sampling (pii_redact is a bench
@@ -126,6 +129,7 @@ PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_neardup",
     "ngram_containment_pairs",
     "simhash_neardup_pairs",
+    "winnow_overlap_pairs",
     "dedup_components",
     "repetition_signals",
     # embedding similarity (embedding_ann_multiprobe rotates to the tail:

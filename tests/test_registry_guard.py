@@ -156,7 +156,6 @@ def test_priority_names_exist_and_lead_the_ordering():
         "range_join_price_bands",
         "approx_distinct_users_daily",
         "multimodal_feature_extract",
-        "multimodal_frame_sample",
         "multimodal_quality_gate",
         "dataset_split_assign",
         "token_stats_by_lang",
