@@ -887,3 +887,84 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(sub_pos + base) div {BATCH_DOCS}").alias("batch_idx"),
         (bucket_pos % BATCH_DOCS).alias("pos_in_batch"),
     )
+
+
+# --- fixed-count per-stratum sampling ----------------------------------------
+
+SAMPLE_PER_STRATUM = 50  # docs kept per source (the eval-set builder)
+
+
+@register(
+    "fixed_count_sample_by_source",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, source, lang, md5(CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, source, lang, hx,
+             CAST(instr('0123456789abcdef', substr(hx, 1, 1)) - 1 AS BIGINT) * 16
+               + CAST(instr('0123456789abcdef', substr(hx, 2, 1)) - 1 AS BIGINT) AS sub
+      FROM h
+    ),
+    pos AS (
+      SELECT doc_id, source, lang, hx, sub,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source, sub
+                                     ORDER BY hx, doc_id) - 1 AS BIGINT) AS sub_pos
+      FROM b
+    ),
+    bases AS (
+      SELECT source, sub,
+             CAST(COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY sub
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+      FROM (SELECT source, sub, COUNT(*) AS cnt FROM b GROUP BY source, sub)
+    )
+    SELECT p.doc_id, p.source, p.lang,
+           p.sub_pos + s.base AS sample_rank
+    FROM pos p JOIN bases s ON p.source = s.source AND p.sub = s.sub
+    WHERE p.sub_pos + s.base < {SAMPLE_PER_STRATUM}
+    """,
+    description=f"Fixed-COUNT stratified sampling: exactly"
+    f" {SAMPLE_PER_STRATUM} documents per source (fewer only if the stratum"
+    f" is smaller), selected as the lowest md5(doc_id) ranks -- the eval-set/"
+    f" holdout builder that rate-based sampling (stratified_sample_by_lang)"
+    f" cannot express, deterministic across runs and engines with no"
+    f" random(). Distributed shape: the same two-level rank as the training"
+    f" shuffle and batch assembly -- parallel windows within (source, 256"
+    f" hash-prefix sub-buckets), per-source base offsets from a"
+    f" metadata-sized prefix sum -- so no stratum ever ranks through one"
+    f" partition, however large the corpus. (The rank also never needs more"
+    f" than the winning sub-bucket prefixes: a future refinement could"
+    f" pre-prune sub-buckets whose base already exceeds the quota.)",
+)
+def fixed_count_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.md5(F.col("doc_id").cast("string")).alias("hx"),
+    ).withColumn("sub", F.conv(F.substring("hx", 1, 2), 16, 10).cast("bigint"))
+    w = Window.partitionBy("source", "sub").orderBy("hx", "doc_id")
+    pos = b.withColumn("sub_pos", (F.row_number().over(w) - 1).cast("bigint"))
+    wb = (
+        Window.partitionBy("source").orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bases = (
+        b.groupBy("source", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "source",
+            "sub",
+            F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("bigint").alias("base"),
+        )
+    )
+    rank = F.col("sub_pos") + F.col("base")
+    return (
+        pos.join(F.broadcast(bases), ["source", "sub"])
+        .filter(rank < SAMPLE_PER_STRATUM)
+        .select("doc_id", "source", "lang", rank.alias("sample_rank"))
+    )

@@ -140,3 +140,36 @@ def test_length_bucket_batches_structure(spark):
     a = {r.doc_id: (r.bucket, r.batch_idx, r.pos_in_batch) for r in df.collect()}
     b = {r.doc_id: (r.bucket, r.batch_idx, r.pos_in_batch) for r in spec.builder(spark, SF).collect()}
     assert a == b
+
+
+def test_fixed_count_sample_exact_quota(spark):
+    """Exactly SAMPLE_PER_STRATUM docs per source (fewer only when the
+    stratum is smaller), ranks are a bijection onto [0, kept), and the
+    selection is stable across runs."""
+    from flink_cdc_fluss_quickstart_spark.plans.pipeline_queries import (
+        SAMPLE_PER_STRATUM,
+    )
+    from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+    spec = all_specs()["fixed_count_sample_by_source"]
+    df = spec.builder(spark, SF)
+    sizes = {
+        r.source: r.n
+        for r in load_table(spark, SF, "documents").groupBy("source").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    got = (
+        df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("kept"),
+            F.count_distinct("sample_rank").alias("nd"),
+            F.min("sample_rank").alias("lo"),
+            F.max("sample_rank").alias("hi"),
+        )
+    ).collect()
+    assert set(r.source for r in got) == set(sizes)
+    for r in got:
+        assert r.kept == min(SAMPLE_PER_STRATUM, sizes[r.source])
+        assert r.nd == r.kept and r.lo == 0 and r.hi == r.kept - 1
+    a = sorted(r.doc_id for r in df.collect())
+    b = sorted(r.doc_id for r in spec.builder(spark, SF).collect())
+    assert a == b

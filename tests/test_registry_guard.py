@@ -64,6 +64,7 @@ EXPECTED = {
     "domain_mix_report",
     "context_chunks",
     "length_bucket_batches",
+    "fixed_count_sample_by_source",
     # text / dedup
     "dedup_exact",
     "doc_fingerprint",
