@@ -735,3 +735,78 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_abs_err"),
         )
     )
+
+
+# --- ANN recall evaluation ---------------------------------------------------
+
+def _ann_recall_oracle() -> str:
+    """Composes the registered oracles: brute force is ground truth; each ANN
+    variant's top-k is intersected with it per query. Exact integer overlap
+    counts; the single float op is the final recall division."""
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    bf = get("embedding_cosine_topk").oracle
+    variants = {
+        "lsh": get("embedding_ann_lsh").oracle,
+        "multiprobe": get("embedding_ann_multiprobe").oracle,
+        "ivf": get("embedding_ann_ivf").oracle,
+    }
+    branches = []
+    for name, sql in variants.items():
+        branches.append(f"""
+      SELECT '{name}' AS method,
+             CAST((SELECT COUNT(*) FROM bf) / 5 AS BIGINT) AS n_queries,
+             CAST(5 AS BIGINT) AS k,
+             CAST((SELECT COUNT(*)
+                   FROM bf JOIN ({sql}) a
+                     ON bf.query_id = a.query_id
+                    AND bf.neighbor_id = a.neighbor_id) AS BIGINT) AS total_overlap
+        """)
+    union = "\nUNION ALL\n".join(branches)
+    return f"""
+    WITH bf AS ({bf})
+    SELECT method, n_queries, k, total_overlap,
+           CAST(total_overlap AS DOUBLE) / (n_queries * k) AS recall_at_k
+    FROM ({union})
+    """
+
+
+@register(
+    "ann_recall_report",
+    oracle=_ann_recall_oracle(),
+    description="ANN quality evaluation: recall@5 of every approximate"
+    " variant (sign-LSH, multi-probe, IVF) against the exact brute-force"
+    " top-k on the same query set -- the go/no-go report a deployment runs"
+    " before trading exactness for the bucketed scale path. Composes the"
+    " registered queries themselves (the numbers grade exactly the plans"
+    " the engine ships); overlap counts aggregate as exact BIGINTs and the"
+    " single float op is the final division, so the report is"
+    " cross-engine deterministic. Scale cost is the sum of the composed"
+    " plans; the joins add only (query_id, neighbor_id) pairs -- k rows"
+    " per query -- never corpus data.",
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bf = embedding_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    variants = {
+        "lsh": embedding_ann_lsh(spark, sf_dir),
+        "multiprobe": embedding_ann_multiprobe(spark, sf_dir),
+        "ivf": embedding_ann_ivf(spark, sf_dir),
+    }
+    n_q = bf.select("query_id").distinct().count()
+    reports = None
+    for name, df in variants.items():
+        overlap = (
+            bf.join(df.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("total_overlap"))
+            .select(
+                F.lit(name).alias("method"),
+                F.lit(n_q).cast("bigint").alias("n_queries"),
+                F.lit(5).cast("bigint").alias("k"),
+                "total_overlap",
+            )
+        )
+        reports = overlap if reports is None else reports.unionByName(overlap)
+    return reports.withColumn(
+        "recall_at_k",
+        F.col("total_overlap").cast("double") / (F.col("n_queries") * F.col("k")),
+    )

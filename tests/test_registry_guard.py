@@ -96,6 +96,7 @@ EXPECTED = {
     "embedding_label_centroids",
     "kmeans_embeddings",
     "embedding_int8_quantize",
+    "ann_recall_report",
     # TPC-H
     "q1_pricing_summary",
     "q2_min_cost_supplier",
