@@ -783,7 +783,12 @@ def _ann_recall_oracle() -> str:
     " single float op is the final division, so the report is"
     " cross-engine deterministic. Scale cost is the sum of the composed"
     " plans; the joins add only (query_id, neighbor_id) pairs -- k rows"
-    " per query -- never corpus data.",
+    " per query -- never corpus data. (On this near-uniform synthetic"
+    " corpus absolute recall is structurally low -- random vectors'"
+    " neighbors scatter across sign-LSH buckets -- and the ordering"
+    " multiprobe > ivf > single-probe is exactly the probe-count story;"
+    " clustered real embeddings concentrate neighbors into cells and raise"
+    " all three.)",
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bf = embedding_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
