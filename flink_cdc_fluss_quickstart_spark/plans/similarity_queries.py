@@ -444,7 +444,12 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partitioning. A hot cell costs nothing extra: its rows spread over
     # DIM keys and fold into scalars before they ever shuffle (the previous
     # collect_list-then-fold shape buffered O(cell_size x DIM) per
-    # aggregation buffer -- an executor OOM at corpus scale).
+    # aggregation buffer -- an executor OOM at corpus scale). Measured
+    # alternative, rejected: one wide aggregate with DIM explicit
+    # element_at sum columns has the same O(DIM) state and one fewer
+    # exchange, but its 64-column codegen compiles slowly and ran 1.4-2.5x
+    # SLOWER end-to-end here and in the kmeans update (which would pay the
+    # compile per Lloyd round).
     per_dim = (
         emb.select("label", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("label", "dim")
