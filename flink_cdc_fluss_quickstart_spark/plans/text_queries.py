@@ -992,3 +992,74 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bits_per_bigram"),
         )
     )
+
+
+CURRICULUM_BUCKET_SCALE = 16  # score buckets per surprisal bit (1/16-bit wide)
+
+
+@register(
+    "curriculum_order",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dtf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, tok
+    ),
+    vocab AS (
+      SELECT tok, CAST(SUM(tf) AS BIGINT) AS c FROM dtf GROUP BY tok
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab),
+    lm AS (
+      SELECT doc_id,
+             CAST(SUM(tf * (length(bin(tot.n)) - length(bin(v.c)))) AS DOUBLE)
+               / SUM(tf) AS bits_per_token
+      FROM dtf JOIN vocab v USING (tok) CROSS JOIN tot
+      GROUP BY doc_id
+    )
+    SELECT doc_id, bits_per_token,
+           CAST(ROW_NUMBER() OVER (ORDER BY bits_per_token, doc_id) - 1 AS BIGINT)
+             AS curriculum_rank
+    FROM lm
+    """,
+    description="Curriculum ordering: a global easy-to-hard training order"
+    " (ascending corpus-LM surprisal -- fluent, common-token documents"
+    " first), deterministic and resumable like the training shuffle."
+    " Distributed shape: this is a global rank over a DATA-DEPENDENT value,"
+    " so hash sub-bucketing doesn't apply -- instead docs bucket by"
+    f" VALUE RANGE (floor(score x {CURRICULUM_BUCKET_SCALE}), monotone with"
+    " the sort key), rank in parallel windows within buckets, and add"
+    " metadata-sized bucket base offsets from one ordered prefix sum over"
+    " the bounded bucket list -- a declarative range-partitioned rank, the"
+    " same mechanics Spark's own range-partitioned sort uses but without"
+    " sampling nondeterminism. Equals the oracle's single ROW_NUMBER"
+    " because the bucketing function is monotone in the score.",
+)
+def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    lm = unigram_lm_surprisal(spark, sf_dir).select("doc_id", "bits_per_token")
+    b = lm.withColumn(
+        "__bucket",
+        F.floor(F.col("bits_per_token") * CURRICULUM_BUCKET_SCALE).cast("bigint"),
+    )
+    w_in = Window.partitionBy("__bucket").orderBy("bits_per_token", "doc_id")
+    pos = b.withColumn("__sub", (F.row_number().over(w_in) - 1).cast("bigint"))
+    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (
+        b.groupBy("__bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "__bucket",
+            F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("bigint").alias("__base"),
+        )
+    )
+    return (
+        pos.join(F.broadcast(bases), "__bucket")
+        .select(
+            "doc_id",
+            "bits_per_token",
+            (F.col("__sub") + F.col("__base")).alias("curriculum_rank"),
+        )
+    )

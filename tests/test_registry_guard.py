@@ -82,6 +82,7 @@ EXPECTED = {
     "bpe_token_stats",
     "unigram_lm_surprisal",
     "bigram_lm_surprisal",
+    "curriculum_order",
     "tfidf_top_terms",
     "dedup_components",
     "dedup_keep_representatives",
