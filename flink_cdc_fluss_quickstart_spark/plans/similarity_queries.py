@@ -760,7 +760,7 @@ def _ann_recall_oracle() -> str:
     for name, sql in variants.items():
         branches.append(f"""
       SELECT '{name}' AS method,
-             CAST((SELECT COUNT(*) FROM bf) / 5 AS BIGINT) AS n_queries,
+             CAST((SELECT COUNT(DISTINCT query_id) FROM bf) AS BIGINT) AS n_queries,
              CAST(5 AS BIGINT) AS k,
              CAST((SELECT COUNT(*)
                    FROM bf JOIN ({sql}) a
@@ -796,27 +796,37 @@ def _ann_recall_oracle() -> str:
     " all three.)",
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    bf = embedding_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
+
+    # the brute-force frame is EXPENSIVE to compute and tiny to hold (k rows
+    # per query): persist it so the three overlap joins plus the n_queries
+    # aggregate all reuse one materialization. Lazy -- building this plan
+    # runs nothing (an explain/report pass must not pay a corpus-scale job);
+    # the count folds into the returned plan as a broadcast 1-row aggregate,
+    # the same shape every other data-dependent scalar here rides.
+    bf = track_cache(
+        embedding_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id").persist()
+    )
     variants = {
         "lsh": embedding_ann_lsh(spark, sf_dir),
         "multiprobe": embedding_ann_multiprobe(spark, sf_dir),
         "ivf": embedding_ann_ivf(spark, sf_dir),
     }
-    n_q = bf.select("query_id").distinct().count()
+    nq = bf.agg(F.countDistinct("query_id").cast("bigint").alias("n_queries"))
     reports = None
     for name, df in variants.items():
         overlap = (
             bf.join(df.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
             .agg(F.count(F.lit(1)).cast("bigint").alias("total_overlap"))
-            .select(
-                F.lit(name).alias("method"),
-                F.lit(n_q).cast("bigint").alias("n_queries"),
-                F.lit(5).cast("bigint").alias("k"),
-                "total_overlap",
-            )
+            .select(F.lit(name).alias("method"), "total_overlap")
         )
         reports = overlap if reports is None else reports.unionByName(overlap)
-    return reports.withColumn(
-        "recall_at_k",
-        F.col("total_overlap").cast("double") / (F.col("n_queries") * F.col("k")),
+    return reports.crossJoin(F.broadcast(nq)).select(
+        "method",
+        "n_queries",
+        F.lit(5).cast("bigint").alias("k"),
+        "total_overlap",
+        (
+            F.col("total_overlap").cast("double") / (F.col("n_queries") * F.col("k"))
+        ).alias("recall_at_k"),
     )

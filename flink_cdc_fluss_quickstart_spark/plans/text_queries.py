@@ -195,6 +195,12 @@ WINNOW_CAP_FLOOR = 5
 WINNOW_CAP_DENOM = 100  # cap = greatest(floor, n_docs // denom)
 WINNOW_MIN_SHARED = 5  # pairs must share at least this many fingerprints
 WINNOW_DOCS_PER_PART = 200  # pair-join partition sizing: docs per task
+# Ceiling on the derived partition count: past a few thousand partitions the
+# marginal skew protection is dwarfed by shuffle-file count and scheduler
+# overhead (a billion-doc corpus would otherwise request millions of
+# partitions). At the cap, per-task volume grows with corpus size again, but
+# by then the real lever is executor count, not partition count.
+WINNOW_MAX_PARTS = 4096
 
 
 @register(
@@ -282,7 +288,7 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.count()
     parts = max(
         int(spark.conf.get("spark.sql.shuffle.partitions")),
-        n_docs // WINNOW_DOCS_PER_PART,
+        min(n_docs // WINNOW_DOCS_PER_PART, WINNOW_MAX_PARTS),
     )
     fpk = fpk.repartition(parts, "fingerprint")
     a = fpk.select(F.col("fingerprint"), F.col("doc_id").alias("id_a"))

@@ -94,9 +94,18 @@ def test_context_chunks_cover_every_token_exactly(spark):
 
 def test_unigram_lm_surprisal_orders_rarity(spark):
     """A document of corpus-common tokens must score fewer bits/token than
-    the corpus-wide max; totals must reconcile with token counts."""
+    the corpus-wide max; totals must reconcile with token counts.
+
+    The reconciliation count is computed with the LM queries' OWN tokenizer
+    (split(text, ' ') -- literal single space), not the token_count query's
+    whitespace-regex tokenizer: the two only coincide on single-space-
+    normalized text, and this test must not depend on that fixture accident."""
+    from flink_cdc_fluss_quickstart_spark.tables import load_table
+
     df = all_specs()["unigram_lm_surprisal"].builder(spark, SF)
-    toks = all_specs()["token_count"].builder(spark, SF)
+    toks = load_table(spark, SF, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
     joined = df.join(toks.select("doc_id", F.col("n_tokens").alias("tc")), "doc_id")
     bad = joined.filter(
         (F.col("n_tokens") != F.col("tc"))
