@@ -1000,9 +1000,6 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-CURRICULUM_BUCKET_SCALE = 16  # score buckets per surprisal bit (1/16-bit wide)
-
-
 @register(
     "curriculum_order",
     oracle="""
@@ -1032,40 +1029,22 @@ CURRICULUM_BUCKET_SCALE = 16  # score buckets per surprisal bit (1/16-bit wide)
     description="Curriculum ordering: a global easy-to-hard training order"
     " (ascending corpus-LM surprisal -- fluent, common-token documents"
     " first), deterministic and resumable like the training shuffle."
-    " Distributed shape: this is a global rank over a DATA-DEPENDENT value,"
-    " so hash sub-bucketing doesn't apply -- instead docs bucket by"
-    f" VALUE RANGE (floor(score x {CURRICULUM_BUCKET_SCALE}), monotone with"
-    " the sort key), rank in parallel windows within buckets, and add"
-    " metadata-sized bucket base offsets from one ordered prefix sum over"
-    " the bounded bucket list -- a declarative range-partitioned rank, the"
-    " same mechanics Spark's own range-partitioned sort uses but without"
-    " sampling nondeterminism. Equals the oracle's single ROW_NUMBER"
-    " because the bucketing function is monotone in the score.",
+    " Distributed shape: a global rank over a DATA-DEPENDENT value, so hash"
+    " sub-bucketing doesn't apply (hash prefixes aren't contiguous in a"
+    " value order) -- operators.ranking.global_rank range-partitions on the"
+    " full composite sort key (score, doc_id), ranks in parallel windows"
+    " per range, and adds metadata-sized per-range base offsets. Because"
+    " the composite key is UNIQUE, the range sampler is free to split even"
+    " a fully score-tied corpus across partitions -- the skew guard the"
+    " earlier fixed-width value-bucket scheme lacked (one hot 1/16-bit"
+    " bucket used to funnel through one window partition). Ranks are a pure"
+    " function of the data, so the output is unchanged and matches the"
+    " oracle's single ROW_NUMBER.",
 )
 def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from flink_cdc_fluss_quickstart_spark.operators.ranking import global_rank
 
     lm = unigram_lm_surprisal(spark, sf_dir).select("doc_id", "bits_per_token")
-    b = lm.withColumn(
-        "__bucket",
-        F.floor(F.col("bits_per_token") * CURRICULUM_BUCKET_SCALE).cast("bigint"),
-    )
-    w_in = Window.partitionBy("__bucket").orderBy("bits_per_token", "doc_id")
-    pos = b.withColumn("__sub", (F.row_number().over(w_in) - 1).cast("bigint"))
-    wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
-    bases = (
-        b.groupBy("__bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            "__bucket",
-            F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("bigint").alias("__base"),
-        )
-    )
-    return (
-        pos.join(F.broadcast(bases), "__bucket")
-        .select(
-            "doc_id",
-            "bits_per_token",
-            (F.col("__sub") + F.col("__base")).alias("curriculum_rank"),
-        )
-    )
+    return global_rank(
+        lm, ["bits_per_token", "doc_id"], out_col="curriculum_rank"
+    ).select("doc_id", "bits_per_token", "curriculum_rank")
