@@ -52,6 +52,8 @@ HEADLINE = (
     "embedding_ann_ivf",
     "kmeans_embeddings",
     "unigram_lm_surprisal",
+    "bigram_lm_surprisal",
+    "winnow_overlap_pairs",
     "asof_view_before_purchase",
     "session_windows_per_user",
     "range_join_price_bands",
