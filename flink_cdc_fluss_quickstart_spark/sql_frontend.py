@@ -20,10 +20,17 @@ Streaming `INSERT INTO ... SELECT` (connector-backed source) becomes:
 - a replication pipeline when the SELECT is a plain projection (the three
   *-cdc.sql jobs), or
 - a continuously-refreshed materialized view when it aggregates (the
-  revenue-analytics job): each micro-batch merges the re-run query by the
-  target's primary key, deleting vanished groups. (The native
-  ContinuousRevenueView API is the affected-keys scale path; this SQL layer
-  favors fidelity to arbitrary SELECT text.)
+  revenue-analytics job). When the statement matches the join+groupBy shape
+  the reference's analytics job uses (two aliased staging tables equi-joined
+  on the target's primary key, which also leads the GROUP BY), the front-end
+  routes it to the AFFECTED-KEYS refresh: the upstream changelogs stream
+  again per view, and each micro-batch re-aggregates ONLY the group keys the
+  batch touched -- per-batch work proportional to the batch's keys, never
+  the table (the same arrangement as the native ContinuousRevenueView,
+  generalized over the parsed statement). Arbitrary SELECT text that doesn't
+  match the shape falls back to the full-requery refresh, re-refreshed on
+  each script execution -- correct but O(table) per refresh, documented as
+  the fidelity path.
 
 Connector tables can't reach real Postgres/Kinesis in tests; bind them to
 file-replay changelog dirs with `Engine.bind_source(name, path, schema)`.
@@ -40,7 +47,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 from flink_cdc_fluss_quickstart_spark.sources.osb import changelog_stream
-from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable
+from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable, _commit_lock
 
 # Flink type -> Spark type (SURVEY.md 1.3)
 _TYPE_MAP = {
@@ -129,6 +136,168 @@ def _parse_with_options(text: str) -> dict[str, str]:
     }
 
 
+# -- incremental aggregate views ----------------------------------------------
+
+
+@dataclass
+class AggViewShape:
+    """The parsed join+groupBy statement shape eligible for affected-keys
+    refresh: two aliased tables equi-joined on one key; the target's single
+    primary-key column is that join key, projected directly and grouped on."""
+
+    tables: dict[str, str]        # alias -> staging table name
+    anchor_alias: str             # alias whose key expr feeds the target PK
+    anchor_table: str
+    key_by_table: dict[str, str]  # staging table -> its join-key column name
+    pk_col: str                   # target PK column name
+    rewritten_sql: str            # SELECT with table names -> temp view names
+    view_names: dict[str, str]    # staging table -> temp view name
+
+
+def _split_select_items(select_list: str) -> list[str]:
+    items, buf, depth = [], [], 0
+    for ch in select_list:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    tail = "".join(buf).strip()
+    if tail:
+        items.append(tail)
+    return items
+
+
+def _parse_agg_view_shape(select_sql: str, target_spec: "TableSpec",
+                          target_name: str) -> AggViewShape | None:
+    """Return the shape if `select_sql` is an affected-keys-refreshable
+    aggregate (the revenue-analytics.sql:46-65 family), else None.
+
+    Soundness requirements, each checked: the scoping column must be the
+    equi-join key (so a left-semi filter on either side bounds both), must
+    BE the target's primary key value (so refreshed groups map 1:1 onto
+    serving-table keys), and must appear in GROUP BY (so a group never mixes
+    affected and unaffected keys).
+    """
+    if len(target_spec.primary_key) != 1:
+        return None
+    pk = target_spec.primary_key[0]
+    m = re.search(
+        r"FROM\s+([\w.]+)\s+(?:AS\s+)?(\w+)\s+JOIN\s+([\w.]+)\s+(?:AS\s+)?(\w+)"
+        r"\s+ON\s+(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)",
+        select_sql,
+        re.I | re.S,
+    )
+    if not m:
+        return None
+    t1, a1, t2, a2, ja, jac, jb, jbc = (g.lower() for g in m.groups())
+    t1, t2 = t1.split(".")[-1], t2.split(".")[-1]
+    tables = {a1: t1, a2: t2}
+    if len(tables) != 2 or {ja, jb} != {a1, a2}:
+        return None
+    key_by_alias = {ja: jac, jb: jbc}
+
+    sm = re.match(r"\s*SELECT\s+(.*?)\bFROM\b", select_sql, re.I | re.S)
+    gm = re.search(r"\bGROUP\s+BY\s+(.*)$", select_sql, re.I | re.S)
+    if not sm or not gm:
+        return None
+    items = _split_select_items(sm.group(1))
+    ddl_cols = [f.name for f in target_spec.schema.fields]
+    if pk not in ddl_cols or len(items) != len(ddl_cols):
+        return None
+    im = re.match(r"(\w+)\.(\w+)\s*$", items[ddl_cols.index(pk)].strip(), re.I)
+    if not im:
+        return None
+    anchor_alias, anchor_col = im.group(1).lower(), im.group(2).lower()
+    if anchor_alias not in tables or key_by_alias.get(anchor_alias) != anchor_col:
+        return None
+    if not re.search(rf"\b{anchor_alias}\s*\.\s*{anchor_col}\b", gm.group(1), re.I):
+        return None
+
+    view_names = {t: f"__ivw_{target_name}_{t}" for t in tables.values()}
+    span = m.group(0)
+    rewritten_span = span
+    for tbl_raw in (m.group(1), m.group(3)):
+        rewritten_span = re.sub(
+            rf"(?<![\w.]){re.escape(tbl_raw)}(?![\w.])",
+            view_names[tbl_raw.split(".")[-1].lower()],
+            rewritten_span,
+            count=1,
+        )
+    rewritten_sql = select_sql.replace(span, rewritten_span, 1)
+    return AggViewShape(
+        tables=tables,
+        anchor_alias=anchor_alias,
+        anchor_table=tables[anchor_alias],
+        key_by_table={tables[a]: c for a, c in key_by_alias.items()},
+        pk_col=pk,
+        rewritten_sql=rewritten_sql,
+        view_names=view_names,
+    )
+
+
+class IncrementalAggView:
+    """Affected-keys-maintained materialized view over staging PK tables:
+    `refresh(keys)` re-runs the parsed SELECT with the anchor table scoped to
+    the given group keys (broadcast left-semi -- the big side is filtered,
+    never re-aggregated whole) and merges upserts plus deletes for groups
+    that vanished. Per-refresh work is proportional to the affected keys'
+    data; `refresh_stats` records the per-batch key counts so tests (and
+    operators) can assert that property."""
+
+    def __init__(self, engine: "Engine", target_name: str) -> None:
+        self.engine = engine
+        self.target_name = target_name
+        self.shape: AggViewShape | None = None
+        self.refresh_stats: list[dict] = []
+
+    def refresh(self, affected: DataFrame, batch_id: int, writer_id: str) -> None:
+        """`affected` carries one column: the anchor table's key values the
+        source micro-batch touched (pre-renamed by the caller)."""
+        eng, shape = self.engine, self.shape
+        target = eng.stores[self.target_name]
+        spec = eng.tables[self.target_name]
+        anchor_key = shape.key_by_table[shape.anchor_table]
+        affected = affected.distinct().localCheckpoint(eager=True)
+        # bounded: one row per distinct group key in the micro-batch
+        n_affected = affected.count()
+
+        for tbl, vname in shape.view_names.items():
+            snap = eng.stores[tbl].snapshot()
+            if snap is None:
+                snap = eng.spark.createDataFrame([], eng.tables[tbl].schema)
+            if tbl == shape.anchor_table:
+                snap = snap.join(F.broadcast(affected), anchor_key, "left_semi")
+            snap.createOrReplaceTempView(vname)
+        fresh = eng.spark.sql(shape.rewritten_sql)
+
+        cols = [f.name for f in spec.schema.fields]
+        aligned = fresh.toDF(*cols).select(
+            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in spec.schema.fields]
+        )
+        upserts = aligned.withColumn("op", F.lit("U"))
+        gone = affected.toDF(shape.pk_col).join(
+            aligned.select(shape.pk_col), shape.pk_col, "left_anti"
+        )
+        pad = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in spec.schema.fields
+            if f.name != shape.pk_col
+        ]
+        deletes = gone.select(shape.pk_col, *pad).select(*cols).withColumn("op", F.lit("D"))
+        changes = upserts.unionByName(deletes).withColumn(
+            "seq", F.lit(batch_id).cast("long")
+        )
+        target.merge(changes, batch_id=batch_id, writer_id=writer_id)
+        self.refresh_stats.append(
+            {"writer": writer_id, "batch_id": batch_id, "n_affected": n_affected}
+        )
+
+
 class Engine:
     """Session-level executor for the reference SQL dialect."""
 
@@ -142,6 +311,8 @@ class Engine:
         self.tables: dict[str, TableSpec] = {}
         self.stores: dict[str, PKTable] = {}
         self.bound_sources: dict[str, tuple[str, T.StructType]] = {}
+        self.replicated_from: dict[str, str] = {}  # staging table -> source
+        self.views: dict[str, IncrementalAggView] = {}
         self.queries: list = []  # running StreamingQuery handles
 
     # -- runtime binding ---------------------------------------------------
@@ -326,7 +497,18 @@ class Engine:
                 .start()
             )
             self.queries.append(q)
+            self.replicated_from[target_name] = src
             return
+
+        if is_agg:
+            shape = _parse_agg_view_shape(select_sql, target_spec, target_name)
+            if shape is not None and all(
+                t in self.stores and t in self.replicated_from
+                and self.replicated_from[t] in self.bound_sources
+                for t in shape.tables.values()
+            ):
+                self._start_incremental_view(target_name, shape)
+                return
 
         # materialized view / batch insert: run the SELECT over snapshots
         def run_select() -> DataFrame:
@@ -343,6 +525,55 @@ class Engine:
         # refreshes; the native ContinuousRevenueView API is the per-batch
         # affected-keys scale path).
         self._refresh_view(target, target_spec, run_select())
+
+    def _start_incremental_view(self, target_name: str, shape: AggViewShape) -> None:
+        """Affected-keys maintenance for a parsed aggregate view: one
+        streaming job per upstream changelog; each micro-batch (a) merges the
+        batch into its staging table (idempotent under its own writer id, so
+        the view never reads staging older than the keys it refreshes,
+        whatever order the user executes the scripts in) and (b) refreshes
+        exactly the group keys the batch carries. The serving-table commit
+        lock serializes the two upstream pipelines' snapshot-read + merge,
+        the same cross-stream discipline as the native pipelines."""
+        view = self.views.get(target_name) or IncrementalAggView(self, target_name)
+        view.shape = shape
+        self.views[target_name] = view
+        target = self.stores[target_name]
+        anchor_key = shape.key_by_table[shape.anchor_table]
+
+        for tbl in shape.tables.values():
+            src = self.replicated_from[tbl]
+            path, schema = self.bound_sources[src]
+            staging_cols = [f.name for f in self.tables[tbl].schema.fields]
+            projected = changelog_stream(self.spark, path, schema).select(
+                "op", "seq", *staging_cols
+            )
+            ckpt = os.path.join(
+                self.warehouse, "_ckpt", f"view_{target_name}_from_{src}"
+            )
+            src_key = shape.key_by_table[tbl]
+            store = self.stores[tbl]
+            sync_writer = f"view-sync-{target_name}-{src}"
+            view_writer = f"view-{target_name}-from-{src}"
+
+            def fb(batch_df: DataFrame, batch_id: int, _store=store,
+                   _src_key=src_key, _sync=sync_writer, _writer=view_writer) -> None:
+                batch_df = batch_df.localCheckpoint(eager=True)
+                with _commit_lock(target.path):
+                    _store.merge(batch_df, batch_id=batch_id, writer_id=_sync)
+                    view.refresh(
+                        batch_df.select(F.col(_src_key).alias(anchor_key)),
+                        batch_id,
+                        _writer,
+                    )
+
+            q = (
+                projected.writeStream.foreachBatch(fb)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            self.queries.append(q)
 
     def _refresh_view(self, target: PKTable, spec: TableSpec, df: DataFrame) -> None:
         """Merge a full query result into a PK table: upsert all rows, delete

@@ -40,6 +40,13 @@ from flink_cdc_fluss_quickstart_spark.operators.changelog import (
 
 MANIFEST = "manifest.json"
 
+# Superseded bucket directories linger this long before removal: a reader
+# that planned against an older manifest (a concurrent refresh job, a
+# captured snapshot DataFrame) keeps resolving its files. The production
+# analogue is table-format snapshot expiry (Delta VACUUM retention / Iceberg
+# expire_snapshots); immediate deletion is available via gc_grace_secs=0.
+GC_GRACE_SECS = 300.0
+
 # Per-table-path commit locks: independent streaming queries (e.g. the
 # tickets and movies pipelines refreshing one serving table) run foreachBatch
 # callbacks on different driver threads; an unlocked read-modify-write of the
@@ -70,12 +77,14 @@ class PKTable:
     """
 
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
-                 order_by: Sequence[str], n_buckets: int = 4) -> None:
+                 order_by: Sequence[str], n_buckets: int = 4,
+                 gc_grace_secs: float = GC_GRACE_SECS) -> None:
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.order_by = list(order_by)
         self.n_buckets = n_buckets
+        self.gc_grace_secs = gc_grace_secs
         os.makedirs(path, exist_ok=True)
         if not os.path.exists(self._manifest_path):
             self._write_manifest({"buckets": {}, "txn": {}, "version": 0})
@@ -199,11 +208,26 @@ class PKTable:
             m["buckets"][str(b)] = os.path.join(vdir, f"__bucket={b}")
         m["version"] = version
         m["txn"][writer_id] = batch_id
+        expired = self._queue_gc(m, superseded)
         self._write_manifest(m)
-        # best-effort GC of superseded bucket versions (readers of the old
-        # manifest may race; a production impl would age these out)
-        for d in superseded:
+        for d in expired:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def _queue_gc(self, m: dict, superseded: Sequence[str]) -> list[str]:
+        """Age-based GC: newly superseded dirs enter the manifest's `gc`
+        ledger; entries older than `gc_grace_secs` are returned for removal
+        (after the manifest swap, so a crash can only under-delete)."""
+        now = time.time()
+        pending = m.get("gc", []) + [{"dir": d, "ts": now} for d in superseded]
+        keep: list[dict] = []
+        expired: list[str] = []
+        for e in pending:
+            if now - e["ts"] >= self.gc_grace_secs:
+                expired.append(e["dir"])
+            else:
+                keep.append(e)
+        m["gc"] = keep
+        return expired
 
     def overwrite(self, df: DataFrame) -> None:
         """Full snapshot replace (used for seeding / batch backfills)."""
@@ -223,6 +247,7 @@ class PKTable:
             str(b): os.path.join(vdir, f"__bucket={b}") for b in range(self.n_buckets)
         }
         m["version"] = version
+        expired = self._queue_gc(m, list(old.values()))
         self._write_manifest(m)
-        for d in old.values():
+        for d in expired:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)

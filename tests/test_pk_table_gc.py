@@ -9,6 +9,11 @@ manifest still references. Two complementary checks after every commit:
 - under-GC would surface as orphans -> every on-disk ``v*/__bucket=*`` leaf
   must be referenced by the current manifest (superseded dirs are gone).
 
+These strict checks run with ``gc_grace_secs=0`` (immediate deletion). The
+default GRACE window (superseded dirs linger so older readers' plans keep
+resolving -- snapshot-expiry semantics) gets its own test: a snapshot
+DataFrame captured before a merge must stay collectable after it.
+
 A referenced dir may legitimately NOT exist (a merge that deletes every row
 of a bucket writes no partition dir for it); ``snapshot`` tolerates that, so
 the disk check is containment, not equality.
@@ -90,7 +95,8 @@ steps_strategy = st.lists(
 @settings(**SETTINGS)
 def test_merge_gc_never_drops_referenced_dirs(spark, tmp_path_factory, steps):
     path = str(tmp_path_factory.mktemp("pkgc") / "t")
-    t = PKTable(spark, path, keys=["k"], order_by=["seq"], n_buckets=4)
+    t = PKTable(spark, path, keys=["k"], order_by=["seq"], n_buckets=4,
+                gc_grace_secs=0.0)
     state: dict[int, int] = {}
     next_id = [0, 0]
     seq = 0
@@ -124,7 +130,8 @@ def test_concurrent_writers_serialize_commits(spark, tmp_path):
     path = str(tmp_path / "t")
     n_batches, keys_per = 4, 6
     tables = [
-        PKTable(spark, path, keys=["k"], order_by=["seq"], n_buckets=4)
+        PKTable(spark, path, keys=["k"], order_by=["seq"], n_buckets=4,
+                gc_grace_secs=0.0)
         for _ in range(2)
     ]
     errors: list[BaseException] = []
@@ -159,3 +166,24 @@ def test_concurrent_writers_serialize_commits(spark, tmp_path):
     # both writers' txn markers survived the interleaving
     m = tables[0]._read_manifest()
     assert m["txn"] == {"w0": n_batches - 1, "w1": n_batches - 1}
+
+
+def test_gc_grace_keeps_old_reader_plans_alive(spark, tmp_path):
+    """With the default grace window, a snapshot DataFrame captured before a
+    merge still collects afterwards (its files linger in the gc ledger); with
+    grace 0 the superseded dirs are gone immediately."""
+    path = str(tmp_path / "t")
+    t = PKTable(spark, path, keys=["k"], order_by=["seq"], n_buckets=2)
+    t.merge(spark.createDataFrame([("I", 0, 1, 10), ("I", 1, 2, 20)], SCHEMA),
+            batch_id=0, writer_id="w")
+    old_snap = t.snapshot()  # plan pins the v1 bucket dirs
+    t.merge(spark.createDataFrame([("U", 2, 1, 11), ("U", 3, 2, 21)], SCHEMA),
+            batch_id=1, writer_id="w")
+    # old plan still readable (stale data, but no FileNotFound)
+    assert {r["v"] for r in old_snap.collect()} == {10, 20}
+    assert {r["v"] for r in t.snapshot().collect()} == {11, 21}
+    # the superseded dirs are ledgered, not orphaned
+    m = t._read_manifest()
+    assert m["gc"], "superseded dirs should be pending GC"
+    referenced = set(m["buckets"].values()) | {e["dir"] for e in m["gc"]}
+    assert _on_disk_bucket_dirs(t.path) <= referenced

@@ -57,6 +57,7 @@ def test_reference_scripts_end_to_end(spark, workload, tmp_path):
     assert urows[3].email == "user_3@example.com"
 
     eng.execute((FIXTURES / "revenue-analytics.sql").read_text())
+    eng.await_all()
     served = eng.snapshot("movie_revenue_realtime")
 
     oracle = revenue_aggregate(
@@ -71,11 +72,90 @@ def test_reference_scripts_end_to_end(spark, workload, tmp_path):
     # session config captured (reference SET statements)
     assert eng.conf["table.optimizer.agg-phase-strategy"] == "TWO_PHASE"
 
-    # re-running the analytics refresh after more changes keeps the PK
-    # semantics (idempotent refresh; groups update in place)
+    # re-running the analytics job resumes from its checkpoint: no new
+    # changelog files -> zero refreshes, view unchanged (idempotent)
     eng.execute((FIXTURES / "revenue-analytics.sql").read_text())
+    eng.await_all()
     again = eng.snapshot("movie_revenue_realtime")
     assert sorted(tuple(r) for r in again.select(*oracle.columns).collect()) == o
+
+
+def test_incremental_view_work_scales_with_batch_keys(spark, tmp_path):
+    """The affected-keys routing contract (the scale property): after the
+    initial replay, a delta micro-batch touching ONE movie refreshes exactly
+    one group key -- per-batch work tracks the batch's keys, not the staging
+    table size -- and the view still equals the full batch aggregation."""
+    from datetime import datetime
+    from decimal import Decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    wl = osb.generate_workload(str(tmp_path / "wl"), epochs=5, seed=13)
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.bind_source("pg_osb_tickets", wl["tickets"], osb.TICKETS_SCHEMA)
+    eng.bind_source("pg_osb_movies", wl["movies"], osb.MOVIES_SCHEMA)
+    eng.execute((FIXTURES / "movies-cdc.sql").read_text())
+    eng.execute((FIXTURES / "tickets-cdc.sql").read_text())
+    eng.await_all()
+    eng.execute((FIXTURES / "revenue-analytics.sql").read_text())
+    eng.await_all()
+
+    view = eng.views["movie_revenue_realtime"]
+    assert view.refresh_stats, "the statement should route to the incremental path"
+    n_initial = len(view.refresh_stats)
+
+    # delta epoch: two new tickets, both for movie 1 (one affected group key)
+    tbl = pa.table(
+        {
+            "op": ["I", "I"],
+            "seq": [10_000, 10_001],
+            "ticket_id": [9_001, 9_002],
+            "movie_id": [1, 1],
+            "user_id": [1, 1],
+            "cost": [Decimal("12.50"), Decimal("8.00")],
+            "status": ["scheduled", "scheduled"],
+            "purchased_at": [datetime(2025, 6, 2, 9, 0, 0)] * 2,
+        },
+        schema=pa.schema(
+            [
+                pa.field("op", pa.string()),
+                pa.field("seq", pa.int64()),
+                pa.field("ticket_id", pa.int64()),
+                pa.field("movie_id", pa.int64()),
+                pa.field("user_id", pa.int64()),
+                pa.field("cost", pa.decimal128(10, 2)),
+                pa.field("status", pa.string()),
+                pa.field("purchased_at", pa.timestamp("us")),
+            ]
+        ),
+    )
+    pq.write_table(tbl, str(Path(wl["tickets"]) / "epoch_9999.parquet"))
+
+    eng.execute((FIXTURES / "tickets-cdc.sql").read_text())
+    eng.await_all()
+    eng.execute((FIXTURES / "revenue-analytics.sql").read_text())
+    eng.await_all()
+
+    delta_stats = view.refresh_stats[n_initial:]
+    # only the tickets stream saw a new file; it refreshed exactly 1 group
+    assert [s["n_affected"] for s in delta_stats] == [1]
+    # ... while the staging side holds every movie ever replicated
+    assert eng.snapshot("movies_staging").count() == 10
+    assert eng.snapshot("tickets_staging").count() >= 40
+
+    served = eng.snapshot("movie_revenue_realtime")
+    oracle = revenue_aggregate(
+        eng.snapshot("tickets_staging").select(
+            "ticket_id", "movie_id", "user_id", "cost", "status", "purchased_at"
+        ),
+        eng.snapshot("movies_staging").select(
+            "movie_id", "title", "start_date", "duration_minutes"
+        ),
+    )
+    s = sorted(tuple(r) for r in served.select(*oracle.columns).collect())
+    o = sorted(tuple(r) for r in oracle.collect())
+    assert s == o and len(s) > 0
 
 
 def test_init_catalogs_betting_dialect(spark, tmp_path):
