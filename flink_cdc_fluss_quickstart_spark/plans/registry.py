@@ -245,6 +245,10 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "ann_recall_report",
         "the stamped recall report composes and scores the multiprobe plan",
     ),
+    "ann_recall_report_clustered": (
+        "ann_recall_report",
+        "same composed report over the in-plan clustered fixture; recall floors asserted in tests",
+    ),
     # TPC-H tail: join/agg shapes proven by the stamped headliners
     "q2_min_cost_supplier": ("q17_below_avg_quantity_revenue", "correlated-min subquery family"),
     "q4_priority_order_exists": ("decontamination_ngrams", "EXISTS = left-semi family"),

@@ -57,7 +57,12 @@ _CNORM = (
     " streamed corpus, per-query top-k window.",
 )
 def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return _bf_topk(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+def _bf_topk(emb: DataFrame) -> DataFrame:
+    """Frame-level brute-force top-k (shared with the clustered recall
+    fixture, which feeds a derived embedding frame instead of the table)."""
     queries = emb.filter(F.col("vec_id") % 50 == 0)
     return similarity.cosine_topk(emb, queries, k=5)
 
@@ -120,7 +125,10 @@ _BUCKETED = f"""
     " queries route to one partition each.",
 )
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return _lsh_topk(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+def _lsh_topk(emb: DataFrame) -> DataFrame:
     # bucket AND norm are per-row: computed on the corpus scan, never per pair
     b = emb.select(
         "vec_id",
@@ -325,9 +333,12 @@ def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     " never a theta join.",
 )
 def embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _multiprobe_topk(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+def _multiprobe_topk(emb: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
     b = emb.select(
         "vec_id",
         "embedding",
@@ -427,9 +438,11 @@ NPROBE = 2  # centroid cells each query scans; the IVF recall/cost knob
     " reads nprobe partitions instead of the whole corpus.",
 )
 def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    return _ivf_topk(spread(load_table(spark, sf_dir, "embeddings")))
 
-    emb = spread(load_table(spark, sf_dir, "embeddings"))
+
+def _ivf_topk(emb: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
 
     # coarse quantizer: exact fixed-point per-label centroid vectors as a
     # TWO-LEVEL streaming aggregate. Level 1 posexplodes to (label, dim,
@@ -796,6 +809,10 @@ def _ann_recall_oracle() -> str:
     " all three.)",
 )
 def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _recall_report(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+def _recall_report(emb: DataFrame) -> DataFrame:
     from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
 
     # the brute-force frame is EXPENSIVE to compute and tiny to hold (k rows
@@ -804,13 +821,11 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # runs nothing (an explain/report pass must not pay a corpus-scale job);
     # the count folds into the returned plan as a broadcast 1-row aggregate,
     # the same shape every other data-dependent scalar here rides.
-    bf = track_cache(
-        embedding_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id").persist()
-    )
+    bf = track_cache(_bf_topk(emb).select("query_id", "neighbor_id").persist())
     variants = {
-        "lsh": embedding_ann_lsh(spark, sf_dir),
-        "multiprobe": embedding_ann_multiprobe(spark, sf_dir),
-        "ivf": embedding_ann_ivf(spark, sf_dir),
+        "lsh": _lsh_topk(emb),
+        "multiprobe": _multiprobe_topk(emb),
+        "ivf": _ivf_topk(emb),
     }
     nq = bf.agg(F.countDistinct("query_id").cast("bigint").alias("n_queries"))
     reports = None
@@ -830,3 +845,72 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_overlap").cast("double") / (F.col("n_queries") * F.col("k"))
         ).alias("recall_at_k"),
     )
+
+
+# --- clustered recall fixture ------------------------------------------------
+
+ANN_CLUSTERS = 8          # planted clusters (one coordinate-axis spike each)
+ANN_CLUSTER_OFFSET = 3.0  # exact-in-double spike added to one dim per cluster
+
+
+def _clustered_embeddings(emb: DataFrame) -> DataFrame:
+    """Deterministic mixture-of-clusters corpus derived IN-PLAN from the base
+    embeddings: row r joins cluster c = vec_id % ANN_CLUSTERS and gets
+    +ANN_CLUSTER_OFFSET on dimensions i with i % ANN_CLUSTERS == c; label
+    becomes the cluster id (so IVF's label-cells align with the planted
+    structure, as a trained coarse quantizer would). Every op is exact in
+    float64 (float widening + addition of an exactly-representable literal),
+    so Spark and DuckDB derive bit-identical vectors."""
+    offset = (
+        f"CASE WHEN i % {ANN_CLUSTERS} = pmod(vec_id, {ANN_CLUSTERS})"
+        f" THEN CAST({ANN_CLUSTER_OFFSET} AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    return emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, (x, i) -> CAST(CAST(x AS DOUBLE) + ({offset}) AS DOUBLE))"
+        ).alias("embedding"),
+        F.pmod(F.col("vec_id"), F.lit(ANN_CLUSTERS)).cast("bigint").alias("label"),
+    )
+
+
+def _ann_recall_clustered_oracle() -> str:
+    """The composed recall oracle with `embeddings` rebound to the clustered
+    derivation (mechanical word-boundary rename + a prefixed CTE; DuckDB
+    resolves the base table schema-qualified to avoid CTE self-reference)."""
+    import re as _re
+
+    inner = _re.sub(r"\bembeddings\b", "emb_clustered", _ann_recall_oracle())
+    body = _re.sub(r"^\s*WITH\b", "", inner, count=1)
+    return f"""
+    WITH emb_clustered AS (
+      SELECT vec_id,
+             list_transform(embedding, (x, i) -> CAST(x::DOUBLE +
+               (CASE WHEN (i - 1) % {ANN_CLUSTERS} = vec_id % {ANN_CLUSTERS}
+                     THEN CAST({ANN_CLUSTER_OFFSET} AS DOUBLE)
+                     ELSE CAST(0.0 AS DOUBLE) END) AS DOUBLE)) AS embedding,
+             CAST(vec_id % {ANN_CLUSTERS} AS BIGINT) AS label
+      FROM main.embeddings
+    ),
+    {body}
+    """
+
+
+@register(
+    "ann_recall_report_clustered",
+    oracle=_ann_recall_clustered_oracle(),
+    description="ANN recall@5 on a CLUSTERED corpus: the same composed"
+    " lsh/multiprobe/ivf-vs-brute-force report, run over a deterministic"
+    " mixture-of-clusters embedding frame derived in-plan from the base"
+    " table (per-cluster coordinate spikes; labels = planted clusters)."
+    " This is the fixture that makes the recall numbers MEANINGFUL: on the"
+    " near-uniform synthetic base corpus neighbors scatter across sign-LSH"
+    " buckets and absolute recall is structurally low, while clustered"
+    " vectors concentrate true neighbors into the same buckets/cells --"
+    " the recall ordering and floors are asserted in"
+    " tests/test_functions_approx.py. Scale shape identical to"
+    " ann_recall_report (the derivation is row-local).",
+)
+def ann_recall_report_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return _recall_report(_clustered_embeddings(emb))

@@ -33,3 +33,27 @@ def test_approx_distinct_within_rsd_bound(spark, sf_dir):
         assert abs(r["approx_users"] - r["exact_users"]) <= max(
             1, 0.1 * r["exact_users"]
         ), (r["day"], r["approx_users"], r["exact_users"])
+
+
+def test_clustered_ann_recall_ordering_and_floors(spark, sf_dir):
+    """On the planted-cluster fixture the ANN variants must actually FIND
+    neighbors: IVF (cells = planted clusters) and multiprobe near-perfect,
+    single-probe LSH well above the uniform-corpus baseline, and the probe
+    ordering multiprobe >= single-probe preserved. Guards against a probe/
+    bucketing regression that the uniform-corpus hash check can't see
+    (recall there is structurally low for every variant)."""
+    clustered = {
+        r.method: r.recall_at_k
+        for r in all_specs()["ann_recall_report_clustered"].builder(spark, sf_dir).collect()
+    }
+    uniform = {
+        r.method: r.recall_at_k
+        for r in all_specs()["ann_recall_report"].builder(spark, sf_dir).collect()
+    }
+    assert clustered["ivf"] >= 0.9
+    assert clustered["multiprobe"] >= 0.9
+    assert clustered["lsh"] >= 0.4
+    assert clustered["multiprobe"] >= clustered["lsh"]
+    # the clustered fixture must separate the methods from the uniform floor
+    for m in ("ivf", "multiprobe", "lsh"):
+        assert clustered[m] > uniform[m]

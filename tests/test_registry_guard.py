@@ -99,6 +99,7 @@ EXPECTED = {
     "kmeans_embeddings",
     "embedding_int8_quantize",
     "ann_recall_report",
+    "ann_recall_report_clustered",
     # TPC-H
     "q1_pricing_summary",
     "q2_min_cost_supplier",
