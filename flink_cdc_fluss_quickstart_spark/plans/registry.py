@@ -232,6 +232,10 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "ngram_jaccard_neardup",
         "same shingle self-join; containment swaps the overlap denominator",
     ),
+    "bm25_retrieval": (
+        "tfidf_top_terms",
+        "same cached dtf/docfreq machinery + per-key window; BM25 adds a fixed-point saturated-tf fold",
+    ),
     # embeddings
     "embedding_cosine_neardup": (
         "embedding_dedup_representatives",

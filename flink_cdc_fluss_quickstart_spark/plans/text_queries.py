@@ -736,6 +736,176 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- BM25 more-like-this retrieval -------------------------------------------
+
+BM25_TOP_K = 5          # retrieved docs per query
+BM25_QUERY_TERMS = 8    # informative terms kept per query doc (WAND-style cap)
+# stop-term cap: terms in more than max(FLOOR, n_docs // DENOM) documents are
+# dropped from the probe -- the same corpus-derived floor+ratio rule as the
+# winnowing stop-gram cap. The floor keeps small/low-entropy corpora
+# un-pruned (the test corpus has a 31-token vocabulary where every token
+# exceeds any pure ratio cap); at scale the ratio term dominates and bounds
+# every posting list at n_docs / DENOM.
+BM25_DF_CAP_DENOM = 20
+BM25_DF_CAP_FLOOR = 1000
+# BM25 constants, spelled as explicit DOUBLE casts in BOTH engines so the
+# (decimal-literal) parse rules of neither engine leak into the math
+_BM25_K1 = "CAST(1.2 AS DOUBLE)"
+_BM25_B = "CAST(0.75 AS DOUBLE)"
+# one term's contribution: idf_bits x saturated tf with length normalization,
+# floor-scaled to a BIGINT so the per-pair SUM is exact and order-independent
+# (the same fixed-point discipline as the embedding math); inputs are exact
+# integers plus the identically-derived avgdl double, and every float op is a
+# single IEEE expression evaluated in the same order in both engines
+_BM25_CONTRIB = (
+    f"CAST(FLOOR(CAST(idf_bits AS DOUBLE)"
+    f" * ((CAST(tf AS DOUBLE) * ({_BM25_K1} + CAST(1.0 AS DOUBLE)))"
+    f"    / (CAST(tf AS DOUBLE) + {_BM25_K1}"
+    f"       * (CAST(1.0 AS DOUBLE) - {_BM25_B}"
+    f"          + {_BM25_B} * (CAST(dl AS DOUBLE) / avgdl))))"
+    f" * CAST(1000000.0 AS DOUBLE)) AS BIGINT)"
+)
+
+
+@register(
+    "bm25_retrieval",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dtf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY doc_id, tok
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM dtf GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+      FROM dl
+    ),
+    docfreq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dtf GROUP BY tok
+    ),
+    eligible AS (
+      SELECT tok, df,
+             CAST(length(bin(stats.n_docs)) - length(bin(df)) AS BIGINT) AS idf_bits
+      FROM docfreq CROSS JOIN stats
+      WHERE df <= GREATEST({BM25_DF_CAP_FLOOR}, stats.n_docs // {BM25_DF_CAP_DENOM})
+    ),
+    qterms AS (
+      SELECT query_id, tok, idf_bits FROM (
+        SELECT d.doc_id AS query_id, d.tok, e.idf_bits,
+               ROW_NUMBER() OVER (PARTITION BY d.doc_id
+                                  ORDER BY d.tf * e.idf_bits DESC, d.tok ASC) AS r
+        FROM dtf d JOIN eligible e USING (tok)
+        WHERE d.doc_id % 100 = 0
+      ) WHERE r <= {BM25_QUERY_TERMS}
+    ),
+    postings AS (
+      SELECT d.tok, d.doc_id, d.tf, l.dl
+      FROM dtf d JOIN eligible e USING (tok) JOIN dl l USING (doc_id)
+    ),
+    scored AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+             CAST(SUM({_BM25_CONTRIB}) AS BIGINT) AS score_scaled
+      FROM qterms q
+      JOIN postings p ON q.tok = p.tok AND p.doc_id <> q.query_id
+      CROSS JOIN stats
+      GROUP BY q.query_id, p.doc_id
+    )
+    SELECT query_id, doc_id, n_shared_terms,
+           CAST(score_scaled AS DOUBLE) / 1000000.0 AS bm25_score, rank
+    FROM (
+      SELECT query_id, doc_id, n_shared_terms, score_scaled,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score_scaled DESC, doc_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {BM25_TOP_K}
+    """,
+    description=f"BM25 more-like-this retrieval (k1=1.2, b=0.75): every 100th"
+    f" document acts as a query; its {BM25_QUERY_TERMS} most informative"
+    f" terms (by tf x integer-quantized idf, the WAND-style term cap) probe"
+    f" the inverted posting lists and candidates are ranked by"
+    f" length-normalized BM25 -- the retrieval primitive for search-based"
+    f" decontamination, near-topic linking, and RAG curation that the"
+    f" tfidf/LM family lacks. Determinism: idf is whole bits"
+    f" (length(bin(x)), exact), each term contribution is a single IEEE"
+    f" float expression floor-scaled to BIGINT, and the per-pair sum is"
+    f" integer -- bit-identical across engines, doc_id tie-break. Scale"
+    f" shape: terms in > max({BM25_DF_CAP_FLOOR}, n_docs/"
+    f"{BM25_DF_CAP_DENOM}) docs are dropped (corpus-derived stop-term cap"
+    f" with a small-corpus floor, the winnow stop-gram rule; at scale no"
+    f" posting list exceeds n_docs/{BM25_DF_CAP_DENOM}, so the probe join"
+    f" cannot go quadratic on Zipf heads), queries carry <="
+    f" {BM25_QUERY_TERMS} terms each, the probe is"
+    f" one tok-keyed equi join of (query, tok) x capped postings, and the"
+    f" shared dtf/docfreq frames are the same cached profiles the tfidf/LM"
+    f" queries reuse.",
+)
+def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    dtf = _doc_tf(spread(d))
+    dl = _cached(dtf.groupBy("doc_id").agg(F.sum("tf").alias("dl")))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    docfreq = dtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    eligible = (
+        docfreq.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("df")
+            <= F.greatest(
+                F.lit(BM25_DF_CAP_FLOOR),
+                F.expr(f"n_docs div {BM25_DF_CAP_DENOM}"),
+            )
+        )
+        .select(
+            "tok",
+            (F.length(F.bin("n_docs")) - F.length(F.bin("df")))
+            .cast("bigint")
+            .alias("idf_bits"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc(F.col("tf") * F.col("idf_bits")), F.asc("tok")
+    )
+    qterms = (
+        dtf.filter(F.col("doc_id") % 100 == 0)
+        .withColumnRenamed("doc_id", "query_id")
+        .join(eligible, "tok")
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= BM25_QUERY_TERMS)
+        .select("query_id", "tok", "idf_bits")
+    )
+    postings = dtf.join(eligible.select("tok"), "tok").join(dl, "doc_id")
+    scored = (
+        qterms.join(postings, "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_terms"),
+            F.sum(F.expr(_BM25_CONTRIB)).cast("bigint").alias("score_scaled"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_scaled"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            "n_shared_terms",
+            (F.col("score_scaled").cast("double") / 1000000.0).alias("bm25_score"),
+            "rank",
+        )
+    )
+
+
 @register(
     "dedup_components",
     oracle=f"""

@@ -182,3 +182,26 @@ def test_fixed_count_sample_exact_quota(spark):
     a = sorted(r.doc_id for r in df.collect())
     b = sorted(r.doc_id for r in spec.builder(spark, SF).collect())
     assert a == b
+
+
+def test_bm25_retrieval_structure(spark):
+    """Retrieval invariants the hash check can't express as clearly: no
+    self-retrieval, contiguous 1-based ranks per query, scores non-increasing
+    in rank, and every query doc with >= 1 eligible shared term retrieves
+    something."""
+    from flink_cdc_fluss_quickstart_spark.plans.registry import all_specs as specs
+
+    df = specs()["bm25_retrieval"].builder(spark, SF).cache()
+    rows = df.collect()
+    assert rows
+    assert all(r.doc_id != r.query_id for r in rows)
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r.bm25_score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.n_shared_terms >= 1 for r in rs)
+    df.unpersist()

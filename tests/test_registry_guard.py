@@ -85,6 +85,7 @@ EXPECTED = {
     "bigram_lm_surprisal",
     "curriculum_order",
     "tfidf_top_terms",
+    "bm25_retrieval",
     "dedup_components",
     "dedup_keep_representatives",
     "repetition_signals",
