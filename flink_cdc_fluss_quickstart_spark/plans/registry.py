@@ -236,6 +236,10 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "tfidf_top_terms",
         "same cached dtf/docfreq machinery + per-key window; BM25 adds a fixed-point saturated-tf fold",
     ),
+    "collocation_pmi": (
+        "bigram_lm_surprisal",
+        "same bigram table + margin rollups; PMI swaps the per-doc fold for a global top-k",
+    ),
     # embeddings
     "embedding_cosine_neardup": (
         "embedding_dedup_representatives",

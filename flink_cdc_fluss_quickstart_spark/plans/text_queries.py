@@ -1218,3 +1218,85 @@ def curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return global_rank(
         lm, ["bits_per_token", "doc_id"], out_col="curriculum_rank"
     ).select("doc_id", "bits_per_token", "curriculum_rank")
+
+
+# --- PMI collocation extraction ----------------------------------------------
+
+COLLOC_TOP_K = 50      # strongest collocations reported corpus-wide
+COLLOC_MIN_COUNT = 5   # a pair must occur this often to be a candidate
+
+
+@register(
+    "collocation_pmi",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS l FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    pairs AS (
+      SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(list_transform(range(1, len(l)), i -> l[i::int])) AS prev,
+                   unnest(list_transform(range(1, len(l)), i -> l[(i+1)::int])) AS cur
+            FROM docs)
+      GROUP BY prev, cur
+    ),
+    ptot AS (SELECT prev, CAST(SUM(c) AS BIGINT) AS cp FROM pairs GROUP BY prev),
+    ctot AS (SELECT cur, CAST(SUM(c) AS BIGINT) AS cc FROM pairs GROUP BY cur),
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS nb FROM pairs)
+    SELECT prev, cur, pair_count, pmi_bits
+    FROM (
+      SELECT p.prev, p.cur, p.c AS pair_count,
+             CAST((length(bin(p.c)) + length(bin(n.nb)))
+                  - (length(bin(pt.cp)) + length(bin(ct.cc))) AS BIGINT) AS pmi_bits
+      FROM pairs p
+      JOIN ptot pt ON p.prev = pt.prev
+      JOIN ctot ct ON p.cur = ct.cur
+      CROSS JOIN n
+      WHERE p.c >= {COLLOC_MIN_COUNT}
+    )
+    ORDER BY pmi_bits DESC, prev ASC, cur ASC
+    LIMIT {COLLOC_TOP_K}
+    """,
+    description=f"PMI collocation extraction (phrase mining): the"
+    f" {COLLOC_TOP_K} adjacent word pairs whose co-occurrence most exceeds"
+    f" chance, ranked by integer-quantized pointwise mutual information --"
+    f" the phrase-vocabulary step of tokenizer/corpus curation. PMI is"
+    f" quantized as whole bits of log2((c_ab/N)/((c_a/N)(c_b/N))) via the"
+    f" SUM of per-factor floor-log2 bit counts (length(bin(x)), exact in"
+    f" both engines and overflow-free where the product form would exceed"
+    f" BIGINT at corpus scale); ties break lexicographically. Margins"
+    f" derive from the SAME bigram table they normalize (self-consistent,"
+    f" one pass). Scale shape: one (prev,cur)-keyed count, two margin"
+    f" rollups joined back frequency-keyed, and the global top-{COLLOC_TOP_K}"
+    f" is ORDER BY+LIMIT -- Spark plans TakeOrderedAndProject (per-partition"
+    f" top-k, driver merges k x partitions rows), never a global sort.",
+)
+def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    docs = d.select(F.split("text", " ").alias("l")).filter(F.size("l") >= 2)
+    pairs = (
+        docs.select("l", F.explode(F.expr("sequence(1, size(l) - 1)")).alias("__i"))
+        .select(
+            F.expr("element_at(l, __i)").alias("prev"),
+            F.expr("element_at(l, __i + 1)").alias("cur"),
+        )
+        .groupBy("prev", "cur")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = _cached(pairs)
+    ptot = pairs.groupBy("prev").agg(F.sum("c").alias("cp"))
+    ctot = pairs.groupBy("cur").agg(F.sum("c").alias("cc"))
+    nb = pairs.agg(F.sum("c").alias("nb"))
+    pmi_bits = (
+        (F.length(F.bin("c")) + F.length(F.bin("nb")))
+        - (F.length(F.bin("cp")) + F.length(F.bin("cc")))
+    ).cast("bigint")
+    return (
+        pairs.filter(F.col("c") >= COLLOC_MIN_COUNT)
+        .join(ptot, "prev")
+        .join(ctot, "cur")
+        .crossJoin(F.broadcast(nb))
+        .select("prev", "cur", F.col("c").alias("pair_count"), pmi_bits.alias("pmi_bits"))
+        .orderBy(F.desc("pmi_bits"), F.asc("prev"), F.asc("cur"))
+        .limit(COLLOC_TOP_K)
+    )

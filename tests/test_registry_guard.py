@@ -86,6 +86,7 @@ EXPECTED = {
     "curriculum_order",
     "tfidf_top_terms",
     "bm25_retrieval",
+    "collocation_pmi",
     "dedup_components",
     "dedup_keep_representatives",
     "repetition_signals",
