@@ -16,6 +16,10 @@ real pipeline ships:
     8. pack_efficiency_report     -- padding waste / utilization go-no-go
     9. training_shuffle_order     -- stable pseudo-random load order
     10. length_bucket_batches     -- GPU batch assembly by length bucket
+    11. collocation_pmi           -- phrase vocabulary of the shipped corpus
+    12. bm25_retrieval            -- spot-audit: nearest corpus docs per
+                                     held-out query doc (search-based leak
+                                     review beyond exact n-gram decontam)
 
 Every step is a registered query (same code the correctness gate verifies);
 this script is the composition glue, joining on doc_id -- all equi joins on
@@ -118,6 +122,13 @@ def main() -> None:
         F.count(F.lit(1)).alias("n_docs"),
         (F.max("batch_idx") + 1).alias("n_batches"),
     ).orderBy("bucket").show()
+
+    print("== 11. phrase vocabulary (top-5 PMI collocations)")
+    q["collocation_pmi"].builder(spark, sf_dir).limit(5).show()
+
+    print("== 12. retrieval spot-audit (BM25 nearest docs per query doc)")
+    q["bm25_retrieval"].builder(spark, sf_dir).filter(F.col("rank") == 1).show(5)
+    dedup.release_caches()  # steps 11-12 persist the shared term frames
 
 
 if __name__ == "__main__":
