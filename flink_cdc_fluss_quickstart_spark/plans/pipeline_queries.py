@@ -933,9 +933,13 @@ SAMPLE_PER_STRATUM = 50  # docs kept per source (the eval-set builder)
     f" shuffle and batch assembly -- parallel windows within (source, 256"
     f" hash-prefix sub-buckets), per-source base offsets from a"
     f" metadata-sized prefix sum -- so no stratum ever ranks through one"
-    f" partition, however large the corpus. (The rank also never needs more"
-    f" than the winning sub-bucket prefixes: a future refinement could"
-    f" pre-prune sub-buckets whose base already exceeds the quota.)",
+    f" partition, however large the corpus. The rank never touches more"
+    f" than the winning sub-bucket prefixes: sub-buckets whose base offset"
+    f" already meets the quota are pruned BEFORE the window (a row there"
+    f" has rank >= base >= quota and can never be selected), so the ranking"
+    f" shuffle carries ~quota rows per stratum instead of the stratum --"
+    f" the sample stays exact while rank work is quota-bounded at any"
+    f" corpus size.",
 )
 def fixed_count_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -947,8 +951,6 @@ def fixed_count_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.md5(F.col("doc_id").cast("string")).alias("hx"),
     ).withColumn("sub", F.conv(F.substring("hx", 1, 2), 16, 10).cast("bigint"))
-    w = Window.partitionBy("source", "sub").orderBy("hx", "doc_id")
-    pos = b.withColumn("sub_pos", (F.row_number().over(w) - 1).cast("bigint"))
     wb = (
         Window.partitionBy("source").orderBy("sub")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -962,9 +964,15 @@ def fixed_count_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("cnt").over(wb), F.lit(0)).cast("bigint").alias("base"),
         )
     )
+    # quota pre-prune: only sub-buckets whose base is below the quota can
+    # contribute rows with rank < quota; the broadcast inner join drops the
+    # rest before they ever reach the ranking window
+    winning = bases.filter(F.col("base") < SAMPLE_PER_STRATUM)
+    cand = b.join(F.broadcast(winning), ["source", "sub"])
+    w = Window.partitionBy("source", "sub").orderBy("hx", "doc_id")
+    pos = cand.withColumn("sub_pos", (F.row_number().over(w) - 1).cast("bigint"))
     rank = F.col("sub_pos") + F.col("base")
     return (
-        pos.join(F.broadcast(bases), ["source", "sub"])
-        .filter(rank < SAMPLE_PER_STRATUM)
+        pos.filter(rank < SAMPLE_PER_STRATUM)
         .select("doc_id", "source", "lang", rank.alias("sample_rank"))
     )
