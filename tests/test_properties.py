@@ -136,3 +136,29 @@ def test_identical_norm_texts_share_signature_and_pair(spark, docs):
         for j in by_id:
             if norm[i] == norm[j]:
                 assert by_id[i] == by_id[j]
+
+
+# --- global_rank vs brute-force ordering -------------------------------------
+
+rank_rows = st.lists(
+    st.tuples(st.integers(0, 10_000), st.sampled_from([0.0, 1.5, 1.5, 1.5, 2.25, -3.5])),
+    min_size=1,
+    max_size=120,
+    unique_by=lambda t: t[0],  # unique ids; scores intentionally collide
+)
+
+
+@given(rank_rows)
+@settings(**SETTINGS)
+def test_global_rank_matches_python_sort(spark, rows):
+    """Range-partitioned distributed rank == brute-force sorted enumerate,
+    under heavy score ties, negatives, singletons, and arbitrary id gaps."""
+    from flink_cdc_fluss_quickstart_spark.operators.ranking import global_rank
+
+    df = spark.createDataFrame(rows, "id bigint, score double")
+    got = {r.id: r.rank for r in global_rank(df, ["score", "id"]).collect()}
+    expected = {
+        row_id: pos
+        for pos, (_score, row_id) in enumerate(sorted((s, i) for i, s in rows))
+    }
+    assert got == expected

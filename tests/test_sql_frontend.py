@@ -199,3 +199,63 @@ def test_init_catalogs_betting_dialect(spark, tmp_path):
     ev = eng.snapshot("events_staging")
     assert ev.count() == 6 * 8
     assert eng.tables["kinesis_events"].watermark == ("event_time", "5 seconds")
+
+
+def test_agg_view_shape_parser_accepts_reference_and_rejects_arbitrary():
+    """The affected-keys router must accept exactly the revenue-analytics
+    statement family and return None (-> full-requery fallback) for anything
+    it cannot scope soundly -- never raise."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_fluss_quickstart_spark.sql_frontend import (
+        TableSpec,
+        _parse_agg_view_shape,
+    )
+
+    spec = TableSpec(
+        name="movie_revenue_realtime",
+        schema=T.StructType(
+            [
+                T.StructField("movie_id", T.LongType()),
+                T.StructField("total", T.LongType()),
+            ]
+        ),
+        primary_key=["movie_id"],
+    )
+    ok = _parse_agg_view_shape(
+        "SELECT t.movie_id, SUM(t.cost) FROM tickets_staging t "
+        "JOIN movies_staging m ON t.movie_id = m.movie_id "
+        "GROUP BY t.movie_id",
+        spec,
+        "movie_revenue_realtime",
+    )
+    assert ok is not None
+    assert ok.anchor_table == "tickets_staging"
+    assert ok.key_by_table == {
+        "tickets_staging": "movie_id",
+        "movies_staging": "movie_id",
+    }
+    assert "__ivw_movie_revenue_realtime_tickets_staging" in ok.rewritten_sql
+    assert "FROM tickets_staging" not in ok.rewritten_sql
+    assert "JOIN movies_staging" not in ok.rewritten_sql
+
+    rejects = [
+        # no join
+        "SELECT movie_id, SUM(cost) FROM tickets_staging GROUP BY movie_id",
+        # no GROUP BY
+        "SELECT t.movie_id, m.title FROM tickets_staging t "
+        "JOIN movies_staging m ON t.movie_id = m.movie_id",
+        # PK position is not the join key
+        "SELECT m.title, SUM(t.cost) FROM tickets_staging t "
+        "JOIN movies_staging m ON t.movie_id = m.movie_id GROUP BY m.title",
+        # join key absent from GROUP BY
+        "SELECT t.movie_id, SUM(t.cost) FROM tickets_staging t "
+        "JOIN movies_staging m ON t.movie_id = m.movie_id GROUP BY t.status",
+        # theta join
+        "SELECT t.movie_id, SUM(t.cost) FROM tickets_staging t "
+        "JOIN movies_staging m ON t.movie_id < m.movie_id GROUP BY t.movie_id",
+        "",
+        "SELECT 1",
+    ]
+    for sql in rejects:
+        assert _parse_agg_view_shape(sql, spec, "x") is None, sql
