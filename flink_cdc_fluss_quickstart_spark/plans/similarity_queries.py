@@ -876,8 +876,10 @@ def _clustered_embeddings(emb: DataFrame) -> DataFrame:
 
 def _ann_recall_clustered_oracle() -> str:
     """The composed recall oracle with `embeddings` rebound to the clustered
-    derivation (mechanical word-boundary rename + a prefixed CTE; DuckDB
-    resolves the base table schema-qualified to avoid CTE self-reference)."""
+    derivation: a mechanical word-boundary rename of every table reference to
+    the `emb_clustered` CTE (no name shadowing, so the CTE's own FROM reads
+    the base view unqualified -- robust to however the harness registers
+    the tables)."""
     import re as _re
 
     inner = _re.sub(r"\bembeddings\b", "emb_clustered", _ann_recall_oracle())
@@ -890,7 +892,7 @@ def _ann_recall_clustered_oracle() -> str:
                      THEN CAST({ANN_CLUSTER_OFFSET} AS DOUBLE)
                      ELSE CAST(0.0 AS DOUBLE) END) AS DOUBLE)) AS embedding,
              CAST(vec_id % {ANN_CLUSTERS} AS BIGINT) AS label
-      FROM main.embeddings
+      FROM embeddings
     ),
     {body}
     """
