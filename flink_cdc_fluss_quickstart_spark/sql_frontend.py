@@ -360,6 +360,8 @@ class Engine:
             m = re.match(r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w.]+)", stmt, re.I)
             name = m.group(1).split(".")[-1].lower()
             self.tables.pop(name, None)
+            self.views.pop(name, None)
+            self.replicated_from.pop(name, None)
             # also drop the PK store AND its on-disk data: the reference
             # dialect's drop+create yields an EMPTY table, so a resurrected
             # name must not see the old rows
