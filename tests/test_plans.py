@@ -122,3 +122,36 @@ def test_q22_not_exists_is_anti_join(spark):
     assert "LeftAnti" in plan
     # urgent-orders filter reaches the orders scan
     assert "EqualTo(o_orderpriority,1-URGENT)" in formatted
+
+
+def test_bm25_probe_is_equi_join_with_bounded_broadcasts(spark):
+    """The BM25 posting-list probe must stay an equi join on the term key
+    (hash or sort-merge), with broadcasts only for the metadata-sized scalar
+    frames (stats) -- no CartesianProduct, no data-on-data nested loop."""
+    plan, formatted = _plans(spark, "bm25_retrieval")
+    assert "CartesianProduct" not in plan
+    # every nested-loop node must be a 1-row scalar broadcast (the stats
+    # cross joins); a BNLJ with a join condition would be a theta join
+    import re
+
+    for m in re.finditer(r"BroadcastNestedLoopJoin (\w+), (\w+)", plan):
+        # the build side is always the broadcast 1-row stats aggregate (a
+        # Cross/Inner scalar join, possibly carrying the pushed-in
+        # eligibility predicate) -- never a data-on-data theta join
+        assert m.group(1) == "BuildRight" and m.group(2) in ("Inner", "Cross")
+
+
+def test_collocation_top_k_is_take_ordered(spark):
+    """The global top-k must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge of k x partitions rows), never a global Sort+Limit
+    that funnels the pair table through one partition."""
+    plan, _ = _plans(spark, "collocation_pmi")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_curriculum_rank_windows_are_partitioned(spark):
+    """No corpus-sized window may run unpartitioned: the row_number windows
+    must key on the stamped range-partition id; the only global-ordered
+    window is the metadata-sized per-partition base prefix sum."""
+    plan, _ = _plans(spark, "curriculum_order")
+    assert "rangepartitioning" in plan.lower()
