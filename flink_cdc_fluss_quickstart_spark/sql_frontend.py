@@ -512,11 +512,33 @@ class Engine:
                 self._start_incremental_view(target_name, shape)
                 return
 
-        # materialized view / batch insert: run the SELECT over snapshots
+        # materialized view / batch insert: run the SELECT over snapshots.
+        # A connector-backed source referenced directly (no staging table in
+        # between) is snapshotted by collapsing its bound changelog batch-side
+        # -- latest row per PK, deletes dropped -- the same fold PKTable
+        # applies incrementally.
         def run_select() -> DataFrame:
+            from flink_cdc_fluss_quickstart_spark.operators.changelog import (
+                OP_DELETE,
+                latest_by_key,
+            )
+
             for n in src_names:
-                snap = self.stores[n].snapshot()
-                if snap is None:
+                if n in self.stores:
+                    snap = self.stores[n].snapshot()
+                    if snap is None:
+                        snap = self.spark.createDataFrame([], self.tables[n].schema)
+                elif n in self.bound_sources:
+                    path, schema = self.bound_sources[n]
+                    log = self.spark.read.schema(schema).parquet(path)
+                    keys = self.tables[n].primary_key if n in self.tables else []
+                    keys = keys or [schema.fields[2].name]  # first payload col
+                    snap = (
+                        latest_by_key(log, keys, ["seq"])
+                        .filter(F.col("op") != OP_DELETE)
+                        .drop("op", "seq")
+                    )
+                else:
                     snap = self.spark.createDataFrame([], self.tables[n].schema)
                 snap.createOrReplaceTempView(n)
             return self.spark.sql(select_sql)

@@ -157,6 +157,47 @@ def test_incremental_view_work_scales_with_batch_keys(spark, tmp_path):
     o = sorted(tuple(r) for r in oracle.collect())
     assert s == o and len(s) > 0
 
+    # dim-side delta (J1 through the SQL layer): a movie title edit must
+    # rewrite the already-emitted group, again refreshing exactly one key
+    mtbl = pa.table(
+        {
+            "op": ["U"],
+            "seq": [10_002],
+            "movie_id": [1],
+            "title": ["Movie 1 (remastered)"],
+            "description": ["Description of movie 1"],
+            "duration_minutes": [91],
+            "start_date": [datetime(2025, 6, 1, 12, 0, 10)],
+            "created_at": [datetime(2025, 6, 2, 10, 0, 0)],
+        },
+        schema=pa.schema(
+            [
+                pa.field("op", pa.string()),
+                pa.field("seq", pa.int64()),
+                pa.field("movie_id", pa.int64()),
+                pa.field("title", pa.string()),
+                pa.field("description", pa.string()),
+                pa.field("duration_minutes", pa.int32()),
+                pa.field("start_date", pa.timestamp("us")),
+                pa.field("created_at", pa.timestamp("us")),
+            ]
+        ),
+    )
+    pq.write_table(mtbl, str(Path(wl["movies"]) / "epoch_9999.parquet"))
+    n_before = len(view.refresh_stats)
+    eng.execute((FIXTURES / "movies-cdc.sql").read_text())
+    eng.await_all()
+    eng.execute((FIXTURES / "revenue-analytics.sql").read_text())
+    eng.await_all()
+    assert [st["n_affected"] for st in view.refresh_stats[n_before:]] == [1]
+    row = (
+        eng.snapshot("movie_revenue_realtime")
+        .filter("movie_id = 1")
+        .collect()[0]
+    )
+    assert row.movie_title == "Movie 1 (remastered)"
+    assert row.duration_minutes == 91
+
 
 def test_init_catalogs_betting_dialect(spark, tmp_path):
     """S4: the generated init-catalogs.sql dialect end-to-end -- 18-column
@@ -259,3 +300,36 @@ def test_agg_view_shape_parser_accepts_reference_and_rejects_arbitrary():
     ]
     for sql in rejects:
         assert _parse_agg_view_shape(sql, spec, "x") is None, sql
+
+
+def test_batch_aggregate_directly_over_connector_source(spark, workload, tmp_path):
+    """An aggregate INSERT reading a connector-backed source with no staging
+    hop must still run: the front-end snapshots the bound changelog batch-side
+    (latest per PK, deletes dropped) and refreshes the target as a batch MV."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.bind_source("pg_osb_tickets", workload["tickets"], osb.TICKETS_SCHEMA)
+    eng.execute(
+        """
+        CREATE TEMPORARY TABLE pg_osb_tickets (
+          ticket_id BIGINT, movie_id BIGINT, user_id BIGINT,
+          cost DECIMAL(10,2), status STRING, purchased_at TIMESTAMP(3),
+          PRIMARY KEY (ticket_id) NOT ENFORCED
+        ) WITH ('connector' = 'postgres-cdc');
+        CREATE TABLE status_summary (
+          status STRING, n BIGINT,
+          PRIMARY KEY (status) NOT ENFORCED
+        ) WITH ('bucket.num' = '2');
+        INSERT INTO status_summary
+        SELECT status, COUNT(*) AS n FROM pg_osb_tickets GROUP BY status;
+        """
+    )
+    got = {r.status: r.n for r in eng.snapshot("status_summary").collect()}
+    # independent fold of the changelog
+    import pyspark.sql.functions as F
+
+    log = spark.read.schema(osb.TICKETS_SCHEMA).parquet(workload["tickets"])
+    from flink_cdc_fluss_quickstart_spark.operators.changelog import latest_by_key
+
+    cur = latest_by_key(log, ["ticket_id"], ["seq"]).filter(F.col("op") != "D")
+    want = {r.status: r.n for r in cur.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want and sum(got.values()) > 0
