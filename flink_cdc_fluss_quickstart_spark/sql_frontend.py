@@ -182,6 +182,15 @@ def _parse_agg_view_shape(select_sql: str, target_spec: "TableSpec",
     BE the target's primary key value (so refreshed groups map 1:1 onto
     serving-table keys), and must appear in GROUP BY (so a group never mixes
     affected and unaffected keys).
+
+    Unchecked (documented) precondition shared with the native
+    ContinuousRevenueView: the scoping key must be IMMUTABLE per fact row.
+    The changelog envelope carries no before-image, so an update that MOVES
+    a row between group keys (a ticket changing movie_id) would leave the
+    old group stale until next touched -- exactly why a GROUP BY over a
+    mutable column (e.g. ticket status) does NOT parse into this path: the
+    status transitions that dominate the reference workload would corrupt
+    it, and such statements correctly fall back to the full-requery refresh.
     """
     if len(target_spec.primary_key) != 1:
         return None
