@@ -50,7 +50,12 @@ def global_rank(df: DataFrame, order_by: Sequence[str | Column],
     depend on partition placement.
     """
     spark = df.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # "spark.sql.shuffle.partitions" may be unset or the AQE idiom "auto";
+    # fall back to the cluster's default parallelism rather than erroring
+    try:
+        n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        n_parts = spark.sparkContext.defaultParallelism
     ranged = df.repartitionByRange(n_parts, *order_by)
     # persist pins ONE sampled partition assignment for both consumers (the
     # range sampler is seeded per-RDD: two separate exchanges of the same

@@ -59,12 +59,14 @@ def get(name: str) -> QuerySpec:
 # additionally stay hash-checked against the identical DuckDB oracle in
 # tests/test_queries_oracle.py at sf0.001.
 #
-# Round-6 rotation: the 12 operators that had never carried a driver
-# correctness row (bigram/tfidf/curriculum/context_chunks/length_bucket/
-# fixed_count/domain_mix/int8/ann_recall/winnow_fingerprints/
-# dedup_keep_representatives/embedding_dedup_representatives) rotate IN;
-# 12 non-headline relational/family-duplicate shapes rotate to the tail
-# with coverage notes.
+# Round-7 rotation: the 3 queries added in round 6 that have never carried
+# a driver correctness row (bm25_retrieval, collocation_pmi,
+# ann_recall_report_clustered) rotate IN; 3 family-redundant entries whose
+# siblings stay stamped rotate to the tail with coverage notes
+# (winnow_fingerprints -> winnow_overlap_pairs recomputes them;
+# dedup_keep_representatives -> dedup_components stamps the CC family;
+# domain_mix_report -> pack_efficiency_report stamps the single-agg report
+# shape).
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -95,7 +97,6 @@ PRIORITY: tuple[str, ...] = (
     "stratified_sample_by_lang",
     "pii_redact",
     "fixed_count_sample_by_source",
-    "domain_mix_report",
     "context_chunks",
     "length_bucket_batches",
     "sequence_pack_offsets",
@@ -106,17 +107,17 @@ PRIORITY: tuple[str, ...] = (
     "text_quality",
     "unigram_lm_surprisal",
     "bigram_lm_surprisal",
+    "collocation_pmi",
     "tfidf_top_terms",
+    "bm25_retrieval",
     "curriculum_order",
     "repetition_signals",
     # near-dup detection + dedup end steps
     "minhash_lsh_pairs",
     "ngram_jaccard_neardup",
     "simhash_neardup_pairs",
-    "winnow_fingerprints",
     "winnow_overlap_pairs",
     "dedup_components",
-    "dedup_keep_representatives",
     # embedding similarity / ANN / quantization
     "embedding_cosine_topk",
     "embedding_ann_lsh",
@@ -125,6 +126,7 @@ PRIORITY: tuple[str, ...] = (
     "kmeans_embeddings",
     "embedding_int8_quantize",
     "ann_recall_report",
+    "ann_recall_report_clustered",
 )
 
 # Family-coverage ledger for every registered query expected to sit OUTSIDE
@@ -202,6 +204,10 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "stratified_sample_by_lang",
         "same broadcast-rate hash-predicate sampling; temperature only reweights rates",
     ),
+    "domain_mix_report": (
+        "pack_efficiency_report",
+        "single grouped agg + broadcast scalar report shape, stamped r6; sibling stamps the family",
+    ),
     # text features whose outputs are recomputed and verified inside stamped
     # downstream consumers
     "doc_fingerprint": (
@@ -232,13 +238,9 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "ngram_jaccard_neardup",
         "same shingle self-join; containment swaps the overlap denominator",
     ),
-    "bm25_retrieval": (
-        "tfidf_top_terms",
-        "same cached dtf/docfreq machinery + per-key window; BM25 adds a fixed-point saturated-tf fold",
-    ),
-    "collocation_pmi": (
-        "bigram_lm_surprisal",
-        "same bigram table + margin rollups; PMI swaps the per-doc fold for a global top-k",
+    "winnow_fingerprints": (
+        "winnow_overlap_pairs",
+        "the stamped overlap-pairs query recomputes these winnowed fingerprints end-to-end",
     ),
     # embeddings
     "embedding_cosine_neardup": (
@@ -253,9 +255,9 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "ann_recall_report",
         "the stamped recall report composes and scores the multiprobe plan",
     ),
-    "ann_recall_report_clustered": (
-        "ann_recall_report",
-        "same composed report over the in-plan clustered fixture; recall floors asserted in tests",
+    "dedup_keep_representatives": (
+        "dedup_components",
+        "same pointer-jumping connected components; the representative pick is one min-per-component agg on top",
     ),
     # TPC-H tail: join/agg shapes proven by the stamped headliners
     "q2_min_cost_supplier": ("q17_below_avg_quantity_revenue", "correlated-min subquery family"),

@@ -74,20 +74,22 @@ def generate_betting_workload(
     for d in dirs.values():
         os.makedirs(d, exist_ok=True)
 
-    def pa_type(f: T.StructField):
-        if isinstance(f.dataType, T.LongType):
+    def pa_type(dt: T.DataType):
+        if isinstance(dt, T.LongType):
             return pa.int64()
-        if isinstance(f.dataType, T.BooleanType):
+        if isinstance(dt, T.BooleanType):
             return pa.bool_()
-        if isinstance(f.dataType, T.TimestampType):
+        if isinstance(dt, T.TimestampType):
             return pa.timestamp("us", tz="UTC")
-        if isinstance(f.dataType, T.TimestampNTZType):
+        if isinstance(dt, T.TimestampNTZType):
             return pa.timestamp("us")
+        if isinstance(dt, T.StructType):
+            return pa.struct([pa.field(f.name, pa_type(f.dataType)) for f in dt.fields])
         return pa.string()
 
     def write(table: str, schema: T.StructType, epoch: int, rows: list[dict]) -> None:
         cols = {f.name: [r.get(f.name) for r in rows] for f in schema.fields}
-        pa_schema = pa.schema([pa.field(f.name, pa_type(f)) for f in schema.fields])
+        pa_schema = pa.schema([pa.field(f.name, pa_type(f.dataType)) for f in schema.fields])
         tbl = pa.Table.from_pydict(cols, schema=pa_schema)
         pq.write_table(tbl, os.path.join(dirs[table], f"epoch_{epoch:04d}.parquet"))
 
@@ -142,7 +144,8 @@ def generate_betting_workload(
             if not pending:
                 break
             tid = pending[rng.randrange(len(pending))]
-            row = dict(open_tickets[tid])
+            before = dict(open_tickets[tid])
+            row = dict(before)
             outcome = SETTLE[rng.randrange(len(SETTLE))]
             now = ts(e, 30)
             row.update(status=outcome, status_updated_at=now, updated_at=now)
@@ -157,16 +160,17 @@ def generate_betting_workload(
                     transactions_cancel_transaction=f"tx-c-{tid}",
                 )
             open_tickets[tid] = row
-            t_rows.append({"op": "U", "seq": next_seq(), **row})
+            t_rows.append({"op": "U", "seq": next_seq(), **row, "before": before})
         # soft-delete then hard-delete one settled ticket from epoch 2 on
         if e >= 2:
             settled = sorted(t for t, r in open_tickets.items() if r["status"] != "PENDING")
             if settled:
                 tid = settled[rng.randrange(len(settled))]
-                row = dict(open_tickets.pop(tid))
+                before = dict(open_tickets.pop(tid))
+                row = dict(before)
                 row.update(deleted_at=ts(e, 45), updated_at=ts(e, 45))
-                t_rows.append({"op": "U", "seq": next_seq(), **row})
-                t_rows.append({"op": "D", "seq": next_seq(), **row})
+                t_rows.append({"op": "U", "seq": next_seq(), **row, "before": before})
+                t_rows.append({"op": "D", "seq": next_seq(), **row, "before": row})
         write("tickets", BETTING_TICKETS_SCHEMA, e, t_rows)
         write("events", KINESIS_EVENTS_SCHEMA, e, ev_rows)
     return dirs

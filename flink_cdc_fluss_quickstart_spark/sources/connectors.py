@@ -52,15 +52,21 @@ def debezium_envelope_schema(payload: T.StructType) -> T.StructType:
 
 
 def debezium_decode(raw: DataFrame, payload: T.StructType,
-                    value_col: str = "value") -> DataFrame:
+                    value_col: str = "value",
+                    include_before: bool = True) -> DataFrame:
     """Decode Debezium JSON envelopes into the engine's changelog frame.
 
     ``raw`` carries one JSON envelope per row (Kafka's `value`, cast to
-    string). Output: (op, seq, <payload columns...>) where op is I/U/D, seq
-    is the source LSN (the WAL position -- the same total order the file
-    replay models with its seq column), and the payload comes from `after`
-    for upserts and `before` for deletes. Malformed envelopes surface as
-    NULL-op rows (filter or dead-letter them; they never fail the stream).
+    string). Output: (op, seq, <payload columns...>[, before]) where op is
+    I/U/D, seq is the source LSN (the WAL position -- the same total order
+    the file replay models with its seq column), and the payload comes from
+    `after` for upserts and `before` for deletes. With `include_before`
+    (default) the envelope's before-image survives as a trailing struct
+    column -- REPLICA IDENTITY FULL parity (01-init.sql:56-59) that lets the
+    affected-keys view refresh retract group-key-moving updates from their
+    OLD group (see streaming.analytics.affected_keys); the osb.py file
+    replay carries the same column. Malformed envelopes surface as NULL-op
+    rows (filter or dead-letter them; they never fail the stream).
 
     All expression work (`from_json`, struct field access, CASE) is JVM-side
     whole-stage-codegen -- at 100 TB/day of CDC this path must never drop
@@ -76,8 +82,12 @@ def debezium_decode(raw: DataFrame, payload: T.StructType,
         op.alias("op"),
         env["source"]["lsn"].alias("seq"),
         row.alias("__row"),
+        env["before"].alias("before"),
     )
-    return out.select("op", "seq", *[f"__row.{f.name}" for f in payload.fields])
+    cols = ["op", "seq", *[f"__row.{f.name}" for f in payload.fields]]
+    if include_before:
+        cols.append("before")
+    return out.select(*cols)
 
 
 def kafka_changelog_stream(

@@ -27,6 +27,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 # changelog envelope: op + monotonically increasing seq (WAL LSN analogue)
+# + payload (the after-image) + `before`, the full pre-update row on U/D
+# rows (null on I). The reference's Postgres source runs REPLICA IDENTITY
+# FULL (postgres-source/init-scripts/01-init.sql:56-59), so every UPDATE and
+# DELETE in its WAL carries the complete old row -- that before-image is
+# what lets the downstream affected-keys refresh retract a row from its OLD
+# group when an update MOVES it between group keys (Flink's -U/+U pair,
+# folded here into one U row with a before struct).
 def _env(fields: list[T.StructField]) -> T.StructType:
     return T.StructType(
         [
@@ -34,6 +41,7 @@ def _env(fields: list[T.StructField]) -> T.StructType:
             T.StructField("seq", T.LongType(), False),
         ]
         + fields
+        + [T.StructField("before", T.StructType(fields), True)]
     )
 
 
@@ -74,10 +82,19 @@ class _State:
     movies: list[int] = field(default_factory=list)
     # ticket_id -> (movie_id, user_id, cost, status, purchased_at)
     tickets: dict[int, tuple] = field(default_factory=dict)
+    # movie_id -> last-written payload dict (source of before-images)
+    movie_rows: dict[int, dict] = field(default_factory=dict)
 
     def next_seq(self) -> int:
         self.seq += 1
         return self.seq
+
+
+def _ticket_payload(tid: int, r: tuple) -> dict:
+    return {
+        "ticket_id": tid, "movie_id": r[0], "user_id": r[1],
+        "cost": r[2], "status": r[3], "purchased_at": r[4],
+    }
 
 
 def generate_workload(
@@ -86,8 +103,16 @@ def generate_workload(
     seed: int = 42,
     tickets_per_epoch: int = 10,
     updates_per_epoch: int = 6,
+    moves_per_epoch: int = 1,
 ) -> dict[str, str]:
-    """Write per-epoch changelog parquet files; returns table->dir map."""
+    """Write per-epoch changelog parquet files; returns table->dir map.
+
+    From epoch 2 on, `moves_per_epoch` ticket EXCHANGES per epoch change a
+    ticket's movie_id -- an update that moves the row between group keys.
+    Its U row's before-image is what lets the affected-keys view refresh
+    retract the ticket from the OLD movie's aggregate (REPLICA IDENTITY
+    FULL semantics; an after-image-only consumer would leave it stale).
+    """
     rng = random.Random(seed)
     st = _State()
     dirs = {t: os.path.join(out_dir, t) for t in ("users", "movies", "tickets")}
@@ -97,35 +122,26 @@ def generate_workload(
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    def _pa_type(dt: T.DataType):
+        if isinstance(dt, T.LongType):
+            return pa.int64()
+        if isinstance(dt, T.IntegerType):
+            return pa.int32()
+        if isinstance(dt, T.DecimalType):
+            return pa.decimal128(dt.precision, dt.scale)
+        if isinstance(dt, T.TimestampNTZType):
+            return pa.timestamp("us")
+        if isinstance(dt, T.StructType):
+            return pa.struct([pa.field(f.name, _pa_type(f.dataType)) for f in dt.fields])
+        return pa.string()
+
     def write(table: str, epoch: int, rows: list[dict], schema: T.StructType) -> None:
         # write via pyarrow (driver-side fixture gen; tiny files)
         cols: dict[str, list] = {f.name: [] for f in schema.fields}
         for r in rows:
             for f in schema.fields:
                 cols[f.name].append(r.get(f.name))
-        pa_schema = pa.schema(
-            [
-                pa.field(
-                    f.name,
-                    {
-                        "op": pa.string(),
-                        "seq": pa.int64(),
-                    }.get(
-                        f.name,
-                        pa.int64()
-                        if isinstance(f.dataType, T.LongType)
-                        else pa.int32()
-                        if isinstance(f.dataType, T.IntegerType)
-                        else pa.decimal128(10, 2)
-                        if isinstance(f.dataType, T.DecimalType)
-                        else pa.timestamp("us")
-                        if isinstance(f.dataType, T.TimestampNTZType)
-                        else pa.string(),
-                    ),
-                )
-                for f in schema.fields
-            ]
-        )
+        pa_schema = pa.schema([pa.field(f.name, _pa_type(f.dataType)) for f in schema.fields])
         tbl = pa.Table.from_pydict(cols, schema=pa_schema)
         pq.write_table(tbl, os.path.join(dirs[table], f"epoch_{epoch:04d}.parquet"))
 
@@ -145,12 +161,14 @@ def generate_workload(
         for i in range(2):
             mid = len(st.movies) + 1
             st.movies.append(mid)
-            m_rows.append({
-                "op": "I", "seq": st.next_seq(), "movie_id": mid,
+            payload = {
+                "movie_id": mid,
                 "title": f"Movie {mid}", "description": f"Description of movie {mid}",
                 "duration_minutes": 90 + (mid % 60),
                 "start_date": ts(e, 10 + i), "created_at": ts(e, 10 + i),
-            })
+            }
+            st.movie_rows[mid] = payload
+            m_rows.append({"op": "I", "seq": st.next_seq(), **payload})
         # ticket inserts
         for i in range(tickets_per_epoch):
             tid = len(st.tickets) + 1
@@ -176,29 +194,50 @@ def generate_workload(
             nr = (r[0], r[1], r[2], new_status, r[4])
             st.tickets[tid] = nr
             t_rows.append({
-                "op": "U", "seq": st.next_seq(), "ticket_id": tid,
-                "movie_id": nr[0], "user_id": nr[1], "cost": nr[2],
-                "status": new_status, "purchased_at": nr[4],
+                "op": "U", "seq": st.next_seq(),
+                **_ticket_payload(tid, nr),
+                "before": _ticket_payload(tid, r),
             })
+        # ticket exchange: movie_id changes -- a group-key-moving update
+        # (the case REPLICA IDENTITY FULL before-images exist for)
+        if e >= 2 and len(st.movies) >= 2:
+            for _ in range(moves_per_epoch):
+                candidates = [
+                    (tid, r) for tid, r in st.tickets.items() if r[3] != "finished"
+                ]
+                if not candidates:
+                    break
+                tid, r = candidates[rng.randrange(len(candidates))]
+                new_mv = rng.choice([m for m in st.movies if m != r[0]])
+                nr = (new_mv, r[1], r[2], r[3], r[4])
+                st.tickets[tid] = nr
+                t_rows.append({
+                    "op": "U", "seq": st.next_seq(),
+                    **_ticket_payload(tid, nr),
+                    "before": _ticket_payload(tid, r),
+                })
         # movie title update every other epoch (join-dim update, J1)
         if e % 2 == 1:
             mid = rng.choice(st.movies)
-            m_rows.append({
-                "op": "U", "seq": st.next_seq(), "movie_id": mid,
+            old = st.movie_rows[mid]
+            payload = {
+                "movie_id": mid,
                 "title": f"Movie {mid} (director's cut e{e})",
                 "description": f"Description of movie {mid}",
                 "duration_minutes": 90 + (mid % 60),
                 "start_date": ts(e, 40), "created_at": ts(e, 40),
-            })
+            }
+            st.movie_rows[mid] = payload
+            m_rows.append({"op": "U", "seq": st.next_seq(), **payload, "before": old})
         # rare ticket delete (refund) from epoch 3 on
         if e >= 3:
             sold = sorted(st.tickets)
             tid = sold[rng.randrange(len(sold))]
             r = st.tickets.pop(tid)
             t_rows.append({
-                "op": "D", "seq": st.next_seq(), "ticket_id": tid,
-                "movie_id": r[0], "user_id": r[1], "cost": r[2],
-                "status": r[3], "purchased_at": r[4],
+                "op": "D", "seq": st.next_seq(),
+                **_ticket_payload(tid, r),
+                "before": _ticket_payload(tid, r),
             })
         write("users", e, u_rows, USERS_SCHEMA)
         write("movies", e, m_rows, MOVIES_SCHEMA)

@@ -180,17 +180,21 @@ def _parse_agg_view_shape(select_sql: str, target_spec: "TableSpec",
     Soundness requirements, each checked: the scoping column must be the
     equi-join key (so a left-semi filter on either side bounds both), must
     BE the target's primary key value (so refreshed groups map 1:1 onto
-    serving-table keys), and must appear in GROUP BY (so a group never mixes
-    affected and unaffected keys).
+    serving-table keys), must appear in GROUP BY (so a group never mixes
+    affected and unaffected keys), the two parsed tables must be DISTINCT
+    and must cover every source the statement mentions (a third table or a
+    self-join cannot be scoped soundly), and the GROUP BY check is matched
+    against the split group-by item list, never text trailing into
+    HAVING/ORDER BY.
 
-    Unchecked (documented) precondition shared with the native
-    ContinuousRevenueView: the scoping key must be IMMUTABLE per fact row.
-    The changelog envelope carries no before-image, so an update that MOVES
-    a row between group keys (a ticket changing movie_id) would leave the
-    old group stale until next touched -- exactly why a GROUP BY over a
-    mutable column (e.g. ticket status) does NOT parse into this path: the
-    status transitions that dominate the reference workload would corrupt
-    it, and such statements correctly fall back to the full-requery refresh.
+    Group-key-MOVING updates (a ticket changing movie_id) are handled via
+    the changelog's `before` struct -- the full pre-update row, REPLICA
+    IDENTITY FULL parity with the reference's Postgres source
+    (01-init.sql:56-59): the refresh frame unions before- and after-image
+    keys, so the old group retracts in the same micro-batch (see
+    streaming.analytics.affected_keys). On a before-image-free changelog
+    the old group would go stale until next touched -- bind such sources
+    only if their scoping key is immutable.
     """
     if len(target_spec.primary_key) != 1:
         return None
@@ -205,13 +209,30 @@ def _parse_agg_view_shape(select_sql: str, target_spec: "TableSpec",
         return None
     t1, a1, t2, a2, ja, jac, jb, jbc = (g.lower() for g in m.groups())
     t1, t2 = t1.split(".")[-1], t2.split(".")[-1]
+    if t1 == t2:
+        return None  # self-join: one staging table cannot anchor two roles
     tables = {a1: t1, a2: t2}
     if len(tables) != 2 or {ja, jb} != {a1, a2}:
+        return None
+    # every source mentioned ANYWHERE in the statement must be one of the
+    # two parsed join tables; a 3rd table (or a subquery FROM) would be left
+    # unscoped and unstreamed -- reject, don't half-stream
+    all_sources = {
+        n.split(".")[-1].lower()
+        for n in re.findall(r"(?:\bFROM|\bJOIN)\s+([\w.]+)", select_sql, re.I)
+    }
+    if all_sources != {t1, t2}:
         return None
     key_by_alias = {ja: jac, jb: jbc}
 
     sm = re.match(r"\s*SELECT\s+(.*?)\bFROM\b", select_sql, re.I | re.S)
-    gm = re.search(r"\bGROUP\s+BY\s+(.*)$", select_sql, re.I | re.S)
+    # capture stops at HAVING/ORDER BY/LIMIT so the anchor-key containment
+    # check below can't be satisfied by a reference in a trailing clause
+    gm = re.search(
+        r"\bGROUP\s+BY\s+(.*?)(?:\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+        select_sql,
+        re.I | re.S,
+    )
     if not sm or not gm:
         return None
     items = _split_select_items(sm.group(1))
@@ -224,7 +245,10 @@ def _parse_agg_view_shape(select_sql: str, target_spec: "TableSpec",
     anchor_alias, anchor_col = im.group(1).lower(), im.group(2).lower()
     if anchor_alias not in tables or key_by_alias.get(anchor_alias) != anchor_col:
         return None
-    if not re.search(rf"\b{anchor_alias}\s*\.\s*{anchor_col}\b", gm.group(1), re.I):
+    group_items = [i.strip().lower() for i in _split_select_items(gm.group(1))]
+    if not any(
+        re.fullmatch(rf"{anchor_alias}\s*\.\s*{anchor_col}", gi) for gi in group_items
+    ):
         return None
 
     view_names = {t: f"__ivw_{target_name}_{t}" for t in tables.values()}
@@ -545,7 +569,7 @@ class Engine:
                     snap = (
                         latest_by_key(log, keys, ["seq"])
                         .filter(F.col("op") != OP_DELETE)
-                        .drop("op", "seq")
+                        .drop("op", "seq", "before")
                     )
                 else:
                     snap = self.spark.createDataFrame([], self.tables[n].schema)
@@ -578,8 +602,11 @@ class Engine:
             src = self.replicated_from[tbl]
             path, schema = self.bound_sources[src]
             staging_cols = [f.name for f in self.tables[tbl].schema.fields]
+            # carry the changelog's before-image through to the refresh so a
+            # group-key-moving update retracts from its OLD group too
+            extra = ["before"] if "before" in schema.fieldNames() else []
             projected = changelog_stream(self.spark, path, schema).select(
-                "op", "seq", *staging_cols
+                "op", "seq", *staging_cols, *extra
             )
             ckpt = os.path.join(
                 self.warehouse, "_ckpt", f"view_{target_name}_from_{src}"
@@ -591,11 +618,16 @@ class Engine:
 
             def fb(batch_df: DataFrame, batch_id: int, _store=store,
                    _src_key=src_key, _sync=sync_writer, _writer=view_writer) -> None:
+                from flink_cdc_fluss_quickstart_spark.streaming.analytics import (
+                    affected_keys,
+                    strip_before,
+                )
+
                 batch_df = batch_df.localCheckpoint(eager=True)
                 with _commit_lock(target.path):
-                    _store.merge(batch_df, batch_id=batch_id, writer_id=_sync)
+                    _store.merge(strip_before(batch_df), batch_id=batch_id, writer_id=_sync)
                     view.refresh(
-                        batch_df.select(F.col(_src_key).alias(anchor_key)),
+                        affected_keys(batch_df, _src_key, anchor_key),
                         batch_id,
                         _writer,
                     )

@@ -31,6 +31,34 @@ from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable, _commit
 REVENUE_STATUSES = ("scheduled", "live", "finished")
 
 
+def affected_keys(batch_df: DataFrame, key: str, out_key: str | None = None) -> DataFrame:
+    """The group keys a changelog micro-batch touches: every after-image key
+    UNION every before-image key (when the envelope carries `before`, the
+    full pre-update row -- REPLICA IDENTITY FULL parity, osb.py envelope).
+
+    The before side is what makes a group-key-MOVING update correct: a
+    ticket exchanged from movie A to movie B arrives as one U row with
+    after.movie_id=B and before.movie_id=A, and BOTH aggregates must
+    refresh. An after-image-only frame would leave A stale until next
+    touched.
+    """
+    out_key = out_key or key
+    keys = batch_df.select(F.col(key).alias(out_key))
+    if "before" in batch_df.columns:
+        keys = keys.unionByName(
+            batch_df.select(F.col(f"before.{key}").alias(out_key)).where(
+                F.col(out_key).isNotNull()
+            )
+        )
+    return keys
+
+
+def strip_before(batch_df: DataFrame) -> DataFrame:
+    """Drop the before-image before a staging merge: the PK snapshot is
+    after-images only (before is refresh-scoping metadata, not state)."""
+    return batch_df.drop("before") if "before" in batch_df.columns else batch_df
+
+
 def revenue_aggregate(tickets: DataFrame, movies: DataFrame) -> DataFrame:
     """The batch form of the analytics query -- the single source of truth
     shared by the streaming refresh and the test oracle.
@@ -135,8 +163,12 @@ class ContinuousRevenueView:
             # is the micro-batch analogue of Flink serializing both input
             # streams through one join-operator state.
             with _commit_lock(self.revenue.path):
-                self.tickets.merge(batch_df, batch_id=batch_id, writer_id="tickets-cdc")
-                self.refresh(batch_df.select("movie_id"), batch_id, "rev-from-tickets")
+                self.tickets.merge(
+                    strip_before(batch_df), batch_id=batch_id, writer_id="tickets-cdc"
+                )
+                self.refresh(
+                    affected_keys(batch_df, "movie_id"), batch_id, "rev-from-tickets"
+                )
 
         return (
             changelog.writeStream.foreachBatch(fb)
@@ -153,8 +185,12 @@ class ContinuousRevenueView:
         def fb(batch_df: DataFrame, batch_id: int) -> None:
             batch_df = batch_df.localCheckpoint(eager=True)
             with _commit_lock(self.revenue.path):  # see start_tickets_pipeline
-                self.movies.merge(batch_df, batch_id=batch_id, writer_id="movies-cdc")
-                self.refresh(batch_df.select("movie_id"), batch_id, "rev-from-movies")
+                self.movies.merge(
+                    strip_before(batch_df), batch_id=batch_id, writer_id="movies-cdc"
+                )
+                self.refresh(
+                    affected_keys(batch_df, "movie_id"), batch_id, "rev-from-movies"
+                )
 
         return (
             changelog.writeStream.foreachBatch(fb)

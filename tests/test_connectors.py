@@ -38,11 +38,15 @@ def test_debezium_decode_ops_and_order(spark):
     ]
     raw = spark.createDataFrame(rows, "value string")
     out = connectors.debezium_decode(raw, PAYLOAD)
-    assert out.columns == ["op", "seq", "ticket_id", "status", "cost"]
+    assert out.columns == ["op", "seq", "ticket_id", "status", "cost", "before"]
     decoded = {r.seq: r for r in out.collect() if r.seq is not None}
     assert decoded[10].op == "I" and decoded[10].ticket_id == 1
     assert decoded[11].op == "I" and decoded[11].cost == 7.5
     assert decoded[12].op == "U" and decoded[12].status == "live"
+    # the before-image survives decode (REPLICA IDENTITY FULL parity): an
+    # update carries the full old row, an insert carries null
+    assert decoded[12].before.status == "scheduled"
+    assert decoded[11].before is None
     # delete carries the BEFORE image (the key must survive for the merge)
     assert decoded[13].op == "D" and decoded[13].ticket_id == 2
     # malformed envelope -> NULL-op row, not a stream failure

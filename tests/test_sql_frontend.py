@@ -198,6 +198,59 @@ def test_incremental_view_work_scales_with_batch_keys(spark, tmp_path):
     assert row.movie_title == "Movie 1 (remastered)"
     assert row.duration_minutes == 91
 
+    # group-key-moving delta (REPLICA IDENTITY FULL): ticket 9001 exchanges
+    # movie 1 -> movie 2; the U row's before struct must put BOTH movie
+    # keys in the refresh frame (n_affected = 2), retracting from movie 1
+    # and adding to movie 2 in the same micro-batch
+    old_ticket = {
+        "ticket_id": 9_001, "movie_id": 1, "user_id": 1,
+        "cost": Decimal("12.50"), "status": "scheduled",
+        "purchased_at": datetime(2025, 6, 2, 9, 0, 0),
+    }
+    payload_fields = [
+        pa.field("ticket_id", pa.int64()), pa.field("movie_id", pa.int64()),
+        pa.field("user_id", pa.int64()), pa.field("cost", pa.decimal128(10, 2)),
+        pa.field("status", pa.string()), pa.field("purchased_at", pa.timestamp("us")),
+    ]
+    move_schema = pa.schema(
+        [pa.field("op", pa.string()), pa.field("seq", pa.int64())]
+        + payload_fields
+        + [pa.field("before", pa.struct(payload_fields))]
+    )
+    moved = {**old_ticket, "movie_id": 2}
+    mv_tbl = pa.Table.from_pydict(
+        {
+            "op": ["U"], "seq": [10_003],
+            **{k: [v] for k, v in moved.items()},
+            "before": [old_ticket],
+        },
+        schema=move_schema,
+    )
+    pq.write_table(mv_tbl, str(Path(wl["tickets"]) / "epoch_9998.parquet"))
+    rev1_before_move = eng.snapshot("movie_revenue_realtime").filter("movie_id = 1").collect()[0]
+    n_before = len(view.refresh_stats)
+    eng.execute((FIXTURES / "tickets-cdc.sql").read_text())
+    eng.await_all()
+    eng.execute((FIXTURES / "revenue-analytics.sql").read_text())
+    eng.await_all()
+    assert [st["n_affected"] for st in view.refresh_stats[n_before:]] == [2]
+    rev = {r.movie_id: r for r in eng.snapshot("movie_revenue_realtime").collect()}
+    # old group retracted the moved ticket, new group gained it -- and the
+    # whole view still equals the batch oracle
+    assert rev[1].ticket_count == rev1_before_move.ticket_count - 1
+    oracle2 = revenue_aggregate(
+        eng.snapshot("tickets_staging").select(
+            "ticket_id", "movie_id", "user_id", "cost", "status", "purchased_at"
+        ),
+        eng.snapshot("movies_staging").select(
+            "movie_id", "title", "start_date", "duration_minutes"
+        ),
+    )
+    served2 = eng.snapshot("movie_revenue_realtime")
+    s2 = sorted(tuple(r) for r in served2.select(*oracle2.columns).collect())
+    o2 = sorted(tuple(r) for r in oracle2.collect())
+    assert s2 == o2
+
 
 def test_init_catalogs_betting_dialect(spark, tmp_path):
     """S4: the generated init-catalogs.sql dialect end-to-end -- 18-column
@@ -295,6 +348,22 @@ def test_agg_view_shape_parser_accepts_reference_and_rejects_arbitrary():
         # theta join
         "SELECT t.movie_id, SUM(t.cost) FROM tickets_staging t "
         "JOIN movies_staging m ON t.movie_id < m.movie_id GROUP BY t.movie_id",
+        # 3-table join: the third table would be left unscoped/unstreamed
+        "SELECT t.movie_id, SUM(t.cost) FROM tickets_staging t "
+        "JOIN movies_staging m ON t.movie_id = m.movie_id "
+        "JOIN users_staging u ON t.user_id = u.user_id GROUP BY t.movie_id",
+        # self-join: one staging table cannot anchor two roles
+        "SELECT a.movie_id, SUM(a.cost) FROM tickets_staging a "
+        "JOIN tickets_staging b ON a.movie_id = b.user_id GROUP BY a.movie_id",
+        # anchor key appears only past the GROUP BY list (ORDER BY), not in it
+        "SELECT t.movie_id, SUM(t.cost) FROM tickets_staging t "
+        "JOIN movies_staging m ON t.movie_id = m.movie_id "
+        "GROUP BY t.status ORDER BY t.movie_id",
+        # subquery source hidden behind a matching outer join
+        "SELECT t.movie_id, SUM(t.cost) FROM tickets_staging t "
+        "JOIN movies_staging m ON t.movie_id = m.movie_id "
+        "WHERE t.user_id IN (SELECT user_id FROM users_staging) "
+        "GROUP BY t.movie_id",
         "",
         "SELECT 1",
     ]

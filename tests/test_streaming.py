@@ -5,6 +5,8 @@ snapshots -- the invariant Flink's retraction machinery guarantees."""
 
 from __future__ import annotations
 
+from pathlib import Path
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -244,3 +246,102 @@ def test_concurrent_two_sided_updates_converge(spark, workload, tmp_path):
     assert any("director's cut" in t for t in titles)
     statuses = {r["status"] for r in tickets.snapshot().collect()}
     assert {"live", "finished"} <= statuses
+
+
+def _write_ticket_epoch(dir_path, epoch: int, rows: list[dict]) -> None:
+    """One changelog epoch file in the osb envelope (incl. before struct)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    payload = [
+        ("ticket_id", pa.int64()), ("movie_id", pa.int64()), ("user_id", pa.int64()),
+        ("cost", pa.decimal128(10, 2)), ("status", pa.string()),
+        ("purchased_at", pa.timestamp("us")),
+    ]
+    schema = pa.schema(
+        [pa.field("op", pa.string()), pa.field("seq", pa.int64())]
+        + [pa.field(n, t) for n, t in payload]
+        + [pa.field("before", pa.struct([pa.field(n, t) for n, t in payload]))]
+    )
+    cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+    pq.write_table(
+        pa.Table.from_pydict(cols, schema=schema),
+        str(Path(dir_path) / f"epoch_{epoch:04d}.parquet"),
+    )
+
+
+def test_group_key_moving_update_refreshes_both_groups(spark, tmp_path):
+    """REPLICA IDENTITY FULL semantics (01-init.sql:56-59): a ticket
+    EXCHANGED from movie 1 to movie 2 arrives as one U row whose before
+    struct carries the old movie_id. After that single micro-batch, movie
+    1's aggregate must have retracted the ticket (here: the group empties
+    and is DELETED from the serving table) and movie 2's must include it --
+    an after-image-only consumer would leave movie 1 stale forever, since
+    nothing else ever touches it."""
+    from datetime import datetime
+    from decimal import Decimal
+
+    t_dir = tmp_path / "wal" / "tickets"
+    m_dir = tmp_path / "wal" / "movies"
+    t_dir.mkdir(parents=True)
+    m_dir.mkdir(parents=True)
+
+    ts0 = datetime(2025, 6, 1, 12, 0, 0)
+    base = {"user_id": 1, "cost": Decimal("10.00"), "purchased_at": ts0}
+    old = {"ticket_id": 1, "movie_id": 1, "status": "scheduled", **base}
+    # epoch 0: one ticket for movie 1; epoch 1: it moves to movie 2
+    _write_ticket_epoch(t_dir, 0, [{"op": "I", "seq": 1, **old}])
+    _write_ticket_epoch(
+        t_dir, 1,
+        [{"op": "U", "seq": 2, **{**old, "movie_id": 2}, "before": old}],
+    )
+    # movies: both inserted in epoch 0, never touched again
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mpayload = [
+        ("movie_id", pa.int64()), ("title", pa.string()), ("description", pa.string()),
+        ("duration_minutes", pa.int32()), ("start_date", pa.timestamp("us")),
+        ("created_at", pa.timestamp("us")),
+    ]
+    mschema = pa.schema(
+        [pa.field("op", pa.string()), pa.field("seq", pa.int64())]
+        + [pa.field(n, t) for n, t in mpayload]
+        + [pa.field("before", pa.struct([pa.field(n, t) for n, t in mpayload]))]
+    )
+    mrows = [
+        {"op": "I", "seq": 1, "movie_id": i, "title": f"Movie {i}",
+         "description": "d", "duration_minutes": 90, "start_date": ts0,
+         "created_at": ts0}
+        for i in (1, 2)
+    ]
+    pq.write_table(
+        pa.Table.from_pydict(
+            {f.name: [r.get(f.name) for r in mrows] for f in mschema}, schema=mschema
+        ),
+        str(m_dir / "epoch_0000.parquet"),
+    )
+
+    from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable
+
+    tickets = PKTable(spark, str(tmp_path / "t"), keys=["ticket_id"], order_by=["seq"])
+    movies = PKTable(spark, str(tmp_path / "m"), keys=["movie_id"], order_by=["seq"])
+    revenue = PKTable(spark, str(tmp_path / "rev"), keys=["movie_id"], order_by=["seq"])
+    view = ContinuousRevenueView(spark, tickets, movies, revenue)
+
+    qm = view.start_movies_pipeline(
+        osb.changelog_stream(spark, str(m_dir), osb.MOVIES_SCHEMA),
+        str(tmp_path / "ckpt_m"),
+    )
+    qm.awaitTermination(120)
+    qt = view.start_tickets_pipeline(
+        osb.changelog_stream(spark, str(t_dir), osb.TICKETS_SCHEMA),
+        str(tmp_path / "ckpt_t"),
+    )
+    qt.awaitTermination(120)
+
+    served = {r.movie_id: r for r in revenue.snapshot().collect()}
+    # movie 1's group emptied -> deleted from the serving table
+    assert 1 not in served, "stale aggregate left for the OLD group after the move"
+    assert served[2].ticket_count == 1
+    assert served[2].total_revenue == Decimal("10.00")
