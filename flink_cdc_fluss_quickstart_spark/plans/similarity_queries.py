@@ -595,10 +595,13 @@ def _km_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _km_oracle() -> str:
+def _km_cte_chain() -> str:
     """Unrolled DuckDB twin of the Lloyd loop (fixed KMEANS_ITERS makes the
     recursion a static CTE chain), op-for-op: same fixed-point distance, same
-    struct-min tie-break, same per-dim integer sums."""
+    struct-min tie-break, same per-dim integer sums. Returns the WITH chain
+    through `fin` (vec_id, embedding, pick) so both the kmeans oracle and
+    downstream consumers (semantic_dedup_prune) extend the identical
+    clustering and cannot drift apart."""
     d2 = (
         "CAST(list_sum(list_transform(embedding, (x, i) ->"
         " CAST(floor((x::DOUBLE - c.cv[i]) * (x::DOUBLE - c.cv[i]) * 1e12) AS BIGINT)))"
@@ -629,12 +632,16 @@ def _km_oracle() -> str:
     for it in range(1, KMEANS_ITERS + 1):
         parts.append(f", a{it} AS ({assign.replace('__SRC__', f'c{it - 1}')})")
         parts.append(f", c{it} AS ({update.replace('__SRC__', f'a{it}')})")
-    parts.append(
-        f", fin AS ({assign.replace('__SRC__', f'c{KMEANS_ITERS}')})"
-        " SELECT vec_id, pick.k AS cluster,"
+    parts.append(f", fin AS ({assign.replace('__SRC__', f'c{KMEANS_ITERS}')})")
+    return "\n".join(parts)
+
+
+def _km_oracle() -> str:
+    return (
+        _km_cte_chain()
+        + "\nSELECT vec_id, pick.k AS cluster,"
         " CAST(pick.d AS DOUBLE) / 1e12 AS dist_sq FROM fin"
     )
-    return "\n".join(parts)
 
 
 @register(

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_cdc_fluss_quickstart_spark.functions import dedup, text
 from flink_cdc_fluss_quickstart_spark.plans.registry import register
-from flink_cdc_fluss_quickstart_spark.tables import load_table, spread
+from flink_cdc_fluss_quickstart_spark.tables import load_table, spread, table_row_count
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
@@ -282,10 +282,11 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Size the join's partitioning from the corpus so per-task pair volume
     # stays bounded as the corpus (and with it the derived stop-gram cap)
     # grows: ~WINNOW_DOCS_PER_PART docs' worth of fingerprints per task.
-    # The doc count is one metadata scalar (same license as the CC
-    # convergence sum); AQE coalesces the extra partitions away at small
-    # corpora, so the floor keeps test-scale plans unchanged.
-    n_docs = d.count()
+    # The doc count comes from the parquet FOOTERS (driver-side metadata
+    # read, zero Spark jobs) so building or explaining this plan runs
+    # nothing on the cluster; AQE coalesces the extra partitions away at
+    # small corpora, so the floor keeps test-scale plans unchanged.
+    n_docs = table_row_count(sf_dir, "documents")
     parts = max(
         int(spark.conf.get("spark.sql.shuffle.partitions")),
         min(n_docs // WINNOW_DOCS_PER_PART, WINNOW_MAX_PARTS),

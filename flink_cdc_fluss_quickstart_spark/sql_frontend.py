@@ -22,7 +22,9 @@ Streaming `INSERT INTO ... SELECT` (connector-backed source) becomes:
 - a continuously-refreshed materialized view when it aggregates (the
   revenue-analytics job). When the statement matches the join+groupBy shape
   the reference's analytics job uses (two aliased staging tables equi-joined
-  on the target's primary key, which also leads the GROUP BY), the front-end
+  on the target's primary key, which also leads the GROUP BY), or the
+  single-table GROUP BY over one staging table keyed by the target's
+  primary key, the front-end
   routes it to the AFFECTED-KEYS refresh: the upstream changelogs stream
   again per view, and each micro-batch re-aggregates ONLY the group keys the
   batch touched -- per-batch work proportional to the batch's keys, never
@@ -270,6 +272,76 @@ def _parse_agg_view_shape(select_sql: str, target_spec: "TableSpec",
         pk_col=pk,
         rewritten_sql=rewritten_sql,
         view_names=view_names,
+    )
+
+
+def _parse_single_table_agg_shape(select_sql: str, target_spec: "TableSpec",
+                                  target_name: str) -> AggViewShape | None:
+    """Single-table GROUP BY variant of the affected-keys shape:
+    `SELECT g, <aggs...> FROM staging [alias] [WHERE ...] GROUP BY g` where
+    `g` is the target's single primary-key column projected as a bare
+    column. Same soundness checks as the join shape (PK position projects
+    the scoping column, it appears in the split GROUP BY list, no other
+    source appears anywhere in the statement).
+
+    The scoping column here may be MUTABLE (e.g. ticket status, whose
+    transitions dominate the reference workload): the changelog's `before`
+    struct puts the OLD group key in the refresh frame, so a row moving
+    between groups refreshes both in the same micro-batch. Without that
+    generalization this shape had to fall back to the full-requery path.
+    """
+    if len(target_spec.primary_key) != 1:
+        return None
+    pk = target_spec.primary_key[0]
+    m = re.search(
+        r"FROM\s+([\w.]+)(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b)(\w+))?\s*"
+        r"(?=\bWHERE\b|\bGROUP\b)",
+        select_sql,
+        re.I | re.S,
+    )
+    if not m:
+        return None
+    tbl = m.group(1).split(".")[-1].lower()
+    alias = (m.group(2) or tbl).lower()
+    all_sources = {
+        n.split(".")[-1].lower()
+        for n in re.findall(r"(?:\bFROM|\bJOIN)\s+([\w.]+)", select_sql, re.I)
+    }
+    if all_sources != {tbl}:
+        return None
+    sm = re.match(r"\s*SELECT\s+(.*?)\bFROM\b", select_sql, re.I | re.S)
+    gm = re.search(
+        r"\bGROUP\s+BY\s+(.*?)(?:\bHAVING\b|\bORDER\s+BY\b|\bLIMIT\b|$)",
+        select_sql,
+        re.I | re.S,
+    )
+    if not sm or not gm:
+        return None
+    items = _split_select_items(sm.group(1))
+    ddl_cols = [f.name for f in target_spec.schema.fields]
+    if pk not in ddl_cols or len(items) != len(ddl_cols):
+        return None
+    im = re.match(r"(?:(\w+)\.)?(\w+)\s*$", items[ddl_cols.index(pk)].strip())
+    if not im:
+        return None
+    qual, col = (im.group(1) or "").lower(), im.group(2).lower()
+    if qual and qual != alias:
+        return None
+    group_items = [i.strip().lower() for i in _split_select_items(gm.group(1))]
+    if not any(re.fullmatch(rf"(?:{alias}\s*\.\s*)?{col}", gi) for gi in group_items):
+        return None
+    vname = f"__ivw_{target_name}_{tbl}"
+    # alias the view back to the original alias (which defaults to the
+    # table name) so both bare and qualified column refs keep resolving
+    rewritten_sql = select_sql.replace(m.group(0), f"FROM {vname} {alias} ", 1)
+    return AggViewShape(
+        tables={alias: tbl},
+        anchor_alias=alias,
+        anchor_table=tbl,
+        key_by_table={tbl: col},
+        pk_col=pk,
+        rewritten_sql=rewritten_sql,
+        view_names={tbl: vname},
     )
 
 
@@ -537,6 +609,8 @@ class Engine:
 
         if is_agg:
             shape = _parse_agg_view_shape(select_sql, target_spec, target_name)
+            if shape is None:
+                shape = _parse_single_table_agg_shape(select_sql, target_spec, target_name)
             if shape is not None and all(
                 t in self.stores and t in self.replicated_from
                 and self.replicated_from[t] in self.bound_sources
@@ -582,6 +656,11 @@ class Engine:
         # refreshes; the native ContinuousRevenueView API is the per-batch
         # affected-keys scale path).
         self._refresh_view(target, target_spec, run_select())
+        # drop the raw-named temp views once the refresh has executed: a
+        # leaked view could otherwise shadow a later statement's resolution
+        # of the same table name against a fresher snapshot
+        for n in src_names:
+            self.spark.catalog.dropTempView(n)
 
     def _start_incremental_view(self, target_name: str, shape: AggViewShape) -> None:
         """Affected-keys maintenance for a parsed aggregate view: one

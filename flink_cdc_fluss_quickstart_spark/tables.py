@@ -35,6 +35,18 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata -- a driver-side file
+    read, not a Spark job. Plan-building code that needs a corpus size to
+    pick a partitioning (e.g. winnow_overlap_pairs) uses this so that
+    building/explaining a plan costs zero cluster work; row counts in
+    parquet footers are exact by format contract."""
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(table_path(sf_dir, name), format="parquet")
+    return sum(frag.metadata.num_rows for frag in dataset.get_fragments())
+
+
 def _ensure_session_confs(spark: SparkSession) -> None:
     """Self-heal confs the queries depend on, so every registered query runs
     on ANY SparkSession -- including one the caller built without our

@@ -155,3 +155,41 @@ def test_curriculum_rank_windows_are_partitioned(spark):
     window is the metadata-sized per-partition base prefix sum."""
     plan, _ = _plans(spark, "curriculum_order")
     assert "rangepartitioning" in plan.lower()
+
+
+@pytest.mark.parametrize("name", ["winnow_overlap_pairs", "ann_recall_report"])
+def test_plan_build_runs_no_compute_jobs(spark, name, monkeypatch):
+    """Building (and explaining) a plan must run no COMPUTE on the cluster:
+    the winnow pair-join partition sizing reads the parquet footer row count
+    driver-side (tables.table_row_count), and the recall report composes its
+    ANN plans lazily. The only jobs allowed during a build are the one
+    schema-inference job `spark.read.parquet` runs per load_table call; any
+    job beyond that is an eager count()/collect() at build time, which would
+    make every explain/report pass pay a corpus scan (the bug class fixed
+    for ann_recall_report in r6 and winnow_overlap_pairs in r7)."""
+    import flink_cdc_fluss_quickstart_spark.plans.similarity_queries as sq
+    import flink_cdc_fluss_quickstart_spark.plans.text_queries as tq
+    import flink_cdc_fluss_quickstart_spark.tables as tables_mod
+
+    calls = {"n": 0}
+    real = tables_mod.load_table
+
+    def counting(spark_, sf_dir, tbl):
+        calls["n"] += 1
+        return real(spark_, sf_dir, tbl)
+
+    for mod in (tables_mod, tq, sq):
+        monkeypatch.setattr(mod, "load_table", counting)
+
+    sc = spark.sparkContext
+    group = f"build-probe-{name}"
+    sc.setJobGroup(group, "plan build must run only schema reads")
+    try:
+        _plans(spark, name)
+        job_ids = sc.statusTracker().getJobIdsForGroup(group)
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert len(job_ids) <= calls["n"], (
+        f"plan build for {name} ran {len(job_ids)} jobs for {calls['n']} table"
+        f" loads -- an eager action at build time"
+    )

@@ -231,3 +231,19 @@ def test_hardcoded_name_lists_resolve():
     ):
         missing = [n for n in names if n not in registered]
         assert not missing, f"{label} names not registered: {missing}"
+
+
+def test_stamp_history_governance_check():
+    """The recorded-stamp governance gate (tools/stamp_history.py --check):
+    no tail query may sit with zero driver stamps AND no coverage note, and
+    no coverage note may cite a sibling that neither has a stamp nor sits in
+    the head-50 (i.e. vouches with nothing). This closes the rotation
+    loophole the registry guard alone can't see: the guard checks declared
+    structure, this checks what the driver actually recorded."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import importlib
+
+    stamp_history = importlib.import_module("stamp_history")
+    assert stamp_history.check() == []

@@ -402,3 +402,57 @@ def test_batch_aggregate_directly_over_connector_source(spark, workload, tmp_pat
     cur = latest_by_key(log, ["ticket_id"], ["seq"]).filter(F.col("op") != "D")
     want = {r.status: r.n for r in cur.groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want and sum(got.values()) > 0
+
+
+def test_single_table_agg_routes_to_incremental_path(spark, tmp_path):
+    """A GROUP BY over ONE staging table (no join) keyed by the target's PK
+    must also take the affected-keys path -- including when the grouping
+    column is MUTABLE (ticket status): the changelog before-image puts the
+    old status in the refresh frame, so a scheduled->live transition
+    refreshes both groups, and the per-batch key count stays bounded by the
+    batch's touched statuses, never the table size."""
+    import pyspark.sql.functions as F
+
+    from flink_cdc_fluss_quickstart_spark.operators.changelog import latest_by_key
+
+    wl = osb.generate_workload(str(tmp_path / "wl"), epochs=5, seed=17)
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.bind_source("pg_osb_tickets", wl["tickets"], osb.TICKETS_SCHEMA)
+    eng.execute((FIXTURES / "tickets-cdc.sql").read_text())
+    eng.await_all()
+    eng.execute(
+        """
+        CREATE TABLE status_counts (
+          status STRING, n BIGINT, total_cost DECIMAL(15,2),
+          PRIMARY KEY (status) NOT ENFORCED
+        ) WITH ('bucket.num' = '2');
+        INSERT INTO status_counts
+        SELECT status, COUNT(*) AS n, SUM(cost) AS total_cost
+        FROM tickets_staging GROUP BY status;
+        """
+    )
+    eng.await_all()
+
+    view = eng.views["status_counts"]
+    assert view.refresh_stats, "single-table aggregate should route incrementally"
+    # every refresh was scoped: statuses per batch <= 3 distinct values + moves
+    assert all(s["n_affected"] <= 4 for s in view.refresh_stats)
+
+    got = {(r.status, r.n, r.total_cost) for r in eng.snapshot("status_counts").collect()}
+    cur = (
+        latest_by_key(
+            spark.read.schema(osb.TICKETS_SCHEMA).parquet(wl["tickets"]),
+            ["ticket_id"], ["seq"],
+        )
+        .filter(F.col("op") != "D")
+    )
+    want = {
+        (r.status, r.n, r.total_cost)
+        for r in cur.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cost").cast("decimal(15,2)").alias("total_cost"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
