@@ -8,7 +8,9 @@ real pipeline ships:
     1. domain_mix_report          -- what's in the raw corpus
     2. quality_filter_route       -- keep/drop/review routing
     2b. unigram_lm_surprisal      -- corpus-statistical LM cut (worst 5%)
+    2c. perplexity_buckets        -- CCNet head/middle/tail mix report
     3. dedup_keep_representatives -- one doc per near-dup cluster
+    3b. semantic_dedup_prune      -- embedding-side SemDeDup keep rates
     4. dataset_split_assign       -- stable train/val/test membership
     5. decontamination_ngrams     -- flag test-set overlap
     6. sequence_pack_offsets      -- context-window packing offsets
@@ -66,8 +68,21 @@ def main() -> None:
         .filter(F.col("bits_per_token") <= F.col("__cut"))
         .select("doc_id")
     )
+    # CCNet-style curriculum mix visibility: how the kept corpus distributes
+    # across per-language perplexity terciles
+    print("== 2c. perplexity-bucket mix (head/middle/tail per language)")
+    q["perplexity_buckets"].builder(spark, sf_dir).groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).orderBy("lang", "bucket").show(9)
+
     reps = q["dedup_keep_representatives"].builder(spark, sf_dir).select("doc_id")
     clean = kept_route.join(fluent, "doc_id").join(reps, "doc_id")
+
+    print("== 3b. semantic dedup (SemDeDup keep rate per k-means cell)")
+    q["semantic_dedup_prune"].builder(spark, sf_dir).groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("keep").alias("n_kept"),
+    ).orderBy("cluster").show()
 
     print("== 4-5. split assignment + decontamination flags")
     splits = q["dataset_split_assign"].builder(spark, sf_dir).select("doc_id", "split")

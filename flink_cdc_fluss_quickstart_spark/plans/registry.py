@@ -242,7 +242,17 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "winnow_overlap_pairs",
         "the stamped overlap-pairs query recomputes these winnowed fingerprints end-to-end",
     ),
+    "perplexity_buckets": (
+        "unigram_lm_surprisal",
+        "scored by the stamped corpus-LM (shared CTE chain); bucketing adds the"
+        " token_stats-shaped ranked window, itself a stamped family",
+    ),
     # embeddings
+    "semantic_dedup_prune": (
+        "kmeans_embeddings",
+        "the identical stamped Lloyd clustering; the prune adds a cluster-keyed"
+        " pair join of the stamped cosine-pair family",
+    ),
     "embedding_cosine_neardup": (
         "embedding_dedup_representatives",
         "the stamped representatives query recomputes these LSH-bucketed pairs",

@@ -644,6 +644,19 @@ def _km_oracle() -> str:
     )
 
 
+def _km_final_assign(emb: DataFrame) -> DataFrame:
+    """The full Lloyd loop to the final assignment frame (vec_id, embedding,
+    cluster, __d2) -- shared by kmeans_embeddings and semantic_dedup_prune
+    so both build the IDENTICAL clustering."""
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("bigint").alias("cluster"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _km_update(_km_assign(emb, cents))
+    return _km_assign(emb, cents)
+
+
 @register(
     "kmeans_embeddings",
     oracle=_km_oracle(),
@@ -663,17 +676,91 @@ def _km_oracle() -> str:
 )
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").cast("bigint").alias("cluster"),
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
-    )
-    for _ in range(KMEANS_ITERS):
-        cents = _km_update(_km_assign(emb, cents))
-    final = _km_assign(emb, cents)
+    final = _km_final_assign(emb)
     return final.select(
         "vec_id",
         "cluster",
         (F.col("__d2").cast("double") / similarity.SCALE).alias("dist_sq"),
+    )
+
+
+# --- semantic dedup (SemDeDup) -----------------------------------------------
+
+# intra-cluster cosine threshold: a pair above it is a semantic duplicate.
+# (SemDeDup, Abbas et al. 2023, arXiv:2303.09540, runs ~0.95+ on real text
+# embeddings; the synthetic corpus is near-isotropic, so the registered
+# threshold sits where pruning is actually exercised at test SF.)
+SEMDEDUP_TAU = 0.4
+
+
+@register(
+    "semantic_dedup_prune",
+    oracle=f"""
+    {_km_cte_chain()}
+    , asg AS (SELECT vec_id, embedding, pick.k AS cluster FROM fin)
+    , pr AS (
+      SELECT DISTINCT b.vec_id
+      FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE {_PAIR_DOT} / ({_PAIR_ANORM} * {_PAIR_BNORM}) >= {SEMDEDUP_TAU}
+    )
+    SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster,
+           CAST(CASE WHEN pr.vec_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM asg a LEFT JOIN pr ON a.vec_id = pr.vec_id
+    """,
+    description=f"Semantic dedup (SemDeDup, Abbas et al. 2023): cluster the"
+    f" embedding corpus with the SAME {KMEANS_K}-cell Lloyd k-means as"
+    f" kmeans_embeddings, then prune, WITHIN each cell, every vector that"
+    f" has a lower-id neighbor at cosine >= {SEMDEDUP_TAU} -- keeping one"
+    f" representative per epsilon-neighborhood. The pair scan is"
+    f" cell-bucketed: cost is sum(|cell|^2), never corpus^2, and the cell"
+    f" count K is the knob that bounds |cell| as the corpus grows (SemDeDup"
+    f" production runs use K~50k; the pair join stays an equi join on the"
+    f" cluster id either way). The clustering reuses the broadcast-centroid"
+    f" row-local assignment (zero shuffle), the keep rule is one"
+    f" cluster-keyed self-join + left anti-style flag, and all cosine math"
+    f" is the fixed-point scaled-sum form, so the result is bit-identical"
+    f" to the oracle's unrolled CTE chain.",
+)
+def semantic_dedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
+
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    # persisted: the assignment feeds both sides of the pair join AND the
+    # output frame -- without it the Lloyd loop would run three times
+    assigned = track_cache(
+        _km_final_assign(emb).select("vec_id", "embedding", "cluster").persist()
+    )
+    a = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("__ida"),
+        F.col("embedding").alias("__ea"),
+        F.sqrt(similarity.sq_norm(F.col("embedding"))).alias("__na"),
+    )
+    b = assigned.select(
+        "cluster",
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("__eb"),
+        F.sqrt(similarity.sq_norm(F.col("embedding"))).alias("__nb"),
+    )
+    pruned = (
+        a.join(b, "cluster")
+        .filter(F.col("__ida") < F.col("vec_id"))
+        .filter(
+            similarity.dot(F.col("__ea"), F.col("__eb"))
+            / (F.col("__na") * F.col("__nb"))
+            >= SEMDEDUP_TAU
+        )
+        .select("vec_id")
+        .distinct()
+        .withColumn("__pruned", F.lit(1))
+    )
+    return assigned.join(pruned, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.when(F.col("__pruned").isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("keep"),
     )
 
 

@@ -606,9 +606,10 @@ def _doc_tf(d: DataFrame) -> DataFrame:
     return _cached(toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
 
 
-@register(
-    "unigram_lm_surprisal",
-    oracle="""
+# unigram-LM CTE chain (toks -> per-doc tf -> vocab -> total mass), shared by
+# the surprisal oracle and the perplexity-bucket oracle so the LM the buckets
+# are cut on is the IDENTICAL model the surprisal query scores with
+_LM_CTES = """
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
@@ -620,6 +621,13 @@ def _doc_tf(d: DataFrame) -> DataFrame:
       SELECT tok, CAST(SUM(tf) AS BIGINT) AS c FROM dtf GROUP BY tok
     ),
     tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM vocab)
+"""
+
+
+@register(
+    "unigram_lm_surprisal",
+    oracle=_LM_CTES
+    + """
     SELECT doc_id,
            CAST(SUM(tf) AS BIGINT) AS n_tokens,
            CAST(SUM(tf * (length(bin(tot.n)) - length(bin(v.c)))) AS BIGINT)
@@ -663,6 +671,70 @@ def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(bits).alias("surprisal_bits"),
             (F.sum(bits).cast("double") / F.sum("tf")).alias("bits_per_token"),
         )
+    )
+
+
+@register(
+    "perplexity_buckets",
+    oracle=_LM_CTES
+    + """
+    , sc AS (
+      SELECT doc_id,
+             CAST(SUM(tf * (length(bin(tot.n)) - length(bin(v.c)))) AS DOUBLE)
+               / SUM(tf) AS bits_per_token
+      FROM dtf JOIN vocab v USING (tok) CROSS JOIN tot
+      GROUP BY doc_id
+    ),
+    scl AS (
+      SELECT s.doc_id, d.lang, s.bits_per_token
+      FROM sc s JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT lang, doc_id, bits_per_token,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY bits_per_token, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM scl
+    )
+    SELECT doc_id, lang, bits_per_token,
+           CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+                WHEN rn <= (2 * n + 2) // 3 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """,
+    description="CCNet-style perplexity bucketing (Wenzek et al. 2020,"
+    " reference pipeline for CommonCrawl curation): every document lands in"
+    " the head / middle / tail tercile of its LANGUAGE'S perplexity"
+    " distribution, scored by the same corpus-fit unigram LM as"
+    " unigram_lm_surprisal (shared CTE chain, integer-bit surprisal -- the"
+    " buckets are cut on the identical model). Terciles are EXACT discrete"
+    " rank cuts (rn <= (n+2) div 3, integer arithmetic -- no float"
+    " percentile drift, and the (score, doc_id) composite order makes every"
+    " rank unique, so heavily-tied score distributions still split into"
+    " thirds). One per-language ranked window that moves only (lang,"
+    " double, id) triplets -- the token_stats_by_lang shape, the single"
+    " shuffle -- then a row-local CASE; at 100 TB the window input is the"
+    " 24-byte projection, never the documents.",
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sc = unigram_lm_surprisal(spark, sf_dir).select("doc_id", "bits_per_token")
+    scl = sc.join(spread(d).select("doc_id", "lang"), "doc_id")
+    w = Window.partitionBy("lang").orderBy("bits_per_token", "doc_id")
+    wc = Window.partitionBy("lang")
+    ranked = scl.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wc)
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "bits_per_token",
+        F.when(F.col("rn") <= F.expr("(n + 2) div 3"), "head")
+        .when(F.col("rn") <= F.expr("(2 * n + 2) div 3"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )
 
 

@@ -82,6 +82,7 @@ EXPECTED = {
     "winnow_overlap_pairs",
     "bpe_token_stats",
     "unigram_lm_surprisal",
+    "perplexity_buckets",
     "bigram_lm_surprisal",
     "curriculum_order",
     "tfidf_top_terms",
@@ -99,6 +100,7 @@ EXPECTED = {
     "embedding_dedup_representatives",
     "embedding_label_centroids",
     "kmeans_embeddings",
+    "semantic_dedup_prune",
     "embedding_int8_quantize",
     "ann_recall_report",
     "ann_recall_report_clustered",
