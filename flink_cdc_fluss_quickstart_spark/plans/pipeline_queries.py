@@ -976,3 +976,133 @@ def fixed_count_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         pos.filter(rank < SAMPLE_PER_STRATUM)
         .select("doc_id", "source", "lang", rank.alias("sample_rank"))
     )
+
+
+# --- DSIR importance weighting ----------------------------------------------
+
+DSIR_BUCKETS = 128       # hashed n-gram feature space (paper: 10k; bounded)
+DSIR_TARGET_SOURCE = "src0"  # stand-in for the curated target domain
+
+# hex8-of-arbitrary-expression (the _DUCK_HEX8 idiom over a feature string)
+_DUCK_FEAT_HEX8 = (
+    "list_sum(list_transform(range(1, 9), j -> "
+    "CAST((instr('0123456789abcdef', substr(md5(feat), j::int, 1)) - 1)"
+    " * (16 ** (8 - j)) AS BIGINT)))"
+)
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS wl FROM documents),
+    feats AS (
+      SELECT doc_id, source, unnest(wl) AS feat FROM w
+      UNION ALL
+      SELECT doc_id, source,
+             unnest(list_transform(range(2, len(wl) + 1),
+                                   i -> wl[i - 1] || ' ' || wl[i])) AS feat
+      FROM w
+    ),
+    fb AS (
+      SELECT doc_id, source,
+             CAST({_DUCK_FEAT_HEX8} % {DSIR_BUCKETS} AS BIGINT) AS b
+      FROM feats
+    ),
+    srcc AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM fb GROUP BY b),
+    tgtc AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM fb
+      WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS ts,
+             CAST(SUM(CASE WHEN source = '{DSIR_TARGET_SOURCE}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS tt
+      FROM fb
+    ),
+    wb AS (
+      SELECT s.b,
+             CAST((length(bin(COALESCE(t.c, 0) + 1)) - length(bin(tot.tt + {DSIR_BUCKETS})))
+                - (length(bin(s.c + 1)) - length(bin(tot.ts + {DSIR_BUCKETS})))
+               AS BIGINT) AS w
+      FROM srcc s LEFT JOIN tgtc t USING (b) CROSS JOIN tot
+    )
+    SELECT fb.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           CAST(SUM(wb.w) AS BIGINT) AS weight_bits
+    FROM fb JOIN wb USING (b)
+    GROUP BY fb.doc_id
+    """,
+    description=f"DSIR importance weights (Xie et al. 2023, arXiv:2302.03169"
+    f" -- Data Selection for LMs via Importance Resampling): every document"
+    f" scored by how much its hashed n-gram feature distribution looks like"
+    f" the TARGET domain (here the '{DSIR_TARGET_SOURCE}' source standing in"
+    f" for e.g. Wikipedia) vs the raw corpus. Features are unigrams +"
+    f" adjacent bigrams hashed into {DSIR_BUCKETS} buckets; per-bucket"
+    f" log-likelihood ratios are integer-quantized to whole bits"
+    f" (floor-log2 via length(bin(x)), Laplace-smoothed, exact in both"
+    f" engines -- the repo's standard no-float-log rule), and a doc's weight"
+    f" is the sum of its features' bucket ratios. Scale shape: one feature"
+    f" explode -> ONE {DSIR_BUCKETS}-key counting aggregate (partial/final,"
+    f" O(1) state) -> the ratio table broadcasts (<= {DSIR_BUCKETS} rows) ->"
+    f" one doc_id-keyed rollup; resampling by the weights composes with the"
+    f" registered temperature/fixed-count samplers.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    w = d.select("doc_id", "source", F.split("text", " ").alias("wl"))
+    uni = w.select("doc_id", "source", F.explode("wl").alias("feat"))
+    big = w.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(wl) >= 2 THEN transform(sequence(2, size(wl)),"
+                " i -> concat(wl[i-2], ' ', wl[i-1])) ELSE array() END"
+            )
+        ).alias("feat"),
+    )
+    # persisted: the bucketed feature frame feeds the corpus counts, the
+    # target counts, the totals, and the per-doc rollup
+    fb = track_cache(
+        uni.unionByName(big)
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("bigint")
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+        .persist()
+    )
+    is_tgt = F.col("source") == DSIR_TARGET_SOURCE
+    srcc = fb.groupBy("b").agg(F.count(F.lit(1)).alias("c"))
+    tgtc = fb.filter(is_tgt).groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    tot = fb.agg(
+        F.count(F.lit(1)).alias("ts"),
+        F.sum(F.when(is_tgt, 1).otherwise(0)).alias("tt"),
+    )
+    lb = lambda c: F.length(F.bin(c))  # noqa: E731  floor(log2 x) + 1, exact
+    wb = (
+        srcc.join(tgtc, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            (
+                (lb(F.coalesce(F.col("ct"), F.lit(0)) + 1) - lb(F.col("tt") + DSIR_BUCKETS))
+                - (lb(F.col("c") + 1) - lb(F.col("ts") + DSIR_BUCKETS))
+            )
+            .cast("bigint")
+            .alias("w"),
+        )
+    )
+    return (
+        fb.join(F.broadcast(wb), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w").cast("bigint").alias("weight_bits"),
+        )
+    )

@@ -208,6 +208,11 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "pack_efficiency_report",
         "single grouped agg + broadcast scalar report shape, stamped r6; sibling stamps the family",
     ),
+    "dsir_importance_weights": (
+        "decontamination_ngrams",
+        "same explode -> gram-keyed count -> doc rollup shape as the stamped decontam scan;"
+        " the integer-bit ratio table is a broadcast scalar frame",
+    ),
     # text features whose outputs are recomputed and verified inside stamped
     # downstream consumers
     "doc_fingerprint": (

@@ -62,6 +62,7 @@ EXPECTED = {
     "pack_efficiency_report",
     "training_shuffle_order",
     "temperature_resample_by_lang",
+    "dsir_importance_weights",
     "domain_mix_report",
     "context_chunks",
     "length_bucket_batches",
