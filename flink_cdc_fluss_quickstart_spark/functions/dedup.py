@@ -421,6 +421,50 @@ def minhash_band_pairs(
     )
 
 
+def minhash_band_pairs_against_index(
+    signatures: DataFrame,
+    id_col: str,
+    band_cols: tuple[tuple[str, ...], ...],
+    new_pred: Column,
+) -> DataFrame:
+    """Incremental LSH: candidate pairs where at least one side satisfies
+    ``new_pred`` (the NEW ingest batch) -- the daily-ingest shape of
+    minhash_band_pairs. Only the new side's band keys DRIVE the join (the
+    index side is probed), so per-run cost is |batch| x bucket-size, never
+    index^2, and index-x-index pairs (already resolved by previous runs) are
+    never generated. new-x-new pairs arrive once via least/greatest ordering
+    + distinct.
+
+    Output: distinct (id_a, id_b) with id_a < id_b.
+    """
+    from pyspark import StorageLevel
+
+    keys = F.array(
+        *[F.md5(F.concat_ws("|", *[F.col(c) for c in cols])) for cols in band_cols]
+    )
+    keyed = _track(
+        signatures.select(F.col(id_col), new_pred.alias("__new"), F.posexplode(keys))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    a = keyed.filter(F.col("__new")).alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+    )
+
+
 SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 16-bit bands; pigeonhole guarantees hamming<=3 recall
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS

@@ -1106,3 +1106,74 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("w").cast("bigint").alias("weight_bits"),
         )
     )
+
+
+# --- token-budget mixture planning -------------------------------------------
+
+MIX_BUDGET_TOKENS = 1_000_000  # nominal training-token budget to allocate
+MIX_ALPHA = 0.5                # temperature on the per-source token mass
+
+
+@register(
+    "token_budget_mix_plan",
+    oracle=rf"""
+    WITH avail AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+               AS tokens_available
+      FROM documents GROUP BY source
+    ),
+    ti AS (
+      SELECT source, n_docs, tokens_available,
+             CAST(floor(pow(CAST(tokens_available AS DOUBLE), {MIX_ALPHA}) * 1000000)
+                  AS BIGINT) AS t
+      FROM avail
+    ),
+    tot AS (SELECT CAST(SUM(t) AS BIGINT) AS tt FROM ti)
+    SELECT source, n_docs, tokens_available,
+           CAST(floor((CAST(t AS DOUBLE) / CAST(tot.tt AS DOUBLE))
+                      * {MIX_BUDGET_TOKENS}) AS BIGINT) AS quota_tokens,
+           (CAST(floor((CAST(t AS DOUBLE) / CAST(tot.tt AS DOUBLE))
+                       * {MIX_BUDGET_TOKENS}) AS BIGINT)::DOUBLE
+             / CAST(tokens_available AS DOUBLE)) AS repeat_factor
+    FROM ti CROSS JOIN tot
+    """,
+    description=f"Token-budget mixture planner -- the data-recipe step that"
+    f" turns 'train on {MIX_BUDGET_TOKENS:,} tokens' into per-source quotas"
+    f" (the LLaMA/Pile-style weighted-mix design): each source's share is"
+    f" proportional to tokens_available^{MIX_ALPHA} (temperature-flattened"
+    f" so head domains don't drown the tail), and repeat_factor = quota /"
+    f" available is the epochs-over-source knob (> 1 means deliberate"
+    f" upsampling). Determinism: the temperature weights are floor-scaled to"
+    f" BIGINT before the normalizing SUM, so the reduction is"
+    f" order-independent integer addition; the only float ops are one"
+    f" division + multiply + floor per source on identical inputs. Scale"
+    f" shape: ONE source-keyed counting aggregate (partial/final), a"
+    f" broadcast scalar total, row-local quota math -- the output is"
+    f" sources-sized (metadata), whatever the corpus size.",
+)
+def token_budget_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(text.token_count(F.col("text")).cast("bigint")).alias("tokens_available"),
+    )
+    ti = avail.withColumn(
+        "t",
+        F.floor(F.pow(F.col("tokens_available").cast("double"), F.lit(MIX_ALPHA)) * 1_000_000)
+        .cast("bigint"),
+    )
+    tot = ti.agg(F.sum("t").alias("tt"))
+    quota = F.floor(
+        (F.col("t").cast("double") / F.col("tt").cast("double")) * MIX_BUDGET_TOKENS
+    ).cast("bigint")
+    return ti.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "tokens_available",
+        quota.alias("quota_tokens"),
+        (quota.cast("double") / F.col("tokens_available").cast("double")).alias(
+            "repeat_factor"
+        ),
+    )

@@ -213,6 +213,15 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "same explode -> gram-keyed count -> doc rollup shape as the stamped decontam scan;"
         " the integer-bit ratio table is a broadcast scalar frame",
     ),
+    "token_budget_mix_plan": (
+        "pack_efficiency_report",
+        "single source-keyed agg + broadcast scalar + row-local math, the stamped report shape",
+    ),
+    "minhash_incremental_pairs": (
+        "minhash_lsh_pairs",
+        "identical signatures and banding, stamped r6; the incremental variant only"
+        " restricts which side drives the band join",
+    ),
     # text features whose outputs are recomputed and verified inside stamped
     # downstream consumers
     "doc_fingerprint": (

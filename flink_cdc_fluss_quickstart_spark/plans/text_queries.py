@@ -515,6 +515,64 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_band_pairs(sig, "doc_id", dedup.BAND_COLS)
 
 
+# the NEW-ingest membership rule for the incremental dedup shape: a pure
+# row-local function of the id (every 5th doc), standing in for "today's
+# batch" against the already-indexed corpus
+_INCR_NEW = "doc_id % 5 = 4"
+
+
+def _band_pairs_incr_sql(src: str) -> str:
+    """Per-band joins DRIVEN by the new side only (mirror of
+    dedup.minhash_band_pairs_against_index): index x index never appears."""
+    branches = []
+    for cols in dedup.BAND_COLS:
+        conds = " AND ".join(f"a.{c} = b.{c}" for c in cols)
+        branches.append(
+            f"SELECT LEAST(a.doc_id, b.doc_id) AS id_a,"
+            f" GREATEST(a.doc_id, b.doc_id) AS id_b"
+            f" FROM {src} a JOIN {src} b ON {conds} AND a.doc_id <> b.doc_id"
+            f" WHERE a.{_INCR_NEW}"
+        )
+    return "\n        UNION ALL\n        ".join(branches)
+
+
+@register(
+    "minhash_incremental_pairs",
+    oracle=f"""
+    WITH sig AS ({_MH_SQL.format(mh_exprs=_MH_EXPRS)})
+    SELECT id_a, id_b,
+           CAST((CASE WHEN id_a % 5 = 4 THEN 1 ELSE 0 END)
+              + (CASE WHEN id_b % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+    FROM (
+      SELECT DISTINCT id_a, id_b FROM (
+        {_band_pairs_incr_sql("sig")}
+      )
+    )
+    """,
+    description=f"Incremental MinHash-LSH dedup -- the daily-ingest shape a"
+    f" 100 TB pipeline actually runs: only the NEW batch (here every 5th"
+    f" doc_id, standing in for today's crawl) drives the banded join against"
+    f" the indexed corpus, so per-run cost is |batch| x bucket-size, never"
+    f" index^2, and index-x-index pairs (resolved by previous runs) are"
+    f" never generated. Emits (id_a, id_b, n_new) with n_new = how many"
+    f" sides are new (2 = within-batch dup, 1 = dup of an indexed doc)."
+    f" Same {dedup.N_BANDS}x{dedup.N_ROWS} banding as minhash_lsh_pairs;"
+    f" shuffles digests, never documents.",
+)
+def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text")
+    pairs = dedup.minhash_band_pairs_against_index(
+        sig, "doc_id", dedup.BAND_COLS, F.expr(_INCR_NEW)
+    )
+    is_new = lambda c: F.when(c % 5 == 4, 1).otherwise(0)  # noqa: E731
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (is_new(F.col("id_a")) + is_new(F.col("id_b"))).cast("bigint").alias("n_new"),
+    )
+
+
 @register(
     "ngram_containment_pairs",
     oracle=f"""

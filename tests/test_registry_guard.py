@@ -63,6 +63,7 @@ EXPECTED = {
     "training_shuffle_order",
     "temperature_resample_by_lang",
     "dsir_importance_weights",
+    "token_budget_mix_plan",
     "domain_mix_report",
     "context_chunks",
     "length_bucket_batches",
@@ -75,6 +76,7 @@ EXPECTED = {
     "lang_id",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_incremental_pairs",
     "ngram_jaccard_neardup",
     "ngram_containment_pairs",
     "simhash_fingerprint",
