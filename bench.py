@@ -51,8 +51,10 @@ HEADLINE = (
     "embedding_ann_lsh",
     "embedding_ann_ivf",
     "kmeans_embeddings",
+    "semantic_dedup_prune",
     "unigram_lm_surprisal",
     "bigram_lm_surprisal",
+    "dsir_importance_weights",
     "winnow_overlap_pairs",
     "asof_view_before_purchase",
     "session_windows_per_user",

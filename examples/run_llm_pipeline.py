@@ -6,6 +6,8 @@ Composes the registered operators into the corpus -> training-shards path a
 real pipeline ships:
 
     1. domain_mix_report          -- what's in the raw corpus
+    1b. token_budget_mix_plan     -- per-source token quotas for the budget
+    1c. dsir_importance_weights   -- target-domain importance scores
     2. quality_filter_route       -- keep/drop/review routing
     2b. unigram_lm_surprisal      -- corpus-statistical LM cut (worst 5%)
     2c. perplexity_buckets        -- CCNet head/middle/tail mix report
@@ -53,6 +55,16 @@ def main() -> None:
 
     print("== 1. raw corpus composition")
     q["domain_mix_report"].builder(spark, sf_dir).orderBy(F.desc("n_docs")).show(5)
+
+    print("== 1b. token-budget mix plan (top-5 quotas)")
+    q["token_budget_mix_plan"].builder(spark, sf_dir).orderBy(
+        F.desc("quota_tokens"), "source"
+    ).show(5)
+
+    print("== 1c. DSIR target-domain importance (5 most target-like docs)")
+    q["dsir_importance_weights"].builder(spark, sf_dir).orderBy(
+        F.desc("weight_bits"), "doc_id"
+    ).show(5)
 
     print("== 2-3. quality routing + LM-surprisal cut + near-dup representatives")
     routes = q["quality_filter_route"].builder(spark, sf_dir)

@@ -61,17 +61,17 @@ def get(name: str) -> QuerySpec:
 #
 # Round-7 rotation: the 3 queries added in round 6 that have never carried
 # a driver correctness row (bm25_retrieval, collocation_pmi,
-# ann_recall_report_clustered) rotate IN; 3 family-redundant entries whose
-# siblings stay stamped rotate to the tail with coverage notes
-# (winnow_fingerprints -> winnow_overlap_pairs recomputes them;
-# dedup_keep_representatives -> dedup_components stamps the CC family;
-# domain_mix_report -> pack_efficiency_report stamps the single-agg report
-# shape).
+# ann_recall_report_clustered) rotate IN, as do 3 of the 5 operators ADDED
+# in round 7 (perplexity_buckets, semantic_dedup_prune,
+# dsir_importance_weights) so new work is driver-stamped the round it
+# lands; 6 family-redundant entries whose siblings stay stamped rotate to
+# the tail with coverage notes (winnow_fingerprints,
+# dedup_keep_representatives, domain_mix_report, changelog_apply_snapshot,
+# context_chunks, fixed_count_sample_by_source).
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
     "upsert_latest_snapshot",
-    "changelog_apply_snapshot",
     "changelog_aware_aggregation",
     "betting_tickets_analytics",
     # event streams: JSON decode, time windows, sessions
@@ -96,8 +96,7 @@ PRIORITY: tuple[str, ...] = (
     "decontamination_ngrams",
     "stratified_sample_by_lang",
     "pii_redact",
-    "fixed_count_sample_by_source",
-    "context_chunks",
+    "dsir_importance_weights",
     "length_bucket_batches",
     "sequence_pack_offsets",
     "pack_efficiency_report",
@@ -106,6 +105,7 @@ PRIORITY: tuple[str, ...] = (
     "dedup_exact",
     "text_quality",
     "unigram_lm_surprisal",
+    "perplexity_buckets",
     "bigram_lm_surprisal",
     "collocation_pmi",
     "tfidf_top_terms",
@@ -124,6 +124,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_ann_ivf",
     "embedding_dedup_representatives",
     "kmeans_embeddings",
+    "semantic_dedup_prune",
     "embedding_int8_quantize",
     "ann_recall_report",
     "ann_recall_report_clustered",
@@ -208,11 +209,6 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "pack_efficiency_report",
         "single grouped agg + broadcast scalar report shape, stamped r6; sibling stamps the family",
     ),
-    "dsir_importance_weights": (
-        "decontamination_ngrams",
-        "same explode -> gram-keyed count -> doc rollup shape as the stamped decontam scan;"
-        " the integer-bit ratio table is a broadcast scalar frame",
-    ),
     "token_budget_mix_plan": (
         "pack_efficiency_report",
         "single source-keyed agg + broadcast scalar + row-local math, the stamped report shape",
@@ -256,17 +252,22 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "winnow_overlap_pairs",
         "the stamped overlap-pairs query recomputes these winnowed fingerprints end-to-end",
     ),
-    "perplexity_buckets": (
-        "unigram_lm_surprisal",
-        "scored by the stamped corpus-LM (shared CTE chain); bucketing adds the"
-        " token_stats-shaped ranked window, itself a stamped family",
+    # reference-core family variants rotated out in r7 (siblings stay stamped)
+    "changelog_apply_snapshot": (
+        "upsert_latest_snapshot",
+        "same latest-by-key changelog fold, stamped r2-r6; the full I/U/D"
+        " delete-drop semantics are re-proven by changelog_aware_aggregation (head)",
+    ),
+    "context_chunks": (
+        "sequence_pack_offsets",
+        "same token-window offset arithmetic family (positions explode,"
+        " digest-bounded rows), both stamped r6",
+    ),
+    "fixed_count_sample_by_source": (
+        "length_bucket_batches",
+        "same two-level hash-sub-bucket exact-rank machinery, both stamped r6",
     ),
     # embeddings
-    "semantic_dedup_prune": (
-        "kmeans_embeddings",
-        "the identical stamped Lloyd clustering; the prune adds a cluster-keyed"
-        " pair join of the stamped cosine-pair family",
-    ),
     "embedding_cosine_neardup": (
         "embedding_dedup_representatives",
         "the stamped representatives query recomputes these LSH-bucketed pairs",
