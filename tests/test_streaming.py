@@ -345,3 +345,43 @@ def test_group_key_moving_update_refreshes_both_groups(spark, tmp_path):
     assert 1 not in served, "stale aggregate left for the OLD group after the move"
     assert served[2].ticket_count == 1
     assert served[2].total_revenue == Decimal("10.00")
+
+
+def test_heavy_exchange_workload_parity(spark, tmp_path):
+    """Stress the before-image path: a workload where group-key-moving
+    updates are as frequent as status transitions (5 exchanges per epoch)
+    must still hold the streaming == batch invariant -- every exchange
+    leaves a stale OLD group behind unless the refresh consumed the
+    before-image."""
+    dirs = osb.generate_workload(
+        str(tmp_path / "wl"), epochs=6, seed=99, moves_per_epoch=5
+    )
+    tickets = PKTable(spark, str(tmp_path / "t"), keys=["ticket_id"], order_by=["seq"])
+    movies = PKTable(spark, str(tmp_path / "m"), keys=["movie_id"], order_by=["seq"])
+    revenue = PKTable(spark, str(tmp_path / "rev"), keys=["movie_id"], order_by=["seq"])
+    view = ContinuousRevenueView(spark, tickets, movies, revenue)
+
+    qm = view.start_movies_pipeline(
+        osb.changelog_stream(spark, dirs["movies"], osb.MOVIES_SCHEMA),
+        str(tmp_path / "ckpt_m"),
+    )
+    qm.awaitTermination(180)
+    qt = view.start_tickets_pipeline(
+        osb.changelog_stream(spark, dirs["tickets"], osb.TICKETS_SCHEMA),
+        str(tmp_path / "ckpt_t"),
+    )
+    qt.awaitTermination(180)
+
+    # the workload really contains moves (guard against a generator change
+    # silently defeating the point of this test)
+    log = spark.read.schema(osb.TICKETS_SCHEMA).parquet(dirs["tickets"])
+    n_moves = log.filter(
+        (F.col("op") == "U") & (F.col("before.movie_id") != F.col("movie_id"))
+    ).count()
+    assert n_moves >= 15  # 5 moves/epoch from epoch 2 (candidate-limited)
+
+    served = revenue.snapshot().drop("seq")
+    oracle = revenue_aggregate(tickets.snapshot(), movies.snapshot())
+    s_rows = sorted(tuple(r) for r in served.select(*oracle.columns).collect())
+    o_rows = sorted(tuple(r) for r in oracle.collect())
+    assert s_rows == o_rows and len(s_rows) > 0
