@@ -244,6 +244,11 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "text_quality",
         "same row-local regex token statistics family",
     ),
+    "gopher_quality_flags": (
+        "text_quality",
+        "same row-local array-filter/regex-count quality-heuristic family,"
+        " stamped since r1; Gopher swaps the thresholds for the published rule set",
+    ),
     "ngram_containment_pairs": (
         "ngram_jaccard_neardup",
         "same shingle self-join; containment swaps the overlap denominator",

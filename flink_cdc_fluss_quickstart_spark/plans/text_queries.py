@@ -1431,3 +1431,166 @@ def collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi_bits"), F.asc("prev"), F.asc("cur"))
         .limit(COLLOC_TOP_K)
     )
+
+
+# --- Gopher rule-based quality filter ----------------------------------------
+
+# the published rule thresholds (Rae et al. 2021, Gopher, Appendix A)
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MIN_MWL, GOPHER_MAX_MWL = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_REQUIRED = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_REQUIRED = 2
+GOPHER_MAX_BULLET_RATIO = 0.9
+GOPHER_MAX_ELLIPSIS_RATIO = 0.3
+
+_G_REQ_SQL = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED)
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=rf"""
+    SELECT doc_id, n_words,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+             AS ok_word_count,
+           (mwl >= {GOPHER_MIN_MWL} AND mwl <= {GOPHER_MAX_MWL}) AS ok_mean_word_len,
+           (symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}) AS ok_symbol_ratio,
+           (alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}) AS ok_alpha_words,
+           (n_required >= {GOPHER_MIN_REQUIRED}) AS ok_required_words,
+           (bullet_ratio < {GOPHER_MAX_BULLET_RATIO}
+            AND ellipsis_ratio < {GOPHER_MAX_ELLIPSIS_RATIO}) AS ok_lines,
+           CAST((CASE WHEN n_words >= {GOPHER_MIN_WORDS}
+                       AND n_words <= {GOPHER_MAX_WORDS} THEN 1 ELSE 0 END)
+              + (CASE WHEN mwl >= {GOPHER_MIN_MWL}
+                       AND mwl <= {GOPHER_MAX_MWL} THEN 1 ELSE 0 END)
+              + (CASE WHEN symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO} THEN 1 ELSE 0 END)
+              + (CASE WHEN alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO} THEN 1 ELSE 0 END)
+              + (CASE WHEN n_required >= {GOPHER_MIN_REQUIRED} THEN 1 ELSE 0 END)
+              + (CASE WHEN bullet_ratio < {GOPHER_MAX_BULLET_RATIO}
+                       AND ellipsis_ratio < {GOPHER_MAX_ELLIPSIS_RATIO}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_rules_passed,
+           (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+            AND mwl >= {GOPHER_MIN_MWL} AND mwl <= {GOPHER_MAX_MWL}
+            AND symbol_ratio < {GOPHER_MAX_SYMBOL_RATIO}
+            AND alpha_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+            AND n_required >= {GOPHER_MIN_REQUIRED}
+            AND bullet_ratio < {GOPHER_MAX_BULLET_RATIO}
+            AND ellipsis_ratio < {GOPHER_MAX_ELLIPSIS_RATIO}) AS pass_gopher
+    FROM (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+               / len(w) AS mwl,
+             CAST(length(regexp_replace(text, '[^#]', '', 'g'))
+                  + (length(text) - length(replace(text, '...', ''))) // 3
+                  AS DOUBLE) / len(w) AS symbol_ratio,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / len(w) AS alpha_ratio,
+             CAST(len(list_filter([{_G_REQ_SQL}],
+                                  r -> list_contains(lw, r))) AS BIGINT)
+               AS n_required,
+             CAST(len(list_filter(ln, x -> starts_with(trim(x), '-')
+                                           OR starts_with(trim(x), '*')))
+                  AS DOUBLE) / len(ln) AS bullet_ratio,
+             CAST(len(list_filter(ln, x -> suffix(x, '...')))
+                  AS DOUBLE) / len(ln) AS ellipsis_ratio
+      FROM (
+        SELECT doc_id, text,
+               regexp_split_to_array(trim(text), '\s+') AS w,
+               list_transform(regexp_split_to_array(trim(text), '\s+'),
+                              x -> lower(x)) AS lw,
+               string_split(text, chr(10)) AS ln
+        FROM documents
+      )
+    )
+    """,
+    description=f"Gopher rule-based quality filter (Rae et al. 2021,"
+    f" Appendix A -- the rule set MassiveText shipped with, also the"
+    f" baseline RefinedWeb/Dolma compare against): per-document booleans"
+    f" for each published rule -- word count in"
+    f" [{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS:,}], mean word length in"
+    f" [{GOPHER_MIN_MWL:g}, {GOPHER_MAX_MWL:g}], symbol(#/ellipsis)-to-word"
+    f" ratio < {GOPHER_MAX_SYMBOL_RATIO}, >= {GOPHER_MIN_ALPHA_RATIO:.0%}"
+    f" words containing a letter, >= {GOPHER_MIN_REQUIRED} of the"
+    f" {len(GOPHER_REQUIRED)} required English function words, and the"
+    f" bullet/ellipsis line-shape rules -- plus the conjunction"
+    f" (pass_gopher). Entirely row-local JVM expressions (array filters,"
+    f" regexp counts): zero shuffles, zero UDFs, linear at any corpus"
+    f" size; ratios are single divisions of exact integers so both engines"
+    f" agree bit-for-bit.",
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    t = F.col("text")
+    base = d.select(
+        "doc_id",
+        t.alias("text"),
+        text.tokens(t).alias("w"),
+        F.transform(text.tokens(t), lambda x: F.lower(x)).alias("lw"),
+        F.split(t, "\n").alias("ln"),
+    )
+    n_words = F.size("w").cast("bigint")
+    mwl = F.length(F.regexp_replace(t, r"\s", "")).cast("double") / F.size("w")
+    symbol_ratio = (
+        F.length(F.regexp_replace(t, r"[^#]", ""))
+        + F.floor((F.length(t) - F.length(F.replace(t, F.lit("...")))) / 3)
+    ).cast("double") / F.size("w")
+    alpha_ratio = (
+        F.size(F.filter(F.col("w"), lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / F.size("w")
+    )
+    n_required = F.size(
+        F.filter(
+            F.array(*[F.lit(w) for w in GOPHER_REQUIRED]),
+            lambda r: F.array_contains(F.col("lw"), r),
+        )
+    ).cast("bigint")
+    bullet_ratio = (
+        F.size(
+            F.filter(
+                F.col("ln"),
+                lambda x: F.trim(x).startswith("-") | F.trim(x).startswith("*"),
+            )
+        ).cast("double")
+        / F.size("ln")
+    )
+    ellipsis_ratio = (
+        F.size(F.filter(F.col("ln"), lambda x: x.endswith("..."))).cast("double")
+        / F.size("ln")
+    )
+    m = base.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mwl"),
+        symbol_ratio.alias("symbol_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        n_required.alias("n_required"),
+        bullet_ratio.alias("bullet_ratio"),
+        ellipsis_ratio.alias("ellipsis_ratio"),
+    )
+    oks = {
+        "ok_word_count": (F.col("n_words") >= GOPHER_MIN_WORDS)
+        & (F.col("n_words") <= GOPHER_MAX_WORDS),
+        "ok_mean_word_len": (F.col("mwl") >= GOPHER_MIN_MWL)
+        & (F.col("mwl") <= GOPHER_MAX_MWL),
+        "ok_symbol_ratio": F.col("symbol_ratio") < GOPHER_MAX_SYMBOL_RATIO,
+        "ok_alpha_words": F.col("alpha_ratio") >= GOPHER_MIN_ALPHA_RATIO,
+        "ok_required_words": F.col("n_required") >= GOPHER_MIN_REQUIRED,
+        "ok_lines": (F.col("bullet_ratio") < GOPHER_MAX_BULLET_RATIO)
+        & (F.col("ellipsis_ratio") < GOPHER_MAX_ELLIPSIS_RATIO),
+    }
+    out = m.select(
+        "doc_id",
+        "n_words",
+        *[expr.alias(name) for name, expr in oks.items()],
+    )
+    n_passed = None
+    all_ok = None
+    for name in oks:
+        term = F.when(F.col(name), 1).otherwise(0)
+        n_passed = term if n_passed is None else (n_passed + term)
+        all_ok = F.col(name) if all_ok is None else (all_ok & F.col(name))
+    return out.withColumn("n_rules_passed", n_passed.cast("bigint")).withColumn(
+        "pass_gopher", all_ok
+    )

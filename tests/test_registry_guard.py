@@ -73,6 +73,7 @@ EXPECTED = {
     "doc_fingerprint",
     "token_count",
     "text_quality",
+    "gopher_quality_flags",
     "lang_id",
     "minhash_signatures",
     "minhash_lsh_pairs",
