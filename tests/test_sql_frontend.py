@@ -456,3 +456,100 @@ def test_single_table_agg_routes_to_incremental_path(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_single_table_agg_on_betting_schema(spark, tmp_path):
+    """The single-table affected-keys route on the S4 (betting) schema:
+    grouping by the MUTABLE lifecycle status (PENDING -> WON/LOST/
+    CANCELLED, plus hard deletes) across TIMESTAMP WITH LOCAL TIME ZONE /
+    BOOLEAN / nullable BIGINT columns. Every settlement moves a ticket
+    between groups; the before-image refresh must retract it from PENDING
+    in the same batch, and the final view must equal the batch fold."""
+    import pyspark.sql.functions as F
+
+    from flink_cdc_fluss_quickstart_spark.operators.changelog import latest_by_key
+    from flink_cdc_fluss_quickstart_spark.sources import betting
+
+    dirs = betting.generate_betting_workload(str(tmp_path / "wl"), epochs=6, seed=3)
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.bind_source("cdc_tickets", dirs["tickets"], betting.BETTING_TICKETS_SCHEMA)
+    eng.execute(
+        """
+        CREATE TEMPORARY TABLE cdc_tickets (
+          id STRING NOT NULL, user_id STRING NOT NULL, status STRING NOT NULL,
+          cancel_reason STRING, entry_amount BIGINT NOT NULL,
+          winning_amount BIGINT,
+          transactions_entry_transaction STRING,
+          transactions_winning_transaction STRING,
+          transactions_cancel_transaction STRING,
+          status_updated_at TIMESTAMP(3) WITH LOCAL TIME ZONE NOT NULL,
+          created_at TIMESTAMP(3) WITH LOCAL TIME ZONE NOT NULL,
+          updated_at TIMESTAMP(3) WITH LOCAL TIME ZONE NOT NULL,
+          deleted_at TIMESTAMP(3) WITH LOCAL TIME ZONE,
+          free_ticket_promotion_id STRING, booster_promotion_id STRING,
+          booster_promotion_change_reason STRING,
+          accept_odds_change BOOLEAN, promo_id STRING,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('connector' = 'postgres-cdc');
+        CREATE TABLE tickets_staging (
+          id STRING NOT NULL, user_id STRING NOT NULL, status STRING NOT NULL,
+          cancel_reason STRING, entry_amount BIGINT NOT NULL,
+          winning_amount BIGINT,
+          transactions_entry_transaction STRING,
+          transactions_winning_transaction STRING,
+          transactions_cancel_transaction STRING,
+          status_updated_at TIMESTAMP(3) WITH LOCAL TIME ZONE NOT NULL,
+          created_at TIMESTAMP(3) WITH LOCAL TIME ZONE NOT NULL,
+          updated_at TIMESTAMP(3) WITH LOCAL TIME ZONE NOT NULL,
+          deleted_at TIMESTAMP(3) WITH LOCAL TIME ZONE,
+          free_ticket_promotion_id STRING, booster_promotion_id STRING,
+          booster_promotion_change_reason STRING,
+          accept_odds_change BOOLEAN, promo_id STRING,
+          PRIMARY KEY (id) NOT ENFORCED
+        ) WITH ('bucket.num' = '4');
+        INSERT INTO tickets_staging SELECT id, user_id, status,
+          cancel_reason, entry_amount, winning_amount,
+          transactions_entry_transaction, transactions_winning_transaction,
+          transactions_cancel_transaction, status_updated_at, created_at,
+          updated_at, deleted_at, free_ticket_promotion_id,
+          booster_promotion_id, booster_promotion_change_reason,
+          accept_odds_change, promo_id FROM cdc_tickets;
+        """
+    )
+    eng.await_all()
+    eng.execute(
+        """
+        CREATE TABLE settlement_summary (
+          status STRING, n BIGINT, total_entry BIGINT, total_winnings BIGINT,
+          PRIMARY KEY (status) NOT ENFORCED
+        ) WITH ('bucket.num' = '2');
+        INSERT INTO settlement_summary
+        SELECT status, COUNT(*) AS n, SUM(entry_amount) AS total_entry,
+               SUM(COALESCE(winning_amount, 0)) AS total_winnings
+        FROM tickets_staging GROUP BY status;
+        """
+    )
+    eng.await_all()
+
+    view = eng.views["settlement_summary"]
+    assert view.refresh_stats, "should route to the incremental path"
+    # <= 4 statuses + before-image retractions per batch, never table-sized
+    assert all(s["n_affected"] <= 5 for s in view.refresh_stats)
+
+    got = {
+        (r.status, r.n, r.total_entry, r.total_winnings)
+        for r in eng.snapshot("settlement_summary").collect()
+    }
+    log = spark.read.schema(betting.BETTING_TICKETS_SCHEMA).parquet(dirs["tickets"])
+    cur = latest_by_key(log, ["id"], ["seq"]).filter(F.col("op") != "D")
+    want = {
+        tuple(r)
+        for r in cur.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("entry_amount").alias("total_entry"),
+            F.sum(F.coalesce(F.col("winning_amount"), F.lit(0))).alias("total_winnings"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) >= 3  # PENDING + several settled states
