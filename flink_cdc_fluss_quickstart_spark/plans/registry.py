@@ -281,6 +281,11 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "embedding_ann_ivf",
         "IVF's coarse quantizer recomputes the per-label centroid aggregate",
     ),
+    "embedding_pca_top_component": (
+        "kmeans_embeddings",
+        "same floor-scaled corpus aggregate + broadcast-vector fixed-iteration"
+        " family (Lloyd vs power method); the stamped sibling proves the shape",
+    ),
     "embedding_ann_multiprobe": (
         "ann_recall_report",
         "the stamped recall report composes and scores the multiprobe plan",

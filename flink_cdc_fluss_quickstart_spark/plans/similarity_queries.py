@@ -1010,3 +1010,215 @@ def _ann_recall_clustered_oracle() -> str:
 def ann_recall_report_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
     return _recall_report(_clustered_embeddings(emb))
+
+
+# --- PCA top component (power iteration) -------------------------------------
+
+PCA_SCALE = 1_000_000  # fixed-point scale for covariance accumulation
+PCA_ITERS = 3          # normalized power-iteration steps (fixed -> unrollable)
+
+
+def _pca_mv(cd: str, v: str) -> str:
+    """Spark expr: w = C v as an ORDERED left fold per output dim (the fold
+    order is the cross-engine determinism contract for double addition)."""
+    return (
+        f"transform(sequence(0, {DIM - 1}), i -> "
+        f"aggregate(sequence(0, {DIM - 1}), CAST(0 AS DOUBLE), "
+        f"(acc, j) -> acc + {cd}[i * {DIM} + j] * {v}[j]))"
+    )
+
+
+def _pca_norm(w: str) -> str:
+    return (
+        f"sqrt(aggregate(sequence(0, {DIM - 1}), CAST(0 AS DOUBLE), "
+        f"(acc, i) -> acc + {w}[i] * {w}[i]))"
+    )
+
+
+def _duck_mv(cd: str, v: str) -> str:
+    """DuckDB twin of _pca_mv: list_reduce is a left fold in list order, so
+    the addition sequence t0+t1+...+t63 is identical (Spark's explicit zero
+    only adds 0.0 + t0 = t0)."""
+    return (
+        f"list_transform(range(0, {DIM}), i -> "
+        f"list_reduce(list_transform(range(0, {DIM}), "
+        f"j -> {cd}[i * {DIM} + j + 1] * {v}[j + 1]), (a, x) -> a + x))"
+    )
+
+
+def _duck_norm(w: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(range(0, {DIM}), "
+        f"i -> {w}[i + 1] * {w}[i + 1]), (a, x) -> a + x))"
+    )
+
+
+def _pca_oracle() -> str:
+    v0 = f"list_transform(range(0, {DIM}), i -> CAST(0.125 AS DOUBLE))"
+    its = [f"it0 AS (SELECT cd, mu.n AS n, {v0} AS v FROM cr CROSS JOIN mu)"]
+    for k in range(1, PCA_ITERS + 1):
+        prev = f"it{k - 1}"
+        its.append(
+            f"it{k} AS (SELECT cd, n, list_transform({_duck_mv('cd', 'v')},"
+            f" x -> x / (CASE WHEN {_duck_norm(_duck_mv('cd', 'v'))} = 0 THEN 1.0"
+            f" ELSE {_duck_norm(_duck_mv('cd', 'v'))} END)) AS v FROM {prev})"
+        )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e FROM embeddings
+    ),
+    pd AS (
+      SELECT s.i AS dim,
+             SUM(CAST(floor(s.x * 1e12) AS BIGINT)) AS sm,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(list_transform(e, (x, i) -> {{'i': i, 'x': x}})) AS s FROM e)
+      GROUP BY s.i
+    ),
+    mu AS (
+      SELECT list((CAST(sm AS DOUBLE) / 1e12) / n ORDER BY dim) AS mu, MAX(n) AS n
+      FROM pd
+    ),
+    kp AS (
+      SELECT unnest(flatten(list_transform(e.e, (xi, i) ->
+               list_transform(e.e, (xj, j) -> {{
+                 'k': (i - 1) * {DIM} + (j - 1),
+                 'p': CAST(floor((xi - mu.mu[i]) * (xj - mu.mu[j]) * {PCA_SCALE})
+                           AS BIGINT)}})))) AS s
+      FROM e CROSS JOIN mu
+    ),
+    cv AS (SELECT s.k AS k, CAST(SUM(s.p) AS BIGINT) AS c FROM kp GROUP BY s.k),
+    cr AS (SELECT list(CAST(c AS DOUBLE) ORDER BY k) AS cd FROM cv),
+    {', '.join(its)},
+    fin AS (
+      SELECT n, v, {_duck_mv('cd', 'v')} AS w FROM it{PCA_ITERS}
+    ),
+    scal AS (
+      SELECT n, v, w,
+             (CASE WHEN {_duck_norm('w')} = 0 THEN 1.0 ELSE {_duck_norm('w')} END) AS nrm,
+             list_reduce(list_transform(range(0, {DIM}),
+                         i -> v[i + 1] * w[i + 1]), (a, x) -> a + x)
+               / ({PCA_SCALE}.0 * n) AS eigenvalue
+      FROM fin
+    )
+    SELECT s.i - 1 AS dim, s.x / nrm AS loading, eigenvalue
+    FROM (
+      SELECT unnest(list_transform(w, (x, i) -> {{'i': i, 'x': x}})) AS s,
+             nrm, eigenvalue
+      FROM scal
+    )
+    """
+
+
+@register(
+    "embedding_pca_top_component",
+    oracle=_pca_oracle(),
+    description=f"Top principal component of the embedding corpus by"
+    f" {PCA_ITERS}-step normalized power iteration -- the anisotropy /"
+    f" collapse diagnostic an embedding pipeline runs before trusting"
+    f" cosine geometry (a dominant component means the vectors share a"
+    f" rogue direction and similarity saturates). Exact cross-engine:"
+    f" per-dim means and the {DIM}x{DIM} covariance accumulate as"
+    f" floor-scaled BIGINTs (order-independent integer sums), and every"
+    f" double reduction in the iteration is an ORDERED left fold (Spark"
+    f" `aggregate` vs DuckDB `list_reduce`, identical addition sequence),"
+    f" so loadings and the Rayleigh-quotient eigenvalue match"
+    f" bit-for-bit. Scale shape: ONE corpus pass emits row-local"
+    f" (dim_i, dim_j) outer-product terms into a {DIM * DIM}-key"
+    f" partial/final aggregate (map-side combined); everything after is a"
+    f" ONE-ROW frame of {DIM * DIM} doubles -- the iteration costs nothing"
+    f" at any corpus size. The {PCA_SCALE} fixed-point scale bounds exact"
+    f" accumulation to ~1e12 rows; beyond that, drop a scale decade.",
+)
+def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings")).select(
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    per_dim = (
+        emb.select(F.posexplode("e").alias("dim", "x"))
+        .groupBy("dim")
+        .agg(
+            F.sum(F.floor(F.col("x") * 1e12).cast("bigint")).alias("sm"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    mu_row = (
+        per_dim.select(
+            "dim", ((F.col("sm").cast("double") / 1e12) / F.col("n")).alias("m"), "n"
+        )
+        .groupBy()
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))).alias("mm"),
+            F.max("n").alias("n"),
+        )
+        .select(F.expr("transform(mm, p -> p.m)").alias("mu"), "n")
+    )
+    kp = emb.crossJoin(F.broadcast(mu_row)).select(
+        F.explode(
+            F.expr(
+                f"flatten(transform(e, (xi, i) -> transform(e, (xj, j) -> "
+                f"struct(i * {DIM} + j AS k, "
+                f"CAST(floor((xi - mu[i]) * (xj - mu[j]) * {PCA_SCALE}) AS BIGINT)"
+                f" AS p))))"
+            )
+        ).alias("s")
+    )
+    cov = kp.groupBy(F.col("s.k").alias("k")).agg(F.sum("s.p").alias("c"))
+    cr = (
+        cov.groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("k", "c"))).alias("kc"))
+        .select(F.expr("transform(kc, p -> CAST(p.c AS DOUBLE))").alias("cd"))
+    )
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
+
+    row = cr.crossJoin(F.broadcast(mu_row.select("n"))).withColumn(
+        "v", F.expr(f"transform(sequence(0, {DIM - 1}), i -> CAST(0.125 AS DOUBLE))")
+    )
+    # the persist() between steps is an OPTIMIZER barrier, not a cache for
+    # reuse: without it Catalyst inlines each iteration's v into every
+    # reference in the next step's lambdas and the combined expression
+    # re-evaluates the whole previous iteration PER ARRAY ELEMENT --
+    # exponential in PCA_ITERS (measured: the 3-iteration plan never
+    # finishes; each ONE-ROW persisted frame executes in milliseconds).
+    # An InMemoryRelation is lazy, so building/explaining this plan still
+    # runs zero jobs.
+    norm_case = (
+        f"CASE WHEN {_pca_norm('w')} = 0 THEN CAST(1 AS DOUBLE)"
+        f" ELSE {_pca_norm('w')} END"
+    )
+    for _ in range(PCA_ITERS):
+        row = track_cache(
+            track_cache(
+                row.select("cd", "n", F.expr(_pca_mv("cd", "v")).alias("w")).persist()
+            )
+            .select(
+                "cd",
+                "n",
+                F.expr(f"transform(w, x -> x / ({norm_case}))").alias("v"),
+            )
+            .persist()
+        )
+    fin = (
+        track_cache(
+            row.select("cd", "n", "v", F.expr(_pca_mv("cd", "v")).alias("w")).persist()
+        )
+        .select(
+            "n",
+            "v",
+            "w",
+            F.expr(norm_case).alias("nrm"),
+            (
+                F.expr(
+                    f"aggregate(sequence(0, {DIM - 1}), CAST(0 AS DOUBLE), "
+                    f"(acc, i) -> acc + v[i] * w[i])"
+                )
+                / (float(PCA_SCALE) * F.col("n"))
+            ).alias("eigenvalue"),
+        )
+    )
+    return fin.select(
+        F.posexplode("w").alias("dim", "x"), "nrm", "eigenvalue"
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        (F.col("x") / F.col("nrm")).alias("loading"),
+        "eigenvalue",
+    )

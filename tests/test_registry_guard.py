@@ -105,6 +105,7 @@ EXPECTED = {
     "embedding_label_centroids",
     "kmeans_embeddings",
     "semantic_dedup_prune",
+    "embedding_pca_top_component",
     "embedding_int8_quantize",
     "ann_recall_report",
     "ann_recall_report_clustered",
