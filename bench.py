@@ -42,10 +42,8 @@ HEADLINE = (
     "token_stats_by_lang",
     "repetition_signals",
     "decontamination_ngrams",
-    "pii_redact",
     "sequence_pack_offsets",
     "pack_efficiency_report",
-    "training_shuffle_order",
     "betting_tickets_analytics",
     "embedding_cosine_topk",
     "embedding_ann_lsh",
@@ -56,6 +54,8 @@ HEADLINE = (
     "bigram_lm_surprisal",
     "dsir_importance_weights",
     "winnow_overlap_pairs",
+    "span_dedup_text",
+    "nb_quality_score",
     "asof_view_before_purchase",
     "session_windows_per_user",
     "range_join_price_bands",

@@ -68,6 +68,14 @@ def get(name: str) -> QuerySpec:
 # the tail with coverage notes (winnow_fingerprints,
 # dedup_keep_representatives, domain_mix_report, changelog_apply_snapshot,
 # context_chunks, fixed_count_sample_by_source).
+#
+# Round-7 second wave: the 3 operators added later in the round
+# (span_dedup_text, nb_quality_score, doc_novelty_score) also rotate IN so
+# they are driver-stamped the round they land; out rotate three stamped
+# single-shape entries whose families stay proven by head siblings
+# (embedding_int8_quantize, pii_redact, training_shuffle_order -- the
+# latter two also leave bench.HEADLINE, which the registry guard ties to
+# the head-50).
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -95,15 +103,14 @@ PRIORITY: tuple[str, ...] = (
     "quality_filter_route",
     "decontamination_ngrams",
     "stratified_sample_by_lang",
-    "pii_redact",
     "dsir_importance_weights",
     "length_bucket_batches",
     "sequence_pack_offsets",
     "pack_efficiency_report",
-    "training_shuffle_order",
     # text analysis: quality, corpus-LM scores, curriculum
     "dedup_exact",
     "text_quality",
+    "nb_quality_score",
     "unigram_lm_surprisal",
     "perplexity_buckets",
     "bigram_lm_surprisal",
@@ -117,6 +124,8 @@ PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_neardup",
     "simhash_neardup_pairs",
     "winnow_overlap_pairs",
+    "span_dedup_text",
+    "doc_novelty_score",
     "dedup_components",
     # embedding similarity / ANN / quantization
     "embedding_cosine_topk",
@@ -125,7 +134,6 @@ PRIORITY: tuple[str, ...] = (
     "embedding_dedup_representatives",
     "kmeans_embeddings",
     "semantic_dedup_prune",
-    "embedding_int8_quantize",
     "ann_recall_report",
     "ann_recall_report_clustered",
 )
@@ -271,6 +279,24 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
     "fixed_count_sample_by_source": (
         "length_bucket_batches",
         "same two-level hash-sub-bucket exact-rank machinery, both stamped r6",
+    ),
+    # single-shape entries rotated out in the r7 second wave (each stamped
+    # r6 or earlier; the cited head sibling keeps the physical shape proven)
+    "pii_redact": (
+        "text_quality",
+        "same row-local regexp-chain family (zero shuffle), stamped r6; the"
+        " sibling stamps the pure-map text-transform shape every round",
+    ),
+    "training_shuffle_order": (
+        "curriculum_order",
+        "same global deterministic ordering family: seeded-hash rank vs the"
+        " sibling's range-partitioned score rank -- the sibling's machinery"
+        " is the strict superset (skew-proof global row_number)",
+    ),
+    "embedding_int8_quantize": (
+        "kmeans_embeddings",
+        "same corpus-scalar-aggregate + broadcast + row-local vector-math"
+        " shape; the sibling recomputes that pattern per Lloyd iteration",
     ),
     # embeddings
     "embedding_cosine_neardup": (

@@ -1594,3 +1594,380 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("n_rules_passed", n_passed.cast("bigint")).withColumn(
         "pass_gopher", all_ok
     )
+
+
+# --- exact duplicated-span removal (substring-granular dedup) ---------------
+
+SPAN_K = 8  # span granularity in tokens: any K-token window repeated anywhere
+#             in the corpus is removed from every occurrence but the first
+
+# keeper tie-break and the cross-occurrence identity are (doc_id, pos) struct
+# comparisons -- NOT a packed doc_id*2^32+pos bigint, which would overflow
+# once doc ids pass 2^31 (a ~100 TB corpus has ~10^11 docs)
+
+
+def _span_tokens(d: DataFrame) -> DataFrame:
+    return d.select("doc_id", F.split("text", " ").alias("tk")).withColumn(
+        "n", F.size("tk")
+    )
+
+
+def _span_gram(tk, i):  # 60-bit md5-prefix hash of the K tokens starting at i
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(" ", F.slice(tk, i + 1, SPAN_K))), 1, 15), 16, 10
+    ).cast("long")
+
+
+@register(
+    "span_dedup_text",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos,
+             CAST('0x' || substr(md5(array_to_string(
+               tk[(i+1)::int:(i+{SPAN_K})::int], ' ')), 1, 15) AS BIGINT) AS gh
+      FROM tk, unnest(CASE WHEN len(tk) >= {SPAN_K}
+                           THEN range(0, len(tk) - {SPAN_K} + 1)
+                           ELSE []::BIGINT[] END) AS u(i)
+    ),
+    dup AS (
+      SELECT gh, MIN({{'d': doc_id, 'p': pos}}) AS keeper
+      FROM g GROUP BY gh HAVING COUNT(*) >= 2
+    ),
+    st AS (
+      SELECT g.doc_id, list(g.pos) AS starts
+      FROM g JOIN dup USING (gh)
+      WHERE {{'d': g.doc_id, 'p': g.pos}} <> dup.keeper
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(
+             list_transform(kept, ti -> tk[(ti+1)::int]), ' '), '') AS clean_text
+    FROM (
+      SELECT t.doc_id, t.tk, len(t.tk) AS n_tokens,
+             list_filter(range(0, len(t.tk)),
+                         ti -> len(list_filter(COALESCE(st.starts, []::BIGINT[]),
+                                               s -> s <= ti AND ti < s + {SPAN_K})) = 0)
+               AS kept
+      FROM tk t LEFT JOIN st USING (doc_id)
+    )
+    """,
+    description=f"Exact duplicated-substring removal at {SPAN_K}-token span"
+    " granularity (the shingle-approximated form of Lee et al. 2022,"
+    " 'Deduplicating Training Data Makes Language Models Better',"
+    " arXiv:2107.06499): every K-token window whose hash repeats anywhere in"
+    " the corpus is deleted from every occurrence except the globally-first"
+    " (min (doc_id, pos), a struct tie-break that cannot overflow at any doc"
+    " count), and each document's text is rebuilt without the covered"
+    " tokens. Unlike the pair detectors this is LINEAR in corpus size: gram"
+    " rows are compact (doc_id, pos, 60-bit hash) triples, the duplicate"
+    " census is one map-side-combined groupBy, the resolve join re-uses the"
+    " same gh hash partitioning, and a gram repeated R times costs R join"
+    " rows -- never R^2 pairs. Per-doc span lists come back as one"
+    " collect_list bounded by tokens-per-doc, and the rebuild is row-local"
+    " array math (filter + exists), zero UDFs.",
+)
+def span_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return span_dedup_frame(d)
+
+
+def span_dedup_frame(d: DataFrame) -> DataFrame:
+    """Duplicated-span removal over a (doc_id, text) frame. Split out from
+    the registered query so the planted-corpus unit tests drive the
+    identical path."""
+    t = _span_tokens(d)
+    occ = F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
+    grams = _cached(
+        t.select(
+            "doc_id",
+            F.posexplode(
+                F.when(
+                    F.col("n") >= SPAN_K,
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("n") - SPAN_K),
+                        lambda i: _span_gram(F.col("tk"), i),
+                    ),
+                ).otherwise(F.array().cast("array<long>"))
+            ).alias("pos", "gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"), F.min(occ).alias("keeper"))
+        .filter(F.col("c") >= 2)
+    )
+    starts = (
+        grams.join(dup, "gh")
+        .filter(occ != F.col("keeper"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("starts"))
+    )
+    ti_keeps = lambda x, ti: ~F.exists(
+        F.col("starts"),
+        lambda s: (s <= ti.cast("long")) & (ti.cast("long") < s + SPAN_K),
+    )
+    return (
+        t.join(starts, "doc_id", "left")
+        .withColumn("starts", F.coalesce(F.col("starts"), F.array().cast("array<int>")))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            (F.col("n") - F.size(F.filter(F.col("tk"), ti_keeps)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.concat_ws(" ", F.filter(F.col("tk"), ti_keeps)).alias("clean_text"),
+        )
+    )
+
+
+# --- per-doc novelty vs the growing corpus ----------------------------------
+
+NOVELTY_K = 5  # gram width for the novelty census
+
+
+def _novelty_gram(tk, i):
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(" ", F.slice(tk, i + 1, NOVELTY_K))), 1, 15), 16, 10
+    ).cast("long")
+
+
+@register(
+    "doc_novelty_score",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, unnest(list_distinct(CASE WHEN len(tk) >= {NOVELTY_K} THEN
+        list_transform(range(0, len(tk) - {NOVELTY_K} + 1),
+          i -> CAST('0x' || substr(md5(array_to_string(
+                 tk[(i+1)::int:(i+{NOVELTY_K})::int], ' ')), 1, 15) AS BIGINT))
+        ELSE []::BIGINT[] END)) AS gh
+      FROM tk
+    ),
+    f AS (SELECT gh, MIN(doc_id) AS first_doc FROM g GROUP BY gh)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           CAST(SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS novelty
+    FROM g JOIN f USING (gh) GROUP BY doc_id
+    """,
+    description=f"Per-document novelty score: the fraction of the document's"
+    f" distinct {NOVELTY_K}-token grams whose globally FIRST occurrence (min"
+    " doc_id over the corpus) is this document -- the data-selection signal"
+    " for 'how much does this doc add that the corpus ingested before it"
+    " did not already contain' (near-1 = fresh content, near-0 = recombined"
+    " boilerplate; complements surprisal, which scores token rarity, not"
+    " span-level reuse). Grams are deduplicated row-locally (array_distinct"
+    " before the explode, so a doc-internal repeat costs one census row),"
+    " the first-occurrence census is one map-side-combined groupBy on the"
+    " 60-bit gram hash, and the resolve join reuses that same partitioning;"
+    " the one float op is the final per-doc division, identical in both"
+    " engines.",
+)
+def doc_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return novelty_frame(d)
+
+
+def novelty_frame(d: DataFrame) -> DataFrame:
+    """First-occurrence novelty over a (doc_id, text) frame (unit-testable
+    twin of the registered query)."""
+    t = d.select("doc_id", F.split("text", " ").alias("tk")).withColumn(
+        "n", F.size("tk")
+    )
+    grams = t.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.when(
+                    F.col("n") >= NOVELTY_K,
+                    F.transform(
+                        F.sequence(F.lit(0), F.col("n") - NOVELTY_K),
+                        lambda i: _novelty_gram(F.col("tk"), i),
+                    ),
+                ).otherwise(F.array().cast("array<long>"))
+            )
+        ).alias("gh"),
+    )
+    first = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    return (
+        grams.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count(F.lit(1))).alias("novelty"),
+        )
+    )
+
+
+# --- classifier-based quality/domain scoring (multinomial Naive Bayes) ------
+
+# Quarter-bit integer log2: floor(4*log2(x)) computed with pure integer ops
+# (bit-length + shift + one 4th power on a 15-bit mantissa), so both engines
+# produce the IDENTICAL score for the same counts -- the same determinism
+# rule as the whole-bit LM surprisal, at 4x the resolution. The mantissa
+# truncation (drop bits below the top 15) perturbs log2 by < 2^-14, and both
+# engines truncate identically, so there is no cross-engine drift by
+# construction.
+NB_MANTISSA_BITS = 15
+
+
+def _qlog4(x: str, shift: str) -> str:
+    """floor(4*log2(x)) for x >= 1 as a dialect-shared SQL expression.
+    `shift` is the dialect's right-shift: 'duck' -> a >> b, 'spark' ->
+    shiftright(a, b)."""
+    m = NB_MANTISSA_BITS
+    sh = (
+        f"(({x}) >> (length(bin({x})) - {m}))"
+        if shift == "duck"
+        else f"shiftright({x}, length(bin({x})) - {m})"
+    )
+    y4 = f"({sh}) * ({sh}) * ({sh}) * ({sh})"
+    return (
+        f"(CASE WHEN length(bin({x})) <= {m}"
+        f" THEN length(bin(({x})*({x})*({x})*({x}))) - 1"
+        f" ELSE 4 * (length(bin({x})) - {m}) + length(bin({y4})) - 1 END)"
+    )
+
+
+# the weak training label for the registered query: the English slice stands
+# in for the curated target domain (the GPT-3 quality-filter architecture:
+# positive = docs from the trusted corpus, negative = everything else; the
+# classifier then scores the whole corpus by log-odds of being target-like)
+_NB_LABEL_SPARK = "lang = 'en'"
+_NB_LABEL_DUCK = "lang = 'en'"
+
+
+def _nb_score_sql(q) -> str:
+    """Per-doc quarter-bit log-odds: sum over token occurrences of
+    qlog4(c1+1)-qlog4(c0+1), plus the class-mass normalizer per token and
+    the class prior once."""
+    return (
+        f"SUM(tf * ({q('c1 + 1')} - {q('c0 + 1')}))"
+        f" + SUM(tf) * ({q('n0 + v')} - {q('n1 + v')})"
+        f" + ({q('nd1')} - {q('nd0')})"
+    )
+
+
+_QD = lambda x: _qlog4(x, "duck")
+_QS = lambda x: _qlog4(x, "spark")
+
+
+@register(
+    "nb_quality_score",
+    oracle=rf"""
+    WITH lab AS (
+      SELECT doc_id, ({_NB_LABEL_DUCK}) AS lbl, string_split(text, ' ') AS tk
+      FROM documents
+    ),
+    dtf AS (
+      SELECT doc_id, lbl, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, lbl, unnest(tk) AS tok FROM lab)
+      GROUP BY doc_id, lbl, tok
+    ),
+    vocab AS (
+      SELECT tok,
+             CAST(SUM(CASE WHEN lbl THEN tf ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN NOT lbl THEN tf ELSE 0 END) AS BIGINT) AS c0
+      FROM dtf GROUP BY tok
+    ),
+    scal AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c0) AS BIGINT) AS n0,
+             CAST(COUNT(*) AS BIGINT) AS v FROM vocab
+    ),
+    dc AS (
+      SELECT CAST(SUM(CASE WHEN lbl THEN 1 ELSE 0 END) AS BIGINT) AS nd1,
+             CAST(SUM(CASE WHEN NOT lbl THEN 1 ELSE 0 END) AS BIGINT) AS nd0
+      FROM lab
+    )
+    SELECT doc_id, lbl AS weak_label,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST({_nb_score_sql(_QD)} AS BIGINT) AS nb_logodds_qbits,
+           ({_nb_score_sql(_QD)}) > 0 AS pred_positive
+    FROM dtf JOIN vocab USING (tok) CROSS JOIN scal CROSS JOIN dc
+    GROUP BY doc_id, lbl, n0, n1, v, nd1, nd0
+    """,
+    description="Classifier-based quality/domain filtering (the GPT-3 /"
+    " CCNet / FineWeb-Edu architecture: fit a cheap classifier on a weak"
+    " 'target domain' label, score every document by log-odds, filter or"
+    " reweight on the score): a multinomial Naive Bayes with Laplace"
+    " smoothing is FIT on the corpus in one aggregation pass (per-token"
+    " class counts) and APPLIED in one join -- no driver-side training"
+    " loop, no iteration. Log-probabilities are quarter-bit integer"
+    " quantized (floor(4*log2 x) via bit-length + 15-bit-mantissa 4th"
+    " power, exact identical integer ops in both engines -- no"
+    " cross-engine float-log drift; planted-signal correctness is"
+    " unit-tested in tests/test_corpus_ops.py). Scale shape: doc-side term"
+    " frequencies aggregate before the vocabulary join (map-side combine"
+    " on (doc, tok)), the per-class count table is |vocab|-sized, class"
+    " totals and priors ride one broadcast scalar row, and the scoring"
+    " join is tok-keyed with the same Zipf exposure as the stamped LM"
+    " surprisal family. On this synthetic corpus the label carries almost"
+    " no token signal, so scores sit near the prior -- the registered"
+    " query proves mechanics and engine parity; accuracy is asserted on"
+    " the planted-signal fixture.",
+)
+def nb_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    docs = d.select(
+        "doc_id", F.expr(_NB_LABEL_SPARK).alias("lbl"), F.split("text", " ").alias("tk")
+    )
+    return nb_score_frame(docs)
+
+
+def nb_score_frame(docs: DataFrame) -> DataFrame:
+    """Fit-and-score multinomial NB over a (doc_id, lbl, tk:array<string>)
+    frame. Split out from the registered query so the planted-signal unit
+    test can drive the identical path on a constructed corpus."""
+    dtf = _cached(
+        docs.select("doc_id", "lbl", F.explode("tk").alias("tok"))
+        .groupBy("doc_id", "lbl", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = _cached(
+        dtf.groupBy("tok").agg(
+            F.sum(F.when(F.col("lbl"), F.col("tf")).otherwise(0)).alias("c1"),
+            F.sum(F.when(~F.col("lbl"), F.col("tf")).otherwise(0)).alias("c0"),
+        )
+    )
+    scal = (
+        vocab.agg(
+            F.sum("c1").alias("n1"),
+            F.sum("c0").alias("n0"),
+            F.count(F.lit(1)).alias("v"),
+        )
+        .crossJoin(
+            docs.agg(
+                F.sum(F.when(F.col("lbl"), 1).otherwise(0)).alias("nd1"),
+                F.sum(F.when(~F.col("lbl"), 1).otherwise(0)).alias("nd0"),
+            )
+        )
+    )
+    # per-token quarter-bit weight; the tok join is frequency-split exactly
+    # like the LM surprisal family (Zipf head broadcast, tail shuffle)
+    w = vocab.withColumn("__c", F.col("c1") + F.col("c0"))
+    tot = w.agg(F.sum("__c").alias("__n"))
+    w = w.crossJoin(F.broadcast(tot)).withColumn(
+        "w", F.expr(f"{_QS('c1 + 1')} - {_QS('c0 + 1')}")
+    )
+    head = w.filter(F.col("__c") * LM_HEAD_DENOM >= F.col("__n")).select("tok", "w")
+    tail = w.filter(F.col("__c") * LM_HEAD_DENOM < F.col("__n")).select("tok", "w")
+    scored = dtf.join(F.broadcast(head), "tok").unionByName(dtf.join(tail, "tok"))
+    per_doc = scored.groupBy("doc_id", "lbl").agg(
+        F.sum("tf").alias("n_tokens"),
+        F.sum(F.col("tf") * F.col("w")).alias("tok_qbits"),
+    )
+    mass = F.expr(f"{_QS('n0 + v')} - {_QS('n1 + v')}")
+    prior = F.expr(f"{_QS('nd1')} - {_QS('nd0')}")
+    score = F.col("tok_qbits") + F.col("n_tokens") * mass + prior
+    return per_doc.crossJoin(F.broadcast(scal)).select(
+        "doc_id",
+        F.col("lbl").alias("weak_label"),
+        "n_tokens",
+        score.cast("bigint").alias("nb_logodds_qbits"),
+        (score > 0).alias("pred_positive"),
+    )

@@ -1,0 +1,133 @@
+"""Semantic unit tests for the round-7 corpus operators on PLANTED inputs:
+the registered-query oracle tests prove engine parity on the synthetic
+corpus; these prove the operators compute the intended *semantics* on
+corpora constructed to have known answers (the synthetic documents table has
+near-zero label signal, so e.g. classifier accuracy is only assertable on a
+planted fixture). Each test drives the SAME frame-level function the
+registered query calls (span_dedup_frame / nb_score_frame / novelty_frame)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from flink_cdc_fluss_quickstart_spark.plans import text_queries as tq
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _span_dedup_on(spark, rows):
+    return {r["doc_id"]: r.asDict() for r in tq.span_dedup_frame(_docs(spark, rows)).collect()}
+
+
+def _fill(prefix, n):
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_span_dedup_removes_copy_keeps_first(spark):
+    k = tq.SPAN_K
+    span = " ".join(f"s{i}" for i in range(k))  # exactly one duplicated span
+    rows = [
+        (1, span + " " + _fill("a", 4)),  # first occurrence: kept
+        (2, _fill("b", 4) + " " + span),  # later copy: span removed
+    ]
+    res = _span_dedup_on(spark, rows)
+    assert res[1]["n_removed"] == 0
+    assert res[1]["clean_text"] == rows[0][1]
+    assert res[2]["n_removed"] == k
+    assert res[2]["clean_text"] == _fill("b", 4)
+
+
+def test_span_dedup_short_docs_and_uniques_unchanged(spark):
+    rows = [
+        (1, _fill("a", tq.SPAN_K - 1)),  # shorter than K: no grams
+        (2, _fill("b", 3 * tq.SPAN_K)),  # unique content
+    ]
+    res = _span_dedup_on(spark, rows)
+    for doc_id, text in rows:
+        assert res[doc_id]["n_removed"] == 0
+        assert res[doc_id]["clean_text"] == text
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    k = tq.SPAN_K
+    span = " ".join(f"r{i}" for i in range(k))
+    # the same span twice inside ONE doc, separated by unique filler: the
+    # first occurrence is the global keeper, the second is removed
+    rows = [(7, span + " " + _fill("m", k) + " " + span)]
+    res = _span_dedup_on(spark, rows)
+    assert res[7]["n_removed"] == k
+    assert res[7]["clean_text"] == span + " " + _fill("m", k)
+
+
+def test_span_dedup_token_conservation(spark):
+    k = tq.SPAN_K
+    span = " ".join(f"c{i}" for i in range(k + 3))  # overlapping dup grams
+    rows = [
+        (1, span + " " + _fill("x", 5)),
+        (2, span + " " + _fill("y", 5)),
+        (3, _fill("z", 2 * k)),
+    ]
+    res = _span_dedup_on(spark, rows)
+    for doc_id, text in rows:
+        row = res[doc_id]
+        n_clean = len(row["clean_text"].split()) if row["clean_text"] else 0
+        assert row["n_tokens"] == len(text.split())
+        assert row["n_tokens"] - row["n_removed"] == n_clean
+
+
+def test_nb_planted_signal_classifies_correctly(spark):
+    """Positive docs draw from one token set, negatives from a disjoint one,
+    plus shared filler: quarter-bit NB must recover the labels exactly and
+    produce opposite-sign scores."""
+    pos_tok, neg_tok, shared = _fill("p", 6), _fill("q", 6), _fill("s", 4)
+    rows = []
+    for i in range(8):
+        rows.append((i, True, f"{pos_tok} {shared}"))
+        rows.append((100 + i, False, f"{neg_tok} {shared}"))
+    docs = spark.createDataFrame(rows, "doc_id bigint, lbl boolean, text string").select(
+        "doc_id", "lbl", F.split("text", " ").alias("tk")
+    )
+    out = {r["doc_id"]: r.asDict() for r in tq.nb_score_frame(docs).collect()}
+    assert len(out) == 16
+    for doc_id, row in out.items():
+        assert row["pred_positive"] == row["weak_label"], row
+        if row["weak_label"]:
+            assert row["nb_logodds_qbits"] > 0
+        else:
+            assert row["nb_logodds_qbits"] < 0
+
+
+def test_qlog4_matches_float_log2():
+    """floor(4*log2 x) from the integer expression vs math.log2, over small
+    values (exact region), the mantissa boundary, and large values (shifted
+    region). Above the 15-bit mantissa the truncated value may land one
+    quarter-bit below the float answer (mantissa truncation), never above."""
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    xs = (
+        list(range(1, 70))
+        + [2**15 - 1, 2**15, 2**15 + 1, 10**6, 10**9, 10**12, 2**40 + 12345]
+    )
+    expr = tq._qlog4("x", "duck")
+    for x in xs:
+        (got,) = con.execute(f"SELECT {expr} FROM (SELECT {x}::BIGINT AS x)").fetchone()
+        want = math.floor(4 * math.log2(x))
+        assert want - 1 <= got <= want, (x, got, want)
+        if x < 2**15:
+            assert got == want, (x, got, want)
+
+
+def test_novelty_duplicate_doc_scores_zero(spark):
+    k = tq.NOVELTY_K
+    base = _fill("n", 3 * k)
+    d = _docs(spark, [(1, base), (2, base), (3, _fill("u", 3 * k))])
+    out = {r["doc_id"]: r.asDict() for r in tq.novelty_frame(d).collect()}
+    assert out[1]["novelty"] == 1.0  # first occurrence of every gram
+    assert out[2]["novelty"] == 0.0  # exact duplicate of doc 1
+    assert out[3]["novelty"] == 1.0  # disjoint vocabulary
+    assert out[1]["n_grams"] == 2 * k + 1  # 3k tokens -> 2k+1 distinct grams

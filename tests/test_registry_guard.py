@@ -95,6 +95,9 @@ EXPECTED = {
     "dedup_components",
     "dedup_keep_representatives",
     "repetition_signals",
+    "span_dedup_text",
+    "doc_novelty_score",
+    "nb_quality_score",
     # similarity
     "embedding_cosine_topk",
     "embedding_ann_lsh",
