@@ -11,6 +11,9 @@ real pipeline ships:
     2. quality_filter_route       -- keep/drop/review routing
     2b. unigram_lm_surprisal      -- corpus-statistical LM cut (worst 5%)
     2c. perplexity_buckets        -- CCNet head/middle/tail mix report
+    2d. span_dedup_text           -- substring-level dedup volume report
+    2e. nb_quality_score          -- classifier-based domain scoring
+    2f. doc_novelty_score         -- low-novelty (recombined boilerplate) scan
     3. dedup_keep_representatives -- one doc per near-dup cluster
     3b. semantic_dedup_prune      -- embedding-side SemDeDup keep rates
     4. dataset_split_assign       -- stable train/val/test membership
@@ -24,6 +27,7 @@ real pipeline ships:
     12. bm25_retrieval            -- spot-audit: nearest corpus docs per
                                      held-out query doc (search-based leak
                                      review beyond exact n-gram decontam)
+    13. bpe_merge_candidates      -- tokenizer merge table of the corpus
 
 Every step is a registered query (same code the correctness gate verifies);
 this script is the composition glue, joining on doc_id -- all equi joins on
@@ -86,6 +90,23 @@ def main() -> None:
     q["perplexity_buckets"].builder(spark, sf_dir).groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).alias("n_docs")
     ).orderBy("lang", "bucket").show(9)
+
+    print("== 2d. substring-level dedup (span removal volume)")
+    spans = q["span_dedup_text"].builder(spark, sf_dir)
+    spans.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_removed").alias("tokens_removed"),
+        F.sum("n_tokens").alias("tokens_total"),
+    ).show()
+
+    print("== 2e. classifier-based domain scoring (NB log-odds, pred counts)")
+    q["nb_quality_score"].builder(spark, sf_dir).groupBy("pred_positive").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("nb_logodds_qbits").alias("avg_qbits"),
+    ).orderBy("pred_positive").show()
+
+    print("== 2f. novelty scan (5 most-recombined docs)")
+    q["doc_novelty_score"].builder(spark, sf_dir).orderBy("novelty", "doc_id").show(5)
 
     reps = q["dedup_keep_representatives"].builder(spark, sf_dir).select("doc_id")
     clean = kept_route.join(fluent, "doc_id").join(reps, "doc_id")
@@ -155,7 +176,10 @@ def main() -> None:
 
     print("== 12. retrieval spot-audit (BM25 nearest docs per query doc)")
     q["bm25_retrieval"].builder(spark, sf_dir).filter(F.col("rank") == 1).show(5)
-    dedup.release_caches()  # steps 11-12 persist the shared term frames
+
+    print("== 13. tokenizer induction (top-5 BPE merge candidates)")
+    q["bpe_merge_candidates"].builder(spark, sf_dir).limit(5).show()
+    dedup.release_caches()  # steps 11-13 persist the shared term frames
 
 
 if __name__ == "__main__":

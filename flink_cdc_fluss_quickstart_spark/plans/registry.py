@@ -265,6 +265,18 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "winnow_overlap_pairs",
         "the stamped overlap-pairs query recomputes these winnowed fingerprints end-to-end",
     ),
+    "span_dedup_incremental": (
+        "span_dedup_text",
+        "same gram census + partitioning-reusing resolve join + row-local"
+        " rebuild machinery; the incremental variant only restricts which"
+        " side builds the census vs probes it (the minhash_incremental"
+        " pattern applied to span dedup)",
+    ),
+    "bpe_merge_candidates": (
+        "collocation_pmi",
+        "same pair-count rollup + TakeOrdered global top-k shape at"
+        " character level over the vocab instead of word level over docs",
+    ),
     # reference-core family variants rotated out in r7 (siblings stay stamped)
     "changelog_apply_snapshot": (
         "upsert_latest_snapshot",

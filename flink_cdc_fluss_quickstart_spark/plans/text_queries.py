@@ -1601,9 +1601,13 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_K = 8  # span granularity in tokens: any K-token window repeated anywhere
 #             in the corpus is removed from every occurrence but the first
 
-# keeper tie-break and the cross-occurrence identity are (doc_id, pos) struct
-# comparisons -- NOT a packed doc_id*2^32+pos bigint, which would overflow
-# once doc ids pass 2^31 (a ~100 TB corpus has ~10^11 docs)
+# The keeper tie-break is the packed occurrence code doc_id*2^32+pos in
+# EXACT wide-integer arithmetic (Spark DECIMAL, DuckDB HUGEINT): a plain
+# bigint would overflow once doc ids pass 2^31 (a ~100 TB corpus has ~10^11
+# docs), and a (doc_id, pos) struct-min -- the other overflow-free encoding
+# -- forces SortAggregate (struct min is not hash-aggregatable), turning the
+# corpus-dominant census into a per-partition sort. min(DECIMAL) stays in
+# HashAggregate with map-side partial aggregation.
 
 
 def _span_tokens(d: DataFrame) -> DataFrame:
@@ -1618,12 +1622,33 @@ def _span_gram(tk, i):  # 60-bit md5-prefix hash of the K tokens starting at i
     ).cast("long")
 
 
+def _span_gram_rows(t: DataFrame) -> DataFrame:
+    """(doc_id, pos, gh, code) occurrence rows from a tokenized frame; code
+    is the exact wide-decimal packed occurrence id (see module comment)."""
+    return t.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.col("n") >= SPAN_K,
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n") - SPAN_K),
+                    lambda i: _span_gram(F.col("tk"), i),
+                ),
+            ).otherwise(F.array().cast("array<long>"))
+        ).alias("pos", "gh"),
+    ).withColumn(
+        "code",
+        F.col("doc_id").cast("decimal(28,0)") * 4294967296 + F.col("pos"),
+    )
+
+
 @register(
     "span_dedup_text",
     oracle=f"""
     WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
     g AS (
       SELECT doc_id, i AS pos,
+             CAST(doc_id AS HUGEINT) * 4294967296 + i AS code,
              CAST('0x' || substr(md5(array_to_string(
                tk[(i+1)::int:(i+{SPAN_K})::int], ' ')), 1, 15) AS BIGINT) AS gh
       FROM tk, unnest(CASE WHEN len(tk) >= {SPAN_K}
@@ -1631,13 +1656,13 @@ def _span_gram(tk, i):  # 60-bit md5-prefix hash of the K tokens starting at i
                            ELSE []::BIGINT[] END) AS u(i)
     ),
     dup AS (
-      SELECT gh, MIN({{'d': doc_id, 'p': pos}}) AS keeper
+      SELECT gh, MIN(code) AS keeper
       FROM g GROUP BY gh HAVING COUNT(*) >= 2
     ),
     st AS (
       SELECT g.doc_id, list(g.pos) AS starts
       FROM g JOIN dup USING (gh)
-      WHERE {{'d': g.doc_id, 'p': g.pos}} <> dup.keeper
+      WHERE g.code <> dup.keeper
       GROUP BY g.doc_id
     )
     SELECT doc_id, n_tokens,
@@ -1658,8 +1683,9 @@ def _span_gram(tk, i):  # 60-bit md5-prefix hash of the K tokens starting at i
     " 'Deduplicating Training Data Makes Language Models Better',"
     " arXiv:2107.06499): every K-token window whose hash repeats anywhere in"
     " the corpus is deleted from every occurrence except the globally-first"
-    " (min (doc_id, pos), a struct tie-break that cannot overflow at any doc"
-    " count), and each document's text is rebuilt without the covered"
+    " (min occurrence code doc_id*2^32+pos in exact wide-integer arithmetic,"
+    " overflow-free at any doc count yet hash-aggregatable -- see module"
+    " comment), and each document's text is rebuilt without the covered"
     " tokens. Unlike the pair detectors this is LINEAR in corpus size: gram"
     " rows are compact (doc_id, pos, 60-bit hash) triples, the duplicate"
     " census is one map-side-combined groupBy, the resolve join re-uses the"
@@ -1678,29 +1704,15 @@ def span_dedup_frame(d: DataFrame) -> DataFrame:
     the registered query so the planted-corpus unit tests drive the
     identical path."""
     t = _span_tokens(d)
-    occ = F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))
-    grams = _cached(
-        t.select(
-            "doc_id",
-            F.posexplode(
-                F.when(
-                    F.col("n") >= SPAN_K,
-                    F.transform(
-                        F.sequence(F.lit(0), F.col("n") - SPAN_K),
-                        lambda i: _span_gram(F.col("tk"), i),
-                    ),
-                ).otherwise(F.array().cast("array<long>"))
-            ).alias("pos", "gh"),
-        )
-    )
+    grams = _cached(_span_gram_rows(t))
     dup = (
         grams.groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("c"), F.min(occ).alias("keeper"))
+        .agg(F.count(F.lit(1)).alias("c"), F.min("code").alias("keeper"))
         .filter(F.col("c") >= 2)
     )
     starts = (
         grams.join(dup, "gh")
-        .filter(occ != F.col("keeper"))
+        .filter(F.col("code") != F.col("keeper"))
         .groupBy("doc_id")
         .agg(F.collect_list("pos").alias("starts"))
     )
@@ -1970,4 +1982,176 @@ def nb_score_frame(docs: DataFrame) -> DataFrame:
         "n_tokens",
         score.cast("bigint").alias("nb_logodds_qbits"),
         (score > 0).alias("pred_positive"),
+    )
+
+
+# --- incremental (batch-vs-index) span dedup --------------------------------
+
+# Deterministic stand-in for "today's ingest batch": every 5th doc is new,
+# the rest are the already-indexed corpus. In production the index side is
+# the persisted gram census of the existing corpus; only the batch is
+# scanned and hashed at ingest time.
+SPAN_BATCH_MOD = 5
+
+
+@register(
+    "span_dedup_incremental",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+    g AS (
+      SELECT doc_id, i AS pos,
+             CAST(doc_id AS HUGEINT) * 4294967296 + i AS code,
+             CAST('0x' || substr(md5(array_to_string(
+               tk[(i+1)::int:(i+{SPAN_K})::int], ' ')), 1, 15) AS BIGINT) AS gh
+      FROM tk, unnest(CASE WHEN len(tk) >= {SPAN_K}
+                           THEN range(0, len(tk) - {SPAN_K} + 1)
+                           ELSE []::BIGINT[] END) AS u(i)
+    ),
+    bg AS (SELECT * FROM g WHERE doc_id % {SPAN_BATCH_MOD} = 0),
+    idx AS (SELECT DISTINCT gh FROM g WHERE doc_id % {SPAN_BATCH_MOD} <> 0),
+    hit AS (SELECT bg.doc_id, bg.pos FROM bg JOIN idx USING (gh)),
+    nonidx AS (SELECT * FROM bg ANTI JOIN idx USING (gh)),
+    bdup AS (
+      SELECT gh, MIN(code) AS keeper FROM nonidx
+      GROUP BY gh HAVING COUNT(*) >= 2
+    ),
+    bstart AS (
+      SELECT nonidx.doc_id, nonidx.pos FROM nonidx JOIN bdup USING (gh)
+      WHERE nonidx.code <> bdup.keeper
+    ),
+    st AS (
+      SELECT doc_id, list(pos) AS starts
+      FROM (SELECT * FROM hit UNION ALL SELECT * FROM bstart) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(
+             list_transform(kept, ti -> tk[(ti+1)::int]), ' '), '') AS clean_text
+    FROM (
+      SELECT t.doc_id, t.tk, len(t.tk) AS n_tokens,
+             list_filter(range(0, len(t.tk)),
+                         ti -> len(list_filter(COALESCE(st.starts, []::BIGINT[]),
+                                               s -> s <= ti AND ti < s + {SPAN_K})) = 0)
+               AS kept
+      FROM tk t LEFT JOIN st USING (doc_id)
+      WHERE t.doc_id % {SPAN_BATCH_MOD} = 0
+    )
+    """,
+    description="Daily-ingest form of exact span dedup: only the NEW batch"
+    f" (doc_id % {SPAN_BATCH_MOD} = 0 stands in for today's ingest) is"
+    " hashed and rewritten; a batch span is removed when its gram exists in"
+    " the indexed corpus census (all batch occurrences go -- the keeper"
+    " lives in the index) or repeats within the batch (all but the batch"
+    " keeper go). Ingest-time cost is |batch| gram rows probing a"
+    " gh-partitioned census join plus a |batch|-sized internal census --"
+    " the full corpus is never re-hashed, the same incremental contract as"
+    " minhash_incremental_pairs. The in-plan index census here derives from"
+    " the same table only because the driver provides one corpus; in"
+    " production it is the persisted census, appended with the batch's"
+    " first occurrences after each ingest.",
+)
+def span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return span_dedup_incremental_frame(d)
+
+
+def span_dedup_incremental_frame(d: DataFrame) -> DataFrame:
+    """Batch-vs-index span dedup over a (doc_id, text) frame (unit-testable
+    twin of the registered query; batch membership is doc_id % SPAN_BATCH_MOD)."""
+    t = _span_tokens(d)
+    is_batch = F.col("doc_id") % SPAN_BATCH_MOD == 0
+    grams = _cached(_span_gram_rows(t))
+    batch = grams.filter(is_batch)
+    idx = grams.filter(~is_batch).select("gh").distinct()
+    hit = batch.join(idx, "gh", "left_semi").select("doc_id", "pos")
+    nonidx = batch.join(idx, "gh", "left_anti")
+    bdup = (
+        nonidx.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("code").alias("keeper"))
+        .filter(F.col("c") >= 2)
+    )
+    bstart = (
+        nonidx.join(bdup, "gh")
+        .filter(F.col("code") != F.col("keeper"))
+        .select("doc_id", "pos")
+    )
+    starts = (
+        hit.unionByName(bstart)
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("starts"))
+    )
+    ti_keeps = lambda x, ti: ~F.exists(
+        F.col("starts"),
+        lambda s: (s <= ti.cast("long")) & (ti.cast("long") < s + SPAN_K),
+    )
+    return (
+        t.filter(is_batch)
+        .join(starts, "doc_id", "left")
+        .withColumn("starts", F.coalesce(F.col("starts"), F.array().cast("array<int>")))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            (F.col("n") - F.size(F.filter(F.col("tk"), ti_keeps)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.concat_ws(" ", F.filter(F.col("tk"), ti_keeps)).alias("clean_text"),
+        )
+    )
+
+
+# --- tokenizer induction: first BPE merge iteration -------------------------
+
+BPE_TOP_MERGES = 20
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+    ),
+    pairs AS (
+      SELECT substr(tok, i::int, 2) AS pair, CAST(SUM(c) AS BIGINT) AS pair_count
+      FROM vocab, unnest(CASE WHEN length(tok) >= 2
+                              THEN range(1, length(tok))
+                              ELSE []::BIGINT[] END) AS u(i)
+      GROUP BY substr(tok, i::int, 2)
+    )
+    SELECT pair, pair_count FROM pairs
+    ORDER BY pair_count DESC, pair LIMIT {BPE_TOP_MERGES}
+    """,
+    description="Tokenizer induction: the first BPE merge iteration"
+    " (Sennrich et al. 2016) -- adjacent symbol-pair frequencies over the"
+    " word vocabulary weighted by corpus word counts, top candidates by"
+    f" count (top {BPE_TOP_MERGES}, count-then-pair total order so the cut"
+    " is deterministic). Scale shape: the corpus collapses to a"
+    " |vocabulary|-sized (word, count) rollup FIRST (one map-side-combined"
+    " shuffle -- the corpus is never re-scanned per pair), pair expansion"
+    " is row-local over vocab entries, and the global top-k plans as"
+    " TakeOrderedAndProject, never a global sort. Character-level sibling"
+    " of collocation_pmi's word-level pair mining.",
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = vocab.select(
+        F.explode(
+            F.when(
+                F.length("tok") >= 2,
+                F.expr("transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+        "c",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(BPE_TOP_MERGES)
     )

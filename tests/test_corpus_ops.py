@@ -131,3 +131,34 @@ def test_novelty_duplicate_doc_scores_zero(spark):
     assert out[2]["novelty"] == 0.0  # exact duplicate of doc 1
     assert out[3]["novelty"] == 1.0  # disjoint vocabulary
     assert out[1]["n_grams"] == 2 * k + 1  # 3k tokens -> 2k+1 distinct grams
+
+
+def test_span_dedup_incremental_semantics(spark):
+    """Batch docs (doc_id % SPAN_BATCH_MOD == 0) lose spans already in the
+    index corpus (ALL batch occurrences -- the keeper lives in the index)
+    and batch-internal repeats (all but the batch keeper); index docs are
+    not rewritten or emitted."""
+    k, mod = tq.SPAN_K, tq.SPAN_BATCH_MOD
+    idx_span = " ".join(f"i{j}" for j in range(k))
+    new_span = " ".join(f"w{j}" for j in range(k))
+    rows = [
+        (1, idx_span + " " + _fill("a", 4)),  # index doc holding idx_span
+        (2, _fill("b", 3 * k)),  # unrelated index doc
+        # batch docs (ids divisible by mod):
+        (mod, idx_span + " " + _fill("c", 4)),  # copy of an indexed span
+        (2 * mod, new_span + " " + _fill("d", 4)),  # first batch occurrence
+        (3 * mod, _fill("e", 4) + " " + new_span),  # batch-internal repeat
+        (4 * mod, _fill("f", 2 * k)),  # fresh content
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in tq.span_dedup_incremental_frame(_docs(spark, rows)).collect()
+    }
+    assert set(out) == {mod, 2 * mod, 3 * mod, 4 * mod}  # batch only
+    assert out[mod]["n_removed"] == k  # indexed span: every batch copy goes
+    assert out[mod]["clean_text"] == _fill("c", 4)
+    assert out[2 * mod]["n_removed"] == 0  # batch keeper survives
+    assert out[2 * mod]["clean_text"] == rows[3][1]
+    assert out[3 * mod]["n_removed"] == k  # non-keeper batch repeat goes
+    assert out[3 * mod]["clean_text"] == _fill("e", 4)
+    assert out[4 * mod]["n_removed"] == 0

@@ -96,8 +96,10 @@ EXPECTED = {
     "dedup_keep_representatives",
     "repetition_signals",
     "span_dedup_text",
+    "span_dedup_incremental",
     "doc_novelty_score",
     "nb_quality_score",
+    "bpe_merge_candidates",
     # similarity
     "embedding_cosine_topk",
     "embedding_ann_lsh",
