@@ -257,6 +257,12 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "same row-local array-filter/regex-count quality-heuristic family,"
         " stamped since r1; Gopher swaps the thresholds for the published rule set",
     ),
+    "c4_quality_flags": (
+        "text_quality",
+        "same row-local array-filter/regex-count quality-heuristic family"
+        " (the Gopher sibling at line granularity); planted-page semantics"
+        " unit-tested in tests/test_corpus_ops.py",
+    ),
     "ngram_containment_pairs": (
         "ngram_jaccard_neardup",
         "same shingle self-join; containment swaps the overlap denominator",

@@ -2155,3 +2155,99 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pair_count").desc(), "pair")
         .limit(BPE_TOP_MERGES)
     )
+
+
+# --- C4 rule-based cleaning (Raffel et al. 2020, section 2.2) ---------------
+
+C4_MIN_LINE_WORDS = 3  # a retained line must contain >= 3 words
+C4_MIN_SENTENCES = 3  # a page must keep >= 3 sentences after line filtering
+C4_LINE_END = '[.!?"]$'  # retained lines end in a terminal punctuation mark
+
+
+def c4_flags_frame(d: DataFrame) -> DataFrame:
+    """C4 line-and-page heuristics over (doc_id, text); see the register()
+    docstring for the rule provenance. Entirely row-local."""
+    t = F.col("text")
+    lines = F.split(t, "\n")
+    keep = lambda x: (  # noqa: E731 - inline line predicate, used once
+        F.trim(x).rlike(C4_LINE_END)
+        & (F.size(F.split(F.trim(x), r"\s+")) >= C4_MIN_LINE_WORDS)
+        & ~F.lower(x).contains("javascript")
+    )
+    base = d.select(
+        "doc_id",
+        t.alias("text"),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.filter(lines, keep).alias("kept"),
+    )
+    kept_text = F.array_join(F.col("kept"), "\n")
+    n_sentences = F.length(F.regexp_replace(kept_text, r"[^.!?]", "")).cast("bigint")
+    m = base.select(
+        "doc_id",
+        "n_lines",
+        F.size("kept").cast("bigint").alias("n_kept_lines"),
+        F.aggregate(
+            F.col("kept"),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + F.size(F.split(F.trim(x), r"\s+")),
+        ).alias("n_clean_tokens"),
+        n_sentences.alias("n_sentences"),
+        F.lower(F.col("text")).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        F.col("text").contains("{").alias("has_curly_brace"),
+    )
+    return m.withColumn(
+        "pass_c4",
+        (F.col("n_sentences") >= C4_MIN_SENTENCES)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_curly_brace"),
+    )
+
+
+@register(
+    "c4_quality_flags",
+    oracle=r"""
+    SELECT doc_id, n_lines, n_kept_lines, n_clean_tokens, n_sentences,
+           has_lorem_ipsum, has_curly_brace,
+           (n_sentences >= 3 AND NOT has_lorem_ipsum AND NOT has_curly_brace)
+             AS pass_c4
+    FROM (
+      SELECT doc_id,
+             CAST(len(ln) AS BIGINT) AS n_lines,
+             CAST(len(kept) AS BIGINT) AS n_kept_lines,
+             CAST(coalesce(list_sum(list_transform(kept,
+                    x -> len(regexp_split_to_array(trim(x), '\s+')))), 0)
+                  AS BIGINT) AS n_clean_tokens,
+             -- array_to_string(NULL-on-empty) needs the coalesce
+             CAST(length(regexp_replace(coalesce(array_to_string(kept, chr(10)), ''),
+                                        '[^.!?]', '', 'g')) AS BIGINT)
+               AS n_sentences,
+             contains(lower(text), 'lorem ipsum') AS has_lorem_ipsum,
+             contains(text, chr(123)) AS has_curly_brace
+      FROM (
+        SELECT doc_id, text, ln,
+               list_filter(ln, x ->
+                 regexp_matches(trim(x), '[.!?"]$')
+                 AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+                 AND NOT contains(lower(x), 'javascript')) AS kept
+        FROM (
+          SELECT doc_id, text, string_split(text, chr(10)) AS ln
+          FROM documents
+        )
+      )
+    )
+    """,
+    description="C4 rule-based cleaning filter (Raffel et al. 2020, section"
+    " 2.2 -- the heuristics behind the C4/mC4 corpora, the most widely"
+    " reused published cleaning recipe): line-level retention (line ends in"
+    " terminal punctuation, >= 3 words, no 'javascript'), page-level flags"
+    " ('lorem ipsum', curly brace, >= 3 retained sentences) and the"
+    " conjunction (pass_c4), plus retained-line/token/sentence counts so a"
+    " downstream route can keep, trim, or drop. Sibling of"
+    " gopher_quality_flags: entirely row-local array-filter/regex-count"
+    " JVM expressions -- zero shuffles, zero UDFs, linear at any corpus"
+    " size; all outputs are exact integers/booleans so both engines hash"
+    " identically.",
+)
+def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return c4_flags_frame(d)

@@ -162,3 +162,55 @@ def test_span_dedup_incremental_semantics(spark):
     assert out[3 * mod]["n_removed"] == k  # non-keeper batch repeat goes
     assert out[3 * mod]["clean_text"] == _fill("e", 4)
     assert out[4 * mod]["n_removed"] == 0
+
+
+# --- C4 cleaning filter (c4_flags_frame) ------------------------------------
+# The synthetic corpus is single-line unpunctuated text (every doc trivially
+# fails C4), so the oracle-parity test alone cannot exercise the line rules;
+# these planted pages do.
+
+
+def _c4_on(spark, rows):
+    return {r["doc_id"]: r.asDict() for r in tq.c4_flags_frame(_docs(spark, rows)).collect()}
+
+
+def test_c4_line_retention_rules(spark):
+    page = "\n".join(
+        [
+            "This line ends with a period and has words.",  # kept
+            "Short stop.",  # dropped: < 3 words
+            "No terminal punctuation here",  # dropped: no end punct
+            "Please enable javascript to continue reading.",  # dropped: javascript
+            'He said "stop right there!" and then "fine."',  # kept: ends with quote
+            "Another good sentence appears right here!",  # kept
+        ]
+    )
+    res = _c4_on(spark, [(1, page)])[1]
+    assert res["n_lines"] == 6
+    assert res["n_kept_lines"] == 3
+    # sentences = terminal punctuation marks inside kept lines only
+    assert res["n_sentences"] == 4  # 1 + (2 inside quotes) + 1
+    assert res["pass_c4"] is True
+
+
+def test_c4_page_level_flags(spark):
+    good = "One solid sentence right here.\nAnd a second one follows now.\nA third sentence closes it."
+    res = _c4_on(
+        spark,
+        [
+            (1, good),
+            (2, good + "\nAlso some lorem ipsum filler text appears."),
+            (3, good + "\nvar x = {a: 1} leaked code."),
+            (4, "Only one good sentence lives here.\nshort\nnothing"),
+        ],
+    )
+    assert res[1]["pass_c4"] is True
+    assert res[2]["has_lorem_ipsum"] and not res[2]["pass_c4"]
+    assert res[3]["has_curly_brace"] and not res[3]["pass_c4"]
+    assert res[4]["n_sentences"] == 1 and not res[4]["pass_c4"]
+
+
+def test_c4_clean_token_count(spark):
+    res = _c4_on(spark, [(1, "Keep these four words.\ndrop me\nKeep another three here.")])[1]
+    assert res["n_clean_tokens"] == 8
+    assert res["n_kept_lines"] == 2

@@ -74,6 +74,7 @@ EXPECTED = {
     "token_count",
     "text_quality",
     "gopher_quality_flags",
+    "c4_quality_flags",
     "lang_id",
     "minhash_signatures",
     "minhash_lsh_pairs",
