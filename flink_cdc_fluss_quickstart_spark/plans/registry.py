@@ -325,6 +325,11 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "embedding_ann_ivf",
         "IVF's coarse quantizer recomputes the per-label centroid aggregate",
     ),
+    "embedding_decontamination": (
+        "embedding_cosine_topk",
+        "same broadcast-query brute-force cosine scan (the stamped top-k"
+        " sibling); decontamination folds it to a max + threshold flag",
+    ),
     "embedding_pca_top_component": (
         "kmeans_embeddings",
         "same floor-scaled corpus aggregate + broadcast-vector fixed-iteration"

@@ -1222,3 +1222,109 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x") / F.col("nrm")).alias("loading"),
         "eigenvalue",
     )
+
+
+# --- embedding-space decontamination ----------------------------------------
+
+DECON_BENCH_MOD = 97  # vec_id % MOD == 0 plays the held-out benchmark set
+DECON_THRESHOLD = 0.3  # max-cosine flag threshold
+
+_DECON_COS = (
+    "(CAST(list_sum(list_transform(c.embedding,"
+    " (x, i) -> CAST(floor(x::DOUBLE * bv[i]::DOUBLE * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)"
+    " / (sqrt(CAST(list_sum(list_transform(c.embedding,"
+    " x -> CAST(floor(x::DOUBLE * x::DOUBLE * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)"
+    " * sqrt(CAST(list_sum(list_transform(bv,"
+    " x -> CAST(floor(x::DOUBLE * x::DOUBLE * 1e12) AS BIGINT))) AS DOUBLE) / 1e12))"
+)
+
+
+@register(
+    "embedding_decontamination",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id AS b_id, embedding AS bv FROM embeddings
+      WHERE vec_id % {DECON_BENCH_MOD} = 0
+    ),
+    c AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      WHERE vec_id % {DECON_BENCH_MOD} <> 0
+    ),
+    p AS (
+      SELECT c.vec_id, c.label, b.b_id, {_DECON_COS} AS cos
+      FROM c CROSS JOIN b
+    ),
+    r AS (
+      SELECT vec_id, label, b_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, b_id ASC) AS rn
+      FROM p
+    )
+    SELECT vec_id, label,
+           cos AS max_benchmark_cos,
+           b_id AS benchmark_id,
+           (cos >= {DECON_THRESHOLD}) AS contaminated
+    FROM r WHERE rn = 1
+    """,
+    description="Embedding-space decontamination (the semantic sibling of"
+    " decontamination_ngrams): every corpus vector scored by its MAX cosine"
+    " to a held-out benchmark/eval set, flagged when it exceeds"
+    f" {DECON_THRESHOLD} -- paraphrased eval leakage that n-gram overlap"
+    " misses. 100 TB shape: the benchmark set is tiny next to the corpus"
+    " (eval suites are <=1e6 rows), so it collapses to ONE broadcast row"
+    " holding an array of (id, vec, norm) structs and the corpus scan folds"
+    " over it row-locally -- no join explosion, no shuffle, one pass, exact"
+    " recall (brute force is the contract here: an ANN prune that misses a"
+    " contaminated doc silently poisons evals; for benchmark sets too big"
+    " to broadcast, shard the benchmark array and OR the per-shard flags)."
+    " The max fold keeps (cos, smallest id) deterministically and products"
+    " are floor-scaled to integers, so both engines agree bit-for-bit.",
+)
+def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    bench = (
+        emb.filter(F.col("vec_id") % DECON_BENCH_MOD == 0)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("b_id"),
+                F.col("embedding").alias("bv"),
+                F.sqrt(similarity.sq_norm(F.col("embedding"))).alias("bn"),
+            ).alias("e")
+        )
+        .agg(F.collect_list("e").alias("bench"))
+    )
+    corpus = emb.filter(F.col("vec_id") % DECON_BENCH_MOD != 0).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(similarity.sq_norm(F.col("embedding"))).alias("__cn"),
+    )
+    init = F.struct(
+        F.lit(-2.0).cast("double").alias("cos"), F.lit(-1).cast("bigint").alias("b_id")
+    )
+    scored = corpus.crossJoin(F.broadcast(bench)).select(
+        "vec_id",
+        "label",
+        F.aggregate(
+            F.col("bench"),
+            init,
+            lambda acc, e: F.when(
+                (similarity.dot(F.col("embedding"), e["bv"]) / (F.col("__cn") * e["bn"]) > acc["cos"])
+                | (
+                    (similarity.dot(F.col("embedding"), e["bv"]) / (F.col("__cn") * e["bn"]) == acc["cos"])
+                    & (e["b_id"] < acc["b_id"])
+                ),
+                F.struct(
+                    (similarity.dot(F.col("embedding"), e["bv"]) / (F.col("__cn") * e["bn"])).alias("cos"),
+                    e["b_id"].cast("bigint").alias("b_id"),
+                ),
+            ).otherwise(acc),
+        ).alias("best"),
+    )
+    return scored.select(
+        "vec_id",
+        "label",
+        F.col("best.cos").alias("max_benchmark_cos"),
+        F.col("best.b_id").alias("benchmark_id"),
+        (F.col("best.cos") >= DECON_THRESHOLD).alias("contaminated"),
+    )

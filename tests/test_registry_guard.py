@@ -113,6 +113,7 @@ EXPECTED = {
     "semantic_dedup_prune",
     "embedding_pca_top_component",
     "embedding_int8_quantize",
+    "embedding_decontamination",
     "ann_recall_report",
     "ann_recall_report_clustered",
     # TPC-H
