@@ -263,6 +263,12 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " (the Gopher sibling at line granularity); planted-page semantics"
         " unit-tested in tests/test_corpus_ops.py",
     ),
+    "kmv_distinct_tokens": (
+        "token_stats_by_lang",
+        "same lang-keyed token-explode aggregation scan; the sketch adds a"
+        " bounded min-per-sub-stream state, estimator accuracy planted-tested"
+        " in tests/test_corpus_ops.py",
+    ),
     "ngram_containment_pairs": (
         "ngram_jaccard_neardup",
         "same shingle self-join; containment swaps the overlap denominator",

@@ -2251,3 +2251,110 @@ def c4_flags_frame(d: DataFrame) -> DataFrame:
 def c4_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     return c4_flags_frame(d)
+
+
+# --- distinct-count sketch (bounded-state cardinality estimation) -----------
+
+KMV_SUBSTREAMS = 64  # stochastic-averaging sub-streams (state rows per group)
+
+
+def distinct_sketch_frame(occ: DataFrame, group_col: str, val_col: str) -> DataFrame:
+    """Bounded-state distinct-count sketch per group: the MinCount /
+    stochastic-averaging estimator (Giroire 2009; the order-statistics family
+    HyperLogLog discretizes). Each value hashes to one of S sub-streams; the
+    sketch state is the per-sub-stream MINIMUM 32-bit hash -- <= S rows per
+    group, maintained by one hash-aggregate with map-side partial combine
+    (min() over occurrences equals min() over distincts, so no census is
+    needed). Estimator: E[min of n uniforms] ~ 1/(n/S), so
+    n_hat = hit^2 * 2^32 / sum(min_i) with hit = sub-streams observed.
+
+    Returns (group, n_buckets_hit, sum_min, distinct_estimate): the estimate
+    is one double division of exact BIGINTs, so engines agree bit-for-bit."""
+    g = F.col(group_col)
+    h = F.conv(F.substring(F.md5(F.col(val_col)), 1, 8), 16, 10).cast("long")
+    sub = F.conv(F.substring(F.md5(F.col(val_col)), 9, 2), 16, 10).cast("long") % KMV_SUBSTREAMS
+    mins = (
+        occ.select(g.alias("g"), sub.alias("sub"), h.alias("h"))
+        .groupBy("g", "sub")
+        .agg(F.min("h").alias("m"))
+    )
+    return mins.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_buckets_hit"),
+        F.sum("m").alias("sum_min"),
+    ).select(
+        F.col("g").alias(group_col),
+        "n_buckets_hit",
+        "sum_min",
+        (
+            (F.col("n_buckets_hit") * F.col("n_buckets_hit") * F.lit(4294967296)).cast("double")
+            / F.col("sum_min").cast("double")
+        ).alias("distinct_estimate"),
+    )
+
+
+@register(
+    "kmv_distinct_tokens",
+    oracle=f"""
+    WITH occ AS (
+      SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    mins AS (
+      SELECT lang,
+             CAST('0x' || substr(md5(tok), 9, 2) AS BIGINT) % {KMV_SUBSTREAMS} AS sub,
+             MIN(CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)) AS m
+      FROM occ GROUP BY lang, sub
+    ),
+    sk AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_buckets_hit,
+             CAST(SUM(m) AS BIGINT) AS sum_min
+      FROM mins GROUP BY lang
+    ),
+    ex AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_exact
+      FROM occ GROUP BY lang
+    )
+    SELECT ex.lang, n_tokens, n_distinct_exact, n_buckets_hit,
+           CAST(n_buckets_hit * n_buckets_hit * 4294967296 AS DOUBLE)
+             / CAST(sum_min AS DOUBLE) AS distinct_estimate,
+           (CAST(n_buckets_hit * n_buckets_hit * 4294967296 AS DOUBLE)
+              / CAST(sum_min AS DOUBLE)
+            - CAST(n_distinct_exact AS DOUBLE))
+             / CAST(n_distinct_exact AS DOUBLE) AS rel_error
+    FROM ex JOIN sk ON ex.lang = sk.lang
+    """,
+    description="Distinct-token cardinality sketch per language: the"
+    " MinCount / stochastic-averaging order-statistics estimator (Giroire"
+    f" 2009) over {KMV_SUBSTREAMS} sub-streams -- the bounded-state shape"
+    " for vocabulary-size / id-cardinality monitoring at 100 TB, where"
+    " COUNT(DISTINCT) needs a full census shuffle of every distinct value"
+    f" but the sketch state is <= {KMV_SUBSTREAMS} BIGINTs per group,"
+    " maintained by ONE map-side-combined hash aggregate over raw"
+    " occurrences (no pre-distinct: min over occurrences = min over"
+    " distincts) and mergeable across partitions/days by construction. The"
+    " exact census columns are computed alongside ONLY to grade the"
+    " estimate (rel_error); production runs the sketch alone. Every"
+    " estimate is a single double division of exact integers, bit-identical"
+    " cross-engine; md5-derived hashes make both engines see the same"
+    " sub-streams.",
+)
+def kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    occ = d.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+    sk = distinct_sketch_frame(occ, "lang", "tok")
+    ex = occ.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct_exact"),
+    )
+    j = ex.join(sk, "lang")
+    return j.select(
+        "lang",
+        "n_tokens",
+        "n_distinct_exact",
+        "n_buckets_hit",
+        "distinct_estimate",
+        (
+            (F.col("distinct_estimate") - F.col("n_distinct_exact").cast("double"))
+            / F.col("n_distinct_exact").cast("double")
+        ).alias("rel_error"),
+    )

@@ -75,6 +75,7 @@ EXPECTED = {
     "text_quality",
     "gopher_quality_flags",
     "c4_quality_flags",
+    "kmv_distinct_tokens",
     "lang_id",
     "minhash_signatures",
     "minhash_lsh_pairs",
