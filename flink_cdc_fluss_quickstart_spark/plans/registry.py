@@ -269,6 +269,12 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " bounded min-per-sub-stream state, estimator accuracy planted-tested"
         " in tests/test_corpus_ops.py",
     ),
+    "countmin_heavy_hitters": (
+        "collocation_pmi",
+        "same token-count rollup + TakeOrdered global top-k shape; the"
+        " bounded counter grid and never-undercount property are"
+        " planted-tested in tests/test_corpus_ops.py",
+    ),
     "ngram_containment_pairs": (
         "ngram_jaccard_neardup",
         "same shingle self-join; containment swaps the overlap denominator",

@@ -2358,3 +2358,125 @@ def kmv_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_distinct_exact").cast("double")
         ).alias("rel_error"),
     )
+
+
+# --- Count-Min sketch heavy hitters -----------------------------------------
+
+CM_DEPTH = 4  # independent hash rows (error probability decays as 2^-depth)
+CM_WIDTH = 512  # counters per row (overcount bound ~ e * N / width)
+CM_TOP_K = 50
+
+
+def _cm_col(tok, r: int, width: int):
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"cm{r}|"), tok)), 1, 8), 16, 10)
+        .cast("long")
+        % width
+    )
+
+
+def cm_heavy_hitters_frame(
+    occ: DataFrame, tok_col: str, depth: int = CM_DEPTH, width: int = CM_WIDTH, k: int = CM_TOP_K
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) heavy hitters over a
+    token-occurrence frame. The sketch is depth x width exact counters --
+    built by ONE map-side-combined hash aggregate over (row, col) cells, so
+    the shuffle is bounded by depth*width keys regardless of corpus size, and
+    two sketches merge by cell-wise addition (the daily-ingest shape). The
+    candidate probe joins the BROADCAST sketch; estimates are min over rows,
+    never below the true count. Exact counts ride along to grade overcount."""
+    tok = F.col(tok_col)
+    cells = (
+        occ.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).cast("int").alias("r"),
+                            _cm_col(tok, r, width).alias("c"),
+                        )
+                        for r in range(depth)
+                    ]
+                )
+            ).alias("cell")
+        )
+        .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = occ.groupBy(tok.alias("tok")).agg(F.count(F.lit(1)).alias("exact_count"))
+    probes = vocab.select(
+        "tok",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("int").alias("r"),
+                        _cm_col(F.col("tok"), r, width).alias("c"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("p"),
+    )
+    est = (
+        probes.join(
+            F.broadcast(cells),
+            (F.col("p.r") == F.col("r")) & (F.col("p.c") == F.col("c")),
+        )
+        .groupBy("tok", "exact_count")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    return (
+        est.select("tok", "cm_estimate", "exact_count",
+                   (F.col("cm_estimate") - F.col("exact_count")).alias("overcount"))
+        .orderBy(F.col("cm_estimate").desc(), "tok")
+        .limit(k)
+    )
+
+
+@register(
+    "countmin_heavy_hitters",
+    oracle=f"""
+    WITH occ AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    salts AS (SELECT unnest(range({CM_DEPTH})) AS r),
+    cells AS (
+      SELECT r,
+             CAST('0x' || substr(md5('cm' || r || '|' || tok), 1, 8) AS BIGINT)
+               % {CM_WIDTH} AS c,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM occ CROSS JOIN salts GROUP BY r, c
+    ),
+    vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS exact_count FROM occ GROUP BY tok
+    ),
+    est AS (
+      SELECT tok, exact_count, MIN(cnt) AS cm_estimate
+      FROM vocab CROSS JOIN salts
+      JOIN cells ON cells.r = salts.r
+        AND cells.c = CAST('0x' || substr(md5('cm' || salts.r || '|' || tok), 1, 8)
+                           AS BIGINT) % {CM_WIDTH}
+      GROUP BY tok, exact_count
+    )
+    SELECT tok, cm_estimate, exact_count,
+           cm_estimate - exact_count AS overcount
+    FROM est ORDER BY cm_estimate DESC, tok LIMIT {CM_TOP_K}
+    """,
+    description="Count-Min sketch heavy hitters (Cormode & Muthukrishnan"
+    f" 2005): top-{CM_TOP_K} tokens by sketch-estimated frequency with the"
+    " exact count and the (always >= 0) overcount alongside. The 100 TB"
+    f" shape: the sketch is a FIXED {CM_DEPTH}x{CM_WIDTH} counter grid --"
+    " one map-side-combined aggregate whose shuffle is bounded by the grid"
+    " size at any corpus size, cell-wise additive across partitions/days/"
+    " streams (the mergeable-state frequency monitor) -- and candidate"
+    " probes broadcast-join it; min-over-rows estimates never undercount."
+    " The exact census rides along only to grade the sketch. All counters"
+    " are exact BIGINTs and the top-k order carries the token tie-break,"
+    " so both engines agree bit-for-bit.",
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    occ = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    return cm_heavy_hitters_frame(occ, "tok")

@@ -260,3 +260,43 @@ def test_distinct_sketch_duplicate_invariance(spark):
     once = tq.distinct_sketch_frame(_occ(spark, [("A", 300, 1)]), "g", "v").collect()
     many = tq.distinct_sketch_frame(_occ(spark, [("A", 300, 17)]), "g", "v").collect()
     assert once[0].asDict() == many[0].asDict()
+
+
+# --- Count-Min sketch (cm_heavy_hitters_frame) ------------------------------
+# The synthetic vocabulary (~31 tokens) is far below the 512-counter width,
+# so the registered query sees zero collisions; this planted Zipf-ish corpus
+# forces collisions (width 32 << 500 distinct tokens) to exercise the
+# sketch's defining properties.
+
+
+def _zipf_occ(spark):
+    import pyspark.sql.functions as FF
+
+    # token t_i appears floor(3000 / (i + 1)) times, i in [0, 500)
+    return (
+        spark.range(500)
+        .select(
+            FF.concat(FF.lit("t"), FF.col("id").cast("string")).alias("tok"),
+            FF.floor(3000 / (FF.col("id") + 1)).cast("int").alias("n"),
+        )
+        .select(FF.expr("explode(array_repeat(tok, n))").alias("tok"))
+    )
+
+
+def test_cm_never_undercounts_and_finds_head(spark):
+    occ = _zipf_occ(spark)
+    res = tq.cm_heavy_hitters_frame(occ, "tok", depth=4, width=32, k=20).collect()
+    assert all(r["overcount"] >= 0 for r in res)  # CMS can only overcount
+    top_tokens = [r["tok"] for r in res[:5]]
+    assert "t0" in top_tokens and "t1" in top_tokens  # true head survives
+    # overcount bound: e * N / width, N = sum of counts
+    n_total = 3000 * sum(1 / (i + 1) for i in range(500))
+    assert max(r["overcount"] for r in res) <= 2.72 * n_total / 32
+
+
+def test_cm_depth_tightens_estimates(spark):
+    occ = _zipf_occ(spark)
+    d4 = {r["tok"]: r["cm_estimate"] for r in tq.cm_heavy_hitters_frame(occ, "tok", 4, 32, 500).collect()}
+    d1 = {r["tok"]: r["cm_estimate"] for r in tq.cm_heavy_hitters_frame(occ, "tok", 1, 32, 500).collect()}
+    assert all(d4[t] <= d1[t] for t in d4)  # min over more rows never worse
+    assert sum(d4[t] for t in d4) < sum(d1[t] for t in d1)  # strictly better somewhere

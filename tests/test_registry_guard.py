@@ -76,6 +76,7 @@ EXPECTED = {
     "gopher_quality_flags",
     "c4_quality_flags",
     "kmv_distinct_tokens",
+    "countmin_heavy_hitters",
     "lang_id",
     "minhash_signatures",
     "minhash_lsh_pairs",
