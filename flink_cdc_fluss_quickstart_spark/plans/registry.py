@@ -275,6 +275,13 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " bounded counter grid and never-undercount property are"
         " planted-tested in tests/test_corpus_ops.py",
     ),
+    "textrank_keywords": (
+        "collocation_pmi",
+        "same adjacent-pair vocab-graph rollup + TakeOrdered top-k; the"
+        " fixed-iteration frame loop is the stamped dedup_components /"
+        " kmeans_embeddings pattern, centrality semantics planted-tested"
+        " in tests/test_corpus_ops.py",
+    ),
     "ngram_containment_pairs": (
         "ngram_jaccard_neardup",
         "same shingle self-join; containment swaps the overlap denominator",

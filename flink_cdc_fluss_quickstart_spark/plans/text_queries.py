@@ -2480,3 +2480,125 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     occ = d.select(F.explode(F.split("text", " ")).alias("tok"))
     return cm_heavy_hitters_frame(occ, "tok")
+
+
+# --- TextRank keyword extraction (graph centrality) -------------------------
+
+TEXTRANK_ITERS = 5  # fixed power-iteration rounds (so the oracle can unroll)
+TEXTRANK_SCALE = 1_000_000  # scores in exact integer micro-units
+TEXTRANK_BASE = 150_000  # floor((1 - 0.85) * SCALE)
+TEXTRANK_TOP_K = 30
+
+
+def textrank_frame(d: DataFrame) -> DataFrame:
+    """TextRank (Mihalcea & Tarau 2004): PageRank with damping 0.85 over the
+    undirected adjacent-word co-occurrence graph, in exact integer
+    micro-units -- per-edge contribution is s DIV deg, the damped sum is
+    (85 * sum) DIV 100 -- so every round is order-independent BIGINT
+    arithmetic, bit-identical to the oracle's unrolled CTE chain.
+
+    Scale shape: the corpus collapses to the distinct-edge VOCAB graph first
+    (one map-side-combined distinct), so every iteration is a vocab-sized
+    hash join + hash aggregate -- corpus size only affects the first
+    rollup. The symmetrized graph guarantees every node has an in-edge, so
+    no rank row is ever lost to the groupBy."""
+    docs = d.select(F.split("text", " ").alias("l")).filter(F.size("l") >= 2)
+    adj = docs.select(
+        "l", F.explode(F.expr("sequence(1, size(l) - 1)")).alias("__i")
+    ).select(
+        F.expr("element_at(l, __i)").alias("a"),
+        F.expr("element_at(l, __i + 1)").alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+    edges = (
+        adj.select("a", "b")
+        .union(adj.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .withColumnRenamed("a", "src")
+        .withColumnRenamed("b", "dst")
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = _cached(edges.join(deg, "src"))
+    ranks = deg.select(
+        F.col("src").alias("word"), F.lit(TEXTRANK_SCALE).cast("long").alias("s")
+    )
+    for _ in range(TEXTRANK_ITERS):
+        ranks = (
+            ed.join(ranks, ed["src"] == ranks["word"])
+            .select("dst", F.expr("s DIV deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(
+                (F.lit(TEXTRANK_BASE) + F.expr("(85 * sum(contrib)) DIV 100"))
+                .cast("long")
+                .alias("s")
+            )
+            .withColumnRenamed("dst", "word")
+        )
+    return (
+        ranks.join(deg, ranks["word"] == deg["src"])
+        .select("word", F.col("s").alias("score_micro"), F.col("deg").alias("degree"))
+        .orderBy(F.col("score_micro").desc(), "word")
+        .limit(TEXTRANK_TOP_K)
+    )
+
+
+def _textrank_oracle() -> str:
+    step = (
+        "SELECT dst AS word,"
+        " CAST({base} + (85 * SUM(s // deg)) // 100 AS BIGINT) AS s"
+        " FROM ed JOIN __SRC__ ON ed.src = __SRC__.word GROUP BY dst"
+    ).format(base=TEXTRANK_BASE)
+    parts = [
+        """
+    WITH tk AS (
+      SELECT string_split(text, ' ') AS l FROM documents
+      WHERE len(string_split(text, ' ')) >= 2
+    ),
+    adj AS (
+      SELECT l[i] AS a, l[i + 1] AS b
+      FROM (SELECT l, unnest(range(1, len(l))) AS i FROM tk)
+      WHERE l[i] <> l[i + 1]
+    ),
+    e AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT a AS src, b AS dst FROM adj
+        UNION ALL SELECT b AS src, a AS dst FROM adj
+      )
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg ON e.src = deg.src),
+    s0 AS (SELECT src AS word, CAST(%d AS BIGINT) AS s FROM deg)
+    """
+        % TEXTRANK_SCALE
+    ]
+    for it in range(1, TEXTRANK_ITERS + 1):
+        parts.append(f", s{it} AS ({step.replace('__SRC__', f's{it - 1}')})")
+    parts.append(
+        f"""
+    SELECT word, s AS score_micro, deg AS degree
+    FROM s{TEXTRANK_ITERS} JOIN deg ON word = deg.src
+    ORDER BY s DESC, word LIMIT {TEXTRANK_TOP_K}
+    """
+    )
+    return "\n".join(parts)
+
+
+@register(
+    "textrank_keywords",
+    oracle=_textrank_oracle(),
+    description="TextRank keyword extraction (Mihalcea & Tarau 2004):"
+    f" damping-0.85 PageRank, {TEXTRANK_ITERS} fixed power-iteration rounds"
+    " over the undirected adjacent-word co-occurrence graph; top"
+    f" {TEXTRANK_TOP_K} words by centrality -- the unsupervised keyword/"
+    "vocabulary-importance signal that frequency counts miss (a rare word"
+    " bridging many contexts outranks a frequent word in one context)."
+    " 100 TB shape: the corpus collapses to the distinct-edge vocabulary"
+    " graph in ONE map-side-combined rollup; each of the fixed iterations"
+    " is then a vocab-sized (not corpus-sized) hash join + aggregate, and"
+    " the loop lives in the driver over FRAMES (never rows). Exact integer"
+    " micro-unit arithmetic (s DIV deg, (85*sum) DIV 100) keeps every"
+    " round order-independent and bit-identical to the unrolled-CTE"
+    " oracle; top-k carries the word tie-break.",
+)
+def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return textrank_frame(d)

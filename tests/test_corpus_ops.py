@@ -300,3 +300,36 @@ def test_cm_depth_tightens_estimates(spark):
     d1 = {r["tok"]: r["cm_estimate"] for r in tq.cm_heavy_hitters_frame(occ, "tok", 1, 32, 500).collect()}
     assert all(d4[t] <= d1[t] for t in d4)  # min over more rows never worse
     assert sum(d4[t] for t in d4) < sum(d1[t] for t in d1)  # strictly better somewhere
+
+
+# --- TextRank (textrank_frame) ----------------------------------------------
+
+
+def test_textrank_hub_outranks_periphery(spark):
+    # star graph: "hub" co-occurs with 8 distinct words that only ever
+    # touch the hub -> hub must take the top centrality slot
+    rows = [(i, f"hub spoke{i}") for i in range(8)]
+    res = tq.textrank_frame(_docs(spark, rows)).collect()
+    assert res[0]["word"] == "hub"
+    assert res[0]["degree"] == 8
+    assert all(r["score_micro"] < res[0]["score_micro"] for r in res[1:])
+    spokes = {r["score_micro"] for r in res if r["word"] != "hub"}
+    assert len(spokes) == 1  # symmetric periphery scores identically
+
+
+def test_textrank_ring_is_uniform(spark):
+    # a ring a0-a1-...-a5-a0: perfectly symmetric, every score equal
+    rows = [(i, f"a{i} a{(i + 1) % 6}") for i in range(6)]
+    res = tq.textrank_frame(_docs(spark, rows)).collect()
+    assert len(res) == 6
+    assert len({r["score_micro"] for r in res}) == 1
+    assert all(r["degree"] == 2 for r in res)
+
+
+def test_textrank_bridging_word_beats_frequent_word(spark):
+    # "bridge" appears 4 times but in 4 DIFFERENT contexts; "common" appears
+    # 8 times always next to the same word -- centrality must prefer bridge
+    rows = [(i, f"bridge ctx{i}") for i in range(4)]
+    rows += [(100 + i, "common partner") for i in range(8)]
+    res = {r["word"]: r for r in tq.textrank_frame(_docs(spark, rows)).collect()}
+    assert res["bridge"]["score_micro"] > res["common"]["score_micro"]

@@ -77,6 +77,7 @@ EXPECTED = {
     "c4_quality_flags",
     "kmv_distinct_tokens",
     "countmin_heavy_hitters",
+    "textrank_keywords",
     "lang_id",
     "minhash_signatures",
     "minhash_lsh_pairs",
