@@ -148,3 +148,81 @@ def hex4_sql(expr: str, group: int) -> str:
         for j in range(4)
     ]
     return "(" + " + ".join(digits) + ") / 65535.0"
+
+
+PHASH_BANDS = 4  # 16-bit bands over the 64-bit hash (LSH candidate blocking)
+PHASH_HAMMING_MAX = 8  # accept pairs within this bit distance
+
+PHASH_SCHEMA = "doc_id long, phash string"
+
+
+def perceptual_hash(frame: DataFrame, mode: str = "stub") -> DataFrame:
+    """Arrow-batched 64-bit perceptual hash per payload (doc_id, phash as 16
+    hex chars); the payload never leaves the executor.
+
+    mode="real" is the integration point for an actual DCT pHash / audio
+    chromaprint (needs codec libs absent here). mode="stub" hashes a
+    NORMALIZED payload -- lowercase, runs of non-alphanumerics collapsed --
+    so near-identical payloads (formatting/case variants) collide exactly,
+    giving the banding + Hamming machinery testable semantics."""
+
+    def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
+        import re
+
+        import pandas as pd
+
+        def one(payload: bytes, media_type: str) -> str:
+            if mode == "real":
+                raise NotImplementedError(
+                    "real perceptual hashing requires codec libraries not "
+                    "present in this environment; wire imagehash/chromaprint "
+                    "here in production"
+                )
+            norm = re.sub(r"[^a-z0-9]+", " ", payload.decode("utf-8").lower()).strip()
+            return hashlib.md5(norm.encode("utf-8")).hexdigest()[:16]
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "phash": [one(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])],
+                }
+            )
+
+    return spread(frame).mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_pairs(hashes: DataFrame) -> DataFrame:
+    """Near-dup pairs from 64-bit perceptual hashes: 16-bit-band LSH
+    blocking (a pair within Hamming distance d < 2*bands shares at least one
+    of the 4 bands whenever its flipped bits cluster; equal-normalized
+    payloads share all 4), then an exact Hamming verify via two 32-bit
+    halves (BIGINT xor + bit_count -- no unsigned-64 overflow). The join is
+    band-keyed -- bucket-sized work, never corpus^2."""
+    # band identity includes position k, not just the 4 hex chars
+    bands = hashes.select(
+        "doc_id",
+        F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("phash", 9, 8), 16, 10).cast("long").alias("h2"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat(F.lit(f"{k}:"), F.substring("phash", 4 * k + 1, 4))
+                    for k in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            (
+                F.bit_count(F.expr("a.h1 ^ b.h1")) + F.bit_count(F.expr("a.h2 ^ b.h2"))
+            ).cast("bigint").alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= PHASH_HAMMING_MAX)

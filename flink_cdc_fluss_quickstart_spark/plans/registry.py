@@ -208,6 +208,12 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "multimodal_feature_extract",
         "same mapInPandas batch seam, different per-batch transform",
     ),
+    "multimodal_phash_dedup": (
+        "multimodal_feature_extract",
+        "same mapInPandas batch seam feeding the stamped band-join pair"
+        " family (minhash_lsh_pairs shape); formatting-variant pair"
+        " semantics planted-tested in tests/test_corpus_ops.py",
+    ),
     # sampling
     "temperature_resample_by_lang": (
         "stratified_sample_by_lang",

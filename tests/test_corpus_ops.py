@@ -333,3 +333,38 @@ def test_textrank_bridging_word_beats_frequent_word(spark):
     rows += [(100 + i, "common partner") for i in range(8)]
     res = {r["word"]: r for r in tq.textrank_frame(_docs(spark, rows)).collect()}
     assert res["bridge"]["score_micro"] > res["common"]["score_micro"]
+
+
+# --- multimodal perceptual-hash dedup (perceptual_hash / phash_pairs) -------
+# The synthetic corpus has zero normalized-equal payloads below sf0.1, so the
+# registered query's oracle parity runs on (correctly) empty pair sets; these
+# planted payloads prove the pair semantics end-to-end through the same
+# mapInPandas -> banding -> Hamming pipeline.
+
+
+def test_phash_formatting_variants_pair_up(spark):
+    from flink_cdc_fluss_quickstart_spark.functions import multimodal as mm
+
+    rows = [
+        (1, "The Quick, Brown Fox!!"),
+        (2, "the quick brown fox"),  # case/punct variant of 1 -> same phash
+        (3, "THE   QUICK  BROWN FOX."),  # whitespace variant -> same phash
+        (4, "a completely different payload"),
+    ]
+    frame = mm.attach_payload(_docs(spark, rows))
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in mm.phash_pairs(mm.perceptual_hash(frame)).collect()
+    }
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3)}
+    assert all(h == 0 for h in pairs.values())
+
+
+def test_phash_real_mode_is_explicit_stub(spark):
+    import pytest as _pytest
+
+    from flink_cdc_fluss_quickstart_spark.functions import multimodal as mm
+
+    frame = mm.attach_payload(_docs(spark, [(1, "x")]))
+    with _pytest.raises(Exception, match="NotImplementedError|not present"):
+        mm.perceptual_hash(frame, mode="real").collect()

@@ -51,6 +51,7 @@ EXPECTED = {
     "multimodal_frame_sample",
     "multimodal_quality_gate",
     "multimodal_resize",
+    "multimodal_phash_dedup",
     # pipeline
     "dataset_split_assign",
     "token_stats_by_lang",
