@@ -26,7 +26,6 @@ HEADLINE = (
     "revenue_analytics",
     "q1_pricing_summary",
     "q3_top_revenue_orders",
-    "q5_region_revenue",
     "q17_below_avg_quantity_revenue",
     "q7_nation_trade_flows",
     "upsert_latest_snapshot",
@@ -40,13 +39,11 @@ HEADLINE = (
     "quality_filter_route",
     "dataset_split_assign",
     "token_stats_by_lang",
-    "repetition_signals",
     "decontamination_ngrams",
     "sequence_pack_offsets",
     "pack_efficiency_report",
     "betting_tickets_analytics",
     "embedding_cosine_topk",
-    "embedding_ann_lsh",
     "embedding_ann_ivf",
     "kmeans_embeddings",
     "semantic_dedup_prune",
@@ -55,6 +52,9 @@ HEADLINE = (
     "dsir_importance_weights",
     "winnow_overlap_pairs",
     "span_dedup_text",
+    "textrank_keywords",
+    "kmv_distinct_tokens",
+    "countmin_heavy_hitters",
     "nb_quality_score",
     "asof_view_before_purchase",
     "session_windows_per_user",

@@ -76,6 +76,19 @@ def get(name: str) -> QuerySpec:
 # (embedding_int8_quantize, pii_redact, training_shuffle_order -- the
 # latter two also leave bench.HEADLINE, which the registry guard ties to
 # the head-50).
+#
+# Round-7 third wave: 4 of the 6 operators added late in the round rotate
+# IN (textrank_keywords, countmin_heavy_hitters, kmv_distinct_tokens,
+# embedding_decontamination; c4_quality_flags and multimodal_phash_dedup
+# stay tail like their gopher/multimodal-variant precedents, each with a
+# planted-semantics unit test plus the repo-side oracle). Out rotate four
+# stamped entries whose families stay proven by head siblings:
+# repetition_signals (text_quality), dedup_components
+# (embedding_dedup_representatives runs the same pointer-jumping CC),
+# q5_region_revenue (q7's multi-join agg tree), embedding_ann_lsh
+# (ann_recall_report composes and scores the identical lsh plan); the
+# three that were benched also leave bench.HEADLINE, replaced by the
+# round's new graph/sketch operators.
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -90,7 +103,6 @@ PRIORITY: tuple[str, ...] = (
     # driver-side correctness row (guarded)
     "q1_pricing_summary",
     "q3_top_revenue_orders",
-    "q5_region_revenue",
     "q7_nation_trade_flows",
     "q17_below_avg_quantity_revenue",
     # temporal joins + multimodal plumbing
@@ -117,8 +129,10 @@ PRIORITY: tuple[str, ...] = (
     "collocation_pmi",
     "tfidf_top_terms",
     "bm25_retrieval",
+    "textrank_keywords",
+    "kmv_distinct_tokens",
+    "countmin_heavy_hitters",
     "curriculum_order",
-    "repetition_signals",
     # near-dup detection + dedup end steps
     "minhash_lsh_pairs",
     "ngram_jaccard_neardup",
@@ -126,11 +140,10 @@ PRIORITY: tuple[str, ...] = (
     "winnow_overlap_pairs",
     "span_dedup_text",
     "doc_novelty_score",
-    "dedup_components",
     # embedding similarity / ANN / quantization
     "embedding_cosine_topk",
-    "embedding_ann_lsh",
     "embedding_ann_ivf",
+    "embedding_decontamination",
     "embedding_dedup_representatives",
     "kmeans_embeddings",
     "semantic_dedup_prune",
@@ -175,11 +188,11 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "left-semi scoping join is the same shape decontamination's gram gate uses",
     ),
     "setop_multi_status_customers": (
-        "q5_region_revenue",
+        "q7_nation_trade_flows",
         "UNION/INTERSECT compile to the stamped join+agg primitives; repo-oracle-checked",
     ),
     "setop_except_large_orders": (
-        "q5_region_revenue",
+        "q7_nation_trade_flows",
         "EXCEPT compiles to the stamped anti-join+agg primitives; repo-oracle-checked",
     ),
     "rollup_nation_segment_revenue": (
@@ -269,25 +282,6 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " (the Gopher sibling at line granularity); planted-page semantics"
         " unit-tested in tests/test_corpus_ops.py",
     ),
-    "kmv_distinct_tokens": (
-        "token_stats_by_lang",
-        "same lang-keyed token-explode aggregation scan; the sketch adds a"
-        " bounded min-per-sub-stream state, estimator accuracy planted-tested"
-        " in tests/test_corpus_ops.py",
-    ),
-    "countmin_heavy_hitters": (
-        "collocation_pmi",
-        "same token-count rollup + TakeOrdered global top-k shape; the"
-        " bounded counter grid and never-undercount property are"
-        " planted-tested in tests/test_corpus_ops.py",
-    ),
-    "textrank_keywords": (
-        "collocation_pmi",
-        "same adjacent-pair vocab-graph rollup + TakeOrdered top-k; the"
-        " fixed-iteration frame loop is the stamped dedup_components /"
-        " kmeans_embeddings pattern, centrality semantics planted-tested"
-        " in tests/test_corpus_ops.py",
-    ),
     "ngram_containment_pairs": (
         "ngram_jaccard_neardup",
         "same shingle self-join; containment swaps the overlap denominator",
@@ -350,11 +344,6 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "embedding_ann_ivf",
         "IVF's coarse quantizer recomputes the per-label centroid aggregate",
     ),
-    "embedding_decontamination": (
-        "embedding_cosine_topk",
-        "same broadcast-query brute-force cosine scan (the stamped top-k"
-        " sibling); decontamination folds it to a max + threshold flag",
-    ),
     "embedding_pca_top_component": (
         "kmeans_embeddings",
         "same floor-scaled corpus aggregate + broadcast-vector fixed-iteration"
@@ -365,8 +354,31 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "the stamped recall report composes and scores the multiprobe plan",
     ),
     "dedup_keep_representatives": (
-        "dedup_components",
-        "same pointer-jumping connected components; the representative pick is one min-per-component agg on top",
+        "embedding_dedup_representatives",
+        "same pointer-jumping connected components + min-per-component"
+        " representative pick, on the text pair graph instead of the vector one",
+    ),
+    # rotated out in the r7 third wave (families stay proven by head siblings)
+    "repetition_signals": (
+        "text_quality",
+        "same row-local array/ngram-ratio quality-signal family, stamped"
+        " r1-r6; the sibling stamps the pure-map text-metrics shape",
+    ),
+    "dedup_components": (
+        "embedding_dedup_representatives",
+        "the stamped sibling runs the identical pointer-jumping connected"
+        " components (functions/dedup.connected_components) on the vector"
+        " pair graph; text-side CC stamped r2-r6",
+    ),
+    "q5_region_revenue": (
+        "q7_nation_trade_flows",
+        "same multi-dim broadcast join tree + grouped revenue agg, stamped"
+        " r1-r6; q7 is the strict superset (two nation roles + year split)",
+    ),
+    "embedding_ann_lsh": (
+        "ann_recall_report",
+        "the stamped recall report composes and scores this exact lsh plan"
+        " (and multiprobe/ivf); lsh stamped r2-r6",
     ),
     # TPC-H tail: join/agg shapes proven by the stamped headliners
     "q2_min_cost_supplier": ("q17_below_avg_quantity_revenue", "correlated-min subquery family"),
