@@ -28,6 +28,11 @@ real pipeline ships:
                                      held-out query doc (search-based leak
                                      review beyond exact n-gram decontam)
     13. bpe_merge_candidates      -- tokenizer merge table of the corpus
+    14. kmv_distinct_tokens +     -- bounded-state corpus monitors: vocab
+        countmin_heavy_hitters       cardinality + heavy-hitter tokens
+    15. textrank_keywords         -- graph-centrality keyword vocabulary
+    16. embedding_decontamination -- semantic (paraphrase) leak audit over
+                                     the embedding table
 
 Every step is a registered query (same code the correctness gate verifies);
 this script is the composition glue, joining on doc_id -- all equi joins on
@@ -180,6 +185,18 @@ def main() -> None:
     print("== 13. tokenizer induction (top-5 BPE merge candidates)")
     q["bpe_merge_candidates"].builder(spark, sf_dir).limit(5).show()
     dedup.release_caches()  # steps 11-13 persist the shared term frames
+
+    print("== 14. corpus monitors (distinct-count sketch + heavy hitters)")
+    q["kmv_distinct_tokens"].builder(spark, sf_dir).orderBy("lang").show()
+    q["countmin_heavy_hitters"].builder(spark, sf_dir).limit(5).show()
+
+    print("== 15. keyword vocabulary (top-5 TextRank centrality)")
+    q["textrank_keywords"].builder(spark, sf_dir).limit(5).show()
+
+    print("== 16. semantic leak audit (embedding decontamination)")
+    q["embedding_decontamination"].builder(spark, sf_dir).groupBy(
+        "contaminated"
+    ).agg(F.count(F.lit(1)).alias("n_vectors")).show()
 
 
 if __name__ == "__main__":
