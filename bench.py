@@ -33,7 +33,6 @@ HEADLINE = (
     "event_time_tumbling_hourly",
     "dedup_exact",
     "minhash_lsh_pairs",
-    "ngram_jaccard_neardup",
     "simhash_neardup_pairs",
     "text_quality",
     "quality_filter_route",
@@ -55,6 +54,7 @@ HEADLINE = (
     "textrank_keywords",
     "kmv_distinct_tokens",
     "countmin_heavy_hitters",
+    "embedding_pq_adc_topk",
     "nb_quality_score",
     "asof_view_before_purchase",
     "session_windows_per_user",

@@ -89,6 +89,12 @@ def get(name: str) -> QuerySpec:
 # (ann_recall_report composes and scores the identical lsh plan); the
 # three that were benched also leave bench.HEADLINE, replaced by the
 # round's new graph/sketch operators.
+#
+# Round-7 fourth wave: embedding_pq_adc_topk rotates IN (it recomputes the
+# PQ codebooks and codes end-to-end, so its stamp covers embedding_pq_codes
+# -- the winnow_fingerprints precedent); out rotates ngram_jaccard_neardup
+# (shingle-profile family stays stamped + benched via minhash_lsh_pairs);
+# the HEADLINE slot swaps the same way.
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -135,7 +141,6 @@ PRIORITY: tuple[str, ...] = (
     "curriculum_order",
     # near-dup detection + dedup end steps
     "minhash_lsh_pairs",
-    "ngram_jaccard_neardup",
     "simhash_neardup_pairs",
     "winnow_overlap_pairs",
     "span_dedup_text",
@@ -147,6 +152,7 @@ PRIORITY: tuple[str, ...] = (
     "embedding_dedup_representatives",
     "kmeans_embeddings",
     "semantic_dedup_prune",
+    "embedding_pq_adc_topk",
     "ann_recall_report",
     "ann_recall_report_clustered",
 )
@@ -283,8 +289,20 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " unit-tested in tests/test_corpus_ops.py",
     ),
     "ngram_containment_pairs": (
-        "ngram_jaccard_neardup",
-        "same shingle self-join; containment swaps the overlap denominator",
+        "minhash_lsh_pairs",
+        "same shingle-profile self-join family; containment swaps the"
+        " overlap denominator (jaccard sibling rotated out r7 fourth wave)",
+    ),
+    "ngram_jaccard_neardup": (
+        "minhash_lsh_pairs",
+        "same shingle-profile near-dup family, stamped r1-r6; minhash bands"
+        " the identical shingle profiles and stays stamped + benched",
+    ),
+    "embedding_pq_codes": (
+        "embedding_pq_adc_topk",
+        "the stamped ADC searcher recomputes these codebooks and codes"
+        " end-to-end (the winnow_fingerprints precedent); prototype-corpus"
+        " exactness planted-tested in tests/test_corpus_ops.py",
     ),
     "winnow_fingerprints": (
         "winnow_overlap_pairs",

@@ -368,3 +368,68 @@ def test_phash_real_mode_is_explicit_stub(spark):
     frame = mm.attach_payload(_docs(spark, [(1, "x")]))
     with _pytest.raises(Exception, match="NotImplementedError|not present"):
         mm.perceptual_hash(frame, mode="real").collect()
+
+
+# --- product quantization (pq_codes_frame / pq_adc_topk_frame) --------------
+# The synthetic embeddings are near-isotropic, so the oracle-parity test
+# proves arithmetic but not PQ's defining behavior; this planted 16-prototype
+# corpus makes the codebooks exact, pinning the semantics.
+
+
+def _proto_corpus(spark):
+    import pyspark.sql.functions as FF
+
+    from flink_cdc_fluss_quickstart_spark.plans import similarity_queries as sq
+
+    # 16 distinct 64-dim prototypes (i*5 mod 17 is injective over i<16, so
+    # prototypes differ in EVERY dim and hence in every subspace); vector
+    # v = prototype[v % 16], so vec_id < 16 seeds every codebook with all
+    # 16 prototype subvectors
+    protos = [
+        [float(((i * 5 + d * 3) % 17) - 8) for d in range(sq.DIM)] for i in range(16)
+    ]
+    rows = [(v, protos[v % 16]) for v in range(100)]
+    return (
+        spark.createDataFrame(rows, "vec_id bigint, embedding array<float>"),
+        protos,
+    )
+
+
+def test_pq_reconstructs_prototype_corpus_exactly(spark):
+    from flink_cdc_fluss_quickstart_spark.plans import similarity_queries as sq
+
+    emb, _ = _proto_corpus(spark)
+    res = {r["vec_id"]: r.asDict() for r in sq.pq_codes_frame(emb).collect()}
+    assert len(res) == 100
+    assert all(r["recon_sq_err"] == 0.0 for r in res.values())
+    for m in range(sq.PQ_M):
+        assert all(0 <= r[f"code{m}"] < sq.PQ_K for r in res.values())
+    # same prototype -> identical code word; different prototypes differ
+    def word(v):
+        return tuple(res[v][f"code{m}"] for m in range(sq.PQ_M))
+
+    for v in range(100):
+        assert word(v) == word(v % 16)
+    assert len({word(v) for v in range(16)}) == 16
+
+
+def test_pq_adc_exact_on_prototype_corpus(spark):
+    from flink_cdc_fluss_quickstart_spark.plans import similarity_queries as sq
+
+    emb, protos = _proto_corpus(spark)
+    res = sq.pq_adc_topk_frame(emb).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 50}
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        # with zero quantization error ADC distance IS the true distance:
+        # the nearest neighbors are the other copies of the query's
+        # prototype, at distance exactly 0
+        assert rows[0]["approx_dist_sq"] == 0.0
+        assert rows[0]["neighbor_id"] % 16 == qid % 16
+        # ranks are dense 1..k and distances non-decreasing
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        d = [r["approx_dist_sq"] for r in rows]
+        assert d == sorted(d)

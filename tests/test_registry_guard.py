@@ -118,6 +118,8 @@ EXPECTED = {
     "embedding_pca_top_component",
     "embedding_int8_quantize",
     "embedding_decontamination",
+    "embedding_pq_codes",
+    "embedding_pq_adc_topk",
     "ann_recall_report",
     "ann_recall_report_clustered",
     # TPC-H
