@@ -2375,18 +2375,16 @@ def _cm_col(tok, r: int, width: int):
     )
 
 
-def cm_heavy_hitters_frame(
-    occ: DataFrame, tok_col: str, depth: int = CM_DEPTH, width: int = CM_WIDTH, k: int = CM_TOP_K
+def cm_cells_frame(
+    occ: DataFrame, tok_col: str, depth: int = CM_DEPTH, width: int = CM_WIDTH
 ) -> DataFrame:
-    """Count-Min sketch (Cormode & Muthukrishnan 2005) heavy hitters over a
-    token-occurrence frame. The sketch is depth x width exact counters --
-    built by ONE map-side-combined hash aggregate over (row, col) cells, so
-    the shuffle is bounded by depth*width keys regardless of corpus size, and
-    two sketches merge by cell-wise addition (the daily-ingest shape). The
-    candidate probe joins the BROADCAST sketch; estimates are min over rows,
-    never below the true count. Exact counts ride along to grade overcount."""
+    """The Count-Min counter grid (r, c, cnt) for a token-occurrence frame.
+    Works identically on a STREAMING frame: groupBy(r, c).count is a bounded
+    stateful aggregation (state <= depth*width rows forever), so the sketch
+    can be maintained continuously in update/complete mode -- asserted in
+    tests/test_streaming_dedup.py."""
     tok = F.col(tok_col)
-    cells = (
+    return (
         occ.select(
             F.explode(
                 F.array(
@@ -2403,6 +2401,20 @@ def cm_heavy_hitters_frame(
         .groupBy(F.col("cell.r").alias("r"), F.col("cell.c").alias("c"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def cm_heavy_hitters_frame(
+    occ: DataFrame, tok_col: str, depth: int = CM_DEPTH, width: int = CM_WIDTH, k: int = CM_TOP_K
+) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) heavy hitters over a
+    token-occurrence frame. The sketch is depth x width exact counters --
+    built by ONE map-side-combined hash aggregate over (row, col) cells, so
+    the shuffle is bounded by depth*width keys regardless of corpus size, and
+    two sketches merge by cell-wise addition (the daily-ingest shape). The
+    candidate probe joins the BROADCAST sketch; estimates are min over rows,
+    never below the true count. Exact counts ride along to grade overcount."""
+    tok = F.col(tok_col)
+    cells = cm_cells_frame(occ, tok_col, depth, width)
     vocab = occ.groupBy(tok.alias("tok")).agg(F.count(F.lit(1)).alias("exact_count"))
     probes = vocab.select(
         "tok",
