@@ -1177,3 +1177,135 @@ def token_budget_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repeat_factor"
         ),
     )
+
+
+# --- Bloom-filter decontamination (bounded-state membership filter) ----------
+
+BLOOM_M = 65536  # filter bits
+BLOOM_K = 3  # hash functions per key
+BLOOM_FLAG_RATE = 0.8  # same per-doc flag threshold as decontamination_ngrams
+
+
+def _bloom_bit(g, j: int):
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), g)), 1, 8), 16, 10)
+        .cast("long")
+        % BLOOM_M
+    )
+
+
+@register(
+    "bloom_decontamination",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_DUCK_HEX8} % 100 AS bucket, string_split(text, ' ') AS l
+      FROM documents
+      WHERE len(string_split(text, ' ')) >= 8
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, bucket, g FROM (
+        SELECT doc_id, bucket,
+               unnest(list_transform(range(1, len(l) - 6),
+                      i -> substr(md5(array_to_string(l[i::int:(i+7)::int], ' ')), 1, 16))) AS g
+        FROM base)
+    ),
+    test AS (SELECT DISTINCT g FROM grams WHERE bucket >= 95),
+    bits AS (
+      SELECT DISTINCT
+             CAST('0x' || substr(md5(j || ':' || g), 1, 8) AS BIGINT) % {BLOOM_M} AS bit
+      FROM test CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS j)
+    ),
+    train AS (SELECT DISTINCT doc_id, g FROM grams WHERE bucket < 90),
+    probe AS (
+      SELECT doc_id, g,
+             CAST('0x' || substr(md5(j || ':' || g), 1, 8) AS BIGINT) % {BLOOM_M} AS bit
+      FROM train CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS j)
+    ),
+    pg AS (
+      SELECT doc_id, g,
+             (SUM(CASE WHEN b.bit IS NOT NULL THEN 1 ELSE 0 END) = {BLOOM_K}) AS bloom_hit
+      FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+      GROUP BY doc_id, g
+    ),
+    pe AS (
+      SELECT doc_id, pg.g, bloom_hit, (t.g IS NOT NULL) AS exact_hit
+      FROM pg LEFT JOIN test t ON pg.g = t.g
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_hits,
+           CAST(SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_hits,
+           CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END)
+                - SUM(CASE WHEN exact_hit THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_false_positives,
+           (CAST(SUM(CASE WHEN bloom_hit THEN 1 ELSE 0 END) AS DOUBLE)
+              / CAST(COUNT(*) AS DOUBLE) >= {BLOOM_FLAG_RATE}) AS bloom_flagged
+    FROM pe GROUP BY doc_id
+    """,
+    description="Bloom-filter decontamination (Bloom 1970; the"
+    " bounded-state scale path Dolma/CCNet-class pipelines use for"
+    " membership scans): the held-out set's 8-gram keys fold into a"
+    f" {BLOOM_M}-bit filter ({BLOOM_K} hashes per key) and every TRAIN"
+    " document probes it row-locally -- the training corpus, the huge"
+    " side at 100 TB, is never joined against the eval gram table; the"
+    f" filter is <= {BLOOM_M} bits forever, mergeable across eval suites"
+    " by bitwise OR, and broadcastable (the relational distinct-bits"
+    " encoding here is exactly oracle-checkable; production packs it into"
+    f" an array<long> bitmask of {BLOOM_M // 64} words at the same seam)."
+    " Exact-hit columns ride along to GRADE the filter: n_false_positives"
+    " >= 0 always, false negatives impossible by construction (the"
+    " planted-set superset property is unit-tested). All counters exact"
+    " BIGINTs, bit-identical cross-engine.",
+)
+def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    base = (
+        d.select("doc_id", bucket.alias("bucket"), F.split("text", " ").alias("l"))
+        .filter(F.size("l") >= 8)
+        .filter((F.col("bucket") < 90) | (F.col("bucket") >= 95))
+    )
+    idx = base.select(
+        "doc_id", "bucket", "l",
+        F.explode(F.expr("sequence(1, size(l) - 7)")).alias("__i"),
+    )
+    grams = idx.select(
+        "doc_id", "bucket",
+        F.expr("substring(md5(concat_ws(' ', slice(l, __i, 8))), 1, 16)").alias("g"),
+    ).distinct()
+    test = grams.filter(F.col("bucket") >= 95).select("g").distinct()
+    bits = (
+        test.select(
+            F.explode(F.array(*[_bloom_bit(F.col("g"), j) for j in range(BLOOM_K)])).alias("bit")
+        )
+        .distinct()
+        .withColumn("__set", F.lit(1))
+    )
+    train = grams.filter(F.col("bucket") < 90).select("doc_id", "g")
+    probe = train.select(
+        "doc_id", "g",
+        F.explode(F.array(*[_bloom_bit(F.col("g"), j) for j in range(BLOOM_K)])).alias("bit"),
+    )
+    per_gram = (
+        probe.join(F.broadcast(bits), "bit", "left")
+        .groupBy("doc_id", "g")
+        .agg((F.sum(F.coalesce(F.col("__set"), F.lit(0))) == BLOOM_K).alias("bloom_hit"))
+    )
+    per_gram = per_gram.join(
+        test.withColumn("__t", F.lit(1)), "g", "left"
+    ).select("doc_id", "bloom_hit", F.col("__t").isNotNull().alias("exact_hit"))
+    n_bloom = F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0))
+    n_exact = F.sum(F.when(F.col("exact_hit"), 1).otherwise(0))
+    return per_gram.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        n_bloom.cast("bigint").alias("n_bloom_hits"),
+        n_exact.cast("bigint").alias("n_exact_hits"),
+        (n_bloom - n_exact).cast("bigint").alias("n_false_positives"),
+        (
+            n_bloom.cast("double") / F.count(F.lit(1)).cast("double")
+            >= BLOOM_FLAG_RATE
+        ).alias("bloom_flagged"),
+    )

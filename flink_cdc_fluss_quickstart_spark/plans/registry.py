@@ -193,6 +193,13 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "decontamination_ngrams",
         "left-semi scoping join is the same shape decontamination's gram gate uses",
     ),
+    "bloom_decontamination": (
+        "decontamination_ngrams",
+        "same gram-split/explode machinery and per-doc overlap rollup; the"
+        " Bloom filter adds a bounded broadcast bit set, with the"
+        " no-false-negative superset property unit-tested in"
+        " tests/test_corpus_ops.py",
+    ),
     "setop_multi_status_customers": (
         "q7_nation_trade_flows",
         "UNION/INTERSECT compile to the stamped join+agg primitives; repo-oracle-checked",

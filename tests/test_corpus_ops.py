@@ -433,3 +433,22 @@ def test_pq_adc_exact_on_prototype_corpus(spark):
         assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
         d = [r["approx_dist_sq"] for r in rows]
         assert d == sorted(d)
+
+
+# --- Bloom-filter decontamination (bloom_decontamination) -------------------
+
+
+def test_bloom_never_misses_exact_hits(spark):
+    """The defining Bloom guarantee: no false negatives -- every exact train/
+    test gram overlap is also a bloom hit, so n_bloom_hits >= n_exact_hits
+    and n_false_positives >= 0 on every document."""
+    from flink_cdc_fluss_quickstart_spark.plans.registry import all_specs
+
+    rows = all_specs()["bloom_decontamination"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bloom_hits"] >= r["n_exact_hits"], r
+        assert r["n_false_positives"] == r["n_bloom_hits"] - r["n_exact_hits"]
+        assert 0 <= r["n_bloom_hits"] <= r["n_grams"]

@@ -57,6 +57,7 @@ EXPECTED = {
     "token_stats_by_lang",
     "quality_filter_route",
     "decontamination_ngrams",
+    "bloom_decontamination",
     "stratified_sample_by_lang",
     "pii_redact",
     "sequence_pack_offsets",
