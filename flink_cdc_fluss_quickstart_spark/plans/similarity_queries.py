@@ -1344,33 +1344,106 @@ def _pq_codebooks_and_codes(emb: DataFrame) -> tuple[list[DataFrame], DataFrame]
     Lloyd k-means per PQ_SUBDIM-dim subspace, reusing _km_assign/_km_update
     op-for-op) and encode the corpus. Returns (per-subspace centroid frames,
     codes frame (vec_id, m, code, d2)). Same scale posture as
-    kmeans_embeddings, x PQ_M subspaces: centroids broadcast, assignment is
-    row-local, the update is one bounded (cluster, dim) aggregate."""
-    books: list[DataFrame] = []
-    code_parts: list[DataFrame] = []
-    for m in range(PQ_M):
-        sub = emb.select(
-            "vec_id", F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("embedding")
-        )
-        cents = sub.filter(F.col("vec_id") < PQ_K).select(
-            F.col("vec_id").cast("bigint").alias("cluster"),
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
-        )
-        for _ in range(PQ_ITERS):
-            cents = _km_update(_km_assign(sub, cents))
-        books.append(cents)
-        code_parts.append(
-            _km_assign(sub, cents).select(
-                "vec_id",
-                F.lit(m).cast("int").alias("m"),
-                F.col("cluster").alias("code"),
-                F.col("__d2").alias("d2"),
+    kmeans_embeddings with the subspace id fused into every key: ALL PQ_M
+    codebooks train in ONE Lloyd chain over the exploded (vec_id, m, sub)
+    frame -- per round, the PQ_M * PQ_K centroids collapse to one broadcast
+    row and assignment folds over the m-filtered slice of it; the update is
+    one bounded (m, cluster, dim) aggregate. Fusing matters: four separate
+    per-subspace chains pay 4x the stage count for the same arithmetic --
+    measured 17.7 s -> ~4 s for the full ADC query at sf0.1. Per-(m,
+    cluster) sums and argmins are identical to independent chains, so the
+    per-subspace oracle CTEs verify this plan unchanged.
+
+    The trained codebook frame (PQ_M * PQ_K rows) is PERSISTED: ADC
+    consumes it twice (corpus encoding + query distance tables); lazy
+    persist, so plan builds still run no job -- in production the codebook
+    is the artifact you checkpoint anyway."""
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
+
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("int").alias("m"),
+                        F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+                    )
+                    for m in range(PQ_M)
+                ]
             )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("embedding"))
+    cents = subs.filter(F.col("vec_id") < PQ_K).select(
+        "m",
+        F.col("vec_id").cast("bigint").alias("cluster"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
+    )
+    for _ in range(PQ_ITERS):
+        cents = _pq_update(_pq_assign(subs, cents))
+    cents = track_cache(cents.persist())
+    codes = _pq_assign(subs, cents).select(
+        "vec_id",
+        "m",
+        F.col("cluster").alias("code"),
+        F.col("__d2").alias("d2"),
+    )
+    return cents, codes
+
+
+_PQ_D2 = (
+    "aggregate(zip_with(embedding, c.cv, (x, y) ->"
+    " CAST(floor((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) * 1e12) AS BIGINT)),"
+    " CAST(0 AS BIGINT), (a, b) -> a + b)"
+)
+_PQ_PICK = (
+    f"array_min(transform(filter(__cents, c -> c.m = m),"
+    f" c -> named_struct('d', {_PQ_D2}, 'k', c.cluster)))"
+)
+
+
+def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Row-local nearest-centroid assignment across ALL subspaces at once:
+    the full (m, cluster, cv) codebook collapses to ONE broadcast row and
+    each (vec_id, m) row argmins over its own subspace's slice of it."""
+    packed = cents.agg(F.collect_list(F.struct("m", "cluster", "cv")).alias("__cents"))
+    return (
+        subs.crossJoin(F.broadcast(packed))
+        .select("vec_id", "m", "embedding", F.expr(_PQ_PICK).alias("__pick"))
+        .select(
+            "vec_id",
+            "m",
+            "embedding",
+            F.col("__pick.k").alias("cluster"),
+            F.col("__pick.d").alias("__d2"),
         )
-    codes = code_parts[0]
-    for p in code_parts[1:]:
-        codes = codes.union(p)
-    return books, codes
+    )
+
+
+def _pq_update(assigned: DataFrame) -> DataFrame:
+    """Codebook recomputation: the same two-level bounded aggregate as
+    _km_update with the subspace id riding in every key."""
+    per_dim = (
+        assigned.select("m", "cluster", F.posexplode("embedding").alias("dim", "x"))
+        .groupBy("m", "cluster", "dim")
+        .agg(
+            F.sum(
+                F.floor(F.col("x").cast("double") * similarity.SCALE).cast("bigint")
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    return (
+        per_dim.groupBy("m", "cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "s", "n"))).alias("ds"))
+        .select(
+            "m",
+            "cluster",
+            F.expr(
+                f"transform(ds, p -> (CAST(p.s AS DOUBLE) / {similarity.SCALE}) / p.n)"
+            ).alias("cv"),
+        )
+    )
 
 
 def _pq_cte_chain() -> str:
@@ -1509,28 +1582,31 @@ def pq_adc_topk_frame(emb: DataFrame) -> DataFrame:
 
     from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
 
-    books, codes = _pq_codebooks_and_codes(emb)
-    dt_parts = []
-    for m, cents in enumerate(books):
-        qsub = emb.filter(F.col("vec_id") % 50 == 0).select(
-            F.col("vec_id").alias("query_id"),
-            F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qs"),
-        )
-        dt_parts.append(
-            qsub.crossJoin(cents).select(
-                "query_id",
-                F.lit(m).cast("int").alias("m"),
-                F.col("cluster").alias("code"),
-                F.expr(
-                    "aggregate(zip_with(qs, cv, (x, y) ->"
-                    " CAST(floor((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) * 1e12)"
-                    " AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b)"
-                ).alias("d"),
+    cents, codes = _pq_codebooks_and_codes(emb)
+    qsubs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("int").alias("m"),
+                        F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qs"),
+                    )
+                    for m in range(PQ_M)
+                ]
             )
-        )
-    dt = dt_parts[0]
-    for p in dt_parts[1:]:
-        dt = dt.union(p)
+        ).alias("s"),
+    ).select("query_id", F.col("s.m").alias("m"), F.col("s.qs").alias("qs"))
+    dt = qsubs.join(F.broadcast(cents), "m").select(
+        "query_id",
+        "m",
+        F.col("cluster").alias("code"),
+        F.expr(
+            "aggregate(zip_with(qs, cv, (x, y) ->"
+            " CAST(floor((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) * 1e12)"
+            " AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias("d"),
+    )
     dt = track_cache(dt.persist())
     est = (
         codes.join(F.broadcast(dt), ["m", "code"])

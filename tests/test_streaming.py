@@ -329,16 +329,19 @@ def test_group_key_moving_update_refreshes_both_groups(spark, tmp_path):
     revenue = PKTable(spark, str(tmp_path / "rev"), keys=["movie_id"], order_by=["seq"])
     view = ContinuousRevenueView(spark, tickets, movies, revenue)
 
+    # awaitTermination(timeout) returns False if the query hasn't drained
+    # (observed under full-suite CPU contention) -- assert it, so a slow
+    # machine reports "didn't drain" instead of a bogus semantic failure
     qm = view.start_movies_pipeline(
         osb.changelog_stream(spark, str(m_dir), osb.MOVIES_SCHEMA),
         str(tmp_path / "ckpt_m"),
     )
-    qm.awaitTermination(120)
+    assert qm.awaitTermination(300), "movies pipeline did not drain"
     qt = view.start_tickets_pipeline(
         osb.changelog_stream(spark, str(t_dir), osb.TICKETS_SCHEMA),
         str(tmp_path / "ckpt_t"),
     )
-    qt.awaitTermination(120)
+    assert qt.awaitTermination(300), "tickets pipeline did not drain"
 
     served = {r.movie_id: r for r in revenue.snapshot().collect()}
     # movie 1's group emptied -> deleted from the serving table
