@@ -2528,7 +2528,10 @@ def textrank_frame(d: DataFrame) -> DataFrame:
         .withColumnRenamed("a", "src")
         .withColumnRenamed("b", "dst")
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # deg feeds the rank init, every iteration (via ed), and the final
+    # join -- without the pin each consumer re-scans the corpus to rebuild
+    # the edge census (the plan audit showed 8 scans); vocab-sized
+    deg = _cached(edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")))
     ed = _cached(edges.join(deg, "src"))
     ranks = deg.select(
         F.col("src").alias("word"), F.lit(TEXTRANK_SCALE).cast("long").alias("s")
