@@ -305,6 +305,17 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "same shingle-profile near-dup family, stamped r1-r6; minhash bands"
         " the identical shingle profiles and stays stamped + benched",
     ),
+    "embedding_l2_topk": (
+        "embedding_cosine_topk",
+        "same broadcast-query brute-force scan + bounded top-k window;"
+        " only the metric expression differs",
+    ),
+    "pq_adc_recall_report": (
+        "embedding_pq_adc_topk",
+        "the stamped searcher is the object measured; the report adds only"
+        " k-row overlap joins, recall-1.0-on-representable-corpus"
+        " planted-tested in tests/test_corpus_ops.py",
+    ),
     "embedding_pq_codes": (
         "embedding_pq_adc_topk",
         "the stamped ADC searcher recomputes these codebooks and codes"

@@ -1625,3 +1625,139 @@ def pq_adc_topk_frame(emb: DataFrame) -> DataFrame:
             (F.col("dsum").cast("double") / similarity.SCALE).alias("approx_dist_sq"),
         )
     )
+
+
+# --- L2 brute force + PQ-ADC recall grading ---------------------------------
+
+_L2D = (
+    "CAST(list_sum(list_transform(e.embedding, (x, i) ->"
+    " CAST(floor((x::DOUBLE - q.qv[i]::DOUBLE) * (x::DOUBLE - q.qv[i]::DOUBLE) * 1e12)"
+    " AS BIGINT))) AS BIGINT)"
+)
+
+
+@register(
+    "embedding_l2_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, {_L2D} AS d2
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, CAST(d2 AS DOUBLE) / 1e12 AS dist_sq
+    FROM (
+      SELECT query_id, neighbor_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY d2 ASC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= 5
+    """,
+    description="Brute-force squared-L2 top-k: the exact ground truth in"
+    " PQ/ADC's metric (cosine's twin baseline; unnormalized corpora rank"
+    " differently under the two). Same 100 TB shape as the cosine"
+    " baseline: queries broadcast, the corpus streams once, per-query"
+    " bounded top-k window; distances are floor-scaled BIGINT sums,"
+    " bit-identical cross-engine.",
+)
+def embedding_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bf_l2_topk(spread(load_table(spark, sf_dir, "embeddings")))
+
+
+def _bf_l2_topk(emb: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    q = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(embedding, qv, (x, y) ->"
+                " CAST(floor((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+                " * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * 1e12) AS BIGINT)),"
+                " CAST(0 AS BIGINT), (a, b) -> a + b)"
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            (F.col("d2").cast("double") / similarity.SCALE).alias("dist_sq"),
+        )
+    )
+
+
+def _pq_recall_oracle() -> str:
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    bf = get("embedding_l2_topk").oracle
+    adc = get("embedding_pq_adc_topk").oracle
+    return f"""
+    WITH bf AS ({bf})
+    SELECT 'adc' AS method,
+           CAST((SELECT COUNT(DISTINCT query_id) FROM bf) AS BIGINT) AS n_queries,
+           CAST({PQ_TOPK} AS BIGINT) AS k,
+           CAST((SELECT COUNT(*)
+                 FROM bf JOIN ({adc}) a
+                   ON bf.query_id = a.query_id
+                  AND bf.neighbor_id = a.neighbor_id) AS BIGINT) AS total_overlap,
+           CAST((SELECT COUNT(*)
+                 FROM bf JOIN ({adc}) a
+                   ON bf.query_id = a.query_id
+                  AND bf.neighbor_id = a.neighbor_id) AS DOUBLE)
+             / ((SELECT COUNT(DISTINCT query_id) FROM bf) * {PQ_TOPK})
+             AS recall_at_k
+    """
+
+
+@register(
+    "pq_adc_recall_report",
+    oracle=_pq_recall_oracle(),
+    description="PQ quality grading: recall@5 of the code-only ADC search"
+    " against the exact L2 brute force on the same query set -- the"
+    " compression-loss go/no-go a deployment runs before serving from"
+    f" {PQ_M}-byte codes (the PQ twin of ann_recall_report; on an exactly"
+    " PQ-representable corpus recall is 1.0 by construction --"
+    " planted-tested). Composes the registered queries themselves; the"
+    " overlap join adds only k rows per query, counts are exact BIGINTs,"
+    " and the single float op is the final division.",
+)
+def pq_adc_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return _pq_recall_frame(emb)
+
+
+def _pq_recall_frame(emb: DataFrame) -> DataFrame:
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
+
+    bf = track_cache(_bf_l2_topk(emb).select("query_id", "neighbor_id").persist())
+    adc = pq_adc_topk_frame(emb).select("query_id", "neighbor_id")
+    nq = bf.agg(F.countDistinct("query_id").cast("bigint").alias("n_queries"))
+    overlap = (
+        bf.join(adc, ["query_id", "neighbor_id"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("total_overlap"))
+        .select(F.lit("adc").alias("method"), "total_overlap")
+    )
+    return overlap.crossJoin(F.broadcast(nq)).select(
+        "method",
+        "n_queries",
+        F.lit(PQ_TOPK).cast("bigint").alias("k"),
+        "total_overlap",
+        (
+            F.col("total_overlap").cast("double") / (F.col("n_queries") * F.col("k"))
+        ).alias("recall_at_k"),
+    )

@@ -452,3 +452,17 @@ def test_bloom_never_misses_exact_hits(spark):
         assert r["n_bloom_hits"] >= r["n_exact_hits"], r
         assert r["n_false_positives"] == r["n_bloom_hits"] - r["n_exact_hits"]
         assert 0 <= r["n_bloom_hits"] <= r["n_grams"]
+
+
+def test_pq_adc_recall_perfect_on_prototype_corpus(spark):
+    """With zero quantization error the ADC ranking IS the exact L2 ranking
+    (identical fixed-point distances, identical tie-breaks), so recall@5
+    against the L2 brute force is exactly 1.0."""
+    from flink_cdc_fluss_quickstart_spark.plans import similarity_queries as sq
+
+    emb, _ = _proto_corpus(spark)
+    (row,) = sq._pq_recall_frame(emb).collect()
+    assert row["method"] == "adc"
+    assert row["n_queries"] == 2
+    assert row["total_overlap"] == 10
+    assert row["recall_at_k"] == 1.0

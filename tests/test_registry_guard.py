@@ -121,6 +121,8 @@ EXPECTED = {
     "embedding_decontamination",
     "embedding_pq_codes",
     "embedding_pq_adc_topk",
+    "embedding_l2_topk",
+    "pq_adc_recall_report",
     "ann_recall_report",
     "ann_recall_report_clustered",
     # TPC-H
