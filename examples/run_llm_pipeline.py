@@ -33,6 +33,10 @@ real pipeline ships:
     15. textrank_keywords         -- graph-centrality keyword vocabulary
     16. embedding_decontamination -- semantic (paraphrase) leak audit over
                                      the embedding table
+    17. bloom_decontamination     -- bounded-state membership scan of the
+                                     train split vs the eval-set filter
+    18. pq_adc_recall_report      -- PQ compression-loss go/no-go before
+                                     serving ANN from 4-byte codes
 
 Every step is a registered query (same code the correctness gate verifies);
 this script is the composition glue, joining on doc_id -- all equi joins on
@@ -197,6 +201,16 @@ def main() -> None:
     q["embedding_decontamination"].builder(spark, sf_dir).groupBy(
         "contaminated"
     ).agg(F.count(F.lit(1)).alias("n_vectors")).show()
+
+    print("== 17. Bloom membership scan (train split vs eval-set filter)")
+    q["bloom_decontamination"].builder(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_train_docs"),
+        F.sum("n_bloom_hits").alias("bloom_hits"),
+        F.sum("n_false_positives").alias("false_positives"),
+    ).show()
+
+    print("== 18. PQ compression-loss report (ADC recall vs L2 brute force)")
+    q["pq_adc_recall_report"].builder(spark, sf_dir).show()
 
 
 if __name__ == "__main__":
