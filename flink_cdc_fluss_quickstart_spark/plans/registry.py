@@ -333,6 +333,18 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " side builds the census vs probes it (the minhash_incremental"
         " pattern applied to span dedup)",
     ),
+    "char_entropy": (
+        "text_quality",
+        "same row-local array-fold quality-signal family; the quarter-bit"
+        " integer log2 is the stamped nb_quality_score machinery, class"
+        " separation planted-tested in tests/test_corpus_ops.py",
+    ),
+    "zipf_fit_report": (
+        "collocation_pmi",
+        "same vocab rollup + TakeOrdered head + bounded aggregate shape;"
+        " Zipf-vs-uniform separation planted-tested in"
+        " tests/test_corpus_ops.py",
+    ),
     "bpe_merge_candidates": (
         "collocation_pmi",
         "same pair-count rollup + TakeOrdered global top-k shape at"

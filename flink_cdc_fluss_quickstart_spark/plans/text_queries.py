@@ -2617,3 +2617,183 @@ def _textrank_oracle() -> str:
 def textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     return textrank_frame(d)
+
+
+# --- corpus-health diagnostics: entropy + Zipf fit --------------------------
+
+
+@register(
+    "char_entropy",
+    oracle=f"""
+    SELECT doc_id, n_chars, n_distinct_chars, entropy_qbits_x4n,
+           CAST(entropy_qbits_x4n AS DOUBLE) / (4.0 * n_chars) AS entropy_bits
+    FROM (
+      SELECT doc_id,
+             CAST(n AS BIGINT) AS n_chars,
+             CAST(len(cnts) AS BIGINT) AS n_distinct_chars,
+             CAST(n * {_qlog4('n', 'duck')}
+                  - list_sum(list_transform(cnts,
+                        cnt -> cnt * {_qlog4('cnt', 'duck')}))
+                  AS BIGINT) AS entropy_qbits_x4n
+      FROM (
+        SELECT doc_id, n,
+               list_transform(list_distinct(ch),
+                   c -> len(list_filter(ch, x -> x = c))) AS cnts
+        FROM (
+          SELECT doc_id, length(text) AS n,
+                 list_transform(range(1, length(text) + 1),
+                                i -> substr(text, i::int, 1)) AS ch
+          FROM documents WHERE length(text) > 0
+        )
+      )
+    )
+    """,
+    description="Character-entropy quality signal: exact Shannon entropy of"
+    " each document's character distribution in quarter-bit integer"
+    " arithmetic -- entropy * 4n = n*qlog4(n) - sum(c_i*qlog4(c_i)) over"
+    " the per-character counts, the same truncated-mantissa integer log2"
+    " the NB classifier uses, so both engines agree bit-for-bit and the"
+    " one float op is the final division. The gibberish/low-diversity"
+    " detector quality pipelines run beside the token heuristics"
+    " (binary blobs and repeated-char spam score ~0-2 bits; natural text"
+    " ~4-4.5). Entirely row-local array work: zero shuffles, zero UDFs,"
+    " linear at any corpus size.",
+)
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return char_entropy_frame(d)
+
+
+def char_entropy_frame(d: DataFrame) -> DataFrame:
+    d = d.filter(F.length("text") > 0)
+    base = d.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n"),
+        F.expr("transform(sequence(1, length(text)), i -> substring(text, i, 1))").alias("ch"),
+    )
+    cnts = base.select(
+        "doc_id",
+        "n",
+        F.expr(
+            "transform(array_distinct(ch),"
+            " c -> CAST(size(filter(ch, x -> x = c)) AS BIGINT))"
+        ).alias("cnts"),
+    )
+    q_n = _qlog4("n", "spark")
+    q_c = _qlog4("cnt", "spark")
+    m = cnts.select(
+        "doc_id",
+        F.col("n").cast("bigint").alias("n_chars"),
+        F.size("cnts").cast("bigint").alias("n_distinct_chars"),
+        F.expr(
+            f"CAST(n * {q_n} - aggregate(cnts, CAST(0 AS BIGINT),"
+            f" (acc, cnt) -> acc + cnt * {q_c}) AS BIGINT)"
+        ).alias("entropy_qbits_x4n"),
+    )
+    return m.withColumn(
+        "entropy_bits",
+        F.col("entropy_qbits_x4n").cast("double") / (4.0 * F.col("n_chars")),
+    )
+
+
+ZIPF_TOP_V = 200  # head vocabulary size the fit runs over
+
+
+def zipf_fit_frame(occ: DataFrame, tok_col: str = "tok") -> DataFrame:
+    """Zipf-law fit over the head vocabulary: least-squares slope of
+    qlog4(count) against qlog4(rank) for the ZIPF_TOP_V most frequent
+    tokens. Natural-language corpora fit slope ~ -1 (Zipf 1949); a corpus
+    whose slope drifts toward 0 (too uniform -- synthetic/templated data)
+    or below ~-1.5 (a few tokens dominating -- boilerplate flood) fails the
+    health check. All sums are exact BIGINTs over quarter-bit integer logs;
+    slope and r2 are single-division doubles of exact integers, so both
+    engines agree bit-for-bit."""
+    from pyspark.sql.window import Window
+
+    vocab = occ.groupBy(F.col(tok_col).alias("tok")).agg(F.count(F.lit(1)).alias("c"))
+    top = vocab.orderBy(F.col("c").desc(), "tok").limit(ZIPF_TOP_V)
+    # <= ZIPF_TOP_V rows from here on: the single-partition window is bounded
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    ranked = top.select(
+        "tok", "c", F.row_number().over(w).cast("bigint").alias("r")
+    )
+    q_r, q_c = _qlog4("r", "spark"), _qlog4("c", "spark")
+    xy = ranked.select(
+        F.expr(f"CAST({q_r} AS BIGINT)").alias("x"),
+        F.expr(f"CAST({q_c} AS BIGINT)").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = s["n"] * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = s["n"] * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = s["n"] * F.col("syy") - F.col("sy") * F.col("sy")
+    # degenerate guards, identical in the oracle: a constant-y head (deny=0,
+    # perfectly uniform vocabulary) has slope 0 and an undefined fit -- both
+    # reported as exact 0.0 rather than a divide-by-zero
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.when(den == 0, F.lit(0.0))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .alias("zipf_slope"),
+        F.when(den * deny == 0, F.lit(0.0))
+        .otherwise((num * num).cast("double") / (den * deny).cast("double"))
+        .alias("fit_r2"),
+    )
+
+
+@register(
+    "zipf_fit_report",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok ORDER BY c DESC, tok LIMIT {ZIPF_TOP_V}
+    ),
+    ranked AS (
+      SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS BIGINT) AS r
+      FROM vocab
+    ),
+    xy AS (
+      SELECT CAST({_qlog4('r', 'duck')} AS BIGINT) AS x,
+             CAST({_qlog4('c', 'duck')} AS BIGINT) AS y
+      FROM ranked
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy
+      FROM xy
+    )
+    SELECT n AS n_terms,
+           CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE) END AS zipf_slope,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 0.0
+                ELSE CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+                     / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)
+                END AS fit_r2
+    FROM s
+    """,
+    description="Zipf-law corpus-health monitor: least-squares slope (and"
+    f" r2) of log-frequency vs log-rank over the top-{ZIPF_TOP_V}"
+    " vocabulary -- natural language fits slope ~ -1 (Zipf 1949); drift"
+    " toward 0 flags templated/synthetic data, below ~-1.5 a boilerplate"
+    " flood (and this synthetic corpus's near-uniform vocab measurably"
+    " reads ~0 -- the monitor working as intended). 100 TB shape: one"
+    " map-side-combined vocab rollup, a TakeOrdered head, and a"
+    f" {ZIPF_TOP_V}-row bounded window; every regression sum is an exact"
+    " BIGINT over quarter-bit integer logs, the two float ops are final"
+    " divisions of exact integers -- bit-identical cross-engine.",
+)
+def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    occ = d.select(F.explode(F.split("text", " ")).alias("tok"))
+    return zipf_fit_frame(occ)

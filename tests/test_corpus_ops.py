@@ -466,3 +466,45 @@ def test_pq_adc_recall_perfect_on_prototype_corpus(spark):
     assert row["n_queries"] == 2
     assert row["total_overlap"] == 10
     assert row["recall_at_k"] == 1.0
+
+
+# --- character entropy (char_entropy via registry builder on planted docs) --
+
+
+def test_char_entropy_orders_text_classes(spark):
+    """Entropy must separate the classes the filter exists for: repeated-char
+    spam ~0 bits < biased two-char strings < uniform alphabet text; exact
+    zero for a single-symbol doc, exact log2 for a uniform power-of-2
+    alphabet."""
+    rows = [
+        (1, "aaaaaaaaaaaaaaaa"),  # one symbol: entropy exactly 0
+        (2, "abababababababab"),  # two symbols uniform: exactly 1 bit
+        (3, "aaabaaabaaabaaab"),  # two symbols, 3:1 biased: ~0.81 bits
+        (4, "abcdefghabcdefgh"),  # eight symbols uniform: exactly 3 bits
+        (5, "The quick brown fox jumps over the lazy dog."),
+    ]
+    out = {
+        r["doc_id"]: r["entropy_bits"]
+        for r in tq.char_entropy_frame(_docs(spark, rows)).collect()
+    }
+    assert out[1] == 0.0
+    assert abs(out[2] - 1.0) < 0.07  # quarter-bit quantization tolerance
+    assert 0.6 < out[3] < 0.95 and out[3] < out[2]
+    assert abs(out[4] - 3.0) < 0.07
+    assert out[1] < out[3] < out[2] < out[4] < out[5]
+
+
+def test_zipf_fit_separates_zipfian_from_uniform(spark):
+    """The monitor's point: a planted Zipf corpus (count ~ 3000/rank) fits
+    slope ~ -1 with high r2; a uniform vocabulary fits slope ~ 0."""
+    zipf = tq.zipf_fit_frame(_zipf_occ(spark).withColumnRenamed("tok", "tok")).collect()[0]
+    assert -1.3 < zipf["zipf_slope"] < -0.7, zipf
+    assert zipf["fit_r2"] > 0.9
+    import pyspark.sql.functions as FF
+
+    uniform = tq.zipf_fit_frame(
+        spark.range(5000).select(
+            FF.concat(FF.lit("u"), (FF.col("id") % 250).cast("string")).alias("tok")
+        )
+    ).collect()[0]
+    assert abs(uniform["zipf_slope"]) < 0.1, uniform

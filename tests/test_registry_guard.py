@@ -80,6 +80,8 @@ EXPECTED = {
     "kmv_distinct_tokens",
     "countmin_heavy_hitters",
     "textrank_keywords",
+    "char_entropy",
+    "zipf_fit_report",
     "lang_id",
     "minhash_signatures",
     "minhash_lsh_pairs",
