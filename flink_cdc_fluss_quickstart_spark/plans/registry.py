@@ -345,6 +345,13 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " Zipf-vs-uniform separation planted-tested in"
         " tests/test_corpus_ops.py",
     ),
+    "contrastive_triplets": (
+        "minhash_lsh_pairs",
+        "the stamped pair query supplies and re-proves the anchor/positive"
+        " side; the ring negative is one per-bucket window pass,"
+        " collision-skip + determinism planted-tested in"
+        " tests/test_corpus_ops.py",
+    ),
     "bpe_merge_candidates": (
         "collocation_pmi",
         "same pair-count rollup + TakeOrdered global top-k shape at"

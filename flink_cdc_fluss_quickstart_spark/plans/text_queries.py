@@ -2797,3 +2797,121 @@ def zipf_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     occ = d.select(F.explode(F.split("text", " ")).alias("tok"))
     return zipf_fit_frame(occ)
+
+
+# --- contrastive triplet mining (embedding-training data) -------------------
+
+
+def _ring_frame(d: DataFrame) -> DataFrame:
+    """Deterministic 'random'-negative ring: docs ordered by md5(doc_id)
+    within 16 hash buckets; each doc's first and second ring successors
+    (wrapping inside the bucket) are computed with ONE pass of per-bucket
+    window functions -- linear, skew-free under hash uniformity, and the
+    bucket count is the parallelism knob (the sort is per-bucket, never
+    global)."""
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.col("doc_id").cast("string"))
+    b = d.select("doc_id", h.alias("h"), F.substring(h, 1, 1).alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy("h")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return b.select(
+        "doc_id",
+        F.lead("doc_id", 1).over(w).alias("l1"),
+        F.lead("doc_id", 2).over(w).alias("l2"),
+        F.first("doc_id").over(full).alias("f1"),
+        F.nth_value("doc_id", 2).over(full).alias("f2"),
+    ).select(
+        "doc_id",
+        F.coalesce("l1", "f1").alias("c1"),
+        F.coalesce(
+            "l2",
+            F.when(F.col("l1").isNull(), F.col("f2")).otherwise(F.col("f1")),
+        ).alias("c2"),
+    )
+
+
+def contrastive_triplets_frame(d: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(anchor, positive, negative) triplets for contrastive/embedding
+    training: near-dup pairs supply anchor/positive; the negative is the
+    anchor's hash-ring successor (first that collides with neither side),
+    i.e. a reproducible uniform draw with no RNG state. Rows whose bucket
+    cannot supply a distinct negative are dropped deterministically."""
+    ring = _ring_frame(d)
+    t = pairs.select(
+        F.col("id_a").alias("anchor_id"), F.col("id_b").alias("positive_id")
+    ).join(ring, F.col("anchor_id") == F.col("doc_id"))
+    neg = (
+        F.when(
+            (F.col("c1") != F.col("anchor_id")) & (F.col("c1") != F.col("positive_id")),
+            F.col("c1"),
+        )
+        .when(
+            (F.col("c2") != F.col("anchor_id")) & (F.col("c2") != F.col("positive_id")),
+            F.col("c2"),
+        )
+        .otherwise(F.lit(None))
+    )
+    return (
+        t.select("anchor_id", "positive_id", neg.alias("negative_id"))
+        .filter(F.col("negative_id").isNotNull())
+    )
+
+
+def _triplets_oracle() -> str:
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    pairs = get("minhash_lsh_pairs").oracle
+    return f"""
+    WITH p AS ({pairs}),
+    b AS (
+      SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS bucket
+      FROM documents
+    ),
+    ring AS (
+      SELECT doc_id,
+             coalesce(l1, f1) AS c1,
+             coalesce(l2, CASE WHEN l1 IS NULL THEN f2 ELSE f1 END) AS c2
+      FROM (
+        SELECT doc_id,
+               lead(doc_id, 1) OVER w AS l1,
+               lead(doc_id, 2) OVER w AS l2,
+               first_value(doc_id) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND UNBOUNDED FOLLOWING) AS f1,
+               nth_value(doc_id, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND UNBOUNDED FOLLOWING) AS f2
+        FROM b WINDOW w AS (PARTITION BY bucket ORDER BY h)
+      )
+    )
+    SELECT anchor_id, positive_id, negative_id FROM (
+      SELECT p.id_a AS anchor_id, p.id_b AS positive_id,
+             CASE WHEN r.c1 <> p.id_a AND r.c1 <> p.id_b THEN r.c1
+                  WHEN r.c2 <> p.id_a AND r.c2 <> p.id_b THEN r.c2
+                  ELSE NULL END AS negative_id
+      FROM p JOIN ring r ON p.id_a = r.doc_id
+    ) WHERE negative_id IS NOT NULL
+    """
+
+
+@register(
+    "contrastive_triplets",
+    oracle=_triplets_oracle(),
+    description="Contrastive training-data assembly: (anchor, positive,"
+    " negative) triplets for embedding/retrieval training -- anchors and"
+    " positives come from the registered MinHash-LSH near-dup pairs (the"
+    " standard weak-supervision positive), negatives from a DETERMINISTIC"
+    " hash-ring draw: the anchor's md5-ring successor within its hash"
+    " bucket, skipping collisions with either side -- a reproducible,"
+    " RNG-state-free uniform negative (in-batch negatives can't be"
+    " reproduced across runs; this can). 100 TB shape: the ring is one"
+    " per-bucket window pass (linear, skew-free under hash uniformity,"
+    " bucket count = parallelism knob -- never a global sort), and the"
+    " triplet join is one equi join on the anchor id. Fully"
+    " deterministic, bit-identical cross-engine.",
+)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sig = dedup.minhash_signature(d, "doc_id", "text")
+    pairs = dedup.minhash_band_pairs(sig, "doc_id", dedup.BAND_COLS)
+    return contrastive_triplets_frame(d.select("doc_id"), pairs)

@@ -508,3 +508,44 @@ def test_zipf_fit_separates_zipfian_from_uniform(spark):
         )
     ).collect()[0]
     assert abs(uniform["zipf_slope"]) < 0.1, uniform
+
+
+# --- contrastive triplet mining (contrastive_triplets_frame) ----------------
+
+
+def test_contrastive_triplets_semantics(spark):
+    """Negatives are deterministic, distinct from both sides, drawn from the
+    corpus, and stable across invocations."""
+    docs = _docs(spark, [(i, f"doc {i}") for i in range(40)]).select("doc_id")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4), (5, 6)], "id_a bigint, id_b bigint"
+    )
+    out1 = sorted(
+        tuple(r) for r in tq.contrastive_triplets_frame(docs, pairs).collect()
+    )
+    out2 = sorted(
+        tuple(r) for r in tq.contrastive_triplets_frame(docs, pairs).collect()
+    )
+    assert out1 == out2  # reproducible draw, no RNG state
+    assert len(out1) == 3
+    ids = set(range(40))
+    for a, p, n in out1:
+        assert n not in (a, p)
+        assert n in ids
+
+
+def test_contrastive_triplets_skip_collisions(spark):
+    """If the ring successor IS the positive, the second successor is used;
+    a two-doc corpus (where no distinct negative exists) yields no row."""
+    two = _docs(spark, [(1, "a"), (2, "b")]).select("doc_id")
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    assert tq.contrastive_triplets_frame(two, pairs).count() == 0
+    # larger corpus: every emitted negative avoids both sides even when the
+    # pair spans ring-adjacent docs
+    docs = _docs(spark, [(i, "x") for i in range(12)]).select("doc_id")
+    ring = {r["doc_id"]: (r["c1"], r["c2"]) for r in tq._ring_frame(docs).collect()}
+    adj = [(a, ring[a][0]) for a in ring if ring[a][0] != a][:3]
+    pairs2 = spark.createDataFrame(adj, "id_a bigint, id_b bigint")
+    for a, p, n in tq.contrastive_triplets_frame(docs, pairs2).collect():
+        assert n not in (a, p)
+        assert n == ring[a][1]  # fell through to the second successor

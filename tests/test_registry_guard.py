@@ -82,6 +82,7 @@ EXPECTED = {
     "textrank_keywords",
     "char_entropy",
     "zipf_fit_report",
+    "contrastive_triplets",
     "lang_id",
     "minhash_signatures",
     "minhash_lsh_pairs",
