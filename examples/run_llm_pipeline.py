@@ -37,6 +37,8 @@ real pipeline ships:
                                      train split vs the eval-set filter
     18. pq_adc_recall_report      -- PQ compression-loss go/no-go before
                                      serving ANN from 4-byte codes
+    19. contrastive_triplets      -- (anchor, positive, negative) training
+                                     triplets with deterministic negatives
 
 Every step is a registered query (same code the correctness gate verifies);
 this script is the composition glue, joining on doc_id -- all equi joins on
@@ -211,6 +213,12 @@ def main() -> None:
 
     print("== 18. PQ compression-loss report (ADC recall vs L2 brute force)")
     q["pq_adc_recall_report"].builder(spark, sf_dir).show()
+
+    print("== 19. contrastive triplets (first 5)")
+    q["contrastive_triplets"].builder(spark, sf_dir).orderBy(
+        "anchor_id", "positive_id"
+    ).limit(5).show()
+    dedup.release_caches()
 
 
 if __name__ == "__main__":
