@@ -310,6 +310,12 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "same broadcast-query brute-force scan + bounded top-k window;"
         " only the metric expression differs",
     ),
+    "embedding_ivfpq_topk": (
+        "embedding_pq_adc_topk",
+        "same codebooks, distance tables, and ADC scoring as the stamped"
+        " searcher, plus the kmeans_embeddings coarse router (also stamped);"
+        " prototype-corpus recall 1.0 planted-tested",
+    ),
     "pq_adc_recall_report": (
         "embedding_pq_adc_topk",
         "the stamped searcher is the object measured; the report adds only"

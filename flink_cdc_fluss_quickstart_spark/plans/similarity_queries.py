@@ -1627,6 +1627,188 @@ def pq_adc_topk_frame(emb: DataFrame) -> DataFrame:
     )
 
 
+# --- IVF-PQ: coarse-cell routing + ADC within probed cells ------------------
+
+IVFPQ_NPROBE = 2  # coarse cells probed per query (of KMEANS_K)
+
+
+def ivfpq_topk_frame(emb: DataFrame) -> DataFrame:
+    """IVF-PQ top-k (Jegou et al. 2011; the FAISS serving composition):
+    queries route to their IVFPQ_NPROBE nearest coarse Lloyd cells and only
+    those cells' vectors are scored -- by ADC over the PQ codes, so the
+    pruned scan reads PQ_M bytes per candidate and the float corpus is
+    never re-read at query time. Flat-PQ variant (codes quantize raw
+    vectors, not cell residuals; residual refinement is a drop-in at the
+    codes seam). Reuses the SAME coarse Lloyd chain as kmeans_embeddings
+    and the SAME codebooks as embedding_pq_codes, so the oracle CTE chains
+    compose verbatim.
+
+    Scale shape: coarse centroids (K x DIM) and codebooks broadcast; the
+    per-vector cell assignment is the cached Lloyd output; the candidate
+    filter is a broadcast semi-join on (query, cell); expected candidates
+    = corpus * NPROBE / K."""
+    from pyspark.sql.window import Window
+
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
+
+    # coarse quantizer: ONE Lloyd chain; centroids pinned (router + assigner
+    # both consume them), assignment pinned (candidate filter reuses it)
+    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").cast("bigint").alias("cluster"),
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _km_update(_km_assign(emb, cents))
+    cents = track_cache(cents.persist())
+    assigned = track_cache(
+        _km_assign(emb, cents).select("vec_id", F.col("cluster").alias("coarse")).persist()
+    )
+    d2q = (
+        "aggregate(zip_with(qv, cv, (x, y) ->"
+        " CAST(floor((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) * 1e12)"
+        " AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    qd = queries.crossJoin(F.broadcast(cents)).select(
+        "query_id", "cluster", F.expr(d2q).alias("cd")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.asc("cd"), F.asc("cluster"))
+    probes = (
+        qd.withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= IVFPQ_NPROBE)
+        .select("query_id", F.col("cluster").alias("coarse"))
+    )
+    # fine side: PQ codes + per-query distance tables (the ADC machinery)
+    books, codes = _pq_codebooks_and_codes(emb)
+    qsubs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("int").alias("m"),
+                        F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qs"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("query_id", F.col("s.m").alias("m"), F.col("s.qs").alias("qs"))
+    dt = qsubs.join(F.broadcast(books), "m").select(
+        "query_id",
+        "m",
+        F.col("cluster").alias("code"),
+        F.expr(
+            "aggregate(zip_with(qs, cv, (x, y) ->"
+            " CAST(floor((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) * 1e12)"
+            " AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b)"
+        ).alias("d"),
+    )
+    cand = codes.join(assigned, "vec_id").join(F.broadcast(probes), "coarse")
+    est = (
+        cand.join(F.broadcast(dt), ["query_id", "m", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d").cast("bigint").alias("dsum"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dsum"), F.asc("vec_id"))
+    return (
+        est.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rn").cast("bigint").alias("rank"),
+            (F.col("dsum").cast("double") / similarity.SCALE).alias("approx_dist_sq"),
+        )
+    )
+
+
+def _ivfpq_oracle() -> str:
+    """Composes the coarse Lloyd chain (verbatim _km_cte_chain, ending in
+    fin) with the per-subspace PQ chains (verbatim _pq_cte_chain, leading
+    WITH demoted to a comma) plus the router/dt/candidate CTEs."""
+    km = _km_cte_chain()
+    pq = _pq_cte_chain().replace("WITH s0", ", s0", 1)
+    d2q = (
+        "CAST(list_sum(list_transform(q.qv, (x, i) ->"
+        " CAST(floor((x::DOUBLE - c.cv[i]) * (x::DOUBLE - c.cv[i]) * 1e12) AS BIGINT)))"
+        " AS BIGINT)"
+    )
+    return f"""
+    {km}
+    {pq}
+    , q AS (
+      SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+      WHERE vec_id % 50 = 0
+    ),
+    qd AS (
+      SELECT q.query_id, c.cluster, {d2q} AS cd
+      FROM q CROSS JOIN c{KMEANS_ITERS} c
+    ),
+    probes AS (
+      SELECT query_id, cluster AS coarse FROM (
+        SELECT query_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cd ASC, cluster ASC) AS pr
+        FROM qd
+      ) WHERE pr <= {IVFPQ_NPROBE}
+    ),
+    asg AS (SELECT vec_id, pick.k AS coarse FROM fin),
+    dt AS (
+      {" UNION ALL ".join(
+        f'''SELECT e.vec_id AS query_id, {m} AS m, c.cluster AS code,
+               CAST(list_sum(list_transform(e.embedding[{m * PQ_SUBDIM + 1}:{(m + 1) * PQ_SUBDIM}],
+                    (x, i) -> CAST(floor((x::DOUBLE - c.cv[i]) * (x::DOUBLE - c.cv[i]) * 1e12) AS BIGINT)))
+                    AS BIGINT) AS d
+            FROM embeddings e CROSS JOIN c{m}{PQ_ITERS} c WHERE e.vec_id % 50 = 0'''
+        for m in range(PQ_M)
+      )}
+    ),
+    est AS (
+      SELECT dt.query_id, codes.vec_id, CAST(SUM(dt.d) AS BIGINT) AS dsum
+      FROM codes
+      JOIN asg ON codes.vec_id = asg.vec_id
+      JOIN probes ON asg.coarse = probes.coarse
+      JOIN dt ON dt.query_id = probes.query_id
+             AND codes.m = dt.m AND codes.code = dt.code
+      WHERE codes.vec_id <> dt.query_id
+      GROUP BY dt.query_id, codes.vec_id
+    ),
+    rk AS (
+      SELECT query_id, vec_id, dsum,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dsum ASC, vec_id ASC) AS rn
+      FROM est
+    )
+    SELECT query_id, vec_id AS neighbor_id, CAST(rn AS BIGINT) AS rank,
+           CAST(dsum AS DOUBLE) / 1e12 AS approx_dist_sq
+    FROM rk WHERE rn <= {PQ_TOPK}
+    """
+
+
+@register(
+    "embedding_ivfpq_topk",
+    oracle=_ivfpq_oracle(),
+    description="IVF-PQ top-k search (Jegou et al. 2011 -- the FAISS"
+    f" serving composition): each query probes its {IVFPQ_NPROBE} nearest"
+    f" coarse Lloyd cells (of {KMEANS_K}) and only those cells' vectors"
+    " are scored, by ADC over the 4-byte PQ codes -- expected candidate"
+    f" volume = corpus * {IVFPQ_NPROBE}/{KMEANS_K}, and the pruned scan"
+    " reads codes, never floats. Composes the registered machinery"
+    " verbatim (kmeans_embeddings' coarse chain + embedding_pq_codes'"
+    " codebooks), so the oracle is the two unrolled CTE chains joined."
+    " All distances exact floor-scaled BIGINTs; nprobe is the"
+    " recall/cost knob, graded against the L2 brute force in"
+    " pq_adc_recall_report.",
+)
+def embedding_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return ivfpq_topk_frame(emb)
+
+
 # --- L2 brute force + PQ-ADC recall grading ---------------------------------
 
 _L2D = (
@@ -1705,36 +1887,43 @@ def _pq_recall_oracle() -> str:
     from flink_cdc_fluss_quickstart_spark.plans.registry import get
 
     bf = get("embedding_l2_topk").oracle
-    adc = get("embedding_pq_adc_topk").oracle
+    variants = {
+        "adc": get("embedding_pq_adc_topk").oracle,
+        "ivfpq": get("embedding_ivfpq_topk").oracle,
+    }
+    branches = []
+    for name, sql in variants.items():
+        branches.append(f"""
+      SELECT '{name}' AS method,
+             CAST((SELECT COUNT(DISTINCT query_id) FROM bf) AS BIGINT) AS n_queries,
+             CAST({PQ_TOPK} AS BIGINT) AS k,
+             CAST((SELECT COUNT(*)
+                   FROM bf JOIN ({sql}) a
+                     ON bf.query_id = a.query_id
+                    AND bf.neighbor_id = a.neighbor_id) AS BIGINT) AS total_overlap
+        """)
+    union = "\nUNION ALL\n".join(branches)
     return f"""
     WITH bf AS ({bf})
-    SELECT 'adc' AS method,
-           CAST((SELECT COUNT(DISTINCT query_id) FROM bf) AS BIGINT) AS n_queries,
-           CAST({PQ_TOPK} AS BIGINT) AS k,
-           CAST((SELECT COUNT(*)
-                 FROM bf JOIN ({adc}) a
-                   ON bf.query_id = a.query_id
-                  AND bf.neighbor_id = a.neighbor_id) AS BIGINT) AS total_overlap,
-           CAST((SELECT COUNT(*)
-                 FROM bf JOIN ({adc}) a
-                   ON bf.query_id = a.query_id
-                  AND bf.neighbor_id = a.neighbor_id) AS DOUBLE)
-             / ((SELECT COUNT(DISTINCT query_id) FROM bf) * {PQ_TOPK})
-             AS recall_at_k
+    SELECT method, n_queries, k, total_overlap,
+           CAST(total_overlap AS DOUBLE) / (n_queries * k) AS recall_at_k
+    FROM ({union})
     """
 
 
 @register(
     "pq_adc_recall_report",
     oracle=_pq_recall_oracle(),
-    description="PQ quality grading: recall@5 of the code-only ADC search"
-    " against the exact L2 brute force on the same query set -- the"
-    " compression-loss go/no-go a deployment runs before serving from"
+    description="PQ quality grading: recall@5 of the code-only ADC full"
+    " scan AND the nprobe-pruned IVF-PQ search against the exact L2 brute"
+    " force on the same query set -- the compression-loss and"
+    " cell-pruning-loss go/no-go a deployment reads before serving from"
     f" {PQ_M}-byte codes (the PQ twin of ann_recall_report; on an exactly"
-    " PQ-representable corpus recall is 1.0 by construction --"
-    " planted-tested). Composes the registered queries themselves; the"
-    " overlap join adds only k rows per query, counts are exact BIGINTs,"
-    " and the single float op is the final division.",
+    " PQ-representable corpus both read 1.0 by construction --"
+    " planted-tested; adc >= ivfpq always, the gap IS the nprobe knob)."
+    " Composes the registered queries themselves; the overlap joins add"
+    " only k rows per query, counts are exact BIGINTs, and the single"
+    " float op is the final division.",
 )
 def pq_adc_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
@@ -1745,14 +1934,20 @@ def _pq_recall_frame(emb: DataFrame) -> DataFrame:
     from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
 
     bf = track_cache(_bf_l2_topk(emb).select("query_id", "neighbor_id").persist())
-    adc = pq_adc_topk_frame(emb).select("query_id", "neighbor_id")
+    variants = {
+        "adc": pq_adc_topk_frame(emb),
+        "ivfpq": ivfpq_topk_frame(emb),
+    }
     nq = bf.agg(F.countDistinct("query_id").cast("bigint").alias("n_queries"))
-    overlap = (
-        bf.join(adc, ["query_id", "neighbor_id"])
-        .agg(F.count(F.lit(1)).cast("bigint").alias("total_overlap"))
-        .select(F.lit("adc").alias("method"), "total_overlap")
-    )
-    return overlap.crossJoin(F.broadcast(nq)).select(
+    reports = None
+    for name, df in variants.items():
+        overlap = (
+            bf.join(df.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("total_overlap"))
+            .select(F.lit(name).alias("method"), "total_overlap")
+        )
+        reports = overlap if reports is None else reports.unionByName(overlap)
+    return reports.crossJoin(F.broadcast(nq)).select(
         "method",
         "n_queries",
         F.lit(PQ_TOPK).cast("bigint").alias("k"),

@@ -461,11 +461,12 @@ def test_pq_adc_recall_perfect_on_prototype_corpus(spark):
     from flink_cdc_fluss_quickstart_spark.plans import similarity_queries as sq
 
     emb, _ = _proto_corpus(spark)
-    (row,) = sq._pq_recall_frame(emb).collect()
-    assert row["method"] == "adc"
-    assert row["n_queries"] == 2
-    assert row["total_overlap"] == 10
-    assert row["recall_at_k"] == 1.0
+    rows = {r["method"]: r for r in sq._pq_recall_frame(emb).collect()}
+    assert set(rows) == {"adc", "ivfpq"}
+    for row in rows.values():
+        assert row["n_queries"] == 2
+        assert row["total_overlap"] == 10
+        assert row["recall_at_k"] == 1.0  # exact codes + own-cell probes
 
 
 # --- character entropy (char_entropy via registry builder on planted docs) --

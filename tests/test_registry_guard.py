@@ -125,6 +125,7 @@ EXPECTED = {
     "embedding_pq_codes",
     "embedding_pq_adc_topk",
     "embedding_l2_topk",
+    "embedding_ivfpq_topk",
     "pq_adc_recall_report",
     "ann_recall_report",
     "ann_recall_report_clustered",
