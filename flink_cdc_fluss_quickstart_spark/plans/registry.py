@@ -351,6 +351,13 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " Zipf-vs-uniform separation planted-tested in"
         " tests/test_corpus_ops.py",
     ),
+    "minhash_estimate_quality": (
+        "minhash_lsh_pairs",
+        "the stamped pair query supplies the candidates and recomputes the"
+        " same signatures; the grading adds exact-set joins on the bounded"
+        " pair set only, estimator semantics planted-tested in"
+        " tests/test_corpus_ops.py",
+    ),
     "contrastive_triplets": (
         "minhash_lsh_pairs",
         "the stamped pair query supplies and re-proves the anchor/positive"

@@ -2915,3 +2915,91 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup.minhash_signature(d, "doc_id", "text")
     pairs = dedup.minhash_band_pairs(sig, "doc_id", dedup.BAND_COLS)
     return contrastive_triplets_frame(d.select("doc_id"), pairs)
+
+
+# --- MinHash estimator grading ----------------------------------------------
+
+_MH_MATCH = " + ".join(
+    f"(CASE WHEN a.mh_{k} = b.mh_{k} THEN 1 ELSE 0 END)" for k in range(dedup.N_PERMS)
+)
+
+
+@register(
+    "minhash_estimate_quality",
+    oracle=f"""
+    WITH prof AS (
+      SELECT doc_id, s,
+             {{mh_exprs}}
+      FROM (
+        SELECT doc_id, s, hs,
+               {_X_COL}
+        FROM (
+          SELECT doc_id, s, {_HS_COL}
+          FROM (SELECT doc_id, {_shingles_sql()} AS s FROM ({_WORD_DOCS}))
+        )
+      )
+    ),
+    pairs AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        {_band_pairs_sql("prof")}
+      )
+    )
+    SELECT p.id_a, p.id_b,
+           CAST({_MH_MATCH} AS BIGINT) AS n_match,
+           CAST({_MH_MATCH} AS DOUBLE) / {dedup.N_PERMS} AS est_jaccard,
+           CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+             / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE)
+             AS exact_jaccard,
+           abs(CAST({_MH_MATCH} AS DOUBLE) / {dedup.N_PERMS}
+               - CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE))
+             AS abs_err
+    FROM pairs p
+    JOIN prof a ON p.id_a = a.doc_id
+    JOIN prof b ON p.id_b = b.doc_id
+    """.format(mh_exprs=_MH_EXPRS),
+    description=f"MinHash estimator grading (completes the"
+    " approximate-structure report card: ANN/PQ recall, KMV rel_error,"
+    " Count-Min overcount, Bloom false positives -- and now the MinHash"
+    " Jaccard estimate itself): for every LSH candidate pair, the"
+    f" signature-agreement estimate (matches / {dedup.N_PERMS}) beside the"
+    " exact shingle-set Jaccard and their absolute error -- the number"
+    " that justifies trusting bands over exact set intersection at scale"
+    f" (E[est] = J, std = sqrt(J(1-J)/{dedup.N_PERMS})). Exact sets join"
+    " only the bounded candidate pairs, so wide arrays never move for"
+    " non-candidates; counts are exact ints, est/exact/err are identical"
+    " float expressions both engines.",
+)
+def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = _cached(dedup.minhash_signature(d, "doc_id", "text"))
+    pairs = dedup.minhash_band_pairs(sig, "doc_id", dedup.BAND_COLS)
+    sets = (
+        spread(d)
+        .select("doc_id", dedup.normalized_text(F.col("text")).alias("__norm"))
+        .select("doc_id", F.array_distinct(dedup.word_shingle_array("__norm")).alias("s"))
+    )
+    n_match = None
+    for k in range(dedup.N_PERMS):
+        term = F.when(F.col(f"a.mh_{k}") == F.col(f"b.mh_{k}"), 1).otherwise(0)
+        n_match = term if n_match is None else (n_match + term)
+    est = F.col("n_match").cast("double") / dedup.N_PERMS
+    inter = F.size(F.array_intersect("sa", "sb"))
+    exact = inter.cast("double") / (
+        (F.size("sa") + F.size("sb") - inter).cast("double")
+    )
+    return (
+        pairs.join(sig.alias("a"), F.col("id_a") == F.col("a.doc_id"))
+        .join(sig.alias("b"), F.col("id_b") == F.col("b.doc_id"))
+        .select("id_a", "id_b", n_match.cast("bigint").alias("n_match"))
+        .join(sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a")
+        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "n_match",
+            est.alias("est_jaccard"),
+            exact.alias("exact_jaccard"),
+            F.abs(est - exact).alias("abs_err"),
+        )
+    )

@@ -550,3 +550,34 @@ def test_contrastive_triplets_skip_collisions(spark):
     for a, p, n in tq.contrastive_triplets_frame(docs, pairs2).collect():
         assert n not in (a, p)
         assert n == ring[a][1]  # fell through to the second successor
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark):
+    """Estimator semantics on planted overlap levels: identical docs
+    estimate exactly 1.0 with zero error; a ~half-overlap pair lands within
+    the estimator's deviation band (std = sqrt(J(1-J)/24) ~ 0.10)."""
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    base = " ".join(f"w{i}" for i in range(30))
+    half = " ".join(f"w{i}" for i in range(15)) + " " + " ".join(f"v{i}" for i in range(15))
+    rows = [(1, base), (2, base), (3, half)]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        import pandas as pd
+
+        pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+            lang="en", source="t", n_chars=[len(t) for _, t in rows]
+        ).to_parquet(os.path.join(td, "documents.parquet"), index=False)
+        out = {
+            (r["id_a"], r["id_b"]): r.asDict()
+            for r in get("minhash_estimate_quality").builder(spark, td).collect()
+        }
+    assert (1, 2) in out
+    assert out[(1, 2)]["est_jaccard"] == 1.0
+    assert out[(1, 2)]["exact_jaccard"] == 1.0
+    assert out[(1, 2)]["abs_err"] == 0.0
+    for key in ((1, 3), (2, 3)):
+        if key in out:  # banding may or may not surface the weak pair
+            assert out[key]["abs_err"] < 0.35  # ~3 sigma at J ~ 0.4

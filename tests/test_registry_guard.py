@@ -87,6 +87,7 @@ EXPECTED = {
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_incremental_pairs",
+    "minhash_estimate_quality",
     "ngram_jaccard_neardup",
     "ngram_containment_pairs",
     "simhash_fingerprint",
