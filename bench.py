@@ -42,7 +42,7 @@ HEADLINE = (
     "sequence_pack_offsets",
     "pack_efficiency_report",
     "betting_tickets_analytics",
-    "embedding_cosine_topk",
+    "rrf_hybrid_retrieval",
     "embedding_ann_ivf",
     "kmeans_embeddings",
     "semantic_dedup_prune",

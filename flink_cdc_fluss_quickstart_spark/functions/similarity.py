@@ -185,3 +185,50 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine_sim")
     )
+
+
+def rrf_fuse(lex: DataFrame, sem: DataFrame, k0: int = 60, k: int = 5) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher, SIGIR 2009) of two
+    ranked retrieval lists: score(q, d) = sum over lists of 1/(k0 + rank),
+    with a 0 contribution from any list the document is absent from.
+
+    Inputs are (query_id, doc_id, lex_rank) and (query_id, doc_id, sem_rank)
+    frames whose ranks are 1-based and already top-k-bounded per query; the
+    output keeps the fused top-k with absent-arm ranks reported as 0.
+
+    Determinism contract: 1/(k0 + rank) is a single IEEE float64 division on
+    exact small-integer inputs, and the two contributions are added in a
+    fixed (lexical + semantic) order, so fused scores are bit-identical
+    across engines; score ties (identical rank patterns) break by doc_id.
+
+    Scale shape: both arms arrive bounded at k rows per query, so the fusion
+    is a tiny (queries x k)-row full-outer join plus a bounded per-query
+    window -- fusion cost is independent of corpus size no matter how large
+    the corpora the arms ranked. At 100 TB the expensive work lives in the
+    arms (which broadcast queries and stream the corpus); RRF adds no
+    corpus-sized shuffle.
+    """
+    rr_lex = F.coalesce(
+        F.lit(1.0) / (F.lit(float(k0)) + F.col("lex_rank").cast("double")),
+        F.lit(0.0),
+    )
+    rr_sem = F.coalesce(
+        F.lit(1.0) / (F.lit(float(k0)) + F.col("sem_rank").cast("double")),
+        F.lit(0.0),
+    )
+    fused = lex.join(sem, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_score", rr_lex + rr_sem
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce(F.col("lex_rank"), F.lit(0)).cast("bigint").alias("lex_rank"),
+            F.coalesce(F.col("sem_rank"), F.lit(0)).cast("bigint").alias("sem_rank"),
+            "rrf_score",
+            "fused_rank",
+        )
+    )

@@ -95,6 +95,12 @@ def get(name: str) -> QuerySpec:
 # -- the winnow_fingerprints precedent); out rotates ngram_jaccard_neardup
 # (shingle-profile family stays stamped + benched via minhash_lsh_pairs);
 # the HEADLINE slot swaps the same way.
+#
+# Round-7 fifth wave: rrf_hybrid_retrieval rotates IN -- it recomputes BOTH
+# of its arms end-to-end (the full bm25_retrieval plan and the identical
+# brute-force cosine top-k scan), so its stamp covers embedding_cosine_topk
+# (the embedding_pq_adc_topk precedent), which rotates to the tail after six
+# consecutive driver stamps (r1-r6); the HEADLINE slot swaps the same way.
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -145,8 +151,8 @@ PRIORITY: tuple[str, ...] = (
     "winnow_overlap_pairs",
     "span_dedup_text",
     "doc_novelty_score",
-    # embedding similarity / ANN / quantization
-    "embedding_cosine_topk",
+    # embedding similarity / ANN / quantization / hybrid retrieval
+    "rrf_hybrid_retrieval",
     "embedding_ann_ivf",
     "embedding_decontamination",
     "embedding_dedup_representatives",
@@ -306,9 +312,15 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " the identical shingle profiles and stays stamped + benched",
     ),
     "embedding_l2_topk": (
-        "embedding_cosine_topk",
-        "same broadcast-query brute-force scan + bounded top-k window;"
-        " only the metric expression differs",
+        "rrf_hybrid_retrieval",
+        "same broadcast-query brute-force scan + bounded top-k window as the"
+        " fusion's semantic arm; only the metric expression differs",
+    ),
+    "embedding_cosine_topk": (
+        "rrf_hybrid_retrieval",
+        "stamped r1-r6; the fusion's semantic arm recomputes the identical"
+        " brute-force cosine top-k (same similarity.cosine_topk plan, same"
+        " fixed-point dot product), so its stamp covers the family",
     ),
     "embedding_ivfpq_topk": (
         "embedding_pq_adc_topk",

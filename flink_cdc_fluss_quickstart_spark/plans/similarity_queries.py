@@ -1956,3 +1956,107 @@ def _pq_recall_frame(emb: DataFrame) -> DataFrame:
             F.col("total_overlap").cast("double") / (F.col("n_queries") * F.col("k"))
         ).alias("recall_at_k"),
     )
+
+
+# --- Hybrid retrieval: reciprocal-rank fusion of BM25 + cosine ----------------
+#
+# The retrieval operator a RAG-curation / search-based-decontamination
+# pipeline actually serves: a lexical arm (the registered BM25
+# more-like-this plan) and a semantic arm (brute-force cosine top-k over the
+# document embeddings) fused per query by RRF (Cormack et al., SIGIR 2009)
+# -- the standard zero-training fusion that is robust to the two arms'
+# incomparable score scales because it consumes only ranks.
+
+RRF_K0 = 60        # the paper's damping constant
+RRF_TOP_K = 5      # fused results per query (= each arm's own k)
+RRF_QUERY_MOD = 100  # every 100th document queries, matching the BM25 plan
+
+
+def _rrf_oracle() -> str:
+    from flink_cdc_fluss_quickstart_spark.plans.text_queries import (
+        _BM25_CTES,
+        BM25_TOP_K,
+    )
+
+    return f"""
+    WITH {_BM25_CTES},
+    lex AS (
+      SELECT query_id, doc_id, rank AS lex_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_scaled DESC, doc_id ASC) AS rank
+        FROM scored
+      ) WHERE rank <= {BM25_TOP_K}
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv
+      FROM embeddings WHERE vec_id % {RRF_QUERY_MOD} = 0
+    ),
+    sem_scored AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             {_DOT} / ({_QNORM} * {_CNORM}) AS cosine_sim
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    ),
+    sem AS (
+      SELECT query_id, doc_id, rank AS sem_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, doc_id ASC) AS rank
+        FROM sem_scored
+      ) WHERE rank <= {RRF_TOP_K}
+    ),
+    fused AS (
+      SELECT query_id, doc_id, lex_rank, sem_rank,
+             COALESCE(CAST(1.0 AS DOUBLE)
+                      / (CAST({RRF_K0} AS DOUBLE) + CAST(lex_rank AS DOUBLE)),
+                      CAST(0.0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE)
+                        / (CAST({RRF_K0} AS DOUBLE) + CAST(sem_rank AS DOUBLE)),
+                        CAST(0.0 AS DOUBLE)) AS rrf_score
+      FROM lex FULL OUTER JOIN sem USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id,
+           CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(sem_rank, 0) AS BIGINT) AS sem_rank,
+           rrf_score, fused_rank
+    FROM (
+      SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {RRF_TOP_K}
+    """
+
+
+@register(
+    "rrf_hybrid_retrieval",
+    oracle=_rrf_oracle(),
+    description=f"Hybrid retrieval via reciprocal-rank fusion: every"
+    f" {RRF_QUERY_MOD}th document queries both the BM25 lexical arm (the"
+    f" registered bm25_retrieval plan, recomputed end-to-end) and a"
+    f" brute-force cosine semantic arm over its embedding; per-document"
+    f" fused score = 1/({RRF_K0}+lex_rank) + 1/({RRF_K0}+sem_rank) with 0"
+    f" for an absent arm, fused top-{RRF_TOP_K} kept. Rank-only fusion is"
+    f" immune to the arms' incomparable score scales (Cormack et al., SIGIR"
+    f" 2009) -- the hybrid-search shape RAG curation and search-based"
+    f" decontamination run. Determinism: each contribution is one IEEE"
+    f" float64 division on exact integer ranks, summed in fixed order;"
+    f" ties break by doc_id. Scale: the arms broadcast queries and stream"
+    f" the corpus once each; fusion itself joins two (queries x"
+    f" {RRF_TOP_K})-row frames -- no corpus-sized shuffle is added at any"
+    f" corpus size.",
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_fluss_quickstart_spark.plans.text_queries import bm25_retrieval
+
+    lex = bm25_retrieval(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    sem = similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") % RRF_QUERY_MOD == 0), k=RRF_TOP_K
+    ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    return similarity.rrf_fuse(lex, sem, k0=RRF_K0, k=RRF_TOP_K)

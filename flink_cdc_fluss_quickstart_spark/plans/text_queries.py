@@ -898,10 +898,13 @@ _BM25_CONTRIB = (
 )
 
 
-@register(
-    "bm25_retrieval",
-    oracle=f"""
-    WITH toks AS (
+# the shared CTE chain through `scored` (tokenize -> tf -> doc lengths ->
+# corpus stats -> df-capped eligible terms -> query-term cap -> postings ->
+# per-(query, doc) BM25 accumulation); reused verbatim by the RRF hybrid
+# fusion oracle in plans/similarity_queries.py so the lexical arm is
+# spelled once
+_BM25_CTES = f"""
+    toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ),
     dtf AS (
@@ -945,6 +948,13 @@ _BM25_CONTRIB = (
       CROSS JOIN stats
       GROUP BY q.query_id, p.doc_id
     )
+"""
+
+
+@register(
+    "bm25_retrieval",
+    oracle=f"""
+    WITH {_BM25_CTES}
     SELECT query_id, doc_id, n_shared_terms,
            CAST(score_scaled AS DOUBLE) / 1000000.0 AS bm25_score, rank
     FROM (

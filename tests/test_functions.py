@@ -270,3 +270,31 @@ def test_kmeans_lloyd_monotone_improvement(spark):
         cents = _km_update(assigned)
     assert costs[0] >= costs[1] >= costs[2]
     assert costs[2] < costs[0], "two Lloyd rounds must actually improve the fit"
+
+
+def test_rrf_fuse_planted_fusion_semantics(spark):
+    """Planted RRF fixture: a doc ranked 2nd by BOTH arms must outscore each
+    arm's exclusive 1st (2/62 > 1/61), absent-arm ranks surface as 0, and
+    equal-score ties break by doc_id."""
+    lex = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (2, 20, 1)],
+        "query_id long, doc_id long, lex_rank long",
+    )
+    sem = spark.createDataFrame(
+        [(1, 12, 1), (1, 11, 2), (2, 21, 1)],
+        "query_id long, doc_id long, sem_rank long",
+    )
+    out = similarity.rrf_fuse(lex, sem, k0=60, k=5).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    q1 = sorted(by_q[1], key=lambda r: r.fused_rank)
+    # doc 11 appears in both arms at rank 2: 1/62 + 1/62 > 1/61
+    assert [r.doc_id for r in q1] == [11, 10, 12]
+    assert q1[0].lex_rank == 2 and q1[0].sem_rank == 2
+    assert q1[1].sem_rank == 0 and q1[2].lex_rank == 0  # absent arm -> 0
+    assert abs(q1[0].rrf_score - 2 / 62) < 1e-15
+    # q2: one exclusive rank-1 per arm -> equal scores, doc_id breaks the tie
+    q2 = sorted(by_q[2], key=lambda r: r.fused_rank)
+    assert [r.doc_id for r in q2] == [20, 21]
+    assert q2[0].rrf_score == q2[1].rrf_score

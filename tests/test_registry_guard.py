@@ -130,6 +130,7 @@ EXPECTED = {
     "pq_adc_recall_report",
     "ann_recall_report",
     "ann_recall_report_clustered",
+    "rrf_hybrid_retrieval",
     # TPC-H
     "q1_pricing_summary",
     "q2_min_cost_supplier",
