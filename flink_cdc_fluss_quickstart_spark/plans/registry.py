@@ -322,6 +322,15 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " brute-force cosine top-k (same similarity.cosine_topk plan, same"
         " fixed-point dot product), so its stamp covers the family",
     ),
+    "leakage_safe_split_assign": (
+        "embedding_dedup_representatives",
+        "composes the stamped pointer-jumping CC (same"
+        " connected_components call, minhash edges as in the stamped"
+        " minhash_lsh_pairs) with dataset_split_assign's stamped md5"
+        " hash-bucket rule applied at component granularity; the"
+        " cluster-atomicity property is planted-tested in"
+        " tests/test_corpus_ops.py",
+    ),
     "embedding_ivfpq_topk": (
         "embedding_pq_adc_topk",
         "same codebooks, distance tables, and ADC scoring as the stamped"

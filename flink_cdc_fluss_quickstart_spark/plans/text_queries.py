@@ -1125,6 +1125,77 @@ def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(reps, "doc_id").select("doc_id", "lang", "source", "n_chars")
 
 
+# DuckDB spelling of the md5-hex8 split bucket over an arbitrary id column
+# (pipeline_queries._DUCK_HEX8 hardcodes doc_id; this one parametrizes it --
+# the Spark side uses conv() as dataset_split_assign does, same value)
+def _duck_split_bucket(col: str) -> str:
+    return (
+        "CAST(list_sum(list_transform(range(1, 9), j -> "
+        f"CAST((instr('0123456789abcdef', substr(md5(CAST({col} AS VARCHAR)), j::int, 1)) - 1)"
+        " * (16 ** (8 - j)) AS BIGINT))) % 100 AS BIGINT)"
+    )
+
+
+@register(
+    "leakage_safe_split_assign",
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MH_SQL.format(mh_exprs=_MH_EXPRS)}),
+    pairs AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        {_band_pairs_sql("sig")}
+      )
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS doc_id, MIN(d) AS component_id FROM reach GROUP BY s)
+    SELECT doc_id, component_id, hash_bucket,
+           CASE WHEN hash_bucket < 90 THEN 'train'
+                WHEN hash_bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, component_id,
+                 {_duck_split_bucket("component_id")} AS hash_bucket
+          FROM comp)
+    """,
+    description="Leakage-safe train/val/test split (90/5/5): the split key is"
+    " md5(near-dup COMPONENT id) mod 100, so every document in a near-dup"
+    " cluster lands in the same split by construction -- the contamination"
+    " guard a doc-granular split lacks (at sf0.001, 3 of 21 multi-member"
+    " clusters straddle doc-level split boundaries; any one of them leaks"
+    " eval content into training). Composes the stamped MinHash-LSH pair"
+    " graph + pointer-jumping CC with the dataset_split_assign hash-bucket"
+    " rule at cluster granularity; the split itself stays a pure row-local"
+    " function of the component id -- stable under corpus growth, and new"
+    " members of an existing cluster inherit its split instead of"
+    " reshuffling it.",
+)
+def leakage_safe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text")
+    pairs = dedup.minhash_band_pairs(sig, "doc_id", dedup.BAND_COLS)
+    comp = dedup.connected_components(pairs, d.select("doc_id"), id_col="doc_id")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("component_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    return comp.select(
+        "doc_id",
+        "component_id",
+        bucket.alias("hash_bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 @register(
     "repetition_signals",
     oracle="""

@@ -581,3 +581,39 @@ def test_minhash_estimate_tracks_exact_jaccard(spark):
     for key in ((1, 3), (2, 3)):
         if key in out:  # banding may or may not surface the weak pair
             assert out[key]["abs_err"] < 0.35  # ~3 sigma at J ~ 0.4
+
+
+def test_leakage_safe_split_cluster_atomicity(spark):
+    """Leakage-safe splits on the real sf0.001 corpus: every multi-member
+    near-dup cluster lands in exactly one split (atomicity, the operator's
+    guarantee), while a doc-granular md5 split straddles at least one of
+    those clusters (non-vacuity: the guard prevents real leakage on this
+    corpus, not a hypothetical)."""
+    from flink_cdc_fluss_quickstart_spark.plans.registry import all_specs
+
+    out = all_specs()["leakage_safe_split_assign"].builder(
+        spark, "/root/testdata/sf0.001"
+    )
+    doc_bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    doc_split = (
+        F.when(doc_bucket < 90, "train").when(doc_bucket < 95, "val").otherwise("test")
+    )
+    per_cluster = (
+        out.withColumn("doc_split", doc_split)
+        .groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("split").alias("n_cluster_splits"),
+            F.countDistinct("doc_split").alias("n_doc_splits"),
+        )
+        .filter(F.col("n") > 1)
+        .collect()
+    )
+    assert per_cluster, "fixture corpus must contain multi-member clusters"
+    assert all(r.n_cluster_splits == 1 for r in per_cluster)
+    assert any(r.n_doc_splits > 1 for r in per_cluster), (
+        "doc-granular split should straddle >= 1 cluster on this corpus"
+    )

@@ -54,6 +54,7 @@ EXPECTED = {
     "multimodal_phash_dedup",
     # pipeline
     "dataset_split_assign",
+    "leakage_safe_split_assign",
     "token_stats_by_lang",
     "quality_filter_route",
     "decontamination_ngrams",
