@@ -16,7 +16,8 @@ real pipeline ships:
     2f. doc_novelty_score         -- low-novelty (recombined boilerplate) scan
     3. dedup_keep_representatives -- one doc per near-dup cluster
     3b. semantic_dedup_prune      -- embedding-side SemDeDup keep rates
-    4. dataset_split_assign       -- stable train/val/test membership
+    4. leakage_safe_split_assign  -- cluster-atomic train/val/test membership
+                                     (near-dup clusters never straddle splits)
     5. decontamination_ngrams     -- flag test-set overlap
     6. sequence_pack_offsets      -- context-window packing offsets
     7. write train shards partitioned by split
@@ -27,6 +28,8 @@ real pipeline ships:
     12. bm25_retrieval            -- spot-audit: nearest corpus docs per
                                      held-out query doc (search-based leak
                                      review beyond exact n-gram decontam)
+    12b. rrf_hybrid_retrieval     -- the fused lexical+semantic version of
+                                     that audit (rank fusion, both arms)
     13. bpe_merge_candidates      -- tokenizer merge table of the corpus
     14. kmv_distinct_tokens +     -- bounded-state corpus monitors: vocab
         countmin_heavy_hitters       cardinality + heavy-hitter tokens
@@ -128,8 +131,12 @@ def main() -> None:
         F.sum("keep").alias("n_kept"),
     ).orderBy("cluster").show()
 
-    print("== 4-5. split assignment + decontamination flags")
-    splits = q["dataset_split_assign"].builder(spark, sf_dir).select("doc_id", "split")
+    print("== 4-5. leakage-safe split assignment + decontamination flags")
+    # cluster-atomic splits: the key is the near-dup COMPONENT id, so no
+    # near-dup pair can straddle train/test (doc-granular md5 splits can)
+    splits = q["leakage_safe_split_assign"].builder(spark, sf_dir).select(
+        "doc_id", "split"
+    )
     contaminated = (
         q["decontamination_ngrams"].builder(spark, sf_dir)
         .filter(F.col("flagged"))
@@ -187,6 +194,11 @@ def main() -> None:
 
     print("== 12. retrieval spot-audit (BM25 nearest docs per query doc)")
     q["bm25_retrieval"].builder(spark, sf_dir).filter(F.col("rank") == 1).show(5)
+
+    print("== 12b. hybrid retrieval (RRF-fused BM25 + cosine, top hit per query)")
+    q["rrf_hybrid_retrieval"].builder(spark, sf_dir).filter(
+        F.col("fused_rank") == 1
+    ).show(5)
 
     print("== 13. tokenizer induction (top-5 BPE merge candidates)")
     q["bpe_merge_candidates"].builder(spark, sf_dir).limit(5).show()
