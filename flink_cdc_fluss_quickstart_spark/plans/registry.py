@@ -322,6 +322,13 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " brute-force cosine top-k (same similarity.cosine_topk plan, same"
         " fixed-point dot product), so its stamp covers the family",
     ),
+    "rrf_hybrid_retrieval_ann": (
+        "rrf_hybrid_retrieval",
+        "identical fusion plan; only the semantic arm swaps the stamped"
+        " brute-force scan for the LSH-bucketed ANN plan, whose family is"
+        " repo-oracle-checked (embedding_ann_lsh) and recall-graded inside"
+        " the stamped ann_recall_report",
+    ),
     "leakage_safe_split_assign": (
         "embedding_dedup_representatives",
         "composes the stamped pointer-jumping CC (same"

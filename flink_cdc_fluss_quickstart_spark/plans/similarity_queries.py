@@ -128,7 +128,7 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_topk(spread(load_table(spark, sf_dir, "embeddings")))
 
 
-def _lsh_topk(emb: DataFrame) -> DataFrame:
+def _lsh_topk(emb: DataFrame, query_mod: int = 50) -> DataFrame:
     # bucket AND norm are per-row: computed on the corpus scan, never per pair
     b = emb.select(
         "vec_id",
@@ -136,7 +136,7 @@ def _lsh_topk(emb: DataFrame) -> DataFrame:
         similarity.lsh_bucket(F.col("embedding"), _PLANES).alias("bucket"),
         F.sqrt(similarity.sq_norm(F.col("embedding"))).alias("__n"),
     )
-    q = b.filter(F.col("vec_id") % 50 == 0).select(
+    q = b.filter(F.col("vec_id") % query_mod == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("__qv"),
         F.col("bucket").alias("__qb"),
@@ -2057,6 +2057,90 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = similarity.cosine_topk(
         emb, emb.filter(F.col("vec_id") % RRF_QUERY_MOD == 0), k=RRF_TOP_K
     ).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    return similarity.rrf_fuse(lex, sem, k0=RRF_K0, k=RRF_TOP_K)
+
+
+def _rrf_ann_oracle() -> str:
+    from flink_cdc_fluss_quickstart_spark.plans.text_queries import (
+        _BM25_CTES,
+        BM25_TOP_K,
+    )
+
+    return f"""
+    WITH {_BM25_CTES},
+    lex AS (
+      SELECT query_id, doc_id, rank AS lex_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_scaled DESC, doc_id ASC) AS rank
+        FROM scored
+      ) WHERE rank <= {BM25_TOP_K}
+    ),
+    b AS ({_BUCKETED}),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS qv, bucket
+      FROM b WHERE vec_id % {RRF_QUERY_MOD} = 0
+    ),
+    sem_scored AS (
+      SELECT q.query_id, e.vec_id AS doc_id,
+             {_DOT} / ({_QNORM} * {_CNORM}) AS cosine_sim
+      FROM b e JOIN q ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    ),
+    sem AS (
+      SELECT query_id, doc_id, rank AS sem_rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, doc_id ASC) AS rank
+        FROM sem_scored
+      ) WHERE rank <= {RRF_TOP_K}
+    ),
+    fused AS (
+      SELECT query_id, doc_id, lex_rank, sem_rank,
+             COALESCE(CAST(1.0 AS DOUBLE)
+                      / (CAST({RRF_K0} AS DOUBLE) + CAST(lex_rank AS DOUBLE)),
+                      CAST(0.0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE)
+                        / (CAST({RRF_K0} AS DOUBLE) + CAST(sem_rank AS DOUBLE)),
+                        CAST(0.0 AS DOUBLE)) AS rrf_score
+      FROM lex FULL OUTER JOIN sem USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id,
+           CAST(COALESCE(lex_rank, 0) AS BIGINT) AS lex_rank,
+           CAST(COALESCE(sem_rank, 0) AS BIGINT) AS sem_rank,
+           rrf_score, fused_rank
+    FROM (
+      SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rrf_score DESC, doc_id ASC) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {RRF_TOP_K}
+    """
+
+
+@register(
+    "rrf_hybrid_retrieval_ann",
+    oracle=_rrf_ann_oracle(),
+    description=f"The serving-scale variant of rrf_hybrid_retrieval: the"
+    f" semantic arm swaps the brute-force cosine scan for the LSH-bucketed"
+    f" ANN plan (each query scores only its own sign-LSH bucket, ~1/2^p of"
+    f" the corpus with p following n_planes_for), so BOTH arms now stream"
+    f" bounded candidate sets -- the fusion itself is unchanged and stays"
+    f" (queries x {RRF_TOP_K})-row. This is the registered proof of the"
+    f" SCALE.md note that the ANN arm swap is the hybrid path at corpus"
+    f" scale; recall loss of the lsh arm is graded in ann_recall_report."
+    f" Determinism: identical fixed hyperplanes and fixed-point cosine in"
+    f" both engines, rank-only fusion, doc_id tie-breaks.",
+)
+def rrf_hybrid_retrieval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from flink_cdc_fluss_quickstart_spark.plans.text_queries import bm25_retrieval
+
+    lex = bm25_retrieval(spark, sf_dir).select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    sem = _lsh_topk(emb, query_mod=RRF_QUERY_MOD).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank")
     )
     return similarity.rrf_fuse(lex, sem, k0=RRF_K0, k=RRF_TOP_K)

@@ -132,6 +132,7 @@ EXPECTED = {
     "ann_recall_report",
     "ann_recall_report_clustered",
     "rrf_hybrid_retrieval",
+    "rrf_hybrid_retrieval_ann",
     # TPC-H
     "q1_pricing_summary",
     "q2_min_cost_supplier",
