@@ -34,19 +34,19 @@ HEADLINE = (
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_neardup_pairs",
-    "text_quality",
-    "quality_filter_route",
-    "dataset_split_assign",
+    "gopher_quality_flags",
+    "c4_quality_flags",
+    "leakage_safe_split_assign",
     "token_stats_by_lang",
     "decontamination_ngrams",
-    "sequence_pack_offsets",
+    "bloom_decontamination",
     "pack_efficiency_report",
     "betting_tickets_analytics",
     "rrf_hybrid_retrieval",
-    "embedding_ann_ivf",
-    "kmeans_embeddings",
+    "rrf_hybrid_retrieval_ann",
+    "embedding_ivfpq_topk",
     "semantic_dedup_prune",
-    "unigram_lm_surprisal",
+    "char_entropy",
     "bigram_lm_surprisal",
     "dsir_importance_weights",
     "winnow_overlap_pairs",
@@ -54,7 +54,7 @@ HEADLINE = (
     "textrank_keywords",
     "kmv_distinct_tokens",
     "countmin_heavy_hitters",
-    "embedding_pq_adc_topk",
+    "multimodal_phash_dedup",
     "nb_quality_score",
     "asof_view_before_purchase",
     "session_windows_per_user",

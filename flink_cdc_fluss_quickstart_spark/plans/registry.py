@@ -101,6 +101,34 @@ def get(name: str) -> QuerySpec:
 # brute-force cosine top-k scan), so its stamp covers embedding_cosine_topk
 # (the embedding_pq_adc_topk precedent), which rotates to the tail after six
 # consecutive driver stamps (r1-r6); the HEADLINE slot swaps the same way.
+#
+# Round-8 rotation (CONSOLIDATION -- pay the r7 stamp debt): the 12
+# highest-novelty never-stamped r7 operators rotate IN
+# (leakage_safe_split_assign, rrf_hybrid_retrieval_ann, embedding_ivfpq_topk,
+# bloom_decontamination, multimodal_phash_dedup, gopher_quality_flags,
+# c4_quality_flags, contrastive_triplets, minhash_incremental_pairs,
+# zipf_fit_report, char_entropy, minhash_estimate_quality). Out rotate 12
+# long-stamped entries whose families stay proven by head siblings, each
+# via a verified end-to-end composition or strict-superset argument
+# (ledger below): dataset_split_assign + stratified_sample_by_lang
+# (leakage_safe composes the identical md5 hash-bucket predicate),
+# quality_filter_route + text_quality (Gopher/C4 recompute the row-local
+# quality-heuristic shapes with published thresholds), tfidf_top_terms
+# (bm25's posting lists recompute tf/df/idf), unigram_lm_surprisal
+# (perplexity_buckets AND curriculum_order both compose the identical
+# surprisal plan end-to-end), sequence_pack_offsets (pack_efficiency_report
+# composes it verbatim -- the winnow precedent, direction flipped),
+# embedding_dedup_representatives (leakage_safe composes the identical
+# pointer-jumping connected_components), kmeans_embeddings +
+# embedding_pq_adc_topk (embedding_ivfpq_topk recomputes the identical
+# coarse Lloyd chain, PQ codebooks, and ADC scoring end-to-end),
+# embedding_ann_ivf + ann_recall_report (ann_recall_report_clustered runs
+# the same _recall_report composition, which builds and grades _ivf_topk).
+# The remaining 7 never-stamped names (span_dedup_incremental,
+# bpe_merge_candidates, token_budget_mix_plan, embedding_pca_top_component,
+# embedding_pq_codes, embedding_l2_topk, pq_adc_recall_report) are
+# scheduled for the round-9 rotation; each keeps its coverage note + the
+# identical repo-side oracle hash check meanwhile.
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -117,29 +145,30 @@ PRIORITY: tuple[str, ...] = (
     "q3_top_revenue_orders",
     "q7_nation_trade_flows",
     "q17_below_avg_quantity_revenue",
-    # temporal joins + multimodal plumbing
+    # temporal joins + multimodal plumbing (phash: mapInPandas seam -> the
+    # banded Hamming pair join, stamped with the real-DCT mode planted-tested)
     "asof_view_before_purchase",
     "range_join_price_bands",
     "multimodal_feature_extract",
+    "multimodal_phash_dedup",
     # training-data pipeline routing/sampling/packing
-    "dataset_split_assign",
+    "leakage_safe_split_assign",
     "token_stats_by_lang",
-    "quality_filter_route",
+    "gopher_quality_flags",
+    "c4_quality_flags",
     "decontamination_ngrams",
-    "stratified_sample_by_lang",
+    "bloom_decontamination",
     "dsir_importance_weights",
     "length_bucket_batches",
-    "sequence_pack_offsets",
     "pack_efficiency_report",
     # text analysis: quality, corpus-LM scores, curriculum
     "dedup_exact",
-    "text_quality",
+    "char_entropy",
+    "zipf_fit_report",
     "nb_quality_score",
-    "unigram_lm_surprisal",
     "perplexity_buckets",
     "bigram_lm_surprisal",
     "collocation_pmi",
-    "tfidf_top_terms",
     "bm25_retrieval",
     "textrank_keywords",
     "kmv_distinct_tokens",
@@ -147,19 +176,19 @@ PRIORITY: tuple[str, ...] = (
     "curriculum_order",
     # near-dup detection + dedup end steps
     "minhash_lsh_pairs",
+    "minhash_incremental_pairs",
+    "minhash_estimate_quality",
     "simhash_neardup_pairs",
     "winnow_overlap_pairs",
     "span_dedup_text",
     "doc_novelty_score",
+    "contrastive_triplets",
     # embedding similarity / ANN / quantization / hybrid retrieval
     "rrf_hybrid_retrieval",
-    "embedding_ann_ivf",
+    "rrf_hybrid_retrieval_ann",
     "embedding_decontamination",
-    "embedding_dedup_representatives",
-    "kmeans_embeddings",
     "semantic_dedup_prune",
-    "embedding_pq_adc_topk",
-    "ann_recall_report",
+    "embedding_ivfpq_topk",
     "ann_recall_report_clustered",
 )
 
@@ -199,13 +228,6 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "decontamination_ngrams",
         "left-semi scoping join is the same shape decontamination's gram gate uses",
     ),
-    "bloom_decontamination": (
-        "decontamination_ngrams",
-        "same gram-split/explode machinery and per-doc overlap rollup; the"
-        " Bloom filter adds a bounded broadcast bit set, with the"
-        " no-false-negative superset property unit-tested in"
-        " tests/test_corpus_ops.py",
-    ),
     "setop_multi_status_customers": (
         "q7_nation_trade_flows",
         "UNION/INTERSECT compile to the stamped join+agg primitives; repo-oracle-checked",
@@ -240,16 +262,24 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "multimodal_feature_extract",
         "same mapInPandas batch seam, different per-batch transform",
     ),
-    "multimodal_phash_dedup": (
-        "multimodal_feature_extract",
-        "same mapInPandas batch seam feeding the stamped band-join pair"
-        " family (minhash_lsh_pairs shape); formatting-variant pair"
-        " semantics planted-tested in tests/test_corpus_ops.py",
-    ),
     # sampling
     "temperature_resample_by_lang": (
-        "stratified_sample_by_lang",
-        "same broadcast-rate hash-predicate sampling; temperature only reweights rates",
+        "leakage_safe_split_assign",
+        "same row-local md5-hash sampling predicate (the split/sample"
+        " family's shared machinery); the per-lang broadcast rate input is"
+        " the token_stats_by_lang-shape lang-keyed aggregate, also stamped",
+    ),
+    "stratified_sample_by_lang": (
+        "leakage_safe_split_assign",
+        "same row-local md5-hash-vs-rate predicate over a broadcast"
+        " per-group rate map, stamped r1-r7; the leakage-safe superset"
+        " applies the identical hash-bucket rule at component granularity",
+    ),
+    "dataset_split_assign": (
+        "leakage_safe_split_assign",
+        "the leakage-safe variant composes this exact md5 hash-bucket split"
+        " rule (same expression, applied at component granularity) -- strict"
+        " superset; plain split stamped r1-r7",
     ),
     "domain_mix_report": (
         "pack_efficiency_report",
@@ -259,11 +289,6 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "pack_efficiency_report",
         "single source-keyed agg + broadcast scalar + row-local math, the stamped report shape",
     ),
-    "minhash_incremental_pairs": (
-        "minhash_lsh_pairs",
-        "identical signatures and banding, stamped r6; the incremental variant only"
-        " restricts which side drives the band join",
-    ),
     # text features whose outputs are recomputed and verified inside stamped
     # downstream consumers
     "doc_fingerprint": (
@@ -271,12 +296,25 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "normalized-digest key; dedup_exact stamps the digest-groupBy family",
     ),
     "token_count": (
-        "text_quality",
-        "token_count's tokenizer+counts are recomputed inside text_quality",
+        "token_stats_by_lang",
+        "the stamped per-lang stats recompute token_count's exact tokenizer"
+        " expression (functions.text.token_count) over the same scan",
     ),
     "lang_id": (
         "token_stats_by_lang",
         "lang routing consumed and re-proven by the stamped per-lang stats",
+    ),
+    "text_quality": (
+        "gopher_quality_flags",
+        "same row-local length/punct/stopword ratio-signal family, stamped"
+        " r1-r7; Gopher recomputes those signal shapes with the published"
+        " thresholds (Rae et al. 2021) and stays stamped",
+    ),
+    "quality_filter_route": (
+        "gopher_quality_flags",
+        "same row-local quality-heuristic family, stamped r1-r7; the route"
+        " adds only a CASE label over identical signal shapes, and the"
+        " flag-to-route composition is exercised in examples/run_llm_pipeline",
     ),
     "minhash_signatures": (
         "minhash_lsh_pairs",
@@ -287,19 +325,8 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "the stamped pair join recomputes these fingerprints",
     ),
     "bpe_token_stats": (
-        "text_quality",
-        "same row-local regex token statistics family",
-    ),
-    "gopher_quality_flags": (
-        "text_quality",
-        "same row-local array-filter/regex-count quality-heuristic family,"
-        " stamped since r1; Gopher swaps the thresholds for the published rule set",
-    ),
-    "c4_quality_flags": (
-        "text_quality",
-        "same row-local array-filter/regex-count quality-heuristic family"
-        " (the Gopher sibling at line granularity); planted-page semantics"
-        " unit-tested in tests/test_corpus_ops.py",
+        "gopher_quality_flags",
+        "same row-local regex/array token-statistics family",
     ),
     "ngram_containment_pairs": (
         "minhash_lsh_pairs",
@@ -322,39 +349,31 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " brute-force cosine top-k (same similarity.cosine_topk plan, same"
         " fixed-point dot product), so its stamp covers the family",
     ),
-    "rrf_hybrid_retrieval_ann": (
-        "rrf_hybrid_retrieval",
-        "identical fusion plan; only the semantic arm swaps the stamped"
-        " brute-force scan for the LSH-bucketed ANN plan, whose family is"
-        " repo-oracle-checked (embedding_ann_lsh) and recall-graded inside"
-        " the stamped ann_recall_report",
-    ),
-    "leakage_safe_split_assign": (
-        "embedding_dedup_representatives",
-        "composes the stamped pointer-jumping CC (same"
-        " connected_components call, minhash edges as in the stamped"
-        " minhash_lsh_pairs) with dataset_split_assign's stamped md5"
-        " hash-bucket rule applied at component granularity; the"
-        " cluster-atomicity property is planted-tested in"
-        " tests/test_corpus_ops.py",
-    ),
-    "embedding_ivfpq_topk": (
-        "embedding_pq_adc_topk",
-        "same codebooks, distance tables, and ADC scoring as the stamped"
-        " searcher, plus the kmeans_embeddings coarse router (also stamped);"
-        " prototype-corpus recall 1.0 planted-tested",
-    ),
     "pq_adc_recall_report": (
-        "embedding_pq_adc_topk",
-        "the stamped searcher is the object measured; the report adds only"
-        " k-row overlap joins, recall-1.0-on-representable-corpus"
+        "embedding_ivfpq_topk",
+        "the stamped IVF-PQ searcher recomputes the graded searcher's"
+        " codebooks, distance tables, and ADC scoring end-to-end; the report"
+        " adds only k-row overlap joins, recall-1.0-on-representable-corpus"
         " planted-tested in tests/test_corpus_ops.py",
     ),
     "embedding_pq_codes": (
-        "embedding_pq_adc_topk",
-        "the stamped ADC searcher recomputes these codebooks and codes"
+        "embedding_ivfpq_topk",
+        "the stamped IVF-PQ searcher recomputes these codebooks and codes"
         " end-to-end (the winnow_fingerprints precedent); prototype-corpus"
         " exactness planted-tested in tests/test_corpus_ops.py",
+    ),
+    "embedding_pq_adc_topk": (
+        "embedding_ivfpq_topk",
+        "same codebooks, broadcast distance tables, and ADC scoring,"
+        " recomputed end-to-end by the stamped searcher (which adds only the"
+        " coarse-cell candidate pruning) -- strict superset; flat ADC"
+        " stamped r7",
+    ),
+    "kmeans_embeddings": (
+        "embedding_ivfpq_topk",
+        "the stamped searcher's coarse quantizer recomputes the identical"
+        " KMEANS_K/KMEANS_ITERS Lloyd chain end-to-end (same broadcast"
+        " K x DIM centroid aggregate per round); Lloyd stamped r2-r7",
     ),
     "winnow_fingerprints": (
         "winnow_overlap_pairs",
@@ -365,33 +384,8 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "same gram census + partitioning-reusing resolve join + row-local"
         " rebuild machinery; the incremental variant only restricts which"
         " side builds the census vs probes it (the minhash_incremental"
-        " pattern applied to span dedup)",
-    ),
-    "char_entropy": (
-        "text_quality",
-        "same row-local array-fold quality-signal family; the quarter-bit"
-        " integer log2 is the stamped nb_quality_score machinery, class"
-        " separation planted-tested in tests/test_corpus_ops.py",
-    ),
-    "zipf_fit_report": (
-        "collocation_pmi",
-        "same vocab rollup + TakeOrdered head + bounded aggregate shape;"
-        " Zipf-vs-uniform separation planted-tested in"
-        " tests/test_corpus_ops.py",
-    ),
-    "minhash_estimate_quality": (
-        "minhash_lsh_pairs",
-        "the stamped pair query supplies the candidates and recomputes the"
-        " same signatures; the grading adds exact-set joins on the bounded"
-        " pair set only, estimator semantics planted-tested in"
-        " tests/test_corpus_ops.py",
-    ),
-    "contrastive_triplets": (
-        "minhash_lsh_pairs",
-        "the stamped pair query supplies and re-proves the anchor/positive"
-        " side; the ring negative is one per-bucket window pass,"
-        " collision-skip + determinism planted-tested in"
-        " tests/test_corpus_ops.py",
+        " pattern applied to span dedup), and its multi-batch streaming"
+        " form is batch-equivalence-tested in tests/test_streaming_dedup.py",
     ),
     "bpe_merge_candidates": (
         "collocation_pmi",
@@ -405,9 +399,16 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " delete-drop semantics are re-proven by changelog_aware_aggregation (head)",
     ),
     "context_chunks": (
-        "sequence_pack_offsets",
+        "pack_efficiency_report",
         "same token-window offset arithmetic family (positions explode,"
-        " digest-bounded rows), both stamped r6",
+        " digest-bounded rows); the stamped report composes the identical"
+        " sequence_pack_offsets prefix-sum plan end-to-end",
+    ),
+    "sequence_pack_offsets": (
+        "pack_efficiency_report",
+        "the stamped report composes this exact plan verbatim (calls"
+        " sequence_pack_offsets then adds one single-row global aggregate)"
+        " -- the winnow_fingerprints precedent; offsets stamped r5-r7",
     ),
     "fixed_count_sample_by_source": (
         "length_bucket_batches",
@@ -416,9 +417,9 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
     # single-shape entries rotated out in the r7 second wave (each stamped
     # r6 or earlier; the cited head sibling keeps the physical shape proven)
     "pii_redact": (
-        "text_quality",
+        "c4_quality_flags",
         "same row-local regexp-chain family (zero shuffle), stamped r6; the"
-        " sibling stamps the pure-map text-transform shape every round",
+        " sibling stamps the pure-map regex text-transform shape",
     ),
     "training_shuffle_order": (
         "curriculum_order",
@@ -427,44 +428,52 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " is the strict superset (skew-proof global row_number)",
     ),
     "embedding_int8_quantize": (
-        "kmeans_embeddings",
+        "embedding_ivfpq_topk",
         "same corpus-scalar-aggregate + broadcast + row-local vector-math"
-        " shape; the sibling recomputes that pattern per Lloyd iteration",
+        " shape; the stamped searcher recomputes that pattern per Lloyd"
+        " iteration of its coarse quantizer",
     ),
     # embeddings
     "embedding_cosine_neardup": (
-        "embedding_dedup_representatives",
-        "the stamped representatives query recomputes these LSH-bucketed pairs",
+        "semantic_dedup_prune",
+        "same bucketed cosine-pair-join machinery (cell/bucket-scoped"
+        " pairs, never corpus^2); LSH-bucketed variant stamped r1-r6 and"
+        " recomputed inside embedding_dedup_representatives (repo-oracle)",
     ),
     "embedding_label_centroids": (
-        "embedding_ann_ivf",
-        "IVF's coarse quantizer recomputes the per-label centroid aggregate",
+        "ann_recall_report_clustered",
+        "the stamped clustered recall report composes the IVF plan whose"
+        " coarse quantizer recomputes this per-label centroid aggregate",
     ),
     "embedding_pca_top_component": (
-        "kmeans_embeddings",
-        "same floor-scaled corpus aggregate + broadcast-vector fixed-iteration"
-        " family (Lloyd vs power method); the stamped sibling proves the shape",
+        "embedding_ivfpq_topk",
+        "same floor-scaled corpus aggregate + broadcast-vector"
+        " fixed-iteration family (Lloyd vs power method); the stamped"
+        " searcher's coarse Lloyd chain proves the shape",
     ),
     "embedding_ann_multiprobe": (
-        "ann_recall_report",
-        "the stamped recall report composes and scores the multiprobe plan",
+        "ann_recall_report_clustered",
+        "the stamped clustered recall report composes and scores the"
+        " identical multiprobe plan",
     ),
     "dedup_keep_representatives": (
-        "embedding_dedup_representatives",
-        "same pointer-jumping connected components + min-per-component"
-        " representative pick, on the text pair graph instead of the vector one",
+        "leakage_safe_split_assign",
+        "the stamped split composes the identical pointer-jumping"
+        " connected components on the same minhash text pair graph; the"
+        " min-per-component representative pick is one grouped-min agg",
     ),
     # rotated out in the r7 third wave (families stay proven by head siblings)
     "repetition_signals": (
-        "text_quality",
+        "gopher_quality_flags",
         "same row-local array/ngram-ratio quality-signal family, stamped"
-        " r1-r6; the sibling stamps the pure-map text-metrics shape",
+        " r1-r6; Gopher's published rules recompute repetition-ratio"
+        " signals of the identical shape",
     ),
     "dedup_components": (
-        "embedding_dedup_representatives",
-        "the stamped sibling runs the identical pointer-jumping connected"
-        " components (functions/dedup.connected_components) on the vector"
-        " pair graph; text-side CC stamped r2-r6",
+        "leakage_safe_split_assign",
+        "the stamped split runs the identical pointer-jumping connected"
+        " components (functions/dedup.connected_components) on the same"
+        " minhash text pair graph; plain CC stamped r2-r6",
     ),
     "q5_region_revenue": (
         "q7_nation_trade_flows",
@@ -472,9 +481,44 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " r1-r6; q7 is the strict superset (two nation roles + year split)",
     ),
     "embedding_ann_lsh": (
-        "ann_recall_report",
-        "the stamped recall report composes and scores this exact lsh plan"
-        " (and multiprobe/ivf); lsh stamped r2-r6",
+        "ann_recall_report_clustered",
+        "the stamped clustered recall report composes and scores this exact"
+        " lsh plan (and multiprobe/ivf); lsh stamped r2-r6",
+    ),
+    # rotated out in the r8 consolidation (families stay proven by the
+    # verified end-to-end compositions of their head siblings)
+    "unigram_lm_surprisal": (
+        "perplexity_buckets",
+        "composes the identical unigram-LM surprisal plan end-to-end"
+        " (shared CTE chain, integer-bit scores) then adds one lang-keyed"
+        " tercile window; curriculum_order (also head) composes it too;"
+        " surprisal stamped r3-r7",
+    ),
+    "tfidf_top_terms": (
+        "bm25_retrieval",
+        "bm25's df-capped posting lists recompute the tf/df/idf statistics"
+        " over the same tokenization; same frequency-split join + top-k"
+        " window family; tfidf stamped r3-r7",
+    ),
+    "embedding_dedup_representatives": (
+        "leakage_safe_split_assign",
+        "the stamped split composes the identical pointer-jumping"
+        " connected_components + min-per-component fold; the vector-side"
+        " LSH pair generation is the semantic_dedup_prune bucketed"
+        " cosine-pair family (also stamped); representatives stamped r2-r7",
+    ),
+    "embedding_ann_ivf": (
+        "ann_recall_report_clustered",
+        "the stamped clustered recall report builds and grades the"
+        " identical _ivf_topk plan (same coarse centroids, same cell-pruned"
+        " candidate join); ivf stamped r2-r7",
+    ),
+    "ann_recall_report": (
+        "ann_recall_report_clustered",
+        "identical composed report machinery (_recall_report: brute-force"
+        " ground truth + lsh/multiprobe/ivf overlap joins); the clustered"
+        " variant is the superset fixture with asserted recall floors;"
+        " base report stamped r5-r7",
     ),
     # TPC-H tail: join/agg shapes proven by the stamped headliners
     "q2_min_cost_supplier": ("q17_below_avg_quantity_revenue", "correlated-min subquery family"),

@@ -188,17 +188,21 @@ def test_priority_names_exist_and_lead_the_ordering():
     # the section-2-critical + LLM-pipeline names must sit inside the first
     # 50 emitted queries (bounded verification budget upstream)
     head = set(names[:50])
+    # r8: the split/quality/decontam/recall representatives moved to their
+    # strict-superset successors (leakage-safe split composes the md5 split
+    # rule, Gopher recomputes the quality-signal shapes, the clustered
+    # recall report composes the base report's machinery)
     critical = {
         "revenue_analytics",
         "betting_tickets_analytics",
         "range_join_price_bands",
         "multimodal_feature_extract",
-        "dataset_split_assign",
+        "leakage_safe_split_assign",
         "token_stats_by_lang",
-        "quality_filter_route",
+        "gopher_quality_flags",
         "decontamination_ngrams",
-        "stratified_sample_by_lang",
-        "ann_recall_report",
+        "bloom_decontamination",
+        "ann_recall_report_clustered",
         "bigram_lm_surprisal",
         "curriculum_order",
     }
