@@ -155,39 +155,88 @@ PHASH_HAMMING_MAX = 8  # accept pairs within this bit distance
 
 PHASH_SCHEMA = "doc_id long, phash string"
 
+PHASH_RASTER = 32  # real-mode raster side: payload bytes -> 32x32 grayscale
+PHASH_DCT_LOW = 8  # low-frequency DCT block kept (classic pHash keeps 8x8)
+
+
+def _dct_matrix(n: int):
+    """DCT-II basis matrix: D[k, i] = cos(pi * (2i + 1) * k / (2n)), so
+    D @ x is the (unnormalized) 1-D DCT-II of x. Median thresholding makes
+    the hash invariant to any positive per-row scaling, so orthonormal
+    scaling factors are unnecessary."""
+    import numpy as np
+
+    i = np.arange(n, dtype=np.float64)
+    return np.cos(np.pi * (2.0 * i[None, :] + 1.0) * i[:, None] / (2.0 * n))
+
+
+def phash_real_batch(payloads) -> list[str]:
+    """The classic 8x8-DCT median pHash over a whole Arrow batch at once.
+
+    Per payload: bytes -> deterministic PHASH_RASTER^2 grayscale raster
+    (linear-interpolated resample of the byte sequence -- the stand-in for a
+    decoded, resized image; a production image build swaps exactly this step
+    for `decode -> grayscale -> resize`, the DCT hashing below is unchanged)
+    -> 2-D DCT-II (one batched matmul pair, D @ imgs @ D.T) -> top-left
+    PHASH_DCT_LOW^2 low-frequency block -> threshold each coefficient at the
+    MEDIAN of the block (DC excluded from the median so a uniform brightness
+    shift cannot drag the threshold) -> 64 bits, MSB-first, as 16 hex chars.
+    """
+    import numpy as np
+
+    n = PHASH_RASTER
+    d = _dct_matrix(n)
+    imgs = np.empty((len(payloads), n, n), dtype=np.float64)
+    for r, p in enumerate(payloads):
+        b = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.float64)
+        if b.size == 0:
+            b = np.zeros(1, dtype=np.float64)
+        pos = np.linspace(0.0, b.size - 1.0, n * n)
+        imgs[r] = np.interp(pos, np.arange(b.size, dtype=np.float64), b).reshape(n, n)
+    coeffs = d @ imgs @ d.T  # batched 2-D DCT-II ((n,n) broadcasts over the batch dim)
+    low = coeffs[:, :PHASH_DCT_LOW, :PHASH_DCT_LOW].reshape(len(payloads), -1)
+    med = np.median(low[:, 1:], axis=1, keepdims=True)
+    bits = low > med
+    out = []
+    for row in bits:
+        v = 0
+        for bit in row:
+            v = (v << 1) | int(bit)
+        out.append(f"{v:016x}")
+    return out
+
 
 def perceptual_hash(frame: DataFrame, mode: str = "stub") -> DataFrame:
     """Arrow-batched 64-bit perceptual hash per payload (doc_id, phash as 16
     hex chars); the payload never leaves the executor.
 
-    mode="real" is the integration point for an actual DCT pHash / audio
-    chromaprint (needs codec libs absent here). mode="stub" hashes a
-    NORMALIZED payload -- lowercase, runs of non-alphanumerics collapsed --
-    so near-identical payloads (formatting/case variants) collide exactly,
-    giving the banding + Hamming machinery testable semantics."""
+    mode="real" runs the actual DCT pHash recipe (phash_real_batch: raster ->
+    2-D DCT-II -> 8x8 low block -> median threshold) in vectorized numpy over
+    each Arrow batch; only the bytes->raster step stands in for an image
+    decoder (codec libs absent here -- swap np.frombuffer for
+    decode+grayscale+resize in production, the hash math is unchanged).
+    mode="stub" (default, oracle-expressible) hashes a NORMALIZED payload --
+    lowercase, runs of non-alphanumerics collapsed -- so formatting/case
+    variants collide exactly, giving the banding + Hamming machinery
+    SQL-checkable semantics. Both modes feed the identical phash_pairs
+    band-join; real-mode invariances are planted-tested in
+    tests/test_corpus_ops.py."""
 
     def run(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:  # noqa: F821
         import re
 
         import pandas as pd
 
-        def one(payload: bytes, media_type: str) -> str:
-            if mode == "real":
-                raise NotImplementedError(
-                    "real perceptual hashing requires codec libraries not "
-                    "present in this environment; wire imagehash/chromaprint "
-                    "here in production"
-                )
+        def stub_one(payload: bytes) -> str:
             norm = re.sub(r"[^a-z0-9]+", " ", payload.decode("utf-8").lower()).strip()
             return hashlib.md5(norm.encode("utf-8")).hexdigest()[:16]
 
         for pdf in batches:
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "phash": [one(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])],
-                }
-            )
+            if mode == "real":
+                hashes = phash_real_batch(list(pdf["payload"]))
+            else:
+                hashes = [stub_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "phash": hashes})
 
     return spread(frame).mapInPandas(run, schema=PHASH_SCHEMA)
 

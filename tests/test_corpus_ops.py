@@ -360,14 +360,66 @@ def test_phash_formatting_variants_pair_up(spark):
     assert all(h == 0 for h in pairs.values())
 
 
-def test_phash_real_mode_is_explicit_stub(spark):
-    import pytest as _pytest
+# Real-mode pHash fixture: mode="real" runs the actual 8x8-DCT median-hash
+# recipe (raster -> 2-D DCT-II -> low block -> DC-excluded median threshold);
+# only the bytes->raster step stands in for an image decoder. The planted
+# payloads pin what DCT pHash actually promises: exact dup -> identical hash,
+# a small local edit -> few low-frequency bits flip, a global byte shift
+# (case-flip ~ brightness) -> absorbed by the DC-excluded median, an
+# unrelated payload -> far outside the accept radius.
+_PH_BASE = (
+    "the spark engine rewrites every query plan before running it, "
+    "pushing filters into the scan and pruning columns the join never reads, "
+    "so the shuffle moves only the narrow rows the aggregate actually needs"
+)
+_PH_OTHER = (
+    "a completely unrelated payload describing image codecs, frame "
+    "sampling windows, chroma subsampling and audio fingerprint grids "
+    "with none of the original document structure or byte layout"
+)
 
+
+def test_phash_real_dct_invariances(spark):
     from flink_cdc_fluss_quickstart_spark.functions import multimodal as mm
 
-    frame = mm.attach_payload(_docs(spark, [(1, "x")]))
-    with _pytest.raises(Exception, match="NotImplementedError|not present"):
-        mm.perceptual_hash(frame, mode="real").collect()
+    rows = [
+        (1, _PH_BASE),
+        (2, _PH_BASE),                                   # exact dup
+        (3, _PH_BASE.replace("narrow", "padded", 1)),    # same-length local edit
+        (4, _PH_BASE.upper()),                           # global byte shift
+        (5, _PH_OTHER),                                  # unrelated
+    ]
+    frame = mm.attach_payload(_docs(spark, rows))
+    hashes = {
+        r["doc_id"]: int(r["phash"], 16)
+        for r in mm.perceptual_hash(frame, mode="real").collect()
+    }
+    ham = lambda a, b: bin(hashes[a] ^ hashes[b]).count("1")  # noqa: E731
+    assert ham(1, 2) == 0
+    assert ham(1, 3) <= mm.PHASH_HAMMING_MAX
+    assert ham(1, 4) <= mm.PHASH_HAMMING_MAX
+    assert ham(1, 5) > mm.PHASH_HAMMING_MAX
+
+    # the same band-join pair pipeline the stamped query runs, on real hashes:
+    # dup/edit/case variants pair with the base, the unrelated payload never
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in mm.phash_pairs(mm.perceptual_hash(frame, mode="real")).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (1, 4) in pairs
+    assert not any(5 in p for p in pairs)
+
+
+def test_phash_real_mode_batch_math_is_deterministic():
+    """phash_real_batch is pure numpy -- same payloads, same hashes, and the
+    batched matmul path equals the one-payload path (no cross-row bleed)."""
+    from flink_cdc_fluss_quickstart_spark.functions import multimodal as mm
+
+    payloads = [_PH_BASE.encode(), _PH_OTHER.encode(), b"", b"x"]
+    batch = mm.phash_real_batch(payloads)
+    assert batch == mm.phash_real_batch(payloads)
+    assert batch == [mm.phash_real_batch([p])[0] for p in payloads]
+    assert all(len(h) == 16 for h in batch)
 
 
 # --- product quantization (pq_codes_frame / pq_adc_topk_frame) --------------
