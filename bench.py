@@ -158,6 +158,49 @@ def _calibrate(spark) -> float:
     )
 
 
+def watch(names: list[str], n_runs: int = 5) -> None:
+    """The BENCH_NOTES re-measure ritual as one command: run each named
+    query n_runs times back-to-back on a warmed session, bracketed by
+    calibration floors, and print per-query medians -- the floor-adjusted
+    numbers the noise discipline wants before reading anything into a
+    single-shot driver timing (same-binary runs swing +/-25-35% tracking
+    the ambient floor).
+
+    Usage: python bench.py --watch simhash_neardup_pairs [more...] [-n 5]
+    """
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench-watch")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    unknown = [n for n in names if n not in specs]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
+    specs["q1_pricing_summary"].builder(spark, sf_dir).count()  # JVM warmup
+    floor_before = _calibrate(spark)
+    report = {}
+    for name in names:
+        runs = []
+        for _ in range(n_runs):
+            t = _timed(lambda: specs[name].builder(spark, sf_dir).count())
+            runs.append(round(t, 3))
+            spark.catalog.clearCache()
+        srt = sorted(runs)
+        report[name] = {
+            "runs": runs,
+            "median_sec": srt[len(srt) // 2],
+            "min_sec": srt[0],
+        }
+        print(f"# watch {name}: runs={runs}", file=sys.stderr)
+    floor_after = _calibrate(spark)
+    print(json.dumps({
+        "metric": "watch_requeries",
+        "calibration_before_sec": round(floor_before, 3),
+        "calibration_after_sec": round(floor_after, 3),
+        "queries": report,
+        "sf_dir": sf_dir,
+    }))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -265,4 +308,15 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--watch" in sys.argv:
+        args = sys.argv[sys.argv.index("--watch") + 1 :]
+        n_runs = 5
+        if "-n" in args:
+            k = args.index("-n")
+            n_runs = int(args[k + 1])
+            args = args[:k] + args[k + 2 :]
+        if not args:
+            sys.exit("usage: python bench.py --watch QUERY [QUERY...] [-n RUNS]")
+        watch(args, n_runs)
+    else:
+        main()
