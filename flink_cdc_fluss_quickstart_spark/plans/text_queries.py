@@ -2136,6 +2136,59 @@ def span_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_dedup_incremental_frame(d)
 
 
+def span_dedup_step(batch: DataFrame, idx: DataFrame | None) -> tuple[DataFrame, DataFrame]:
+    """One streaming-ingest step of incremental span dedup: rewrite the
+    (doc_id, text) `batch` against the accumulated gram census `idx` (a
+    single-`gh`-column frame; None = first ingest, empty census) and return
+    (rebuilt_batch, distinct_ghs_to_append). A batch span is removed when
+    its gram is already in the census (the keeper lives in an earlier
+    ingest) or repeats within the batch (all but the batch's min-code
+    occurrence go) -- the span_dedup_incremental_frame rule with the index
+    side swapped from an in-plan derivation to the caller's persisted
+    census. Looping this over ANY ascending-doc_id batch split reproduces
+    the one-shot span_dedup_frame of the union exactly (the global min-code
+    keeper is always the earliest ingest's occurrence), proven in
+    tests/test_streaming_dedup.py."""
+    t = _span_tokens(batch)
+    grams = _cached(_span_gram_rows(t))
+    if idx is None:
+        idx = batch.sparkSession.createDataFrame([], "gh long")
+    hit = grams.join(idx, "gh", "left_semi").select("doc_id", "pos")
+    nonidx = grams.join(idx, "gh", "left_anti")
+    bdup = (
+        nonidx.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("code").alias("keeper"))
+        .filter(F.col("c") >= 2)
+    )
+    bstart = (
+        nonidx.join(bdup, "gh")
+        .filter(F.col("code") != F.col("keeper"))
+        .select("doc_id", "pos")
+    )
+    starts = (
+        hit.unionByName(bstart)
+        .groupBy("doc_id")
+        .agg(F.collect_list("pos").alias("starts"))
+    )
+    ti_keeps = lambda x, ti: ~F.exists(  # noqa: E731
+        F.col("starts"),
+        lambda s: (s <= ti.cast("long")) & (ti.cast("long") < s + SPAN_K),
+    )
+    rebuilt = (
+        t.join(starts, "doc_id", "left")
+        .withColumn("starts", F.coalesce(F.col("starts"), F.array().cast("array<int>")))
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            (F.col("n") - F.size(F.filter(F.col("tk"), ti_keeps)))
+            .cast("bigint")
+            .alias("n_removed"),
+            F.concat_ws(" ", F.filter(F.col("tk"), ti_keeps)).alias("clean_text"),
+        )
+    )
+    return rebuilt, grams.select("gh").distinct()
+
+
 def span_dedup_incremental_frame(d: DataFrame) -> DataFrame:
     """Batch-vs-index span dedup over a (doc_id, text) frame (unit-testable
     twin of the registered query; batch membership is doc_id % SPAN_BATCH_MOD)."""

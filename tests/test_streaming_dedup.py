@@ -161,3 +161,75 @@ def test_streaming_minhash_index_matches_batch_pairs(spark, tmp_path):
     assert set(emitted) == expected
     assert len(emitted) == len(set(emitted))  # no pair emitted twice
     assert (3, 13) in expected  # the cross-batch duplicate was caught
+
+
+def test_streaming_span_dedup_matches_batch_of_union(spark, tmp_path):
+    """The daily-ingest span-dedup loop run as a STREAM (the
+    minhash-incremental precedent applied to span dedup): each micro-batch
+    rewrites its documents against the accumulated gram census
+    (plans.text_queries.span_dedup_step), then appends its distinct grams.
+    Over an ascending-doc_id batch split, the union of per-batch rebuilt
+    rows must equal the one-shot span_dedup_frame of the whole corpus --
+    the global min-code keeper is always the earliest ingest's occurrence,
+    so cross-batch repeats are removed from the later doc and batch-internal
+    repeats from all but the batch keeper, exactly as the batch rule does."""
+    import os
+
+    import pandas as pd
+
+    from flink_cdc_fluss_quickstart_spark.plans import text_queries as tq
+
+    span = " ".join(f"s{i}" for i in range(tq.SPAN_K))          # shared 8-gram
+    span2 = " ".join(f"z{i}" for i in range(tq.SPAN_K))         # intra-batch repeat
+    uniq = lambda p, n: " ".join(f"{p}{i}" for i in range(n))   # noqa: E731
+    rows1 = [
+        (1, span + " " + uniq("a", 8)),                # keeper of `span`
+        (2, uniq("b", 8) + " " + span),                # same-batch repeat -> removed
+        (3, uniq("c", 16)),                            # clean doc
+    ]
+    rows2 = [
+        (11, span + " " + uniq("d", 8)),               # cross-batch repeat -> removed
+        (12, span2 + " " + uniq("e", 8)),              # keeper of `span2`
+        (13, uniq("f", 8) + " " + span2),              # same-batch repeat -> removed
+    ]
+    rows3 = [
+        (21, uniq("g", 4) + " " + span2 + " " + span), # repeats from both batches
+        (22, uniq("h", 16)),                           # clean doc
+    ]
+    src, ckpt, census = (str(tmp_path / p) for p in ("src", "ckpt", "census"))
+    os.makedirs(src)
+    for name, rows in (("e1", rows1), ("e2", rows2), ("e3", rows3)):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            os.path.join(src, f"{name}.parquet"), index=False
+        )
+
+    emitted = {}
+
+    def fb(batch_df, batch_id):
+        idx = spark.read.parquet(census) if os.path.exists(census) else None
+        rebuilt, ghs = tq.span_dedup_step(batch_df, idx)
+        emitted.update({r["doc_id"]: r.asDict() for r in rebuilt.collect()})
+        ghs.write.mode("append").parquet(census)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "span dedup stream did not drain"
+
+    all_docs = spark.createDataFrame(
+        rows1 + rows2 + rows3, "doc_id bigint, text string"
+    )
+    expected = {r["doc_id"]: r.asDict() for r in tq.span_dedup_frame(all_docs).collect()}
+    assert emitted == expected
+    # spot-check the planted semantics actually fired
+    assert emitted[1]["n_removed"] == 0          # keeper survives intact
+    assert emitted[2]["n_removed"] == tq.SPAN_K  # batch-internal repeat removed
+    assert emitted[11]["n_removed"] == tq.SPAN_K # cross-batch repeat removed
+    assert emitted[21]["n_removed"] == 2 * tq.SPAN_K  # both spans removed
+    assert emitted[22]["n_removed"] == 0

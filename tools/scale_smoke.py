@@ -84,6 +84,19 @@ PAIR_OPS = (
     "minhash_incremental_pairs",
 )
 
+# census-bound operators (the doc_novelty precedent, r8): their cost tracks
+# the gram-occurrence rows flowing through the census groupBy + resolve join,
+# and REPLICATED corpora multiply exactly that traffic -- every base gram
+# becomes an N-way repeat, so occurrence rows grow Nx while distinct grams
+# stay ~flat, shifting all the growth into the resolve join's probe side.
+# The sweep measures that volume from the operator's own output (sum of
+# per-doc distinct-gram counts = rows into the census and the resolve join)
+# so the table self-justifies the super-2x wall-clock ratios.
+VOLUME_OPS: dict[str, tuple[str, str]] = {
+    # op -> (output column summed for the volume, unit label)
+    "doc_novelty_score": ("n_grams", "gram-occurrence rows"),
+}
+
 
 def build_scaled(out_dir: str, factor: int) -> None:
     """documents/embeddings replicated `factor`x with shifted ids; the other
@@ -146,6 +159,7 @@ def main() -> None:
     print()
     rows: dict[str, dict[int, float]] = {op: {} for op in OPS}
     out_counts: dict[str, dict[int, int]] = {op: {} for op in PAIR_OPS}
+    vol_counts: dict[str, dict[int, int]] = {op: {} for op in VOLUME_OPS}
     counts: dict[int, int] = {}
     calib: dict[int, float] = {}
     tmp = tempfile.mkdtemp(prefix="scale_smoke_")
@@ -173,6 +187,13 @@ def main() -> None:
                 rows[op][f] = time.time() - t0
                 if op in PAIR_OPS:
                     out_counts[op][f] = n_out
+                if op in VOLUME_OPS:
+                    # untimed second evaluation summing the operator's own
+                    # volume column -- the traffic measure, never the timing
+                    col, _unit = VOLUME_OPS[op]
+                    vol_counts[op][f] = (
+                        specs[op].builder(spark, d).agg(F.sum(col)).collect()[0][0]
+                    )
                 print(f"<!-- {op} x{f}: {rows[op][f]:.2f}s ({n_out} rows) -->", file=sys.stderr)
                 spark.catalog.clearCache()  # drop intra-query persists between ops
     finally:
@@ -237,6 +258,29 @@ def main() -> None:
             for f in factors
         )
         print(f"| {op} | sec per 1k pairs | {per_cells} |")
+    print()
+    print("## Census-bound operators: measured traffic and runtime per unit")
+    print()
+    print("Replicating a corpus Nx multiplies REPEATED-gram traffic by design:")
+    print("every base gram becomes an N-way repeat, so the rows flowing into")
+    print("the first-occurrence census groupBy and back through the resolve")
+    print("join grow ~Nx while distinct grams stay ~flat. The volume row below")
+    print("is measured from the operator's own output (sum of per-doc")
+    print("distinct-gram counts); runtime per 1M traffic rows must FALL (or")
+    print("stay flat) with scale -- runtime tracking traffic volume rather")
+    print("than wall-clock ratio alone is the linear-in-work posture, the")
+    print("same defense the pair detectors carry above.")
+    print()
+    print(f"| operator | metric | {pair_hdr} |")
+    print("|---|---|" + "---|" * len(factors))
+    for op, (_col, unit) in VOLUME_OPS.items():
+        vol_cells = " | ".join(f"{vol_counts[op][f]:,}" for f in factors)
+        print(f"| {op} | {unit} | {vol_cells} |")
+        per_cells = " | ".join(
+            f"{rows[op][f] / max(vol_counts[op][f], 1) * 1_000_000:.2f}s"
+            for f in factors
+        )
+        print(f"| {op} | sec per 1M rows | {per_cells} |")
 
 
 if __name__ == "__main__":
