@@ -192,6 +192,29 @@ PRIORITY: tuple[str, ...] = (
     "ann_recall_report_clustered",
 )
 
+# Names that must stay inside the head-50 regardless of rotation pressure:
+# the reference-core section-2 proofs plus one stamped representative per
+# LLM-pipeline family branch (guard: tests/test_registry_guard.py; the
+# stamp_history rotation suggester also refuses to propose these as
+# rotate-OUT candidates). r8: the split/quality/decontam/recall members
+# moved to their strict-superset successors.
+CRITICAL: frozenset[str] = frozenset(
+    {
+        "revenue_analytics",
+        "betting_tickets_analytics",
+        "range_join_price_bands",
+        "multimodal_feature_extract",
+        "leakage_safe_split_assign",
+        "token_stats_by_lang",
+        "gopher_quality_flags",
+        "decontamination_ngrams",
+        "bloom_decontamination",
+        "ann_recall_report_clustered",
+        "bigram_lm_surprisal",
+        "curriculum_order",
+    }
+)
+
 # Family-coverage ledger for every registered query expected to sit OUTSIDE
 # the external verifier's 50-row budget: tail name -> (stamped sibling inside
 # the budget, why the sibling keeps the family proven). The guard test

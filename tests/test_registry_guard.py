@@ -188,25 +188,11 @@ def test_priority_names_exist_and_lead_the_ordering():
     # the section-2-critical + LLM-pipeline names must sit inside the first
     # 50 emitted queries (bounded verification budget upstream)
     head = set(names[:50])
-    # r8: the split/quality/decontam/recall representatives moved to their
-    # strict-superset successors (leakage-safe split composes the md5 split
-    # rule, Gopher recomputes the quality-signal shapes, the clustered
-    # recall report composes the base report's machinery)
-    critical = {
-        "revenue_analytics",
-        "betting_tickets_analytics",
-        "range_join_price_bands",
-        "multimodal_feature_extract",
-        "leakage_safe_split_assign",
-        "token_stats_by_lang",
-        "gopher_quality_flags",
-        "decontamination_ngrams",
-        "bloom_decontamination",
-        "ann_recall_report_clustered",
-        "bigram_lm_surprisal",
-        "curriculum_order",
-    }
-    assert critical <= head, f"critical queries past position 50: {critical - head}"
+    # the CRITICAL set is declared next to PRIORITY in the registry (r8)
+    # so the rotation suggester shares it; this guard enforces it
+    from flink_cdc_fluss_quickstart_spark.plans.registry import CRITICAL
+
+    assert CRITICAL <= head, f"critical queries past position 50: {CRITICAL - head}"
 
 
 def test_every_tail_query_has_a_stamped_sibling_note():
