@@ -523,6 +523,14 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " over the same tokenization; same frequency-split join + top-k"
         " window family; tfidf stamped r3-r7",
     ),
+    "soft_dedup_weights": (
+        "leakage_safe_split_assign",
+        "identical composed minhash-pair graph + pointer-jumping CC (new"
+        " r8); adds only a component-keyed count window and one row-local"
+        " division of exact BIGINTs; weight semantics (1/cluster,"
+        " sum(weight) = n_clusters, singletons 1.0) planted-tested in"
+        " tests/test_corpus_ops.py; scheduled for the r9 rotation",
+    ),
     "embedding_dedup_representatives": (
         "leakage_safe_split_assign",
         "the stamped split composes the identical pointer-jumping"

@@ -1197,6 +1197,64 @@ def leakage_safe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "soft_dedup_weights",
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_MH_SQL.format(mh_exprs=_MH_EXPRS)}),
+    pairs AS (
+      SELECT DISTINCT id_a, id_b FROM (
+        {_band_pairs_sql("sig")}
+      )
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION ALL
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(s, d) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+    ),
+    comp AS (SELECT s AS doc_id, MIN(d) AS component_id FROM reach GROUP BY s)
+    SELECT doc_id, component_id,
+           CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT)
+             AS cluster_size,
+           CAST(1 AS DOUBLE)
+             / CAST(COUNT(*) OVER (PARTITION BY component_id) AS DOUBLE)
+             AS weight
+    FROM comp
+    """,
+    description="Soft dedup: per-document training weights that DOWNWEIGHT"
+    " repeated content instead of dropping it (the reweighting alternative"
+    " to hard dedup -- SoftDedup, He et al. 2024, with near-dup cluster"
+    " mass as the commonness measure): weight = 1 / |near-dup cluster|, so"
+    " every cluster contributes exactly one document's worth of gradient"
+    " mass whatever its copy count, singletons keep weight 1.0, and"
+    " sum(weight) = the deduplicated corpus size (the effective-dataset"
+    " check a loss-weighted loader runs). Composes the stamped MinHash-LSH"
+    " pair graph + pointer-jumping CC (the leakage_safe_split_assign"
+    " composition) and adds ONE component-keyed count window + a row-local"
+    " division of exact BIGINTs -- the single extra shuffle is"
+    " component-keyed, and at 100 TB the window input is (doc_id,"
+    " component_id) pairs, never text.",
+)
+def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    sig = dedup.minhash_signature(d, "doc_id", "text")
+    pairs = dedup.minhash_band_pairs(sig, "doc_id", dedup.BAND_COLS)
+    comp = dedup.connected_components(pairs, d.select("doc_id"), id_col="doc_id")
+    size = F.count(F.lit(1)).over(Window.partitionBy("component_id")).cast("bigint")
+    return comp.select(
+        "doc_id",
+        "component_id",
+        size.alias("cluster_size"),
+        (F.lit(1).cast("double") / size.cast("double")).alias("weight"),
+    )
+
+
+@register(
     "repetition_signals",
     oracle="""
     WITH docs AS (

@@ -669,3 +669,39 @@ def test_leakage_safe_split_cluster_atomicity(spark):
     assert any(r.n_doc_splits > 1 for r in per_cluster), (
         "doc-granular split should straddle >= 1 cluster on this corpus"
     )
+
+
+# --- soft dedup reweighting (soft_dedup_weights) ----------------------------
+
+
+def test_soft_dedup_weights_semantics(spark):
+    """Planted clusters: a 3-member near-dup clique gets weight 1/3 each,
+    singletons keep 1.0, and sum(weight) equals the number of clusters (the
+    effective-dataset-size invariant a loss-weighted loader checks)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    base = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        (1, base),
+        (2, base + " tail"),        # near-dup of 1
+        (3, base),                  # exact dup of 1 -> same clique
+        (4, " ".join(f"x{i}" for i in range(30))),  # singleton
+        (5, " ".join(f"y{i}" for i in range(30))),  # singleton
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+            lang="en", source="t", n_chars=[len(t) for _, t in rows]
+        ).to_parquet(os.path.join(td, "documents.parquet"), index=False)
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in get("soft_dedup_weights").builder(spark, td).collect()
+        }
+    assert {out[i]["cluster_size"] for i in (1, 2, 3)} == {3}
+    assert out[1]["component_id"] == out[2]["component_id"] == out[3]["component_id"]
+    assert all(out[i]["weight"] == 1.0 for i in (4, 5))
+    assert abs(sum(r["weight"] for r in out.values()) - 3.0) < 1e-12  # 3 clusters

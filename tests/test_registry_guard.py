@@ -105,6 +105,7 @@ EXPECTED = {
     "collocation_pmi",
     "dedup_components",
     "dedup_keep_representatives",
+    "soft_dedup_weights",
     "repetition_signals",
     "span_dedup_text",
     "span_dedup_incremental",

@@ -59,6 +59,7 @@ OPS = (
     "minhash_incremental_pairs",
     "span_dedup_text",
     "span_dedup_incremental",
+    "soft_dedup_weights",
     "doc_novelty_score",
     "nb_quality_score",
     "bpe_merge_candidates",
