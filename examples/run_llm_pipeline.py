@@ -16,6 +16,8 @@ real pipeline ships:
     2f. doc_novelty_score         -- low-novelty (recombined boilerplate) scan
     3. dedup_keep_representatives -- one doc per near-dup cluster
     3b. semantic_dedup_prune      -- embedding-side SemDeDup keep rates
+    3c. soft_dedup_weights        -- the reweighting alternative: 1/cluster
+                                     training weights + effective corpus size
     4. leakage_safe_split_assign  -- cluster-atomic train/val/test membership
                                      (near-dup clusters never straddle splits)
     5. decontamination_ngrams     -- flag test-set overlap
@@ -124,6 +126,13 @@ def main() -> None:
 
     reps = q["dedup_keep_representatives"].builder(spark, sf_dir).select("doc_id")
     clean = kept_route.join(fluent, "doc_id").join(reps, "doc_id")
+
+    print("== 3c. soft-dedup weights (reweight instead of drop: effective size)")
+    q["soft_dedup_weights"].builder(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("weight").alias("effective_docs"),
+        F.max("cluster_size").alias("largest_cluster"),
+    ).show()
 
     print("== 3b. semantic dedup (SemDeDup keep rate per k-means cell)")
     q["semantic_dedup_prune"].builder(spark, sf_dir).groupBy("cluster").agg(
