@@ -51,16 +51,51 @@ def decode_media(payload: bytes, media_type: str, mode: str = "stub") -> list[fl
     """Decode one payload into a FEATURE_DIMS-dim feature vector.
 
     mode="real" is the integration point for actual codecs (PIL/ffmpeg/...):
-    NOT implemented in this container. mode="stub" is a deterministic fake:
-    feature k is the k-th 4-hex-digit group of md5(payload) scaled to [0, 1].
+    NOT implemented in this container. mode="raster" runs real signal math
+    over the deterministic byte raster (the pHash precedent: only the
+    decode step is stood in for): mean level, contrast (std), low-frequency
+    DCT energy share, and edge energy -- the feature set a quality gate
+    thresholds on. mode="stub" (default, SQL-expressible) is a
+    deterministic fake: feature k is the k-th 4-hex-digit group of
+    md5(payload) scaled to [0, 1].
     """
     if mode == "real":
         raise NotImplementedError(
             "real media decoding requires codec libraries not present in this "
             "environment; wire PIL/torchaudio/ffmpeg here in production"
         )
+    if mode == "raster":
+        return raster_features(payload)
     digest = hashlib.md5(payload).hexdigest()
     return [int(digest[4 * k : 4 * k + 4], 16) / 65535.0 for k in range(FEATURE_DIMS)]
+
+
+def raster_features(payload: bytes) -> list[float]:
+    """Real signal statistics over the byte raster (swap bytes->raster for
+    decode+grayscale+resize in production; the math below is unchanged):
+
+    f0 mean level in [0, 1]         -- brightness
+    f1 std dev in [0, 1]            -- contrast (0 for a constant payload)
+    f2 low-frequency DCT energy share -- structure vs noise (AC coeffs of the
+       8x8 low block over total AC energy; DC excluded from both sides)
+    f3 mean absolute horizontal gradient in [0, 1] -- edge energy
+    """
+    import numpy as np
+
+    n = 32
+    b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+    if b.size == 0:
+        b = np.zeros(1, dtype=np.float64)
+    pos = np.linspace(0.0, b.size - 1.0, n * n)
+    img = np.interp(pos, np.arange(b.size, dtype=np.float64), b).reshape(n, n)
+    d = _dct_matrix(n)
+    coeffs = d @ img @ d.T
+    ac = coeffs**2
+    ac[0, 0] = 0.0
+    total = float(ac.sum())
+    low_share = float(ac[:8, :8].sum()) / total if total > 0 else 0.0
+    grad = float(np.abs(np.diff(img, axis=1)).mean()) / 255.0
+    return [float(img.mean()) / 255.0, float(img.std()) / 255.0, low_share, grad]
 
 
 def extract_features(frame: DataFrame, mode: str = "stub") -> DataFrame:

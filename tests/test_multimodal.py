@@ -66,3 +66,46 @@ def test_extract_features_pipeline(spark):
     assert [rows[1][f"f{k}"] for k in range(4)] == expected
     # re-running is deterministic (no per-partition / per-batch state leaks)
     assert out.collect() == out.collect()
+
+
+def test_raster_features_respond_to_signal_structure():
+    """mode="raster" computes real signal statistics over the byte raster:
+    a constant payload has zero contrast and zero edge energy, a smooth ramp
+    concentrates its AC energy in the low-frequency DCT block, and an
+    alternating (max-frequency) payload shows high edge energy with almost
+    no low-frequency share -- the orderings a quality gate thresholds on."""
+    import itertools
+
+    const = bytes([128]) * 400
+    ramp = bytes(range(200)) + bytes(range(200))
+    alt = bytes(itertools.islice(itertools.cycle([0, 255]), 400))
+    f_const = multimodal.decode_media(const, "image/png", mode="raster")
+    f_ramp = multimodal.decode_media(ramp, "image/png", mode="raster")
+    f_alt = multimodal.decode_media(alt, "image/png", mode="raster")
+    assert f_const[1] == 0.0 and f_const[3] == 0.0      # no contrast, no edges
+    assert f_ramp[2] > 0.8                               # low-frequency dominated
+    assert f_ramp[3] < 0.01                              # smooth
+    assert f_alt[3] > 0.25                               # edge-dominated
+    assert f_alt[2] < 0.01                               # no low-frequency mass
+    assert f_ramp[2] > f_text_low_share() > f_alt[2]     # text sits between
+
+
+def f_text_low_share():
+    payload = ("the spark engine rewrites every query plan " * 10).encode()
+    return multimodal.decode_media(payload, "text/plain", mode="raster")[2]
+
+
+def test_raster_mode_flows_through_extract_features(spark):
+    """The Arrow mapInPandas seam accepts the raster mode unchanged: same
+    schema, per-row features equal the local function's output."""
+    docs = spark.createDataFrame(
+        [(1, "constant constant constant"), (2, "a b c d e f g h i j")],
+        "doc_id bigint, text string",
+    )
+    frame = multimodal.attach_payload(docs)
+    rows = {
+        r["doc_id"]: [r[f"f{k}"] for k in range(multimodal.FEATURE_DIMS)]
+        for r in multimodal.extract_features(frame, mode="raster").collect()
+    }
+    for doc_id, text in [(1, "constant constant constant"), (2, "a b c d e f g h i j")]:
+        assert rows[doc_id] == multimodal.raster_features(text.encode())
