@@ -310,7 +310,9 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
     ),
     "token_budget_mix_plan": (
         "pack_efficiency_report",
-        "single source-keyed agg + broadcast scalar + row-local math, the stamped report shape",
+        "single source-keyed agg + broadcast scalar + row-local math, the"
+        " stamped report shape; sqrt-weighted quota semantics"
+        " planted-tested in tests/test_corpus_ops.py (r8)",
     ),
     # text features whose outputs are recomputed and verified inside stamped
     # downstream consumers
@@ -364,7 +366,9 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
     "embedding_l2_topk": (
         "rrf_hybrid_retrieval",
         "same broadcast-query brute-force scan + bounded top-k window as the"
-        " fusion's semantic arm; only the metric expression differs",
+        " fusion's semantic arm; only the metric expression differs;"
+        " exact planted-line top-k semantics tested in"
+        " tests/test_corpus_ops.py (r8)",
     ),
     "embedding_cosine_topk": (
         "rrf_hybrid_retrieval",
@@ -413,7 +417,9 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
     "bpe_merge_candidates": (
         "collocation_pmi",
         "same pair-count rollup + TakeOrdered global top-k shape at"
-        " character level over the vocab instead of word level over docs",
+        " character level over the vocab instead of word level over docs;"
+        " frequency-weighted top-pair semantics planted-tested in"
+        " tests/test_corpus_ops.py (r8)",
     ),
     # reference-core family variants rotated out in r7 (siblings stay stamped)
     "changelog_apply_snapshot": (
@@ -472,7 +478,9 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "embedding_ivfpq_topk",
         "same floor-scaled corpus aggregate + broadcast-vector"
         " fixed-iteration family (Lloyd vs power method); the stamped"
-        " searcher's coarse Lloyd chain proves the shape",
+        " searcher's coarse Lloyd chain proves the shape; planted-axis"
+        " loading + eigenvalue semantics tested in tests/test_corpus_ops.py"
+        " (r8)",
     ),
     "embedding_ann_multiprobe": (
         "ann_recall_report_clustered",

@@ -705,3 +705,127 @@ def test_soft_dedup_weights_semantics(spark):
     assert out[1]["component_id"] == out[2]["component_id"] == out[3]["component_id"]
     assert all(out[i]["weight"] == 1.0 for i in (4, 5))
     assert abs(sum(r["weight"] for r in out.values()) - 3.0) < 1e-12  # 3 clusters
+
+
+# --- round-9 stamp candidates: planted semantics ----------------------------
+# (bpe_merge_candidates / token_budget_mix_plan / embedding_pca_top_component
+# / embedding_l2_topk carry repo-oracle parity already; these pin the
+# intended MEANING on constructed inputs, the stamp-case prerequisite.)
+
+
+def _write_docs(td, rows):
+    import os
+
+    import pandas as pd
+
+    pd.DataFrame(rows, columns=["doc_id", "text"]).assign(
+        lang="en", source=[s for s, _ in zip(["a", "b"] * len(rows), rows)], n_chars=1
+    ).to_parquet(os.path.join(td, "documents.parquet"), index=False)
+
+
+def test_bpe_merge_candidates_top_pair(spark):
+    """The top merge candidate is the most frequent adjacent character pair,
+    weighted by token frequency: 'zzz' x3 contributes 6 'zz' pairs (2 per
+    occurrence), beating 'ab' x2."""
+    import tempfile
+
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    with tempfile.TemporaryDirectory() as td:
+        _write_docs(td, [(1, "zzz zzz zzz"), (2, "ab ab")])
+        out = get("bpe_merge_candidates").builder(spark, td).collect()
+    assert (out[0]["pair"], out[0]["pair_count"]) == ("zz", 6)
+    assert {(r["pair"], r["pair_count"]) for r in out} >= {("zz", 6), ("ab", 2)}
+
+
+def test_token_budget_mix_plan_sqrt_weighting(spark):
+    """Quotas follow tokens^0.5 exactly: a source with 4x the tokens gets
+    2x the quota (not 4x -- the temperature flattening), floors and all;
+    repeat_factor = quota / available."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from flink_cdc_fluss_quickstart_spark.plans.pipeline_queries import (
+        MIX_BUDGET_TOKENS,
+    )
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    rows = [
+        # source a: 1 doc x 100 tokens; source b: 4 docs x 100 tokens
+        (1, " ".join(f"w{i}" for i in range(100)), "a"),
+        *[(10 + k, " ".join(f"v{i}" for i in range(100)), "b") for k in range(4)],
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"]).assign(
+            lang="en", n_chars=1
+        ).to_parquet(os.path.join(td, "documents.parquet"), index=False)
+        out = {r["source"]: r.asDict() for r in get("token_budget_mix_plan").builder(spark, td).collect()}
+    a, b = out["a"], out["b"]
+    assert (a["tokens_available"], b["tokens_available"]) == (100, 400)
+    # weights 10:20 -> quotas floor(1/3 B) and floor(2/3 B)
+    assert a["quota_tokens"] == MIX_BUDGET_TOKENS // 3
+    assert b["quota_tokens"] == (2 * MIX_BUDGET_TOKENS) // 3
+    assert a["repeat_factor"] == a["quota_tokens"] / 100.0
+    assert b["repeat_factor"] == b["quota_tokens"] / 400.0
+
+
+def _write_embeddings(td, vecs):
+    import os
+
+    import pandas as pd
+
+    pd.DataFrame(
+        {
+            "vec_id": [v[0] for v in vecs],
+            "embedding": [[float(x) for x in v[1]] for v in vecs],
+            "label": [int(v[0]) % 8 for v in vecs],
+        }
+    ).to_parquet(os.path.join(td, "embeddings.parquet"), index=False)
+
+
+def test_embedding_l2_topk_exact_on_planted_line(spark):
+    """Query vec 0 at the origin; neighbors k=1..6 sit at distance k along
+    dim 0 -> top-5 is exactly [1..5] with dist_sq [1, 4, 9, 16, 25]."""
+    import tempfile
+
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    dim = 64
+    vecs = [(0, [0.0] * dim)]
+    for k in range(1, 7):
+        v = [0.0] * dim
+        v[0] = float(k)
+        vecs.append((k, v))
+    with tempfile.TemporaryDirectory() as td:
+        _write_embeddings(td, vecs)
+        out = sorted(
+            (r["rank"], r["neighbor_id"], r["dist_sq"])
+            for r in get("embedding_l2_topk").builder(spark, td).collect()
+        )
+    assert [(n, round(d)) for _, n, d in out] == [(1, 1), (2, 4), (3, 9), (4, 16), (5, 25)]
+
+
+def test_embedding_pca_top_component_finds_planted_axis(spark):
+    """Vectors spread along axis 3 only (k * e3, k = -5..5, zero mean):
+    the top component's loading concentrates on dim 3 (|loading| ~ 1, all
+    other dims ~ 0) and the eigenvalue equals the planted variance."""
+    import tempfile
+
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    dim = 64
+    vecs = []
+    for i, k in enumerate(range(-5, 6)):
+        v = [0.0] * dim
+        v[3] = float(k)
+        vecs.append((i, v))
+    with tempfile.TemporaryDirectory() as td:
+        _write_embeddings(td, vecs)
+        out = {r["dim"]: r.asDict() for r in get("embedding_pca_top_component").builder(spark, td).collect()}
+    assert abs(abs(out[3]["loading"]) - 1.0) < 1e-6
+    others = max(abs(out[d]["loading"]) for d in out if d != 3)
+    assert others < 1e-6
+    # planted variance: mean 0, sum(k^2)/n = 110/11 = 10
+    assert abs(out[3]["eigenvalue"] - 10.0) < 1e-3
