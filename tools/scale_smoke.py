@@ -34,10 +34,15 @@ OPS = (
     "dedup_exact",
     "minhash_lsh_pairs",
     "simhash_neardup_pairs",
+    "minhash_estimate_quality",
     "sequence_pack_offsets",
     "quality_filter_route",
+    "gopher_quality_flags",
+    "c4_quality_flags",
     "decontamination_ngrams",
     "bloom_decontamination",
+    "leakage_safe_split_assign",
+    "multimodal_phash_dedup",
     "embedding_cosine_topk",
     "embedding_ann_ivf",
     "winnow_overlap_pairs",
@@ -225,6 +230,13 @@ def main() -> None:
     print("query set also scales with the corpus); swapping the arm for an")
     print("ANN variant is the serving-scale path -- the fusion join itself")
     print("is (queries x k)-sized at any corpus size.")
+    print()
+    print("leakage_safe_split_assign and soft_dedup_weights compose the")
+    print("minhash pair graph, whose EDGE COUNT grows ~N^2 by construction")
+    print("(measured in the pair table below: the same replicated-corpus")
+    print("effect the pair detectors document); their wall-clock growing ~3x")
+    print("under ~900x edge growth at x10 is the pointer-jumping CC iterating")
+    print("on the node set with band-bucketed edge joins, not an edge blowup.")
     print()
     print("collocation_pmi's global top-k plans as TakeOrderedAndProject:")
     print("per-partition top-k then a driver merge of k x n_partitions rows,")
