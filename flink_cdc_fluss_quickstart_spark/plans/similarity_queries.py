@@ -1339,7 +1339,7 @@ PQ_ITERS = 2  # Lloyd rounds per subspace codebook (fixed -> unrollable)
 PQ_TOPK = 5
 
 
-def _pq_codebooks_and_codes(emb: DataFrame) -> tuple[list[DataFrame], DataFrame]:
+def _pq_codebooks_and_codes(emb: DataFrame, include_coarse: bool = False):
     """Train the PQ codebooks (Jegou et al. 2011: an independent PQ_K-center
     Lloyd k-means per PQ_SUBDIM-dim subspace, reusing _km_assign/_km_update
     op-for-op) and encode the corpus. Returns (per-subspace centroid frames,
@@ -1357,7 +1357,17 @@ def _pq_codebooks_and_codes(emb: DataFrame) -> tuple[list[DataFrame], DataFrame]
     The trained codebook frame (PQ_M * PQ_K rows) is PERSISTED: ADC
     consumes it twice (corpus encoding + query distance tables); lazy
     persist, so plan builds still run no job -- in production the codebook
-    is the artifact you checkpoint anyway."""
+    is the artifact you checkpoint anyway.
+
+    include_coarse=True (the IVF-PQ composition, r8) fuses the COARSE
+    KMEANS_K-center Lloyd chain into the SAME union frame as subspace
+    m=PQ_M over the full-dim vectors: the distance/argmin/update
+    expressions are character-identical to _km_assign/_km_update (_KM_D2 ==
+    _PQ_D2, same floor-scaled update), and every aggregate keys on m, so
+    per-m results are bit-identical to the separate chains while the
+    training pays ONE assign+update pair of stages per round instead of
+    two. KMEANS_ITERS == PQ_ITERS is asserted -- the fusion's precondition.
+    Returns (books, codes, coarse_cents, coarse_assigned) in that mode."""
     from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
 
     subs = emb.select(
@@ -1374,7 +1384,19 @@ def _pq_codebooks_and_codes(emb: DataFrame) -> tuple[list[DataFrame], DataFrame]
             )
         ).alias("s"),
     ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("embedding"))
-    cents = subs.filter(F.col("vec_id") < PQ_K).select(
+    if include_coarse:
+        assert KMEANS_ITERS == PQ_ITERS, "fused chain needs equal Lloyd rounds"
+        subs = subs.unionByName(
+            emb.select(
+                "vec_id", F.lit(PQ_M).cast("int").alias("m"), "embedding"
+            )
+        )
+    init_k = (
+        F.when(F.col("m") < PQ_M, F.lit(PQ_K)).otherwise(F.lit(KMEANS_K))
+        if include_coarse
+        else F.lit(PQ_K)
+    )
+    cents = subs.filter(F.col("vec_id") < init_k).select(
         "m",
         F.col("vec_id").cast("bigint").alias("cluster"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
@@ -1382,7 +1404,18 @@ def _pq_codebooks_and_codes(emb: DataFrame) -> tuple[list[DataFrame], DataFrame]
     for _ in range(PQ_ITERS):
         cents = _pq_update(_pq_assign(subs, cents))
     cents = track_cache(cents.persist())
-    codes = _pq_assign(subs, cents).select(
+    assigned_all = _pq_assign(subs, cents)
+    if include_coarse:
+        books = cents.filter(F.col("m") < PQ_M)
+        codes = assigned_all.filter(F.col("m") < PQ_M).select(
+            "vec_id", "m", F.col("cluster").alias("code"), F.col("__d2").alias("d2")
+        )
+        coarse_cents = cents.filter(F.col("m") == PQ_M).select("cluster", "cv")
+        coarse_assigned = assigned_all.filter(F.col("m") == PQ_M).select(
+            "vec_id", F.col("cluster").alias("coarse")
+        )
+        return books, codes, coarse_cents, coarse_assigned
+    codes = assigned_all.select(
         "vec_id",
         "m",
         F.col("cluster").alias("code"),
@@ -1641,28 +1674,22 @@ def ivfpq_topk_frame(emb: DataFrame) -> DataFrame:
     vectors, not cell residuals; residual refinement is a drop-in at the
     codes seam). Reuses the SAME coarse Lloyd chain as kmeans_embeddings
     and the SAME codebooks as embedding_pq_codes, so the oracle CTE chains
-    compose verbatim.
+    compose verbatim -- and since r8 the coarse chain TRAINS FUSED with the
+    subspace chains as one more m-key of the union Lloyd frame
+    (_pq_codebooks_and_codes include_coarse=True): bit-identical per-m
+    results (the assign/update expressions are character-equal), half the
+    training stages.
 
     Scale shape: coarse centroids (K x DIM) and codebooks broadcast; the
-    per-vector cell assignment is the cached Lloyd output; the candidate
-    filter is a broadcast semi-join on (query, cell); expected candidates
-    = corpus * NPROBE / K."""
+    per-vector cell assignment is the fused chain's m=PQ_M slice; the
+    candidate filter is a broadcast semi-join on (query, cell); expected
+    candidates = corpus * NPROBE / K."""
     from pyspark.sql.window import Window
 
-    from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
-
-    # coarse quantizer: ONE Lloyd chain; centroids pinned (router + assigner
-    # both consume them), assignment pinned (candidate filter reuses it)
-    cents = emb.filter(F.col("vec_id") < KMEANS_K).select(
-        F.col("vec_id").cast("bigint").alias("cluster"),
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
-    )
-    for _ in range(KMEANS_ITERS):
-        cents = _km_update(_km_assign(emb, cents))
-    cents = track_cache(cents.persist())
-    assigned = track_cache(
-        _km_assign(emb, cents).select("vec_id", F.col("cluster").alias("coarse")).persist()
-    )
+    # one fused Lloyd chain trains the coarse quantizer AND the 4 subspace
+    # codebooks; the persisted centroid frame feeds router, encoder, and
+    # distance tables alike
+    books, codes, cents, assigned = _pq_codebooks_and_codes(emb, include_coarse=True)
     d2q = (
         "aggregate(zip_with(qv, cv, (x, y) ->"
         " CAST(floor((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) * 1e12)"
@@ -1680,8 +1707,7 @@ def ivfpq_topk_frame(emb: DataFrame) -> DataFrame:
         .filter(F.col("pr") <= IVFPQ_NPROBE)
         .select("query_id", F.col("cluster").alias("coarse"))
     )
-    # fine side: PQ codes + per-query distance tables (the ADC machinery)
-    books, codes = _pq_codebooks_and_codes(emb)
+    # fine side: per-query distance tables over the fused chain's codebooks
     qsubs = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.explode(
