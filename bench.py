@@ -107,7 +107,10 @@ def streaming_envelope(spark, rows_per_sec: int = 100, run_secs: int = 25) -> di
     # concurrent-envelope p95; without it a single long batch stage holds all
     # executor threads for its full duration.
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", "latency")
-    with tempfile.TemporaryDirectory() as ckpt:
+    # ignore_cleanup_errors: state-store maintenance threads can still be
+    # compacting checkpoint files for a beat after q.stop() returns; a
+    # cleanup race must not fail the bench run
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as ckpt:
         q = (
             windowed.writeStream.format("memory")
             .queryName("bench_envelope")

@@ -35,6 +35,8 @@ real pipeline ships:
     13. bpe_merge_candidates      -- tokenizer merge table of the corpus
     14. kmv_distinct_tokens +     -- bounded-state corpus monitors: vocab
         countmin_heavy_hitters       cardinality + heavy-hitter tokens
+    14b. quantile_sketch_report   -- length-distribution monitor: log-histogram
+                                     p50/p90 graded against the exact ranks
     15. textrank_keywords         -- graph-centrality keyword vocabulary
     16. embedding_decontamination -- semantic (paraphrase) leak audit over
                                      the embedding table
@@ -216,6 +218,9 @@ def main() -> None:
     print("== 14. corpus monitors (distinct-count sketch + heavy hitters)")
     q["kmv_distinct_tokens"].builder(spark, sf_dir).orderBy("lang").show()
     q["countmin_heavy_hitters"].builder(spark, sf_dir).limit(5).show()
+
+    print("== 14b. length-distribution monitor (log-histogram quantile sketch)")
+    q["quantile_sketch_report"].builder(spark, sf_dir).orderBy("lang", "q").show()
 
     print("== 15. keyword vocabulary (top-5 TextRank centrality)")
     q["textrank_keywords"].builder(spark, sf_dir).limit(5).show()

@@ -127,8 +127,11 @@ def get(name: str) -> QuerySpec:
 # The remaining 7 never-stamped names (span_dedup_incremental,
 # bpe_merge_candidates, token_budget_mix_plan, embedding_pca_top_component,
 # embedding_pq_codes, embedding_l2_topk, pq_adc_recall_report) are
-# scheduled for the round-9 rotation; each keeps its coverage note + the
-# identical repo-side oracle hash check meanwhile.
+# scheduled for the round-9 rotation, along with the two operators ADDED
+# in round 8 (soft_dedup_weights, quantile_sketch_report -- the c4/phash
+# stay-tail-when-slots-are-tight precedent); each keeps its coverage note,
+# a planted-semantics test, and the identical repo-side oracle hash check
+# meanwhile.
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -530,6 +533,15 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "bm25's df-capped posting lists recompute the tf/df/idf statistics"
         " over the same tokenization; same frequency-split join + top-k"
         " window family; tfidf stamped r3-r7",
+    ),
+    "quantile_sketch_report": (
+        "token_stats_by_lang",
+        "the exact side IS the stamped rank-selection percentile machinery"
+        " (same lang-keyed window); the sketch side is one bounded"
+        " (lang, bin) counting aggregate -- the kmv/countmin bounded-state"
+        " family -- with its accuracy graded in-row and the est <= exact <"
+        " 2*est bound planted-tested in tests/test_corpus_ops.py (new r8,"
+        " scheduled for the r9 rotation)",
     ),
     "soft_dedup_weights": (
         "leakage_safe_split_assign",

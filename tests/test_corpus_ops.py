@@ -829,3 +829,44 @@ def test_embedding_pca_top_component_finds_planted_axis(spark):
     assert others < 1e-6
     # planted variance: mean 0, sum(k^2)/n = 110/11 = 10
     assert abs(out[3]["eigenvalue"] - 10.0) < 1e-3
+
+
+def test_quantile_sketch_bound_and_exactness(spark):
+    """Planted per-lang token counts: on power-of-2 counts the sketch is
+    EXACT (rel_error 0); on off-power counts the bin lower edge holds the
+    est <= exact < 2*est bound; the exact column always equals the true
+    discrete-rank percentile."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    def doc(i, lang, n):
+        return (i, " ".join(f"w{j}" for j in range(n)), lang)
+
+    rows = [
+        # lang a: counts [4, 4, 4, 8, 16] -> p50 rank 3 = 4 (bin 2, est 4);
+        # p90 rank 5 = 16 (bin 4, est 16) -- both exact
+        doc(1, "a", 4), doc(2, "a", 4), doc(3, "a", 4), doc(4, "a", 8), doc(5, "a", 16),
+        # lang b: counts [5, 5, 5, 9, 17] -> p50 = 5 (bin 2, est 4);
+        # p90 = 17 (bin 4, est 16) -- bounded, not exact
+        doc(11, "b", 5), doc(12, "b", 5), doc(13, "b", 5), doc(14, "b", 9), doc(15, "b", 17),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]).assign(
+            source="t", n_chars=1
+        ).to_parquet(os.path.join(td, "documents.parquet"), index=False)
+        out = {
+            (r["lang"], r["q"]): r.asDict()
+            for r in get("quantile_sketch_report").builder(spark, td).collect()
+        }
+    assert out[("a", "p50")]["est_tokens"] == out[("a", "p50")]["exact_tokens"] == 4
+    assert out[("a", "p90")]["est_tokens"] == out[("a", "p90")]["exact_tokens"] == 16
+    assert out[("a", "p50")]["rel_error"] == 0.0
+    assert (out[("b", "p50")]["est_tokens"], out[("b", "p50")]["exact_tokens"]) == (4, 5)
+    assert (out[("b", "p90")]["est_tokens"], out[("b", "p90")]["exact_tokens"]) == (16, 17)
+    for row in out.values():
+        assert row["est_tokens"] <= row["exact_tokens"] < 2 * row["est_tokens"]
+        assert 0.0 <= row["rel_error"] < 0.5

@@ -80,6 +80,7 @@ EXPECTED = {
     "c4_quality_flags",
     "kmv_distinct_tokens",
     "countmin_heavy_hitters",
+    "quantile_sketch_report",
     "textrank_keywords",
     "char_entropy",
     "zipf_fit_report",

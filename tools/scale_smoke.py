@@ -71,6 +71,7 @@ OPS = (
     "textrank_keywords",
     "kmv_distinct_tokens",
     "countmin_heavy_hitters",
+    "quantile_sketch_report",
     "char_entropy",
     "zipf_fit_report",
     "contrastive_triplets",
