@@ -1316,6 +1316,36 @@ def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 QSKETCH_QS = (50, 90)  # percentiles reported per language
 
 
+def qsketch_tokens_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, lang, n_tokens) projection the sketch and its exact grader
+    share; token counts floored to 1 so the log2 bin is always defined."""
+    return spread(d).select(
+        "doc_id",
+        "lang",
+        F.greatest(text.token_count(F.col("text")).cast("bigint"), F.lit(1)).alias(
+            "n_tokens"
+        ),
+    )
+
+
+def qsketch_hist_frame(tok: DataFrame) -> DataFrame:
+    """The sketch itself: the (lang, bin) -> count log-histogram, ONE
+    counting aggregate with bin = floor(log2 n_tokens). This is the frame
+    that runs unchanged as a STREAMING aggregation (complete mode): state is
+    bounded at ~64 BIGINT cells per language forever, and the drained grid
+    equals the batch histogram of the union because the merge is integer
+    addition -- the Count-Min/KMV mergeable-monitor posture, equivalence
+    asserted in tests/test_streaming_dedup.py."""
+    return (
+        tok.select(
+            "lang",
+            (F.length(F.bin(F.col("n_tokens"))) - 1).cast("bigint").alias("b"),
+        )
+        .groupBy("lang", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 @register(
     "quantile_sketch_report",
     oracle=r"""
@@ -1388,19 +1418,8 @@ def quantile_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    tok = spread(d).select(
-        "doc_id",
-        "lang",
-        F.greatest(text.token_count(F.col("text")).cast("bigint"), F.lit(1)).alias(
-            "n_tokens"
-        ),
-    )
-    binned = tok.select(
-        "lang",
-        "n_tokens",
-        (F.length(F.bin(F.col("n_tokens"))) - 1).cast("bigint").alias("b"),
-    )
-    hist = binned.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    tok = qsketch_tokens_frame(d)
+    hist = qsketch_hist_frame(tok)
     cum = hist.select(
         "lang",
         "b",

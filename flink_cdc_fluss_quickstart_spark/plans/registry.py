@@ -540,8 +540,10 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " (same lang-keyed window); the sketch side is one bounded"
         " (lang, bin) counting aggregate -- the kmv/countmin bounded-state"
         " family -- with its accuracy graded in-row and the est <= exact <"
-        " 2*est bound planted-tested in tests/test_corpus_ops.py (new r8,"
-        " scheduled for the r9 rotation)",
+        " 2*est bound planted-tested in tests/test_corpus_ops.py; streaming"
+        " histogram == batch histogram of the union proven in"
+        " tests/test_streaming_dedup.py, the countmin-grid precedent (new"
+        " r8, scheduled for the r9 rotation)",
     ),
     "soft_dedup_weights": (
         "leakage_safe_split_assign",

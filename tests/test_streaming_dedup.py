@@ -233,3 +233,60 @@ def test_streaming_span_dedup_matches_batch_of_union(spark, tmp_path):
     assert emitted[11]["n_removed"] == tq.SPAN_K # cross-batch repeat removed
     assert emitted[21]["n_removed"] == 2 * tq.SPAN_K  # both spans removed
     assert emitted[22]["n_removed"] == 0
+
+
+def test_quantile_hist_as_streaming_state(spark, tmp_path):
+    """The quantile sketch's (lang, bin) log-histogram is maintained as a
+    STREAMING aggregation: state is bounded (<= langs x 64 BIGINT cells)
+    forever, and after draining an out-of-order two-batch stream the grid
+    equals the batch histogram of the union -- same mergeable-monitor claim
+    the Count-Min grid test measures, applied to distributions."""
+    import os
+
+    import pandas as pd
+
+    from flink_cdc_fluss_quickstart_spark.plans import pipeline_queries as pq
+
+    def doc(i, lang, n):
+        return (i, " ".join(f"w{j}" for j in range(n)), lang)
+
+    rows1 = [doc(1, "a", 4), doc(2, "a", 7), doc(3, "b", 33)]
+    rows2 = [doc(11, "a", 5), doc(12, "b", 1), doc(13, "b", 260)]
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    for name, rows in (("b1", rows1), ("b2", rows2)):
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]).to_parquet(
+            os.path.join(src, f"{name}.parquet"), index=False
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        pq.qsketch_hist_frame(pq.qsketch_tokens_frame(stream))
+        .writeStream.format("memory")
+        .queryName("qsketch_hist_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "histogram stream did not drain"
+
+    streamed = {
+        (r["lang"], r["b"]): r["c"]
+        for r in spark.sql("SELECT * FROM qsketch_hist_stream").collect()
+    }
+    batch = spark.createDataFrame(
+        rows1 + rows2, "doc_id long, text string, lang string"
+    )
+    expected = {
+        (r["lang"], r["b"]): r["c"]
+        for r in pq.qsketch_hist_frame(pq.qsketch_tokens_frame(batch)).collect()
+    }
+    assert streamed == expected
+    # planted bins: 4,5,7 -> b=2; 33 -> b=5; 1 -> b=0; 260 -> b=8
+    assert expected == {("a", 2): 3, ("b", 5): 1, ("b", 0): 1, ("b", 8): 1}
+    assert len(streamed) <= 2 * 64  # bounded state, by construction
