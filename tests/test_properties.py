@@ -162,3 +162,57 @@ def test_global_rank_matches_python_sort(spark, rows):
         for pos, (_score, row_id) in enumerate(sorted((s, i) for i, s in rows))
     }
     assert got == expected
+
+
+# --- quantile sketch vs brute-force Python oracle ----------------------------
+
+qs_corpus = st.dictionaries(
+    st.sampled_from(["a", "b", "c"]),
+    st.lists(st.integers(1, 500), min_size=1, max_size=12),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(qs_corpus)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+def test_quantile_sketch_matches_python_oracle(spark, corpus):
+    """The full report vs an independent Python recomputation on random
+    per-language token-count multisets: the exact column is the true
+    ceil-rank order statistic, the estimate is the log-histogram bin lower
+    edge, and est <= exact < 2*est holds everywhere -- the bound proven for
+    arbitrary inputs, not just the planted fixtures."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    rows, expected, i = [], {}, 0
+    for lang, counts in sorted(corpus.items()):
+        for n in counts:
+            rows.append((i, " ".join(f"w{j}" for j in range(n)), lang))
+            i += 1
+        n_docs = len(counts)
+        bins = sorted(c.bit_length() - 1 for c in counts)
+        ordered = sorted(counts)
+        for q in (50, 90):
+            rank = (q * n_docs + 99) // 100
+            exact = ordered[rank - 1]
+            qbin = bins[rank - 1]  # cum count over sorted bins first reaches rank here
+            expected[(lang, f"p{q}")] = (n_docs, 1 << qbin, exact)
+
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang"]).assign(
+            source="t", n_chars=1
+        ).to_parquet(os.path.join(td, "documents.parquet"), index=False)
+        got = {
+            (r["lang"], r["q"]): (r["n_docs"], r["est_tokens"], r["exact_tokens"])
+            for r in get("quantile_sketch_report").builder(spark, td).collect()
+        }
+    assert got == expected
+    for _n, est, exact in got.values():
+        assert est <= exact < 2 * est
