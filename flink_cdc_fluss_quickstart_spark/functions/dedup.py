@@ -380,34 +380,55 @@ def minhash_signature(
     )
 
 
-def minhash_band_pairs(
-    signatures: DataFrame,
+def minhash_band_keyed(
+    df: DataFrame,
     id_col: str,
-    band_cols: tuple[tuple[str, ...], ...],
+    text_col: str,
+    n_perms: int = N_PERMS,
+    n: int = WORD_SHINGLE_LEN,
+    digest=md5_digest,
+    n_bands: int = N_BANDS,
+    n_rows: int = N_ROWS,
 ) -> DataFrame:
-    """LSH candidate pairs: documents sharing ALL minhash values within any
-    band. The band keys are exploded row-locally to (id, band_idx, band_key)
-    and matched with ONE equi self-join on the compound key -- one exchange
-    total regardless of band count (vs one join per band), and what shuffles
-    is (id, band_idx, 16-byte digest), never documents. '|'-joining the
-    fixed-width components keeps the key injective.
+    """(id, band_idx, band_key) straight from the signature ARRAY: band b's
+    key is the md5 of its n_rows components joined with '|', sliced from the
+    fold accumulator without ever spreading the per-permutation columns.
+    The key strings are byte-identical to minhash_band_pairs' (same
+    components, same '|' join, same md5), but the plan skips the
+    n_perms-wide element_at projection and the band-key re-concat --
+    measurably less analysis + codegen on the cold path, which is what a
+    first-execution bench pays."""
+    out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
+    out = out.select(id_col, F.array_distinct(word_shingle_array("__norm", n)).alias("__sh"))
+    out = out.select(id_col, F.transform(F.col("__sh"), digest).alias("__hs"))
+    out = out.select(
+        id_col, F.transform("__hs", lambda h: _hex_long(h, 1) % _MH_PRIME).alias("__x")
+    )
+    out = out.select(id_col, F.expr(perm_fold_expr(n_perms)).alias("__mh"))
+    keys = F.expr(
+        f"transform(sequence(0, {n_bands - 1}),"
+        f" b -> md5(array_join(transform(slice(__mh, b * {n_rows} + 1, {n_rows}),"
+        f" v -> cast(v as string)), '|')))"
+    )
+    return (
+        out.select(F.col(id_col), F.posexplode(keys))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
+    )
+
+
+def band_self_join(keyed: DataFrame, id_col: str) -> DataFrame:
+    """ONE equi self-join of a (id, band_idx, band_key) frame on the
+    compound key -- one exchange total regardless of band count, and what
+    shuffles is (id, band_idx, 16-byte digest), never documents.
 
     Output: distinct (id_a, id_b) with id_a < id_b.
 
     The keyed frame feeds both self-join sides, so it is persisted: the
-    signature computation (the expensive part) runs once, not per side.
-    """
+    signature computation (the expensive part) runs once, not per side."""
     from pyspark import StorageLevel
 
-    keys = F.array(
-        *[F.md5(F.concat_ws("|", *[F.col(c) for c in cols])) for cols in band_cols]
-    )
-    keyed = _track(
-        signatures.select(F.col(id_col), F.posexplode(keys))
-        .withColumnRenamed("pos", "band_idx")
-        .withColumnRenamed("col", "band_key")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    keyed = _track(keyed.persist(StorageLevel.MEMORY_AND_DISK))
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(
@@ -419,6 +440,29 @@ def minhash_band_pairs(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
+
+
+def minhash_band_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    band_cols: tuple[tuple[str, ...], ...],
+) -> DataFrame:
+    """LSH candidate pairs: documents sharing ALL minhash values within any
+    band. The band keys are exploded row-locally to (id, band_idx, band_key)
+    and matched via band_self_join. '|'-joining the fixed-width components
+    keeps the key injective.
+
+    Output: distinct (id_a, id_b) with id_a < id_b.
+    """
+    keys = F.array(
+        *[F.md5(F.concat_ws("|", *[F.col(c) for c in cols])) for cols in band_cols]
+    )
+    keyed = (
+        signatures.select(F.col(id_col), F.posexplode(keys))
+        .withColumnRenamed("pos", "band_idx")
+        .withColumnRenamed("col", "band_key")
+    )
+    return band_self_join(keyed, id_col)
 
 
 def minhash_band_pairs_against_index(

@@ -511,8 +511,9 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature(d, "doc_id", "text")
-    return dedup.minhash_band_pairs(sig, "doc_id", dedup.BAND_COLS)
+    return dedup.band_self_join(
+        dedup.minhash_band_keyed(d, "doc_id", "text"), "doc_id"
+    )
 
 
 # the NEW-ingest membership rule for the incremental dedup shape: a pure
@@ -1077,8 +1078,9 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature(d, "doc_id", "text")
-    pairs = dedup.minhash_band_pairs(sig, "doc_id", dedup.BAND_COLS)
+    pairs = dedup.band_self_join(
+        dedup.minhash_band_keyed(d, "doc_id", "text"), "doc_id"
+    )
     return dedup.connected_components(
         pairs, d.select("doc_id"), id_col="doc_id"
     )
@@ -1118,8 +1120,9 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_keep_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature(d, "doc_id", "text")
-    pairs = dedup.minhash_band_pairs(sig, "doc_id", dedup.BAND_COLS)
+    pairs = dedup.band_self_join(
+        dedup.minhash_band_keyed(d, "doc_id", "text"), "doc_id"
+    )
     comp = dedup.connected_components(pairs, d.select("doc_id"), id_col="doc_id")
     reps = comp.filter(F.col("doc_id") == F.col("component_id")).select("doc_id")
     return d.join(reps, "doc_id").select("doc_id", "lang", "source", "n_chars")
@@ -1178,8 +1181,9 @@ def _duck_split_bucket(col: str) -> str:
 )
 def leakage_safe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature(d, "doc_id", "text")
-    pairs = dedup.minhash_band_pairs(sig, "doc_id", dedup.BAND_COLS)
+    pairs = dedup.band_self_join(
+        dedup.minhash_band_keyed(d, "doc_id", "text"), "doc_id"
+    )
     comp = dedup.connected_components(pairs, d.select("doc_id"), id_col="doc_id")
     bucket = (
         F.conv(F.substring(F.md5(F.col("component_id").cast("string")), 1, 8), 16, 10)
@@ -1242,8 +1246,9 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signature(d, "doc_id", "text")
-    pairs = dedup.minhash_band_pairs(sig, "doc_id", dedup.BAND_COLS)
+    pairs = dedup.band_self_join(
+        dedup.minhash_band_keyed(d, "doc_id", "text"), "doc_id"
+    )
     comp = dedup.connected_components(pairs, d.select("doc_id"), id_col="doc_id")
     size = F.count(F.lit(1)).over(Window.partitionBy("component_id")).cast("bigint")
     return comp.select(
@@ -3104,8 +3109,9 @@ def _triplets_oracle() -> str:
 )
 def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
-    sig = dedup.minhash_signature(d, "doc_id", "text")
-    pairs = dedup.minhash_band_pairs(sig, "doc_id", dedup.BAND_COLS)
+    pairs = dedup.band_self_join(
+        dedup.minhash_band_keyed(d, "doc_id", "text"), "doc_id"
+    )
     return contrastive_triplets_frame(d.select("doc_id"), pairs)
 
 
