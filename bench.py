@@ -51,8 +51,8 @@ HEADLINE = (
     "dsir_importance_weights",
     "winnow_overlap_pairs",
     "span_dedup_text",
-    "textrank_keywords",
-    "kmv_distinct_tokens",
+    "quantile_sketch_report",
+    "soft_dedup_weights",
     "countmin_heavy_hitters",
     "multimodal_phash_dedup",
     "nb_quality_score",

@@ -124,14 +124,22 @@ def get(name: str) -> QuerySpec:
 # coarse Lloyd chain, PQ codebooks, and ADC scoring end-to-end),
 # embedding_ann_ivf + ann_recall_report (ann_recall_report_clustered runs
 # the same _recall_report composition, which builds and grades _ivf_topk).
-# The remaining 7 never-stamped names (span_dedup_incremental,
-# bpe_merge_candidates, token_budget_mix_plan, embedding_pca_top_component,
-# embedding_pq_codes, embedding_l2_topk, pq_adc_recall_report) are
-# scheduled for the round-9 rotation, along with the two operators ADDED
-# in round 8 (soft_dedup_weights, quantile_sketch_report -- the c4/phash
-# stay-tail-when-slots-are-tight precedent); each keeps its coverage note,
-# a planted-semantics test, and the identical repo-side oracle hash check
-# meanwhile.
+# Round-8 second wave: the two operators ADDED in round 8 rotate IN the
+# round they land (soft_dedup_weights, quantile_sketch_report -- both
+# sf0.01-oracle-checked before rotating), plus span_dedup_incremental (the
+# oldest never-stamped tail name). Out rotate three entries stamped in r7
+# whose families stay proven by head siblings: doc_novelty_score
+# (span_dedup_text computes the same gram census + partitioning-reusing
+# resolve join machinery), kmv_distinct_tokens (countmin_heavy_hitters is
+# the same bounded mergeable map-side-combined sketch fold over the same
+# tokenization), textrank_keywords (collocation_pmi collapses the corpus
+# to the same windowed co-occurrence vocab-pair aggregate; the vocab-sized
+# PageRank iteration stays planted-tested). The remaining 6 never-stamped
+# names (bpe_merge_candidates, token_budget_mix_plan,
+# embedding_pca_top_component, embedding_pq_codes, embedding_l2_topk,
+# pq_adc_recall_report) are scheduled for the round-9 rotation; each keeps
+# its coverage note, a planted-semantics test, and the identical repo-side
+# oracle hash check meanwhile.
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -173,8 +181,7 @@ PRIORITY: tuple[str, ...] = (
     "bigram_lm_surprisal",
     "collocation_pmi",
     "bm25_retrieval",
-    "textrank_keywords",
-    "kmv_distinct_tokens",
+    "quantile_sketch_report",
     "countmin_heavy_hitters",
     "curriculum_order",
     # near-dup detection + dedup end steps
@@ -184,7 +191,8 @@ PRIORITY: tuple[str, ...] = (
     "simhash_neardup_pairs",
     "winnow_overlap_pairs",
     "span_dedup_text",
-    "doc_novelty_score",
+    "span_dedup_incremental",
+    "soft_dedup_weights",
     "contrastive_triplets",
     # embedding similarity / ANN / quantization / hybrid retrieval
     "rrf_hybrid_retrieval",
@@ -409,13 +417,27 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "winnow_overlap_pairs",
         "the stamped overlap-pairs query recomputes these winnowed fingerprints end-to-end",
     ),
-    "span_dedup_incremental": (
+    "doc_novelty_score": (
         "span_dedup_text",
-        "same gram census + partitioning-reusing resolve join + row-local"
-        " rebuild machinery; the incremental variant only restricts which"
-        " side builds the census vs probes it (the minhash_incremental"
-        " pattern applied to span dedup), and its multi-batch streaming"
-        " form is batch-equivalence-tested in tests/test_streaming_dedup.py",
+        "the stamped span dedup computes the same (doc, pos, gram-hash)"
+        " census groupBy + partitioning-reusing resolve join machinery that"
+        " novelty folds into its per-doc ratio; novelty's planted semantics"
+        " and measured-volume scale row stay tested; stamped r7",
+    ),
+    "kmv_distinct_tokens": (
+        "countmin_heavy_hitters",
+        "same bounded mergeable sketch-state family over the same"
+        " tokenization (map-side-combined fold into fixed-size state:"
+        " 64-slot KMV vs the 4x512 CM grid); never-undercount/accuracy"
+        " planted tests and streaming==batch equivalence stay in"
+        " tests/test_streaming_dedup.py; stamped r7",
+    ),
+    "textrank_keywords": (
+        "collocation_pmi",
+        "both collapse the corpus to the same windowed co-occurrence"
+        " vocab-pair aggregate (corpus-size-independent graph); the"
+        " vocab-sized PageRank iteration's star/ring/bridge semantics stay"
+        " planted-tested in tests/test_corpus_ops.py; stamped r7",
     ),
     "bpe_merge_candidates": (
         "collocation_pmi",
@@ -533,25 +555,6 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "bm25's df-capped posting lists recompute the tf/df/idf statistics"
         " over the same tokenization; same frequency-split join + top-k"
         " window family; tfidf stamped r3-r7",
-    ),
-    "quantile_sketch_report": (
-        "token_stats_by_lang",
-        "the exact side IS the stamped rank-selection percentile machinery"
-        " (same lang-keyed window); the sketch side is one bounded"
-        " (lang, bin) counting aggregate -- the kmv/countmin bounded-state"
-        " family -- with its accuracy graded in-row and the est <= exact <"
-        " 2*est bound planted-tested in tests/test_corpus_ops.py; streaming"
-        " histogram == batch histogram of the union proven in"
-        " tests/test_streaming_dedup.py, the countmin-grid precedent (new"
-        " r8, scheduled for the r9 rotation)",
-    ),
-    "soft_dedup_weights": (
-        "leakage_safe_split_assign",
-        "identical composed minhash-pair graph + pointer-jumping CC (new"
-        " r8); adds only a component-keyed count window and one row-local"
-        " division of exact BIGINTs; weight semantics (1/cluster,"
-        " sum(weight) = n_clusters, singletons 1.0) planted-tested in"
-        " tests/test_corpus_ops.py; scheduled for the r9 rotation",
     ),
     "embedding_dedup_representatives": (
         "leakage_safe_split_assign",
