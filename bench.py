@@ -48,14 +48,14 @@ HEADLINE = (
     "semantic_dedup_prune",
     "char_entropy",
     "bigram_lm_surprisal",
-    "dsir_importance_weights",
+    "token_budget_mix_plan",
     "winnow_overlap_pairs",
     "span_dedup_text",
     "quantile_sketch_report",
     "soft_dedup_weights",
     "countmin_heavy_hitters",
     "multimodal_phash_dedup",
-    "nb_quality_score",
+    "bpe_merge_candidates",
     "asof_view_before_purchase",
     "session_windows_per_user",
     "range_join_price_bands",

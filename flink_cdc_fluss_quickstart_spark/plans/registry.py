@@ -134,12 +134,23 @@ def get(name: str) -> QuerySpec:
 # the same bounded mergeable map-side-combined sketch fold over the same
 # tokenization), textrank_keywords (collocation_pmi collapses the corpus
 # to the same windowed co-occurrence vocab-pair aggregate; the vocab-sized
-# PageRank iteration stays planted-tested). The remaining 6 never-stamped
-# names (bpe_merge_candidates, token_budget_mix_plan,
-# embedding_pca_top_component, embedding_pq_codes, embedding_l2_topk,
-# pq_adc_recall_report) are scheduled for the round-9 rotation; each keeps
-# its coverage note, a planted-semantics test, and the identical repo-side
-# oracle hash check meanwhile.
+# PageRank iteration stays planted-tested).
+#
+# Round-8 third wave: three more never-stamped names rotate IN
+# (bpe_merge_candidates, token_budget_mix_plan, embedding_l2_topk -- all
+# sf0.01-oracle-checked before rotating). Out rotate three r7-stamped
+# entries: dsir_importance_weights (perplexity_buckets computes the same
+# broadcast vocab-frequency join + row-local integer-bit log fold),
+# nb_quality_score (bigram_lm_surprisal is the same frequency-split vocab
+# apply join + row-local log-prob fold), embedding_decontamination
+# (rrf_hybrid_retrieval's semantic arm recomputes the identical broadcast
+# brute-force dot-product scan). The remaining 3 never-stamped names are
+# scheduled for the round-9 rotation -- embedding_pca_top_component is the
+# one genuinely distinct leftover; embedding_pq_codes and
+# pq_adc_recall_report are already composition-covered end-to-end by the
+# stamped embedding_ivfpq_topk -- and each keeps its coverage note, a
+# planted-semantics test, and the identical repo-side oracle hash check
+# meanwhile.
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -169,14 +180,14 @@ PRIORITY: tuple[str, ...] = (
     "c4_quality_flags",
     "decontamination_ngrams",
     "bloom_decontamination",
-    "dsir_importance_weights",
+    "token_budget_mix_plan",
     "length_bucket_batches",
     "pack_efficiency_report",
     # text analysis: quality, corpus-LM scores, curriculum
     "dedup_exact",
     "char_entropy",
     "zipf_fit_report",
-    "nb_quality_score",
+    "bpe_merge_candidates",
     "perplexity_buckets",
     "bigram_lm_surprisal",
     "collocation_pmi",
@@ -197,7 +208,7 @@ PRIORITY: tuple[str, ...] = (
     # embedding similarity / ANN / quantization / hybrid retrieval
     "rrf_hybrid_retrieval",
     "rrf_hybrid_retrieval_ann",
-    "embedding_decontamination",
+    "embedding_l2_topk",
     "semantic_dedup_prune",
     "embedding_ivfpq_topk",
     "ann_recall_report_clustered",
@@ -319,11 +330,12 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "pack_efficiency_report",
         "single grouped agg + broadcast scalar report shape, stamped r6; sibling stamps the family",
     ),
-    "token_budget_mix_plan": (
-        "pack_efficiency_report",
-        "single source-keyed agg + broadcast scalar + row-local math, the"
-        " stamped report shape; sqrt-weighted quota semantics"
-        " planted-tested in tests/test_corpus_ops.py (r8)",
+    "dsir_importance_weights": (
+        "perplexity_buckets",
+        "same broadcast vocab-frequency join + row-local integer-bit log"
+        " fold the stamped surprisal family computes; dsir adds only the"
+        " two-corpus ratio on the same quarter-bit integer scale;"
+        " stamped r7",
     ),
     # text features whose outputs are recomputed and verified inside stamped
     # downstream consumers
@@ -374,12 +386,12 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "same shingle-profile near-dup family, stamped r1-r6; minhash bands"
         " the identical shingle profiles and stays stamped + benched",
     ),
-    "embedding_l2_topk": (
+    "embedding_decontamination": (
         "rrf_hybrid_retrieval",
-        "same broadcast-query brute-force scan + bounded top-k window as the"
-        " fusion's semantic arm; only the metric expression differs;"
-        " exact planted-line top-k semantics tested in"
-        " tests/test_corpus_ops.py (r8)",
+        "the stamped fusion's semantic arm recomputes the identical"
+        " broadcast brute-force dot-product scan; decontamination folds"
+        " max-cos against the one-row broadcast benchmark instead of"
+        " taking top-k; stamped r7",
     ),
     "embedding_cosine_topk": (
         "rrf_hybrid_retrieval",
@@ -439,12 +451,12 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " vocab-sized PageRank iteration's star/ring/bridge semantics stay"
         " planted-tested in tests/test_corpus_ops.py; stamped r7",
     ),
-    "bpe_merge_candidates": (
-        "collocation_pmi",
-        "same pair-count rollup + TakeOrdered global top-k shape at"
-        " character level over the vocab instead of word level over docs;"
-        " frequency-weighted top-pair semantics planted-tested in"
-        " tests/test_corpus_ops.py (r8)",
+    "nb_quality_score": (
+        "bigram_lm_surprisal",
+        "same frequency-split vocab apply join + row-local quarter-bit"
+        " log-prob fold as the stamped surprisal family; NB adds only the"
+        " one-pass class-conditional fit; planted-signal accuracy"
+        " unit-tested in tests/test_corpus_ops.py; stamped r7",
     ),
     # reference-core family variants rotated out in r7 (siblings stay stamped)
     "changelog_apply_snapshot": (

@@ -43,7 +43,9 @@ OPS = (
     "bloom_decontamination",
     "leakage_safe_split_assign",
     "multimodal_phash_dedup",
+    "token_budget_mix_plan",
     "embedding_cosine_topk",
+    "embedding_l2_topk",
     "embedding_ann_ivf",
     "winnow_overlap_pairs",
     "kmeans_embeddings",
