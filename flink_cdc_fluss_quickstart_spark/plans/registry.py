@@ -334,8 +334,9 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "perplexity_buckets",
         "same broadcast vocab-frequency join + row-local integer-bit log"
         " fold the stamped surprisal family computes; dsir adds only the"
-        " two-corpus ratio on the same quarter-bit integer scale;"
-        " stamped r7",
+        " two-corpus ratio on the same integer-bit scale;"
+        " target-preference semantics planted-tested in"
+        " tests/test_corpus_ops.py; stamped r7",
     ),
     # text features whose outputs are recomputed and verified inside stamped
     # downstream consumers
@@ -391,7 +392,8 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "the stamped fusion's semantic arm recomputes the identical"
         " broadcast brute-force dot-product scan; decontamination folds"
         " max-cos against the one-row broadcast benchmark instead of"
-        " taking top-k; stamped r7",
+        " taking top-k; flag/argmax semantics planted-tested in"
+        " tests/test_corpus_ops.py; stamped r7",
     ),
     "embedding_cosine_topk": (
         "rrf_hybrid_retrieval",

@@ -870,3 +870,79 @@ def test_quantile_sketch_bound_and_exactness(spark):
     for row in out.values():
         assert row["est_tokens"] <= row["exact_tokens"] < 2 * row["est_tokens"]
         assert 0.0 <= row["rel_error"] < 0.5
+
+
+# --- planted semantics for the r8 third-wave rotate-outs ---------------------
+# (dsir_importance_weights / embedding_decontamination carried r7 driver
+# stamps and repo-oracle parity; these pin the intended MEANING on
+# constructed inputs now that they sit outside the driver gate.)
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs written in the target source's vocabulary must outweigh docs in
+    a disjoint vocabulary: planted buckets give target-vocab features a
+    log-ratio of exactly 0 bits here (target share == corpus share) and
+    never-in-target features a negative ratio, so every src0-vocab doc's
+    weight_bits strictly exceeds every other doc's."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    rows = [(i, "alpha beta", "src0") for i in range(4)] + [
+        (i + 10, "zeta eta", "web") for i in range(4)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"]).assign(
+            lang="en", n_chars=1
+        ).to_parquet(os.path.join(td, "documents.parquet"), index=False)
+        out = {
+            r["doc_id"]: r.asDict()
+            for r in get("dsir_importance_weights").builder(spark, td).collect()
+        }
+    assert all(out[i]["n_feats"] == 3 for i in out)  # 2 unigrams + 1 bigram
+    # target-vocab buckets: ct=8|4 of c=8|4 with tt=12, ts=24 -> 0 bits each;
+    # web-vocab buckets: ct=0 -> bits(1)-bits(140) - (bits(5)-bits(152)) = -2
+    assert all(out[i]["weight_bits"] == 0 for i in range(4))
+    assert all(out[i + 10]["weight_bits"] == -6 for i in range(4))
+
+
+def test_embedding_decontamination_flags_benchmark_lookalikes(spark):
+    """vec 0 (vec_id % 97 == 0) plays the benchmark; an exact copy (cos 1.0)
+    and a 3-4-5 lookalike (cos 0.6) are flagged, an orthogonal vector
+    (cos 0.0) and a faint one (cos ~0.1) are not; benchmark_id always names
+    the argmax benchmark row."""
+    import tempfile
+
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    dim = 64
+
+    def vec(*pairs):
+        v = [0.0] * dim
+        for i, x in pairs:
+            v[i] = float(x)
+        return v
+
+    vecs = [
+        (0, vec((0, 1.0))),          # benchmark e0
+        (1, vec((0, 1.0))),          # exact copy -> cos 1.0, contaminated
+        (2, vec((1, 1.0))),          # orthogonal -> cos 0.0, clean
+        (3, vec((0, 3.0), (1, 4.0))),  # 3-4-5 -> cos 0.6, contaminated
+        (4, vec((0, 1.0), (1, 10.0))),  # cos 1/sqrt(101) ~ 0.0995, clean
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _write_embeddings(td, vecs)
+        out = {
+            r["vec_id"]: r.asDict()
+            for r in get("embedding_decontamination").builder(spark, td).collect()
+        }
+    assert set(out) == {1, 2, 3, 4}  # the benchmark row itself is not scored
+    assert {i for i in out if out[i]["contaminated"]} == {1, 3}
+    assert all(out[i]["benchmark_id"] == 0 for i in out)
+    assert abs(out[1]["max_benchmark_cos"] - 1.0) < 1e-9
+    assert abs(out[2]["max_benchmark_cos"]) < 1e-9
+    assert abs(out[3]["max_benchmark_cos"] - 0.6) < 1e-9
+    assert abs(out[4]["max_benchmark_cos"] - 0.09950371902099892) < 1e-6
