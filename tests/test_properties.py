@@ -216,3 +216,46 @@ def test_quantile_sketch_matches_python_oracle(spark, corpus):
     assert got == expected
     for _n, est, exact in got.values():
         assert est <= exact < 2 * est
+
+
+# --- connected components ----------------------------------------------------
+# the pointer-jumping CC is the cluster-resolution keystone under
+# dedup_components, embedding_dedup_representatives, leakage_safe_split_assign
+# and soft_dedup_weights; label = component-min id by construction, which a
+# min-rooted union-find reproduces exactly.
+
+cc_edges = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)),
+    min_size=0,
+    max_size=30,
+)
+
+
+@given(cc_edges)
+@settings(**SETTINGS)
+def test_connected_components_match_union_find(spark, es):
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import connected_components
+
+    nodes_py = sorted({n for e in es for n in e} | {99})  # 99: always an isolate
+    parent = {n: n for n in nodes_py}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in es:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)  # root stays the component min
+    expected = {n: find(n) for n in nodes_py}
+
+    edges = spark.createDataFrame(es, "id_a long, id_b long") if es else (
+        spark.createDataFrame([], "id_a long, id_b long")
+    )
+    nodes = spark.createDataFrame([(n,) for n in nodes_py], "id long")
+    out = {
+        r.id: r.component_id for r in connected_components(edges, nodes).collect()
+    }
+    assert out == expected
