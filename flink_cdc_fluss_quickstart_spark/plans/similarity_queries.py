@@ -1357,7 +1357,18 @@ def _pq_codebooks_and_codes(emb: DataFrame, include_coarse: bool = False):
     The trained codebook frame (PQ_M * PQ_K rows) is PERSISTED: ADC
     consumes it twice (corpus encoding + query distance tables); lazy
     persist, so plan builds still run no job -- in production the codebook
-    is the artifact you checkpoint anyway.
+    is the artifact you checkpoint anyway. Persist keeps the DATA from
+    recomputing but not the chain's ANALYSIS cost (downstream plans still
+    embed the full Lloyd lineage); localCheckpoint would truncate that too,
+    but measured: eager=True runs the chain at plan build by definition,
+    and eager=False ALSO runs a job at build time under AQE (the
+    Dataset->RDD conversion materializes the upstream shuffle stages), so
+    either breaks the repo's job-free-plan-build invariant
+    (tests/test_plans.py listener check). The re-analysis is bounded --
+    PQ_ITERS is fixed at 2 -- and the whole chain is overhead, not data:
+    at sf0.1 the embeddings table is 2,000 rows, so the query's wall time
+    is stage/codegen fixed cost that amortizes away at real scale
+    (SCALE.md: 1.6x at 10x).
 
     include_coarse=True (the IVF-PQ composition, r8) fuses the COARSE
     KMEANS_K-center Lloyd chain into the SAME union frame as subspace
