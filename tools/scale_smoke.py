@@ -161,7 +161,61 @@ def build_scaled(out_dir: str, factor: int) -> None:
             os.symlink(src, os.path.join(out_dir, f"{t}.parquet"))
 
 
+def deep_point(ops: tuple[str, ...], factors: list[int]) -> None:
+    """Deep-point mode (`--ops a,b,c [factors ...]`): time ONLY the named
+    operators at the given factors and emit a bare markdown table (appended
+    to SCALE.md by hand under its own section). Exists so the linear-claim
+    operators can be pushed past the full sweep's x10 without dragging the
+    quadratic-by-construction workloads (pair detectors, brute-force
+    baselines) to factors where their OUTPUT exceeds the single-JVM heap --
+    the winnow FACTOR_CAP precedent."""
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+    rows: dict[str, dict[int, float]] = {op: {} for op in ops}
+    counts: dict[int, int] = {}
+    calib: dict[int, float] = {}
+    tmp = tempfile.mkdtemp(prefix="scale_deep_")
+    try:
+        for op in ops:  # untimed codegen warmup, as in the full sweep
+            specs[op].builder(spark, BASE_SF).count()
+        for f in factors:
+            d = os.path.join(tmp, f"x{f}")
+            os.makedirs(d, exist_ok=True)
+            build_scaled(d, f)
+            counts[f] = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
+            import bench
+
+            calib[f] = bench._calibrate(spark)
+            for op in ops:
+                t0 = time.time()
+                n_out = specs[op].builder(spark, d).count()
+                rows[op][f] = time.time() - t0
+                print(f"<!-- {op} x{f}: {rows[op][f]:.2f}s ({n_out} rows) -->", file=sys.stderr)
+                spark.catalog.clearCache()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    hdr = " | ".join(f"x{f} ({counts[f]:,} docs)" for f in factors)
+    print(f"| operator | {hdr} | {factors[-1]}x/{factors[0]}x ratio |")
+    print("|---|" + "---|" * (len(factors) + 1))
+    cal_cells = " | ".join(f"{calib[f]:.2f}s" for f in factors)
+    print(
+        f"| _ambient calibration (fixed job)_ | {cal_cells} |"
+        f" {calib[factors[-1]] / max(calib[factors[0]], 1e-9):.1f}x |"
+    )
+    for op in ops:
+        cells = " | ".join(f"{rows[op][f]:.2f}s" for f in factors)
+        ratio = rows[op][factors[-1]] / max(rows[op][factors[0]], 1e-9)
+        print(f"| {op} | {cells} | {ratio:.1f}x |")
+
+
 def main() -> None:
+    if "--ops" in sys.argv:
+        i = sys.argv.index("--ops")
+        ops = tuple(sys.argv[i + 1].split(","))
+        rest = sys.argv[1:i] + sys.argv[i + 2 :]
+        deep_point(ops, [int(a) for a in rest] or [1, 10, 30])
+        return
     factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 10]
     spark = get_spark("scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
