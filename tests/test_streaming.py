@@ -120,6 +120,72 @@ def test_continuous_revenue_view_matches_batch_oracle(spark, workload, tmp_path)
     assert any("director's cut" in t for t in titles)
 
 
+def test_revenue_view_recovers_from_checkpoint_restart(spark, tmp_path):
+    """Exactly-once across a process restart (T4, the recovery half): run the
+    flagship view over the FIRST half of the workload, let the queries
+    terminate, then resume over the second half from the SAME checkpoints and
+    table paths with freshly constructed PKTable/view objects -- a new
+    "process". The served view must equal the batch oracle of the full
+    snapshots: the file-source checkpoint must not re-deliver the first
+    half's epochs (the pk-table idempotence markers absorb the at-most-one
+    uncommitted-batch replay), and the second half's group-key-moving
+    exchanges must retract from aggregates built BEFORE the restart -- which
+    only works if the recovered staging state, not the stream history, feeds
+    the refresh."""
+    import shutil
+
+    full = osb.generate_workload(str(tmp_path / "all"), epochs=6, seed=42)
+    live = {t: tmp_path / "live" / t for t in ("movies", "tickets")}
+    for d in live.values():
+        d.mkdir(parents=True)
+
+    def expose(table: str, lo: int, hi: int) -> None:
+        for e in range(lo, hi):
+            name = f"epoch_{e:04d}.parquet"
+            shutil.copy(Path(full[table]) / name, live[table] / name)
+
+    def run_process():
+        # fresh objects over the SAME storage + checkpoints = restart
+        tickets = PKTable(spark, str(tmp_path / "tickets_staging"),
+                          keys=["ticket_id"], order_by=["seq"])
+        movies = PKTable(spark, str(tmp_path / "movies_staging"),
+                         keys=["movie_id"], order_by=["seq"])
+        revenue = PKTable(spark, str(tmp_path / "movie_revenue_realtime"),
+                          keys=["movie_id"], order_by=["seq"])
+        view = ContinuousRevenueView(spark, tickets, movies, revenue)
+        qm = view.start_movies_pipeline(
+            osb.changelog_stream(spark, str(live["movies"]), osb.MOVIES_SCHEMA),
+            str(tmp_path / "ckpt_movies"),
+        )
+        qm.awaitTermination(180)
+        qt = view.start_tickets_pipeline(
+            osb.changelog_stream(spark, str(live["tickets"]), osb.TICKETS_SCHEMA),
+            str(tmp_path / "ckpt_tickets"),
+        )
+        qt.awaitTermination(180)
+        return tickets, movies, revenue
+
+    def assert_view_matches_oracle(tickets, movies, revenue):
+        served = revenue.snapshot().drop("seq")
+        oracle = revenue_aggregate(tickets.snapshot(), movies.snapshot())
+        s_rows = sorted(tuple(r) for r in served.select(*oracle.columns).collect())
+        o_rows = sorted(tuple(r) for r in oracle.collect())
+        assert s_rows == o_rows
+        return s_rows
+
+    expose("movies", 0, 3)
+    expose("tickets", 0, 3)
+    first_half = assert_view_matches_oracle(*run_process())
+
+    expose("movies", 3, 6)
+    expose("tickets", 3, 6)
+    final = assert_view_matches_oracle(*run_process())
+
+    # the resumed process actually advanced the view (epochs 4-6 carry new
+    # tickets and at least one exchange), it did not just re-serve half one
+    assert final != first_half
+
+
 def test_revenue_view_invariants(spark, workload, tmp_path):
     """Property checks from SURVEY.md section 5 item 5: per-status counts sum
     to ticket_count, per-status revenues sum to total_revenue."""
