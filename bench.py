@@ -188,9 +188,11 @@ def watch(names: list[str], n_runs: int = 5) -> None:
             runs.append(round(t, 3))
             spark.catalog.clearCache()
         srt = sorted(runs)
+        mid = len(srt) // 2
+        median = srt[mid] if len(srt) % 2 else round((srt[mid - 1] + srt[mid]) / 2, 3)
         report[name] = {
             "runs": runs,
-            "median_sec": srt[len(srt) // 2],
+            "median_sec": median,
             "min_sec": srt[0],
         }
         print(f"# watch {name}: runs={runs}", file=sys.stderr)

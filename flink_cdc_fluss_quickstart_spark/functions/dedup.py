@@ -346,6 +346,29 @@ def perm_fold_expr(n_perms: int, x_col: str = "__x") -> str:
     )
 
 
+def _shingle_digests(
+    df: DataFrame, id_col: str, text_col: str, n: int, digest
+) -> DataFrame:
+    """(id, __hs): one digest per DISTINCT word shingle of the normalized
+    text -- the shared head of every shingle-hash chain (minhash signatures
+    and band keys, simhash, the Jaccard/containment LSH profile). One
+    definition so a change to normalization, shingling, or the digest seam
+    cannot desynchronize the batch, incremental, and keyed-LSH paths."""
+    out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
+    out = out.select(id_col, F.array_distinct(word_shingle_array("__norm", n)).alias("__sh"))
+    return out.select(id_col, F.transform(F.col("__sh"), digest).alias("__hs"))
+
+
+def _minhash_fold(hs: DataFrame, n_perms: int) -> DataFrame:
+    """Adds __x (digest -> 32-bit half mod p) and __mh (the n_perms-component
+    signature fold, see perm_fold_expr) to a (_shingle_digests) frame;
+    keeps __hs for callers that slice it further (the LSH profile)."""
+    out = hs.withColumn(
+        "__x", F.transform("__hs", lambda h: _hex_long(h, 1) % _MH_PRIME)
+    )
+    return out.withColumn("__mh", F.expr(perm_fold_expr(n_perms)))
+
+
 def minhash_signature(
     df: DataFrame,
     id_col: str,
@@ -368,13 +391,7 @@ def minhash_signature(
     Output: (id, mh_0 .. mh_{n_perms-1} BIGINT) -- one row per document,
     no shuffle.
     """
-    out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
-    out = out.select(id_col, F.array_distinct(word_shingle_array("__norm", n)).alias("__sh"))
-    out = out.select(id_col, F.transform(F.col("__sh"), digest).alias("__hs"))
-    out = out.select(
-        id_col, F.transform("__hs", lambda h: _hex_long(h, 1) % _MH_PRIME).alias("__x")
-    )
-    out = out.select(id_col, F.expr(perm_fold_expr(n_perms)).alias("__mh"))
+    out = _minhash_fold(_shingle_digests(df, id_col, text_col, n, digest), n_perms)
     return out.select(
         id_col, *[F.element_at("__mh", k + 1).alias(f"mh_{k}") for k in range(n_perms)]
     )
@@ -398,13 +415,7 @@ def minhash_band_keyed(
     n_perms-wide element_at projection and the band-key re-concat --
     measurably less analysis + codegen on the cold path, which is what a
     first-execution bench pays."""
-    out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
-    out = out.select(id_col, F.array_distinct(word_shingle_array("__norm", n)).alias("__sh"))
-    out = out.select(id_col, F.transform(F.col("__sh"), digest).alias("__hs"))
-    out = out.select(
-        id_col, F.transform("__hs", lambda h: _hex_long(h, 1) % _MH_PRIME).alias("__x")
-    )
-    out = out.select(id_col, F.expr(perm_fold_expr(n_perms)).alias("__mh"))
+    out = _minhash_fold(_shingle_digests(df, id_col, text_col, n, digest), n_perms)
     keys = F.expr(
         f"transform(sequence(0, {n_bands - 1}),"
         f" b -> md5(array_join(transform(slice(__mh, b * {n_rows} + 1, {n_rows}),"
@@ -578,9 +589,7 @@ def simhash(
     The DuckDB oracle spells the majority vote per-bit (64 list_sums); this
     side accumulates all 64 votes in one pass -- same values, linear cost.
     """
-    out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
-    out = out.select(id_col, F.array_distinct(word_shingle_array("__norm", n)).alias("__sh"))
-    out = out.select(id_col, F.transform(F.col("__sh"), md5_digest).alias("__hs"))
+    out = _shingle_digests(df, id_col, text_col, n, md5_digest)
     out = out.select(id_col, F.expr(hex_digits_expr("__hs")).alias("__digs"))
     out = out.select(id_col, F.expr(bit_counts_expr("__digs")).alias("__cnt"))
     return out.select(id_col, F.expr(simhash_from_counts_expr("__cnt")).alias("simhash"))
@@ -726,17 +735,11 @@ def _lsh_shingle_profile(
     from pyspark import StorageLevel
 
     n_perms, n_bands, n_rows = lsh_params(threshold)
-    out = spread(df).select(F.col(id_col), normalized_text(F.col(text_col)).alias("__norm"))
-    hs = out.select(
-        id_col, F.array_distinct(word_shingle_array("__norm", n)).alias("__sh")
-    )
-    hs = hs.select(id_col, F.transform(F.col("__sh"), digest).alias("__hs"))
-    hs = hs.withColumn("__x", F.transform("__hs", lambda h: _hex_long(h, 1) % _MH_PRIME))
     # all signature components in ONE fold pass (see perm_fold_expr), then
     # each band's row-components fold into ONE key column so the persisted
     # profile stays narrow (n_bands keys, not n_perms components); '|' join
     # of the decimal component values is injective
-    hs = hs.withColumn("__mh", F.expr(perm_fold_expr(n_perms)))
+    hs = _minhash_fold(_shingle_digests(df, id_col, text_col, n, digest), n_perms)
     band_keys = [
         F.md5(
             F.concat_ws(

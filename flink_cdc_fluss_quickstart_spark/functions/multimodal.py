@@ -82,12 +82,8 @@ def raster_features(payload: bytes) -> list[float]:
     """
     import numpy as np
 
-    n = 32
-    b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
-    if b.size == 0:
-        b = np.zeros(1, dtype=np.float64)
-    pos = np.linspace(0.0, b.size - 1.0, n * n)
-    img = np.interp(pos, np.arange(b.size, dtype=np.float64), b).reshape(n, n)
+    n = PHASH_RASTER
+    img = _byte_raster(payload, n)
     d = _dct_matrix(n)
     coeffs = d @ img @ d.T
     ac = coeffs**2
@@ -194,6 +190,22 @@ PHASH_RASTER = 32  # real-mode raster side: payload bytes -> 32x32 grayscale
 PHASH_DCT_LOW = 8  # low-frequency DCT block kept (classic pHash keeps 8x8)
 
 
+def _byte_raster(payload: bytes, n: int):
+    """Deterministic bytes -> n x n float64 grayscale raster
+    (linear-interpolated resample of the byte sequence): the shared
+    stand-in for a decoded, resized image. A production image build swaps
+    EXACTLY this function for `decode -> grayscale -> resize`; both the
+    pHash recipe and the raster quality features consume it, so the swap
+    happens in one place."""
+    import numpy as np
+
+    b = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.float64)
+    if b.size == 0:
+        b = np.zeros(1, dtype=np.float64)
+    pos = np.linspace(0.0, b.size - 1.0, n * n)
+    return np.interp(pos, np.arange(b.size, dtype=np.float64), b).reshape(n, n)
+
+
 def _dct_matrix(n: int):
     """DCT-II basis matrix: D[k, i] = cos(pi * (2i + 1) * k / (2n)), so
     D @ x is the (unnormalized) 1-D DCT-II of x. Median thresholding makes
@@ -223,11 +235,7 @@ def phash_real_batch(payloads) -> list[str]:
     d = _dct_matrix(n)
     imgs = np.empty((len(payloads), n, n), dtype=np.float64)
     for r, p in enumerate(payloads):
-        b = np.frombuffer(bytes(p), dtype=np.uint8).astype(np.float64)
-        if b.size == 0:
-            b = np.zeros(1, dtype=np.float64)
-        pos = np.linspace(0.0, b.size - 1.0, n * n)
-        imgs[r] = np.interp(pos, np.arange(b.size, dtype=np.float64), b).reshape(n, n)
+        imgs[r] = _byte_raster(p, n)
     coeffs = d @ imgs @ d.T  # batched 2-D DCT-II ((n,n) broadcasts over the batch dim)
     low = coeffs[:, :PHASH_DCT_LOW, :PHASH_DCT_LOW].reshape(len(payloads), -1)
     med = np.median(low[:, 1:], axis=1, keepdims=True)

@@ -2211,7 +2211,14 @@ def span_dedup_step(batch: DataFrame, idx: DataFrame | None) -> tuple[DataFrame,
     census. Looping this over ANY ascending-doc_id batch split reproduces
     the one-shot span_dedup_frame of the union exactly (the global min-code
     keeper is always the earliest ingest's occurrence), proven in
-    tests/test_streaming_dedup.py."""
+    tests/test_streaming_dedup.py.
+
+    CACHE CONTRACT: the step persists the batch's gram frame (both outputs
+    share it lazily), so a long-running per-micro-batch caller MUST call
+    dedup.release_caches() after materializing both returned frames --
+    otherwise each batch leaves a dead persisted frame behind and executor
+    storage fills over thousands of batches (the same hygiene call the
+    example pipeline makes between steps)."""
     t = _span_tokens(batch)
     grams = _cached(_span_gram_rows(t))
     if idx is None:

@@ -177,6 +177,7 @@ def test_streaming_span_dedup_matches_batch_of_union(spark, tmp_path):
 
     import pandas as pd
 
+    from flink_cdc_fluss_quickstart_spark.functions import dedup
     from flink_cdc_fluss_quickstart_spark.plans import text_queries as tq
 
     span = " ".join(f"s{i}" for i in range(tq.SPAN_K))          # shared 8-gram
@@ -210,6 +211,9 @@ def test_streaming_span_dedup_matches_batch_of_union(spark, tmp_path):
         rebuilt, ghs = tq.span_dedup_step(batch_df, idx)
         emitted.update({r["doc_id"]: r.asDict() for r in rebuilt.collect()})
         ghs.write.mode("append").parquet(census)
+        # the step's cache contract: both outputs are materialized above, so
+        # release the batch's persisted gram frame before the next trigger
+        dedup.release_caches()
 
     q = (
         spark.readStream.schema("doc_id long, text string")

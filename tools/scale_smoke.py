@@ -286,6 +286,9 @@ def main() -> None:
             f"{rows[op][f]:.2f}s" if f in rows[op] else "--" for f in factors
         )
         have = [f for f in factors if f in rows[op]]
+        if not have:  # every requested factor exceeded this op's FACTOR_CAP
+            print(f"| {op} | {cells} | -- |")
+            continue
         ratio = rows[op][have[-1]] / max(rows[op][have[0]], 1e-9)
         cap_note = "" if have[-1] == factors[-1] else f" (at x{have[-1]})"
         print(f"| {op} | {cells} | {ratio:.1f}x{cap_note} |")
