@@ -298,3 +298,42 @@ def test_rrf_fuse_planted_fusion_semantics(spark):
     q2 = sorted(by_q[2], key=lambda r: r.fused_rank)
     assert [r.doc_id for r in q2] == [20, 21]
     assert q2[0].rrf_score == q2[1].rrf_score
+
+
+def test_band_keyed_equals_signature_derived_band_keys(spark):
+    """Regression lock on the r8 cold-path refactor: minhash_band_keyed's
+    (id, band_idx, band_key) -- sliced straight from the fold accumulator
+    array -- must stay byte-identical to the keys minhash_band_pairs derives
+    from the spread mh_k signature columns (same components, same '|' join,
+    same md5). Both now share _shingle_digests/_minhash_fold, so this guards
+    the slice indexing against the BAND_COLS layout."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+            (3, "a completely different document about spark physical plans"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    keyed = {
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in dedup.minhash_band_keyed(docs, "doc_id", "text").collect()
+    }
+    sig = dedup.minhash_signature(docs, "doc_id", "text")
+    derived = {
+        (r.doc_id, r.band_idx, r.band_key)
+        for r in sig.select(
+            F.col("doc_id"),
+            F.posexplode(
+                F.array(
+                    *[
+                        F.md5(F.concat_ws("|", *[F.col(c) for c in cols]))
+                        for cols in dedup.BAND_COLS
+                    ]
+                )
+            ).alias("band_idx", "band_key"),
+        ).collect()
+    }
+    assert keyed == derived
+    assert len({k for (_, _, k) in keyed}) > 1  # keys actually vary
