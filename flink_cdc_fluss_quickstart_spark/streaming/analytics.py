@@ -118,6 +118,10 @@ class ContinuousRevenueView:
     def refresh(self, affected: DataFrame, batch_id: int, writer_id: str) -> None:
         """Re-aggregate the given movie_ids from current snapshots and merge
         into the serving table (upserts + deletes for emptied groups)."""
+        if self.revenue.last_batch_id(writer_id) >= batch_id:
+            # crash-replayed batch: the final merge would no-op on its txn
+            # marker anyway -- skip the eager re-aggregation jobs it guards
+            return
         affected = affected.select("movie_id").distinct().localCheckpoint(eager=True)
         t = self.tickets.snapshot()
         m = self.movies.snapshot()
@@ -143,7 +147,21 @@ class ContinuousRevenueView:
             deletes = gone.select("movie_id", *pad_cols).withColumn("op", F.lit("D"))
             changes = upserts.unionByName(deletes)
         else:
-            return  # nothing materialized yet and nothing to delete
+            # a staging side is EMPTY (every row deleted), so every affected
+            # group leaves the view -- the deletes must still be merged or
+            # the serving table keeps stale aggregates forever ("deletes can
+            # empty a group entirely" is this module's contract). Pad the D
+            # rows from the SERVING schema; if the serving table has never
+            # materialized either, there is truly nothing to retract.
+            served = self.revenue.snapshot()
+            if served is None:
+                return
+            pad_cols = [
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in served.schema.fields
+                if f.name not in ("movie_id", "op", "seq")
+            ]
+            changes = gone.select("movie_id", *pad_cols).withColumn("op", F.lit("D"))
         changes = changes.withColumn("seq", F.lit(batch_id).cast("long"))
         self.revenue.merge(changes, batch_id=batch_id, writer_id=writer_id)
 

@@ -44,10 +44,21 @@ def replicate(
         df = df.withColumn(col, F.col(col).cast("timestamp")).withWatermark(col, delay)
     if select_cols is not None:
         keep = list(select_cols)
-        for extra in ("op", "seq"):
+        # force-keep the columns the merge itself consumes: the op column and
+        # the TARGET's ordering columns (not a hardcoded 'seq' -- a table
+        # ordered by e.g. 'ts' would otherwise lose its ordering column to
+        # the projection and kill the query at first merge)
+        for extra in ("op", *target.order_by):
             if extra not in keep:
                 keep.insert(0, extra)
         df = df.select(*keep)
+    elif "before" in df.columns:
+        # no projection requested: still strip the CDC before-image envelope
+        # -- the staging snapshot's contract is after-image payload columns
+        # only, and persisting a full pre-update row struct per row roughly
+        # doubles stored width for nothing (consumers that need the
+        # before-image read it from the changelog, not the table)
+        df = df.drop("before")
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         target.merge(batch_df, batch_id=batch_id, writer_id=writer_id)

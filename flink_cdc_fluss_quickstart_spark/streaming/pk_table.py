@@ -87,7 +87,18 @@ class PKTable:
         self.gc_grace_secs = gc_grace_secs
         os.makedirs(path, exist_ok=True)
         if not os.path.exists(self._manifest_path):
-            self._write_manifest({"buckets": {}, "txn": {}, "version": 0})
+            self._write_manifest(
+                {"buckets": {}, "txn": {}, "version": 0, "n_buckets": n_buckets}
+            )
+        else:
+            # bucket count is a CREATION-time table property (the reference's
+            # 'bucket.num', tickets-cdc.sql:34): reopening with a different
+            # ctor value must not re-route keys, or a merge rewrites only the
+            # new-numbered bucket and the key's old row survives in the old
+            # one -- duplicate PKs with no error. Adopt the stored value.
+            stored = self._read_manifest().get("n_buckets")
+            if stored is not None:
+                self.n_buckets = stored
 
     # -- manifest ---------------------------------------------------------
 
@@ -247,6 +258,12 @@ class PKTable:
             str(b): os.path.join(vdir, f"__bucket={b}") for b in range(self.n_buckets)
         }
         m["version"] = version
+        # a full replace starts a new txn epoch: keeping the per-writer
+        # high-watermarks would silently no-op every merge from a stream
+        # restarted with a fresh checkpoint (batch ids restart at 0), freezing
+        # the table at the seed. Re-seeding + replay stays safe without them:
+        # a replayed upsert re-applies the same latest-per-key rows.
+        m["txn"] = {}
         expired = self._queue_gc(m, list(old.values()))
         self._write_manifest(m)
         for d in expired:

@@ -37,7 +37,10 @@ def _running_totals_fn(
         total_events, scaled_value = 0, 0
     for pdf in batches:
         total_events += len(pdf)
-        scaled_value += int((pdf["value"] * _VALUE_SCALE).floordiv(1).sum())
+        # round, not floor: 2.01 * 1e6 is 2009999.9999999998 in float64, so
+        # flooring loses a micro-unit on every non-representable 2-decimal
+        # value -- a systematic negative drift in the running total
+        scaled_value += int((pdf["value"] * _VALUE_SCALE).round().sum())
     state.update((total_events, scaled_value))
     yield pd.DataFrame(
         {

@@ -52,3 +52,14 @@ def test_running_totals_accumulate_across_microbatches(spark, tmp_path):
     _write_epoch(src, "e2", [(1, 0.25), (3, 7.0)])
     second = _run_once(spark, src, ckpt)
     assert second == {1: (3, 4.0), 3: (1, 7.0)}
+
+
+def test_running_totals_fixed_point_rounds_not_floors(spark, tmp_path):
+    """2.01 * 1e6 is 2009999.9999999998 in float64; flooring loses a
+    micro-unit on every such value (systematic negative drift in the running
+    total). The accumulator must ROUND into fixed point."""
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    _write_epoch(src, "e1", [(1, 2.01), (1, 2.03), (1, 2.05)])
+    got = _run_once(spark, src, ckpt)
+    assert got == {1: (3, 6.09)}

@@ -207,6 +207,99 @@ def test_revenue_view_invariants(spark, workload, tmp_path):
     assert agg.count() > 0
 
 
+def test_refresh_deletes_groups_when_staging_empties(spark, tmp_path):
+    """A batch that deletes EVERY remaining ticket empties the staging table
+    (snapshot() -> None); the refresh must still merge the deletes for the
+    affected groups, or the serving table keeps the stale aggregates
+    forever -- the r8 review's emptied-staging regression."""
+    from datetime import datetime
+    from decimal import Decimal
+
+    tickets = PKTable(spark, str(tmp_path / "t"), keys=["ticket_id"], order_by=["seq"])
+    movies = PKTable(spark, str(tmp_path / "m"), keys=["movie_id"], order_by=["seq"])
+    revenue = PKTable(spark, str(tmp_path / "rev"), keys=["movie_id"], order_by=["seq"])
+    view = ContinuousRevenueView(spark, tickets, movies, revenue)
+    ts0 = datetime(2025, 6, 1, 12, 0, 0)
+    movies.merge(
+        spark.createDataFrame(
+            [("I", 1, 1, "Movie 1", "d", 90, ts0, ts0)],
+            "op string, seq long, movie_id long, title string, description string,"
+            " duration_minutes int, start_date timestamp_ntz, created_at timestamp_ntz",
+        ),
+        batch_id=0,
+    )
+    ticket_schema = (
+        "op string, seq long, ticket_id long, movie_id long, user_id long,"
+        " cost decimal(10,2), status string, purchased_at timestamp_ntz"
+    )
+    tickets.merge(
+        spark.createDataFrame(
+            [("I", 2, 1, 1, 1, Decimal("10.00"), "scheduled", ts0)], ticket_schema
+        ),
+        batch_id=0,
+    )
+    affected = spark.createDataFrame([(1,)], "movie_id long")
+    view.refresh(affected, 0, "w")
+    assert {r.movie_id for r in revenue.snapshot().collect()} == {1}
+
+    # the ONLY ticket is deleted -> staging empties -> snapshot() is None
+    tickets.merge(
+        spark.createDataFrame(
+            [("D", 3, 1, 1, 1, Decimal("10.00"), "scheduled", ts0)], ticket_schema
+        ),
+        batch_id=1,
+    )
+    assert tickets.snapshot() is None
+    view.refresh(affected, 1, "w")
+    served = revenue.snapshot()
+    assert served is None or served.filter(F.col("movie_id") == 1).count() == 0
+
+
+def test_pk_table_bucket_count_is_a_creation_property(spark, tmp_path):
+    """Reopening an existing table with a different n_buckets ctor value must
+    adopt the manifest's stored count -- re-routing keys to new bucket
+    numbers would leave each key's old row alive in its old bucket
+    (duplicate PKs with no error)."""
+    path = str(tmp_path / "pk")
+    t1 = PKTable(spark, path, keys=["k"], order_by=["seq"], n_buckets=4)
+    t1.merge(
+        spark.createDataFrame(
+            [("I", 1, i, "a") for i in range(20)], "op string, seq long, k long, v string"
+        ),
+        batch_id=0,
+    )
+    t2 = PKTable(spark, path, keys=["k"], order_by=["seq"], n_buckets=8)
+    assert t2.n_buckets == 4  # stored property wins
+    t2.merge(
+        spark.createDataFrame(
+            [("U", 2, i, "b") for i in range(20)], "op string, seq long, k long, v string"
+        ),
+        batch_id=1,
+    )
+    got = {r["k"]: r["v"] for r in t2.snapshot().collect()}
+    assert got == {i: "b" for i in range(20)}  # no duplicate keys, all updated
+
+
+def test_overwrite_resets_txn_watermarks(spark, tmp_path):
+    """overwrite() is a re-seed: a stream restarted afterwards with a fresh
+    checkpoint delivers batch ids from 0 again, so the per-writer txn
+    high-watermarks must reset or every post-seed merge silently no-ops."""
+    t = PKTable(spark, str(tmp_path / "pk"), keys=["k"], order_by=["seq"])
+    t.merge(
+        spark.createDataFrame([("I", 1, 1, "a")], "op string, seq long, k long, v string"),
+        batch_id=57,
+        writer_id="cdc",
+    )
+    t.overwrite(spark.createDataFrame([(1, "seeded", 0)], "k long, v string, seq long"))
+    t.merge(
+        spark.createDataFrame([("U", 2, 1, "post-seed")], "op string, seq long, k long, v string"),
+        batch_id=0,
+        writer_id="cdc",
+    )
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got == {1: "post-seed"}  # the post-seed batch applied
+
+
 def test_merge_default_batch_id_auto_increments(spark, tmp_path):
     """Two distinct batches merged WITHOUT explicit batch ids must both
     apply (an omitted id auto-increments; it must not silently no-op)."""

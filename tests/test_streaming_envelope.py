@@ -46,3 +46,44 @@ def test_cdc_merge_latency_within_envelope(spark, tmp_path):
     rows = sum(p["numInputRows"] for p in batches)
     assert rows >= 8 * 30  # inserts + updates all arrived
     assert tickets.snapshot().count() > 0
+
+
+def test_replicate_strips_before_image_and_respects_target_ordering(spark, tmp_path):
+    """Two replicate() contracts from the r8 review: (a) with no projection
+    requested the CDC before-image envelope must NOT reach the staging
+    snapshot (after-image payload columns only); (b) the force-kept merge
+    columns come from the TARGET's order_by, not a hardcoded 'seq'."""
+    dirs = osb.generate_workload(str(tmp_path / "wl"), epochs=2, seed=7)
+    tickets = PKTable(
+        spark, str(tmp_path / "tickets"), keys=["ticket_id"], order_by=["seq"]
+    )
+    q = replicate(
+        osb.changelog_stream(spark, dirs["tickets"], osb.TICKETS_SCHEMA),
+        tickets,
+        str(tmp_path / "ckpt"),
+    )
+    assert q.awaitTermination(240), "replication did not drain"
+    snap = tickets.snapshot()
+    assert "before" not in snap.columns
+    assert snap.count() > 0
+
+    # (b): a target ordered by a non-'seq' column keeps that column through
+    # the select_cols projection (a hardcoded 'seq' would drop it and kill
+    # the first merge with an unresolved column)
+    import pandas as pd
+
+    src = tmp_path / "src2"
+    src.mkdir()
+    pd.DataFrame(
+        [("I", 1, 10, "a"), ("U", 2, 10, "b")], columns=["op", "ts", "k", "v"]
+    ).to_parquet(str(src / "e0.parquet"), index=False)
+    target = PKTable(spark, str(tmp_path / "t2"), keys=["k"], order_by=["ts"])
+    q2 = replicate(
+        spark.readStream.schema("op string, ts long, k long, v string").parquet(str(src)),
+        target,
+        str(tmp_path / "ckpt2"),
+        select_cols=["k", "v"],
+    )
+    assert q2.awaitTermination(240), "custom-order replication did not drain"
+    got = {r["k"]: r["v"] for r in target.snapshot().collect()}
+    assert got == {10: "b"}  # ordered by ts, latest row wins
