@@ -18,7 +18,7 @@ from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import types as T
 
-from flink_cdc_fluss_quickstart_spark.sources.osb import _env
+from flink_cdc_fluss_quickstart_spark.sources.osb import _env, write_epoch
 
 # mirror of the cdc_tickets DDL (flink-gen.sh:58-77) through the dialect's
 # type map: STRING->string, BIGINT->long, TIMESTAMP(3) WITH LOCAL TIME
@@ -66,32 +66,13 @@ def generate_betting_workload(
 
     Returns {"tickets": dir, "events": dir}. Deterministic for a given seed.
     """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
     rng = random.Random(seed)
     dirs = {t: os.path.join(out_dir, t) for t in ("tickets", "events")}
     for d in dirs.values():
         os.makedirs(d, exist_ok=True)
 
-    def pa_type(dt: T.DataType):
-        if isinstance(dt, T.LongType):
-            return pa.int64()
-        if isinstance(dt, T.BooleanType):
-            return pa.bool_()
-        if isinstance(dt, T.TimestampType):
-            return pa.timestamp("us", tz="UTC")
-        if isinstance(dt, T.TimestampNTZType):
-            return pa.timestamp("us")
-        if isinstance(dt, T.StructType):
-            return pa.struct([pa.field(f.name, pa_type(f.dataType)) for f in dt.fields])
-        return pa.string()
-
     def write(table: str, schema: T.StructType, epoch: int, rows: list[dict]) -> None:
-        cols = {f.name: [r.get(f.name) for r in rows] for f in schema.fields}
-        pa_schema = pa.schema([pa.field(f.name, pa_type(f.dataType)) for f in schema.fields])
-        tbl = pa.Table.from_pydict(cols, schema=pa_schema)
-        pq.write_table(tbl, os.path.join(dirs[table], f"epoch_{epoch:04d}.parquet"))
+        write_epoch(dirs[table], epoch, rows, schema)
 
     seq = 0
 

@@ -84,10 +84,55 @@ class _State:
     tickets: dict[int, tuple] = field(default_factory=dict)
     # movie_id -> last-written payload dict (source of before-images)
     movie_rows: dict[int, dict] = field(default_factory=dict)
+    # monotonic like the reference's ticket_id_counter (gen_data.py:155) --
+    # `len(tickets) + 1` would RE-ISSUE a live id after the first delete,
+    # collapsing every later epoch's inserts onto one key
+    last_ticket_id: int = 0
 
     def next_seq(self) -> int:
         self.seq += 1
         return self.seq
+
+    def next_ticket_id(self) -> int:
+        self.last_ticket_id += 1
+        return self.last_ticket_id
+
+
+def _pa_type(dt: T.DataType):
+    """Spark type -> pyarrow type for the changelog fixture writers (shared
+    with sources/betting.py so the two generators cannot drift -- a missing
+    branch here silently falls through to pa.string() and fails the Spark
+    stream's schema at read time)."""
+    import pyarrow as pa
+
+    if isinstance(dt, T.LongType):
+        return pa.int64()
+    if isinstance(dt, T.IntegerType):
+        return pa.int32()
+    if isinstance(dt, T.BooleanType):
+        return pa.bool_()
+    if isinstance(dt, T.DecimalType):
+        return pa.decimal128(dt.precision, dt.scale)
+    if isinstance(dt, T.TimestampType):
+        return pa.timestamp("us", tz="UTC")
+    if isinstance(dt, T.TimestampNTZType):
+        return pa.timestamp("us")
+    if isinstance(dt, T.StructType):
+        return pa.struct([pa.field(f.name, _pa_type(f.dataType)) for f in dt.fields])
+    return pa.string()
+
+
+def write_epoch(dir_path: str, epoch: int, rows: list[dict], schema: T.StructType) -> None:
+    """One changelog epoch file (driver-side fixture gen; tiny files)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = {f.name: [r.get(f.name) for r in rows] for f in schema.fields}
+    pa_schema = pa.schema([pa.field(f.name, _pa_type(f.dataType)) for f in schema.fields])
+    pq.write_table(
+        pa.Table.from_pydict(cols, schema=pa_schema),
+        os.path.join(dir_path, f"epoch_{epoch:04d}.parquet"),
+    )
 
 
 def _ticket_payload(tid: int, r: tuple) -> dict:
@@ -119,31 +164,8 @@ def generate_workload(
     for d in dirs.values():
         os.makedirs(d, exist_ok=True)
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    def _pa_type(dt: T.DataType):
-        if isinstance(dt, T.LongType):
-            return pa.int64()
-        if isinstance(dt, T.IntegerType):
-            return pa.int32()
-        if isinstance(dt, T.DecimalType):
-            return pa.decimal128(dt.precision, dt.scale)
-        if isinstance(dt, T.TimestampNTZType):
-            return pa.timestamp("us")
-        if isinstance(dt, T.StructType):
-            return pa.struct([pa.field(f.name, _pa_type(f.dataType)) for f in dt.fields])
-        return pa.string()
-
     def write(table: str, epoch: int, rows: list[dict], schema: T.StructType) -> None:
-        # write via pyarrow (driver-side fixture gen; tiny files)
-        cols: dict[str, list] = {f.name: [] for f in schema.fields}
-        for r in rows:
-            for f in schema.fields:
-                cols[f.name].append(r.get(f.name))
-        pa_schema = pa.schema([pa.field(f.name, _pa_type(f.dataType)) for f in schema.fields])
-        tbl = pa.Table.from_pydict(cols, schema=pa_schema)
-        pq.write_table(tbl, os.path.join(dirs[table], f"epoch_{epoch:04d}.parquet"))
+        write_epoch(dirs[table], epoch, rows, schema)
 
     ts = lambda e, i: BASE_TS + timedelta(seconds=e * 60 + i)  # noqa: E731
 
@@ -171,7 +193,7 @@ def generate_workload(
             m_rows.append({"op": "I", "seq": st.next_seq(), **payload})
         # ticket inserts
         for i in range(tickets_per_epoch):
-            tid = len(st.tickets) + 1
+            tid = st.next_ticket_id()
             mv = rng.choice(st.movies)
             us = rng.choice(st.users)
             cost = Decimal(rng.randrange(500, 5000)) / 100
@@ -220,12 +242,13 @@ def generate_workload(
         if e % 2 == 1:
             mid = rng.choice(st.movies)
             old = st.movie_rows[mid]
+            # a title-only UPDATE, like `UPDATE ... SET title = ...` would
+            # emit: the immutable creation/scheduling fields carry over from
+            # the previous payload (rewriting them was an accidental
+            # dimension reschedule -- start_date is in the view's group-by)
             payload = {
-                "movie_id": mid,
+                **old,
                 "title": f"Movie {mid} (director's cut e{e})",
-                "description": f"Description of movie {mid}",
-                "duration_minutes": 90 + (mid % 60),
-                "start_date": ts(e, 40), "created_at": ts(e, 40),
             }
             st.movie_rows[mid] = payload
             m_rows.append({"op": "U", "seq": st.next_seq(), **payload, "before": old})

@@ -253,6 +253,15 @@ def _parse_agg_view_shape(select_sql: str, target_spec: "TableSpec",
     ):
         return None
 
+    # parser hardening: an alias that equals the OTHER table's base name
+    # would make the first-token rewrite below hit the alias instead of the
+    # table (e.g. `FROM a_staging b JOIN b c`); reject the shape and let the
+    # batch path resolve it through temp views instead
+    base_names = set(tables.values())
+    for alias, tbl in tables.items():
+        if alias in base_names and alias != tbl:
+            return None
+
     view_names = {t: f"__ivw_{target_name}_{t}" for t in tables.values()}
     span = m.group(0)
     rewritten_span = span
@@ -453,6 +462,8 @@ class Engine:
                 stmt,
                 re.I | re.S,
             )
+            if not m:
+                raise ValueError(f"bad CREATE CATALOG (WITH (...) required): {stmt[:80]}")
             self.catalogs[m.group(1).lower()] = _parse_with_options(m.group(2))
         elif head.startswith("USE CATALOG"):
             self.current_catalog = stmt.split()[-1].strip().lower()
@@ -520,6 +531,8 @@ class Engine:
                     item,
                     re.I,
                 )
+                if not wm:
+                    raise ValueError(f"bad WATERMARK clause: {item[:80]}")
                 unit = wm.group(3).lower()
                 watermark = (wm.group(1).lower(), f"{wm.group(2)} {unit}{'' if unit.endswith('s') else 's'}")
             else:
@@ -569,6 +582,8 @@ class Engine:
 
     def _insert_into(self, stmt: str) -> None:
         m = re.match(r"INSERT\s+INTO\s+([\w.]+)\s+(SELECT\b.*)$", stmt, re.I | re.S)
+        if not m:
+            raise ValueError(f"bad INSERT (only INSERT INTO ... SELECT supported): {stmt[:80]}")
         target_name = m.group(1).split(".")[-1].lower()
         select_sql = m.group(2)
         target = self.stores[target_name]
@@ -581,7 +596,26 @@ class Engine:
         streaming_sources = [n for n in src_names if n in self.bound_sources]
         is_agg = re.search(r"\bGROUP\s+BY\b", select_sql, re.I) is not None
 
-        if streaming_sources and not is_agg and len(src_names) == 1:
+        # the streaming fast-path is ONLY for plain identity projections (the
+        # reference's replication scripts): no WHERE/HAVING/ORDER/LIMIT, and
+        # a select list of bare columns covering the target schema. Anything
+        # else (a filter, a computed column, a rename) falls through to the
+        # materialized-view path, which executes the user's actual SELECT --
+        # the fast path used to silently DISCARD such clauses.
+        sel_m = re.match(r"SELECT\s+(.*?)\s+FROM\s", select_sql, re.I | re.S)
+        sel_items = _split_select_items(sel_m.group(1)) if sel_m else []
+        plain_projection = (
+            sel_m is not None
+            and re.search(r"\b(WHERE|HAVING|ORDER\s+BY|LIMIT)\b", select_sql, re.I) is None
+            and (
+                [i.strip() for i in sel_items] == ["*"]
+                or [i.strip().split(".")[-1].lower() for i in sel_items]
+                == [f.name.lower() for f in target_spec.schema.fields]
+            )
+            and all(re.fullmatch(r"[\w.*]+", i.strip()) for i in sel_items)
+        )
+
+        if streaming_sources and not is_agg and len(src_names) == 1 and plain_projection:
             # replication job: stream the changelog, project, merge (K1)
             src = streaming_sources[0]
             path, schema = self.bound_sources[src]
@@ -589,7 +623,12 @@ class Engine:
             spec = self.tables.get(src)
             if spec and spec.watermark:
                 col, delay = spec.watermark
+                declared = stream.schema[col].dataType
                 stream = stream.withColumn(col, F.col(col).cast("timestamp")).withWatermark(col, delay)
+                # restore the DDL-declared type so the STORED staging schema
+                # matches the table spec (the watermark itself gates nothing
+                # in a foreachBatch-only pipeline; it is the T1 declaration)
+                stream = stream.withColumn(col, F.col(col).cast(declared))
             cols = [f.name for f in target_spec.schema.fields]
             projected = stream.select("op", "seq", *cols)
             ckpt = os.path.join(self.warehouse, "_ckpt", f"{target_name}_from_{src}")
@@ -655,12 +694,15 @@ class Engine:
         # (the reference's never-ending INSERT, expressed as repeatable
         # refreshes; the native ContinuousRevenueView API is the per-batch
         # affected-keys scale path).
-        self._refresh_view(target, target_spec, run_select())
-        # drop the raw-named temp views once the refresh has executed: a
-        # leaked view could otherwise shadow a later statement's resolution
-        # of the same table name against a fresher snapshot
-        for n in src_names:
-            self.spark.catalog.dropTempView(n)
+        # drop the raw-named temp views whether or not the refresh succeeds
+        # (try/finally): a leaked view -- e.g. after an AnalysisException in
+        # the user's SELECT -- would shadow a later statement's resolution of
+        # the same table name with a stale frozen snapshot
+        try:
+            self._refresh_view(target, target_spec, run_select())
+        finally:
+            for n in src_names:
+                self.spark.catalog.dropTempView(n)
 
     def _start_incremental_view(self, target_name: str, shape: AggViewShape) -> None:
         """Affected-keys maintenance for a parsed aggregate view: one
@@ -746,6 +788,13 @@ class Engine:
         target.merge(changes, batch_id=target.last_batch_id("sql-mv") + 1, writer_id="sql-mv")
 
     def await_all(self, timeout: int = 300) -> None:
-        for q in self.queries:
-            q.awaitTermination(timeout)
-        self.queries.clear()
+        pending, self.queries = list(self.queries), []
+        for i, q in enumerate(pending):
+            if not q.awaitTermination(timeout):
+                # keep every unfinished handle so the caller can still stop
+                # or re-await it; silently dropping a live query would let it
+                # keep writing in the background with no remaining handle
+                self.queries.extend(pending[i:])
+                raise TimeoutError(
+                    f"streaming query {q.id} still running after {timeout}s"
+                )

@@ -41,7 +41,13 @@ def replicate(
         col, delay = watermark
         import pyspark.sql.functions as F
 
+        declared = df.schema[col].dataType
         df = df.withColumn(col, F.col(col).cast("timestamp")).withWatermark(col, delay)
+        # restore the source-declared type so the STORED staging schema
+        # matches the changelog schema (NTZ in, NTZ stored); the watermark
+        # gates nothing in a foreachBatch-only pipeline -- it is the T1
+        # bounded-out-of-orderness declaration
+        df = df.withColumn(col, F.col(col).cast(declared))
     if select_cols is not None:
         keep = list(select_cols)
         # force-keep the columns the merge itself consumes: the op column and

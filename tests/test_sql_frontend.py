@@ -553,3 +553,78 @@ def test_single_table_agg_on_betting_schema(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) >= 3  # PENDING + several settled states
+
+
+def test_filtered_insert_routes_to_view_path_not_identity_replication(spark, tmp_path):
+    """A WHERE on a single-source non-aggregate INSERT must NOT take the
+    streaming identity-replication fast path (which would silently discard
+    the filter): it routes to the materialized-view path and the target
+    contains only the filtered rows -- the r8 review regression."""
+    import pandas as pd
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pd.DataFrame(
+        [("I", 1, 1, "live"), ("I", 2, 2, "finished"), ("I", 3, 3, "live")],
+        columns=["op", "seq", "k", "status"],
+    ).to_parquet(str(src / "epoch_0000.parquet"), index=False)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("op", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("k", T.LongType()),
+            T.StructField("status", T.StringType()),
+        ]
+    )
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.execute(
+        "CREATE TEMPORARY TABLE src_tbl (k BIGINT, status STRING,"
+        " PRIMARY KEY (k) NOT ENFORCED) WITH ('connector' = 'postgres-cdc');"
+        "CREATE TABLE live_only (k BIGINT, status STRING, PRIMARY KEY (k) NOT ENFORCED);"
+    )
+    eng.bind_source("src_tbl", str(src), schema)
+    eng.execute("INSERT INTO live_only SELECT k, status FROM src_tbl WHERE status = 'live'")
+    eng.await_all()
+    got = {r.k for r in eng.snapshot("live_only").collect()}
+    assert got == {1, 3}  # the finished row is filtered OUT
+
+
+def test_malformed_statements_raise_value_errors(spark, tmp_path):
+    """Malformed dialect statements fail loudly with ValueError (not a bare
+    AttributeError from a None regex match)."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    for bad in (
+        "CREATE CATALOG nowith",
+        "INSERT INTO t VALUES (1)",
+        "CREATE TABLE t (k BIGINT, WATERMARK FOR ts AS ts, PRIMARY KEY (k) NOT ENFORCED)",
+    ):
+        with pytest.raises(ValueError):
+            eng.execute(bad)
+
+
+def test_alias_colliding_with_table_name_rejected_by_view_parser():
+    """`FROM a_staging b JOIN b c` -- the alias of the first table equals the
+    second table's name; the first-token rewrite would corrupt the FROM span,
+    so the shape parser must return None (full-requery fallback)."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_fluss_quickstart_spark.sql_frontend import (
+        TableSpec,
+        _parse_agg_view_shape,
+    )
+
+    spec = TableSpec(
+        name="v",
+        schema=T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("total", T.LongType())]
+        ),
+        primary_key=["k"],
+    )
+    shape = _parse_agg_view_shape(
+        "SELECT b.k, SUM(b.x) FROM a_staging b JOIN b c ON b.k = c.k GROUP BY b.k",
+        spec,
+        "v",
+    )
+    assert shape is None
