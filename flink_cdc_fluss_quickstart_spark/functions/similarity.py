@@ -12,6 +12,12 @@ the same in every IEEE engine, unlike decimal-cast rounding modes) and summed
 as BIGINT, which is exact and order-independent, so the dot product matches
 the DuckDB oracle bit-for-bit. The final cosine division happens in float64
 on identical inputs.
+
+Precondition: embeddings are assumed non-zero-norm (every generator and real
+encoder emits unit-ish vectors). A zero-norm vector divides by zero, where
+the engines diverge -- Spark's `/` yields NULL (non-ANSI), DuckDB yields
+inf -- so zero vectors must be excluded upstream if a corpus can contain
+them; they are not silently handled here.
 """
 
 from __future__ import annotations
@@ -44,10 +50,6 @@ def sq_norm(a: Column) -> Column:
     return _scaled_sum(sq).cast("double") / F.lit(SCALE)
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
-
-
 def n_planes_for(n_vectors: int, target_bucket_size: int = 256) -> int:
     """Plane count that keeps expected sign-LSH bucket size near the target.
 
@@ -78,12 +80,17 @@ def ann_lsh(
     (the production entry point; the registered oracle queries pin a plane
     count derived from the nominal bench corpus so the oracle SQL is static).
 
-    corpus.count() on a parquet scan is metadata-only at scale (row-group
-    stats), so the derivation costs no data pass.
+    The size/dim derivation is ONE aggregate job (count + first vector in the
+    same pass) -- a metadata-only footer read on a bare parquet scan, and a
+    single data pass when the corpus is a filter/join pipeline (separate
+    count() + head() jobs would read that pipeline twice before the real
+    query runs a third time).
     """
-    n = corpus.count()
-    first = corpus.select(vec_col).head()
-    dim = len(first[0]) if first else 0
+    stats = corpus.agg(
+        F.count(F.lit(1)).alias("n"), F.first(vec_col).alias("v")
+    ).first()
+    n = stats["n"]
+    dim = len(stats["v"]) if stats["v"] is not None else 0
     planes = lsh_planes(n_planes_for(n, target_bucket_size), dim)
 
     b = spread(corpus).select(
@@ -132,13 +139,19 @@ def lsh_bucket(vec: Column, planes: list[list[int]]) -> Column:
     product with hyperplane p is > 0. Row-local; the bucket is the only thing
     that shuffles at scale."""
     out = None
+    zero = F.lit(0).cast("bigint")
     for p, w in enumerate(planes):
         warr = F.array(*[F.lit(float(x)) for x in w])
         prods = F.zip_with(vec, warr, lambda x, y: x.cast("double") * y)
-        term = F.when(_scaled_sum(prods) > 0, F.lit(2 ** p)).otherwise(F.lit(0))
+        # bigint bucket id: n_planes_for derives >= 32 planes past ~1e12
+        # vectors, where an int32 id would drop the high planes (4x the
+        # intended bucket size) or overflow under ANSI mode
+        term = F.when(
+            _scaled_sum(prods) > 0, F.lit(2 ** p).cast("bigint")
+        ).otherwise(zero)
         out = term if out is None else out + term
     assert out is not None
-    return out.cast("int")
+    return out.cast("bigint")
 
 
 def cosine_topk(

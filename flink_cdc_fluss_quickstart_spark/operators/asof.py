@@ -57,7 +57,12 @@ def asof_join(
         F.lit(left_side).alias("__side"),
         F.lit(None).cast(r_struct_type).alias("__r"),
     )
-    r_tag = right.select(
+    # a right row with a NULL timestamp can never be "at or before" any left
+    # timestamp (r.ts <= l.ts is never true for NULL -- the theta-join
+    # spelling the oracle uses), but NULLs sort FIRST in the ascending
+    # window, where last-non-null would hand them to every left row with no
+    # earlier real right row; drop them up front
+    r_tag = right.filter(F.col(right_ts).isNotNull()).select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
         *[F.col(k) for k in on],
         F.col(right_ts).alias("__ts"),

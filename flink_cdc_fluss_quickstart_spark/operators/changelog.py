@@ -65,6 +65,8 @@ def apply_changelog(
 # Deterministic mapping from the synthetic `events` table to a CDC envelope,
 # so changelog semantics are testable against a SQL oracle: signups insert,
 # clicks/views/purchases update, errors delete the per-user state row.
+# changelog_from_events derives its when-chain from THIS dict -- it is the
+# executed mapping, not documentation.
 EVENT_OP = {
     "signup": OP_INSERT,
     "click": OP_UPDATE,
@@ -76,10 +78,18 @@ EVENT_OP = {
 
 def changelog_from_events(events: DataFrame) -> DataFrame:
     """events(event_id, ts, user_id, event_type, value, props) -> changelog
-    rows (op, ts, event_id, user_id, value) keyed by user_id."""
-    op = F.when(F.col("event_type") == "signup", F.lit(OP_INSERT)).when(
-        F.col("event_type") == "error", F.lit(OP_DELETE)
-    ).otherwise(F.lit(OP_UPDATE))
+    rows (op, ts, event_id, user_id, value) keyed by user_id.
+
+    The when-chain is DERIVED from EVENT_OP (unknown event types fall back to
+    UPDATE), so editing the dict is editing the executed mapping -- a
+    hand-written second spelling here had already started to drift."""
+    op = None
+    for etype, mapped in EVENT_OP.items():
+        if mapped == OP_UPDATE:
+            continue  # the fallback covers every update-mapped type
+        cond, val = F.col("event_type") == etype, F.lit(mapped)
+        op = F.when(cond, val) if op is None else op.when(cond, val)
+    op = F.lit(OP_UPDATE) if op is None else op.otherwise(F.lit(OP_UPDATE))
     return events.select(
         op.alias("op"),
         F.col("ts"),

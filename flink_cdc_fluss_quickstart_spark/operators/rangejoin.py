@@ -30,7 +30,22 @@ def bin_range_join(
     `bin_size` should be on the order of the typical interval width: too
     small explodes the interval side, too large degrades to many false
     candidates (the exact filter stays correct either way).
+
+    Supported `how`: inner plus the LEFT-preserving variants. The interval
+    side is exploded to one row per covered bin BEFORE the join, so a
+    right/full outer join would emit one null-extended duplicate per
+    unmatched (interval, bin) row -- width/bin_size copies of each interval
+    -- instead of one row per interval; those joins are rejected rather
+    than silently multiplied.
     """
+    allowed = {"inner", "cross", "left", "left_outer", "leftouter",
+               "semi", "left_semi", "leftsemi", "anti", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"bin_range_join supports inner/left-preserving joins only, got {how!r}:"
+            " the interval side is bin-exploded, so interval-preserving outer"
+            " joins would duplicate each unmatched interval per covered bin"
+        )
     bin_of = lambda c: F.floor(c / F.lit(float(bin_size))).cast("long")  # noqa: E731
     expanded = intervals.withColumn(
         "__bin",

@@ -13,9 +13,12 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Tuned for local[32] testing; on a real cluster these are overridden by
-# spark-submit conf. AQE makes the static shuffle-partition count a ceiling,
-# not a fixed cost: empty/small partitions are coalesced at runtime.
+# Tuned for local[32] testing; on a real cluster spark-submit conf wins:
+# get_spark applies each of these ONLY when the key was not passed via
+# spark-submit --conf (builder.config has the highest precedence, so
+# unconditional application would silently clobber cluster tuning). AQE makes
+# the static shuffle-partition count a ceiling, not a fixed cost: empty/small
+# partitions are coalesced at runtime.
 _BASE_CONF: dict[str, str] = {
     # deterministic timestamps across engines (DuckDB oracle parity)
     "spark.sql.session.timeZone": "UTC",
@@ -73,16 +76,35 @@ def get_spark(app_name: str = "flink-cdc-fluss-quickstart-spark",
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env, default 32)
     when no cluster master is configured.
     """
+    # spark-submit conf must WIN over the local-testing defaults below:
+    # builder.config has the highest precedence, so each default applies
+    # only when the key was not submitted. The probe reads
+    # PYSPARK_SUBMIT_ARGS (where spark-submit's --master/--conf args land)
+    # rather than constructing a SparkConf, which would launch the gateway
+    # JVM early -- BEFORE the builder's spark.driver.memory could take
+    # effect at JVM launch, silently reverting the 4g local heap to 1g.
+    import re as _re
+
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    _submitted = set(_re.findall(r"--conf\s+([^=\s]+)=", submit_args))
+    has_conf = lambda k: k in _submitted  # noqa: E731
+    master_submitted = "--master" in submit_args or "spark.master" in _submitted
+
     builder = SparkSession.builder.appName(app_name)
-    if master is None:
+    if master is not None:
+        builder = builder.master(master)
+    elif not master_submitted:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-        master = f"local[{cpus}]"
-    builder = builder.master(master)
+        builder = builder.master(f"local[{cpus}]")
     for k, v in _BASE_CONF.items():
-        builder = builder.config(k, v)
-    if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
-    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        if not has_conf(k):
+            builder = builder.config(k, v)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    elif not has_conf("spark.sql.shuffle.partitions"):
+        builder = builder.config(
+            "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE", "32")
+        )
     spark = builder.getOrCreate()
     _configure_state_store(spark)
     return spark

@@ -119,6 +119,12 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     filesystem when available. Non-file-backed or remote inputs fall back to
     "assume already parallel" (skip the repartition), which is the correct
     bias at scale.
+
+    The per-file `max(1, ...)` floor deliberately ignores small-file packing:
+    when file count >= target, Spark's own maxSplitBytes shrinks to
+    totalBytes/defaultParallelism (floored at openCostInBytes), so the real
+    scan still lands ~defaultParallelism partitions -- skipping the
+    repartition there is correct, not an overestimate bug.
     """
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism

@@ -94,3 +94,29 @@ def test_asof_plan_is_single_shuffle(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_null_right_timestamp_never_matches(spark):
+    """A right row with a NULL timestamp can never be 'at or before' any left
+    timestamp (the theta-join spelling r.ts <= l.ts is never true for NULL);
+    the union-tag window must not hand it to left rows as a last-non-null
+    fill -- the r8 review regression."""
+    from datetime import datetime
+
+    from flink_cdc_fluss_quickstart_spark.operators.asof import asof_join
+
+    t = lambda h: datetime(2025, 6, 1, h)  # noqa: E731
+    left = spark.createDataFrame([(1, t(9)), (1, t(12))], "k long, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, None, "ghost"), (1, t(10), "real")],
+        "k long, rts timestamp, payload string",
+    )
+    out = {
+        r["lts"]: r["payload"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_cols=["payload"],
+        ).collect()
+    }
+    assert out[t(9)] is None      # nothing at or before 09:00
+    assert out[t(12)] == "real"   # 10:00 row matches, NULL-ts row never does
