@@ -161,6 +161,23 @@ def fast_digest(s: Column) -> Column:
     )
 
 
+def md5_hex_prefix(s: Column, pos: int = 1, length: int = 8) -> Column:
+    """`length` hex digits of md5(s) from 1-based `pos`, parsed to BIGINT --
+    the ONE row-local integer-hash spelling behind every split/bucket/bit
+    predicate in the pipeline plans (re-spelling conv(substring(md5(...)))
+    inline at each site let the copies drift). DuckDB oracles mirror it with
+    the positional parse (plans/pipeline_queries._duck_hex). 8 digits keeps
+    the value < 2^32: products and mods stay exact in BIGINT."""
+    return F.conv(F.substring(F.md5(s), pos, length), 16, 10).cast("bigint")
+
+
+def hash_bucket(s: Column, mod: int = 100) -> Column:
+    """Deterministic mod-`mod` bucket of md5(s): the split/sample membership
+    predicate (stable across runs, machines, and corpus growth -- the
+    property random splits lack at 100 TB)."""
+    return md5_hex_prefix(s) % mod
+
+
 def exact_key(text: Column) -> Column:
     """Exact-dup grouping key: md5 of the raw text."""
     return F.md5(text)

@@ -14,16 +14,27 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from flink_cdc_fluss_quickstart_spark.functions import text
+from flink_cdc_fluss_quickstart_spark.functions.dedup import hash_bucket, md5_hex_prefix
 from flink_cdc_fluss_quickstart_spark.plans.registry import register
 from flink_cdc_fluss_quickstart_spark.tables import load_table, spread
 
-# DuckDB has no hex->int cast; parse the first 8 md5 hex digits positionally.
-# Spark side uses conv() -- same value, different spelling.
-_DUCK_HEX8 = (
-    "list_sum(list_transform(range(1, 9), j -> "
-    "CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j::int, 1)) - 1)"
-    " * (16 ** (8 - j)) AS BIGINT)))"
-)
+def _duck_hex(hexpr: str, pos: int = 1, length: int = 8) -> str:
+    """DuckDB spelling of hex-prefix-to-BIGINT over a hex-string expression,
+    parsed positionally -- the ONE hex->int idiom every oracle here uses.
+    Kept over DuckDB's CAST('0x' || ... AS BIGINT), which works on the
+    pinned build but is undocumented string-cast behavior; two spellings of
+    the same value in sibling oracles is a drift trap. The lambda variable
+    is j8 so callers can reference their own j (the bloom hash index) inside
+    `hexpr`. Mirrors functions.dedup.md5_hex_prefix on the Spark side."""
+    return (
+        f"list_sum(list_transform(range({pos}, {pos + length}), j8 -> "
+        f"CAST((instr('0123456789abcdef', substr({hexpr}, j8::int, 1)) - 1)"
+        f" * (16 ** ({pos + length - 1} - j8)) AS BIGINT)))"
+    )
+
+
+# first 8 md5 hex digits of the document id -- the split/bucket key
+_DUCK_HEX8 = _duck_hex("md5(CAST(doc_id AS VARCHAR))")
 
 
 @register(
@@ -43,10 +54,7 @@ _DUCK_HEX8 = (
 )
 def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 100
-    )
+    bucket = hash_bucket(F.col("doc_id").cast("string"))
     return d.select(
         "doc_id",
         bucket.alias("hash_bucket"),
@@ -178,6 +186,41 @@ def quality_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", route.alias("route"))
 
 
+def _split_gram_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, bucket, g): 16-hex md5 keys of every 8-token gram in the
+    train- (bucket < 90) and test-split (bucket >= 95) documents -- the
+    shared front of decontamination_ngrams and bloom_decontamination, so the
+    two detectors can never disagree on what a 'contaminated gram' is.
+
+    Shape notes: the Generate explodes integer POSITIONS only; the md5 runs
+    in the codegen'd projection after it (slice()/concat_ws are 1-based,
+    matching DuckDB list slicing). Fusing the hash transform into the
+    Generate's generator drops the whole chain out of whole-stage codegen
+    -- measured ~1.5-2x slower at sf0.1. Bucket rows 90-94 (val split) are
+    dropped BEFORE the explode: they feed neither side. Repeated
+    in-document grams are NOT deduped here (the exact detector's
+    collect_set dedupes in the aggregate; the bloom detector adds
+    .distinct() because its per-(doc, gram) probe rows must be unique)."""
+    base = (
+        d.select(
+            "doc_id",
+            hash_bucket(F.col("doc_id").cast("string")).alias("bucket"),
+            F.split("text", " ").alias("l"),
+        )
+        .filter(F.size("l") >= 8)
+        .filter((F.col("bucket") < 90) | (F.col("bucket") >= 95))
+    )
+    idx = base.select(
+        "doc_id", "bucket", "l",
+        F.explode(F.expr("sequence(1, size(l) - 7)")).alias("__i"),
+    )
+    return idx.select(
+        "doc_id",
+        "bucket",
+        F.expr("substring(md5(concat_ws(' ', slice(l, __i, 8))), 1, 16)").alias("g"),
+    )
+
+
 @register(
     "decontamination_ngrams",
     oracle=f"""
@@ -216,16 +259,7 @@ def quality_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decontamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread: the per-gram md5 is the dominant cost and the bench corpus
-    # arrives as one file split (no-op at scale where inputs are pre-split)
-    d = spread(load_table(spark, sf_dir, "documents"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 100
-    )
-    base = (
-        d.select("doc_id", bucket.alias("bucket"), F.split("text", " ").alias("l"))
-        .filter(F.size("l") >= 8)
-    )
+    # arrives as one file split (no-op at scale where inputs are pre-split).
     # Single pass over the corpus, no cache: group by gram hash, folding the
     # train side to a 0/1 flag and the test side to the distinct doc set
     # (collect_set both dedupes repeated in-document grams and drops nulls
@@ -234,22 +268,7 @@ def decontamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries leaks no cache. Set size per gram is bounded by the number of
     # *test-split* documents containing that exact 8-gram -- rare enough that
     # skew is a non-issue even at corpus scale.
-    #
-    # Shape note: the Generate explodes integer POSITIONS only; the md5 runs
-    # in the codegen'd projection after it (slice()/concat_ws are 1-based,
-    # matching DuckDB list slicing). Fusing the hash transform into the
-    # Generate's generator drops the whole chain out of whole-stage codegen
-    # -- measured ~1.5-2x slower at sf0.1. Bucket rows 90-94 (val split)
-    # are dropped BEFORE the explode: they feed neither side.
-    idx = base.filter((F.col("bucket") < 90) | (F.col("bucket") >= 95)).select(
-        "doc_id", "bucket", "l",
-        F.explode(F.expr("sequence(1, size(l) - 7)")).alias("__i"),
-    )
-    grams = idx.select(
-        "doc_id",
-        "bucket",
-        F.expr("substring(md5(concat_ws(' ', slice(l, __i, 8))), 1, 16)").alias("g"),
-    )
+    grams = _split_gram_frame(spread(load_table(spark, sf_dir, "documents")))
     per_gram = grams.groupBy("g").agg(
         F.max(F.when(F.col("bucket") < 90, 1).otherwise(0)).alias("in_train"),
         F.collect_set(F.when(F.col("bucket") >= 95, F.col("doc_id"))).alias("test_docs"),
@@ -524,12 +543,8 @@ def pack_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SHUFFLE_BUCKETS = 4096  # 16^3: shuffle bucket = first 3 md5 hex chars
 
-# first 3 md5 hex chars parsed positionally (DuckDB has no hex->int cast)
-_DUCK_HEX3 = (
-    "list_sum(list_transform(range(1, 4), j -> "
-    "CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), j::int, 1)) - 1)"
-    " * (16 ** (3 - j)) AS BIGINT)))"
-)
+# first 3 md5 hex chars -> the shuffle bucket id
+_DUCK_HEX3 = _duck_hex("md5(CAST(doc_id AS VARCHAR))", length=3)
 
 
 @register(
@@ -687,10 +702,7 @@ def temperature_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("keep_threshold"),
     )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 1_000_000
-    )
+    bucket = hash_bucket(F.col("doc_id").cast("string"), mod=1_000_000)
     return (
         d.select("doc_id", "lang", bucket.alias("b"))
         .join(F.broadcast(rates), "lang")
@@ -719,10 +731,7 @@ def temperature_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 100
-    )
+    bucket = hash_bucket(F.col("doc_id").cast("string"))
     rate = (
         F.when(F.col("lang") == "en", 10)
         .when(F.col("lang") == "zh", 25)
@@ -983,12 +992,8 @@ def fixed_count_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 DSIR_BUCKETS = 128       # hashed n-gram feature space (paper: 10k; bounded)
 DSIR_TARGET_SOURCE = "src0"  # stand-in for the curated target domain
 
-# hex8-of-arbitrary-expression (the _DUCK_HEX8 idiom over a feature string)
-_DUCK_FEAT_HEX8 = (
-    "list_sum(list_transform(range(1, 9), j -> "
-    "CAST((instr('0123456789abcdef', substr(md5(feat), j::int, 1)) - 1)"
-    " * (16 ** (8 - j)) AS BIGINT)))"
-)
+# the _DUCK_HEX8 idiom over a feature string
+_DUCK_FEAT_HEX8 = _duck_hex("md5(feat)")
 
 
 @register(
@@ -1071,8 +1076,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "source",
             (
-                F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("bigint")
-                % DSIR_BUCKETS
+                md5_hex_prefix(F.col("feat")) % DSIR_BUCKETS
             ).alias("b"),
         )
         .persist()
@@ -1188,9 +1192,7 @@ BLOOM_FLAG_RATE = 0.8  # same per-doc flag threshold as decontamination_ngrams
 
 def _bloom_bit(g, j: int):
     return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"{j}:"), g)), 1, 8), 16, 10)
-        .cast("long")
-        % BLOOM_M
+        md5_hex_prefix(F.concat(F.lit(f"{j}:"), g)) % BLOOM_M
     )
 
 
@@ -1212,13 +1214,13 @@ def _bloom_bit(g, j: int):
     test AS (SELECT DISTINCT g FROM grams WHERE bucket >= 95),
     bits AS (
       SELECT DISTINCT
-             CAST('0x' || substr(md5(j || ':' || g), 1, 8) AS BIGINT) % {BLOOM_M} AS bit
+             {_duck_hex("md5(j || ':' || g)")} % {BLOOM_M} AS bit
       FROM test CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS j)
     ),
     train AS (SELECT DISTINCT doc_id, g FROM grams WHERE bucket < 90),
     probe AS (
       SELECT doc_id, g,
-             CAST('0x' || substr(md5(j || ':' || g), 1, 8) AS BIGINT) % {BLOOM_M} AS bit
+             {_duck_hex("md5(j || ':' || g)")} % {BLOOM_M} AS bit
       FROM train CROSS JOIN (SELECT unnest(range({BLOOM_K})) AS j)
     ),
     pg AS (
@@ -1259,23 +1261,7 @@ def _bloom_bit(g, j: int):
 )
 def bloom_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 100
-    )
-    base = (
-        d.select("doc_id", bucket.alias("bucket"), F.split("text", " ").alias("l"))
-        .filter(F.size("l") >= 8)
-        .filter((F.col("bucket") < 90) | (F.col("bucket") >= 95))
-    )
-    idx = base.select(
-        "doc_id", "bucket", "l",
-        F.explode(F.expr("sequence(1, size(l) - 7)")).alias("__i"),
-    )
-    grams = idx.select(
-        "doc_id", "bucket",
-        F.expr("substring(md5(concat_ws(' ', slice(l, __i, 8))), 1, 16)").alias("g"),
-    ).distinct()
+    grams = _split_gram_frame(d).distinct()
     test = grams.filter(F.col("bucket") >= 95).select("g").distinct()
     bits = (
         test.select(

@@ -677,13 +677,26 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_json_props_stats",
+    # The guarded extraction is what makes the oracle honor the declared
+    # malformed-payload semantics: bare json_extract HARD-ERRORS in DuckDB on
+    # a non-JSON props value where Spark's from_json returns NULL, and Spark's
+    # PERMISSIVE parser only yields a k for an integer JSON token -- so the
+    # oracle nulls (-> bad_payloads) unless props is valid JSON AND $.k is an
+    # integer-typed member, matching from_json('k BIGINT') exactly.
     oracle="""
+    WITH parsed AS (
+      SELECT event_type,
+             CASE WHEN json_valid(props)
+                       AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+                  THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+      FROM events
+    )
     SELECT event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-           CAST(SUM(CASE WHEN json_extract(props, '$.k') IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_payloads
-    FROM events
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           MAX(k) AS max_k,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS bad_payloads
+    FROM parsed
     GROUP BY event_type
     """,
     description="JSON payload decode against a declared schema (reference S5:"
@@ -692,7 +705,13 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     " payloads surface as NULLs, not failures.",
 )
 def events_json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    return events_json_stats_frame(load_table(spark, sf_dir, "events"))
+
+
+def events_json_stats_frame(ev: DataFrame) -> DataFrame:
+    """The frame form, planted-tested on every malformed-payload class
+    (non-JSON, string-typed k, float k, missing key, NULL props) in
+    tests/test_functions.py -- each nulls identically in both engines."""
     k = F.from_json(F.col("props"), "k BIGINT")["k"]
     return (
         ev.select("event_type", k.alias("k"))
@@ -823,9 +842,12 @@ def q20_part_heavy_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     " many lineitems match.",
 )
 def q4_priority_order_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # timestamp_ntz, not timestamp: o_orderdate reads as TIMESTAMP_NTZ, and an
+    # LTZ literal would coerce the comparison through the session time zone --
+    # correct only while the session is pinned UTC (q1 spells it the same way)
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
     )
     li = load_table(spark, sf_dir, "lineitem")
     matched = o.join(

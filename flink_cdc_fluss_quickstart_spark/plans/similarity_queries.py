@@ -128,7 +128,7 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_topk(spread(load_table(spark, sf_dir, "embeddings")))
 
 
-def _lsh_topk(emb: DataFrame, query_mod: int = 50) -> DataFrame:
+def _lsh_topk(emb: DataFrame, query_mod: int = 50, k: int = 5) -> DataFrame:
     # bucket AND norm are per-row: computed on the corpus scan, never per pair
     b = emb.select(
         "vec_id",
@@ -162,7 +162,7 @@ def _lsh_topk(emb: DataFrame, query_mod: int = 50) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "bucket", "rank", "cosine_sim")
     )
 
@@ -1299,33 +1299,40 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.sqrt(similarity.sq_norm(F.col("embedding"))).alias("__cn"),
     )
-    init = F.struct(
-        F.lit(-2.0).cast("double").alias("cos"), F.lit(-1).cast("bigint").alias("b_id")
-    )
+    # (max cos, min b_id at the max) as ONE struct array_max: higher-order
+    # lambdas are interpreted without common-subexpression elimination, so a
+    # fold whose condition AND replacement both spell the cosine would pay
+    # the DIM-length dot product 2-3x per benchmark element; transform()
+    # evaluates it exactly once, and struct ordering (cos DESC via max,
+    # then -b_id max == b_id min) keeps the tie-break order-independent.
     scored = corpus.crossJoin(F.broadcast(bench)).select(
         "vec_id",
         "label",
-        F.aggregate(
-            F.col("bench"),
-            init,
-            lambda acc, e: F.when(
-                (similarity.dot(F.col("embedding"), e["bv"]) / (F.col("__cn") * e["bn"]) > acc["cos"])
-                | (
-                    (similarity.dot(F.col("embedding"), e["bv"]) / (F.col("__cn") * e["bn"]) == acc["cos"])
-                    & (e["b_id"] < acc["b_id"])
-                ),
-                F.struct(
-                    (similarity.dot(F.col("embedding"), e["bv"]) / (F.col("__cn") * e["bn"])).alias("cos"),
-                    e["b_id"].cast("bigint").alias("b_id"),
-                ),
-            ).otherwise(acc),
+        F.coalesce(
+            F.array_max(
+                F.transform(
+                    F.col("bench"),
+                    lambda e: F.struct(
+                        (
+                            similarity.dot(F.col("embedding"), e["bv"])
+                            / (F.col("__cn") * e["bn"])
+                        ).alias("cos"),
+                        (-e["b_id"]).cast("bigint").alias("neg_id"),
+                    ),
+                )
+            ),
+            # empty-benchmark fallback keeps the historical sentinel row
+            F.struct(
+                F.lit(-2.0).cast("double").alias("cos"),
+                F.lit(1).cast("bigint").alias("neg_id"),
+            ),
         ).alias("best"),
     )
     return scored.select(
         "vec_id",
         "label",
         F.col("best.cos").alias("max_benchmark_cos"),
-        F.col("best.b_id").alias("benchmark_id"),
+        (-F.col("best.neg_id")).cast("bigint").alias("benchmark_id"),
         (F.col("best.cos") >= DECON_THRESHOLD).alias("contaminated"),
     )
 
@@ -1621,12 +1628,13 @@ def embedding_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk_frame(emb)
 
 
-def pq_adc_topk_frame(emb: DataFrame) -> DataFrame:
-    from pyspark.sql.window import Window
-
-    from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
-
-    cents, codes = _pq_codebooks_and_codes(emb)
+def _pq_query_distance_tables(emb: DataFrame, books: DataFrame) -> DataFrame:
+    """Per-query ADC distance tables (query_id, m, code, d): explode each
+    query vector into its PQ_M subspace slices and join the broadcast
+    codebook -- PQ_M * PQ_K BIGINT rows per query, metadata-sized. Shared by
+    the flat-ADC and IVF-PQ searchers so the floor-scaled distance
+    arithmetic can never drift between them (or from their composed
+    oracles, which spell this expression once as _PQ_D2's query form)."""
     qsubs = emb.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"),
         F.explode(
@@ -1641,7 +1649,7 @@ def pq_adc_topk_frame(emb: DataFrame) -> DataFrame:
             )
         ).alias("s"),
     ).select("query_id", F.col("s.m").alias("m"), F.col("s.qs").alias("qs"))
-    dt = qsubs.join(F.broadcast(cents), "m").select(
+    return qsubs.join(F.broadcast(books), "m").select(
         "query_id",
         "m",
         F.col("cluster").alias("code"),
@@ -1651,7 +1659,18 @@ def pq_adc_topk_frame(emb: DataFrame) -> DataFrame:
             " AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b)"
         ).alias("d"),
     )
-    dt = track_cache(dt.persist())
+
+
+def pq_adc_topk_frame(
+    emb: DataFrame, books: DataFrame | None = None, codes: DataFrame | None = None
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
+
+    if books is None:
+        books, codes = _pq_codebooks_and_codes(emb)
+    dt = track_cache(_pq_query_distance_tables(emb, books).persist())
     est = (
         codes.join(F.broadcast(dt), ["m", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -1676,7 +1695,10 @@ def pq_adc_topk_frame(emb: DataFrame) -> DataFrame:
 IVFPQ_NPROBE = 2  # coarse cells probed per query (of KMEANS_K)
 
 
-def ivfpq_topk_frame(emb: DataFrame) -> DataFrame:
+def ivfpq_topk_frame(
+    emb: DataFrame,
+    trained: tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None = None,
+) -> DataFrame:
     """IVF-PQ top-k (Jegou et al. 2011; the FAISS serving composition):
     queries route to their IVFPQ_NPROBE nearest coarse Lloyd cells and only
     those cells' vectors are scored -- by ADC over the PQ codes, so the
@@ -1699,8 +1721,12 @@ def ivfpq_topk_frame(emb: DataFrame) -> DataFrame:
 
     # one fused Lloyd chain trains the coarse quantizer AND the 4 subspace
     # codebooks; the persisted centroid frame feeds router, encoder, and
-    # distance tables alike
-    books, codes, cents, assigned = _pq_codebooks_and_codes(emb, include_coarse=True)
+    # distance tables alike. A caller that already ran the fused chain
+    # (the recall report scores both searchers) passes it in so the
+    # corpus-scale training runs once, not once per variant.
+    books, codes, cents, assigned = trained or _pq_codebooks_and_codes(
+        emb, include_coarse=True
+    )
     d2q = (
         "aggregate(zip_with(qv, cv, (x, y) ->"
         " CAST(floor((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) * 1e12)"
@@ -1719,30 +1745,7 @@ def ivfpq_topk_frame(emb: DataFrame) -> DataFrame:
         .select("query_id", F.col("cluster").alias("coarse"))
     )
     # fine side: per-query distance tables over the fused chain's codebooks
-    qsubs = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).cast("int").alias("m"),
-                        F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qs"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select("query_id", F.col("s.m").alias("m"), F.col("s.qs").alias("qs"))
-    dt = qsubs.join(F.broadcast(books), "m").select(
-        "query_id",
-        "m",
-        F.col("cluster").alias("code"),
-        F.expr(
-            "aggregate(zip_with(qs, cv, (x, y) ->"
-            " CAST(floor((CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y) * 1e12)"
-            " AS BIGINT)), CAST(0 AS BIGINT), (a, b) -> a + b)"
-        ).alias("d"),
-    )
+    dt = _pq_query_distance_tables(emb, books)
     cand = codes.join(assigned, "vec_id").join(F.broadcast(probes), "coarse")
     est = (
         cand.join(F.broadcast(dt), ["query_id", "m", "code"])
@@ -1971,9 +1974,15 @@ def _pq_recall_frame(emb: DataFrame) -> DataFrame:
     from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
 
     bf = track_cache(_bf_l2_topk(emb).select("query_id", "neighbor_id").persist())
+    # ONE fused Lloyd chain serves both searchers: the include_coarse chain's
+    # per-m subspace results are bit-identical to the separate chain's (every
+    # aggregate keys on m), so the flat-ADC arm consumes its books/codes
+    # slices unchanged while the IVF arm also gets the coarse router --
+    # without this the report trained the identical codebooks twice.
+    trained = _pq_codebooks_and_codes(emb, include_coarse=True)
     variants = {
-        "adc": pq_adc_topk_frame(emb),
-        "ivfpq": ivfpq_topk_frame(emb),
+        "adc": pq_adc_topk_frame(emb, books=trained[0], codes=trained[1]),
+        "ivfpq": ivfpq_topk_frame(emb, trained=trained),
     }
     nq = bf.agg(F.countDistinct("query_id").cast("bigint").alias("n_queries"))
     reports = None
@@ -2177,7 +2186,7 @@ def rrf_hybrid_retrieval_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "doc_id", F.col("rank").alias("lex_rank")
     )
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    sem = _lsh_topk(emb, query_mod=RRF_QUERY_MOD).select(
+    sem = _lsh_topk(emb, query_mod=RRF_QUERY_MOD, k=RRF_TOP_K).select(
         "query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank")
     )
     return similarity.rrf_fuse(lex, sem, k0=RRF_K0, k=RRF_TOP_K)

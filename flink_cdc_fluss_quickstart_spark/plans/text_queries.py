@@ -1185,10 +1185,7 @@ def leakage_safe_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.minhash_band_keyed(d, "doc_id", "text"), "doc_id"
     )
     comp = dedup.connected_components(pairs, d.select("doc_id"), id_col="doc_id")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("component_id").cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 100
-    )
+    bucket = dedup.hash_bucket(F.col("component_id").cast("string"))
     return comp.select(
         "doc_id",
         "component_id",
@@ -2475,8 +2472,8 @@ def distinct_sketch_frame(occ: DataFrame, group_col: str, val_col: str) -> DataF
     Returns (group, n_buckets_hit, sum_min, distinct_estimate): the estimate
     is one double division of exact BIGINTs, so engines agree bit-for-bit."""
     g = F.col(group_col)
-    h = F.conv(F.substring(F.md5(F.col(val_col)), 1, 8), 16, 10).cast("long")
-    sub = F.conv(F.substring(F.md5(F.col(val_col)), 9, 2), 16, 10).cast("long") % KMV_SUBSTREAMS
+    h = dedup.md5_hex_prefix(F.col(val_col))
+    sub = dedup.md5_hex_prefix(F.col(val_col), pos=9, length=2) % KMV_SUBSTREAMS
     mins = (
         occ.select(g.alias("g"), sub.alias("sub"), h.alias("h"))
         .groupBy("g", "sub")
@@ -2572,11 +2569,7 @@ CM_TOP_K = 50
 
 
 def _cm_col(tok, r: int, width: int):
-    return (
-        F.conv(F.substring(F.md5(F.concat(F.lit(f"cm{r}|"), tok)), 1, 8), 16, 10)
-        .cast("long")
-        % width
-    )
+    return dedup.md5_hex_prefix(F.concat(F.lit(f"cm{r}|"), tok)) % width
 
 
 def cm_cells_frame(

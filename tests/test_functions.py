@@ -337,3 +337,42 @@ def test_band_keyed_equals_signature_derived_band_keys(spark):
     }
     assert keyed == derived
     assert len({k for (_, _, k) in keyed}) > 1  # keys actually vary
+
+
+def test_events_json_stats_malformed_payload_parity(spark):
+    """The registered oracle must honor the query's declared semantics --
+     'malformed payloads surface as NULLs, not failures' -- on payload
+    classes the generated test data never produces. Bare json_extract
+    HARD-ERRORS in DuckDB on non-JSON input (where Spark's from_json nulls),
+    so the oracle guards with json_valid + an integer json_type check; this
+    runs the REAL registered oracle SQL and the REAL frame function over
+    every malformed class and asserts identical aggregates."""
+    import duckdb
+
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+    from flink_cdc_fluss_quickstart_spark.plans.relational import events_json_stats_frame
+
+    rows = [
+        ("a", '{"k": 3}'),    # valid integer
+        ("a", '{"k": -7}'),   # negative integer (json_type 'BIGINT')
+        ("a", "not json"),    # malformed -> bad_payload
+        ("b", '{"k": "3"}'),  # string-typed k -> bad (Spark BIGINT field rejects)
+        ("b", '{"k": 3.5}'),  # non-integral k -> bad
+        ("b", '{"x": 1}'),    # missing key -> bad
+        ("b", None),          # NULL props -> bad
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, props string")
+    got = {
+        r["event_type"]: (r["n_events"], r["sum_k"], r["max_k"], r["bad_payloads"])
+        for r in events_json_stats_frame(ev).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_type VARCHAR, props VARCHAR)")
+    con.executemany("INSERT INTO events VALUES (?, ?)", rows)
+    want = {
+        r[0]: tuple(r[1:])
+        for r in con.execute(get("events_json_props_stats").oracle).fetchall()
+    }
+    assert got == want
+    assert got["a"] == (3, -4, 3, 1)
+    assert got["b"] == (4, None, None, 4)
