@@ -807,13 +807,21 @@ def _band_candidates(prof: DataFrame, id_col: str, n_bands: int) -> DataFrame:
     )
 
 
+#: default Jaccard threshold / estimate-gate margin for jaccard_neardup.
+#: Named so the DuckDB oracle (plans/text_queries._EST_MIN) derives its gate
+#: from the SAME constants the Spark path uses -- a literal 0.5/0.1 spelled
+#: in both places can silently diverge when one side is retuned.
+NEARDUP_MIN_JACCARD = 0.5
+NEARDUP_EST_MARGIN = 0.1
+
+
 def jaccard_neardup(
     df: DataFrame,
     id_col: str,
     text_col: str,
     n: int = WORD_SHINGLE_LEN,
-    min_jaccard: float = 0.5,
-    est_margin: float = 0.1,
+    min_jaccard: float = NEARDUP_MIN_JACCARD,
+    est_margin: float = NEARDUP_EST_MARGIN,
     digest=md5_digest,
 ) -> DataFrame:
     """LSH candidates -> minhash-estimate gate -> exact Jaccard verify, with

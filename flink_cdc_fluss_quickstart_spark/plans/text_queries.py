@@ -247,24 +247,22 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     f" co-partitioned on the fingerprint -- never document text.",
 )
 def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     d = load_table(spark, sf_dir, "documents")
     # winnow_fingerprint_frame persists its array frame (tracked), so the
     # stop-gram count and the pair join below each re-explode from cache --
     # the expensive gram hashing runs once
     fp = dedup.winnow_fingerprint_frame(d, "doc_id", "text")
-    cap = d.agg(
-        F.greatest(
-            F.lit(WINNOW_CAP_FLOOR),
-            F.expr(f"count(1) div {WINNOW_CAP_DENOM}"),
-        ).alias("__cap")
-    )
+    # the stop-gram cap is a pure function of the exact doc count, which the
+    # parquet FOOTERS already give the driver for free (and which also sizes
+    # the pair join's partitioning below) -- deriving it as a literal deletes
+    # a corpus count(1) aggregation plus a broadcast crossJoin per run while
+    # computing the identical value the oracle spells as count(1) div DENOM
+    n_docs = table_row_count(sf_dir, "documents")
+    cap = max(WINNOW_CAP_FLOOR, n_docs // WINNOW_CAP_DENOM)
     keep = (
         fp.groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("__df"))
-        .crossJoin(F.broadcast(cap))
-        .filter(F.col("__df") <= F.col("__cap"))
+        .filter(F.col("__df") <= F.lit(cap))
         .select("fingerprint")
     )
     # the keep list is CORPUS-sized (one row per surviving distinct
@@ -282,13 +280,19 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Size the join's partitioning from the corpus so per-task pair volume
     # stays bounded as the corpus (and with it the derived stop-gram cap)
     # grows: ~WINNOW_DOCS_PER_PART docs' worth of fingerprints per task.
-    # The doc count comes from the parquet FOOTERS (driver-side metadata
-    # read, zero Spark jobs) so building or explaining this plan runs
-    # nothing on the cluster; AQE coalesces the extra partitions away at
-    # small corpora, so the floor keeps test-scale plans unchanged.
-    n_docs = table_row_count(sf_dir, "documents")
+    # The doc count came from the parquet FOOTERS above (driver-side
+    # metadata read, zero Spark jobs) so building or explaining this plan
+    # runs nothing on the cluster; AQE coalesces the extra partitions away
+    # at small corpora, so the floor keeps test-scale plans unchanged.
+    # "spark.sql.shuffle.partitions" may be unset or the AQE idiom "auto";
+    # fall back to default parallelism rather than erroring (ranking.py's
+    # guard)
+    try:
+        base_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        base_parts = spark.sparkContext.defaultParallelism
     parts = max(
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        base_parts,
         min(n_docs // WINNOW_DOCS_PER_PART, WINNOW_MAX_PARTS),
     )
     fpk = fpk.repartition(parts, "fingerprint")
@@ -390,7 +394,11 @@ _EST_GATE = " + ".join(
     for k in range(dedup.EST_SLICES)
 )
 # mirrors dedup.jaccard_neardup's gate: ceil((min_jaccard - margin) * slices)
-_EST_MIN = math.ceil((0.5 - 0.1) * dedup.EST_SLICES)
+# -- derived from the SAME named constants the Spark path defaults to, so
+# retuning either threshold moves both engines together
+_EST_MIN = math.ceil(
+    (dedup.NEARDUP_MIN_JACCARD - dedup.NEARDUP_EST_MARGIN) * dedup.EST_SLICES
+)
 
 
 @register(
@@ -421,7 +429,7 @@ _EST_MIN = math.ceil((0.5 - 0.1) * dedup.EST_SLICES)
                AS jaccard
       FROM pairs p JOIN prof a ON p.id_a = a.doc_id JOIN prof b ON p.id_b = b.doc_id
       WHERE ({_EST_GATE}) >= {_EST_MIN}
-    ) WHERE jaccard >= 0.5
+    ) WHERE jaccard >= {dedup.NEARDUP_MIN_JACCARD}
     """,
     description=f"n-gram Jaccard near-dup: threshold-derived LSH candidates"
     f" ({dedup.N_BANDS} bands x {dedup.N_ROWS} rows) -> wide-minhash estimate"
@@ -431,7 +439,7 @@ _EST_MIN = math.ceil((0.5 - 0.1) * dedup.EST_SLICES)
 )
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_neardup(d, "doc_id", "text", min_jaccard=0.5)
+    return dedup.jaccard_neardup(d, "doc_id", "text")
 
 
 def _simhash_sql_expr() -> str:
@@ -519,7 +527,18 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the NEW-ingest membership rule for the incremental dedup shape: a pure
 # row-local function of the id (every 5th doc), standing in for "today's
 # batch" against the already-indexed corpus
-_INCR_NEW = "doc_id % 5 = 4"
+# new-batch membership rule for the incremental-dedup queries: ONE pair of
+# constants feeds the band-join driver predicate, the oracle's n_new CASEs,
+# and the Spark n_new expression -- three independent spellings of "% 5 = 4"
+# drifted apart at retune time otherwise
+_INCR_MOD, _INCR_REM = 5, 4
+
+
+def _incr_new_sql(col: str = "doc_id") -> str:
+    return f"{col} % {_INCR_MOD} = {_INCR_REM}"
+
+
+_INCR_NEW = _incr_new_sql()
 
 
 def _band_pairs_incr_sql(src: str) -> str:
@@ -542,8 +561,8 @@ def _band_pairs_incr_sql(src: str) -> str:
     oracle=f"""
     WITH sig AS ({_MH_SQL.format(mh_exprs=_MH_EXPRS)})
     SELECT id_a, id_b,
-           CAST((CASE WHEN id_a % 5 = 4 THEN 1 ELSE 0 END)
-              + (CASE WHEN id_b % 5 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+           CAST((CASE WHEN {_incr_new_sql("id_a")} THEN 1 ELSE 0 END)
+              + (CASE WHEN {_incr_new_sql("id_b")} THEN 1 ELSE 0 END) AS BIGINT) AS n_new
     FROM (
       SELECT DISTINCT id_a, id_b FROM (
         {_band_pairs_incr_sql("sig")}
@@ -566,7 +585,7 @@ def minhash_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_band_pairs_against_index(
         sig, "doc_id", dedup.BAND_COLS, F.expr(_INCR_NEW)
     )
-    is_new = lambda c: F.when(c % 5 == 4, 1).otherwise(0)  # noqa: E731
+    is_new = lambda c: F.when(c % _INCR_MOD == _INCR_REM, 1).otherwise(0)  # noqa: E731
     return pairs.select(
         "id_a",
         "id_b",
@@ -1308,7 +1327,11 @@ def soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     " identically to the oracle.",
 )
 def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = (
+    # persisted: the tokenized frame feeds THREE independent aggregation
+    # branches (word / bigram / trigram); without the persist each branch
+    # re-scans the parquet and re-splits every document (the file's usual
+    # shared-consumer rule, cf. _doc_tf and bigram_lm_surprisal's dbf)
+    d = _cached(
         load_table(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("l"))
         .filter(F.size("l") >= 3)
@@ -1930,19 +1953,26 @@ def novelty_frame(d: DataFrame) -> DataFrame:
     t = d.select("doc_id", F.split("text", " ").alias("tk")).withColumn(
         "n", F.size("tk")
     )
-    grams = t.select(
-        "doc_id",
-        F.explode(
-            F.array_distinct(
-                F.when(
-                    F.col("n") >= NOVELTY_K,
-                    F.transform(
-                        F.sequence(F.lit(0), F.col("n") - NOVELTY_K),
-                        lambda i: _novelty_gram(F.col("tk"), i),
-                    ),
-                ).otherwise(F.array().cast("array<long>"))
-            )
-        ).alias("gh"),
+    # persisted: the gram frame feeds BOTH the first-occurrence census and
+    # the resolve join, and the partial aggregation below the census's
+    # exchange defeats ReuseExchange -- without the persist each consumer
+    # re-scans the corpus and re-runs the per-gram md5 hashing (the same
+    # cost span_dedup_frame's persisted grams avoid)
+    grams = _cached(
+        t.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.when(
+                        F.col("n") >= NOVELTY_K,
+                        F.transform(
+                            F.sequence(F.lit(0), F.col("n") - NOVELTY_K),
+                            lambda i: _novelty_gram(F.col("tk"), i),
+                        ),
+                    ).otherwise(F.array().cast("array<long>"))
+                )
+            ).alias("gh"),
+        )
     )
     first = grams.groupBy("gh").agg(F.min("doc_id").alias("first_doc"))
     novel = F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
