@@ -49,15 +49,14 @@ def asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", "value"
     )
-    # right side deduped to one row per (user_id, ts) so the as-of pick is
-    # deterministic regardless of engine-internal ordering
-    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    # NO pre-dedup window: asof_join's right_order tie policy already picks
+    # the max-view_event_id row among equal-(user_id, ts) views -- exactly
+    # the row a rn=1 dedup would keep -- so a row_number pass here would add
+    # a second wide shuffle+sort of the views side for nothing (the oracle
+    # dedups v only because DuckDB's ASOF tie pick is engine-internal)
     views = (
         events.filter(F.col("event_type") == "view")
         .select("event_id", "user_id", "ts", "value")
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
         .withColumnRenamed("event_id", "view_event_id")
         .withColumnRenamed("value", "view_value")
     )

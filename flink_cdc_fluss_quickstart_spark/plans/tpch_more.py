@@ -327,9 +327,14 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast: sub-threshold suppliers can be a large fraction of the table
     # at high SF, so AQE decides broadcast-vs-shuffle from observed size.
     bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 1000).select("s_suppkey")
+    # part join FIRST: the brand/type/size filter is ~16x selective, and
+    # Catalyst will not push an inner join below an anti join -- anti-probing
+    # the full lineitem before the part filter would process every row where
+    # this order anti-probes only the ~6% that survive (same result: the two
+    # joins filter on independent keys)
     out = (
-        li.join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(p, li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(bad, li.l_suppkey == bad.s_suppkey, "left_anti")
         .groupBy(
             F.col("p_brand").alias("brand"),
             F.col("p_type").alias("type"),
@@ -373,9 +378,13 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    # The HAVING subquery is one grouped pass over lineitem; it reuses the
-    # same l_orderkey hash partitioning the main agg needs, so AQE can chain
-    # the exchanges without a second wide shuffle of lineitem.
+    # The HAVING subquery is one grouped pass over lineitem. NOTE: lineitem
+    # IS scanned twice and shuffled on l_orderkey twice -- the two exchanges
+    # have different children (raw scan vs partial aggregate) so ReuseExchange
+    # cannot fire (verified in the executed plan). The alternative -- persist
+    # the grouped frame and derive both sides from it -- trades a full
+    # lineitem-aggregate cache for one scan; at 100 TB prefer the rescan
+    # (cheap columnar scan of 2 columns) over caching a fact-sized frame.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty"))
@@ -515,11 +524,17 @@ def q8_national_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
     vol = _rev()
     zero = F.lit(0).cast(DEC)
+    # customer is reduced THROUGH the broadcast nation+region dims BEFORE it
+    # meets the fact chain -- written ((li JOIN o) JOIN c) JOIN n1 JOIN r,
+    # Catalyst (CBO off) keeps the literal order and the widest shuffle join
+    # carries all 5 regions' customers; pre-filtering c realizes the
+    # documented shape (identical inner-join result, ~1/5 the probe side)
+    c_asia = c.join(n1, c.c_nationkey == n1.n_nationkey).join(
+        r, n1.n_regionkey == r.r_regionkey
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(n1, c.c_nationkey == n1.n_nationkey)
-        .join(r, n1.n_regionkey == r.r_regionkey)
+        .join(c_asia, o.o_custkey == c_asia.c_custkey)
         .join(s, li.l_suppkey == s.s_suppkey)
         .join(n2, s.s_nationkey == F.col("n2_nationkey"))
         .join(p, li.l_partkey == p.p_partkey)
