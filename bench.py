@@ -8,6 +8,7 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -99,6 +100,18 @@ def streaming_envelope(spark, rows_per_sec: int = 100, run_secs: int = 25) -> di
     # first batch, so this is a per-job sizing decision, exactly like
     # picking 'bucket.num' in the reference)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    restored = False
+
+    def _restore() -> None:
+        # idempotent: also called right after start() so the window where a
+        # co-running loader thread plans with 8 partitions stays minimal; the
+        # outer finally guarantees it on any exception before that point
+        nonlocal restored
+        if not restored:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+            restored = True
+
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     # run the stream's jobs in a dedicated FAIR pool (session.py sets
     # spark.scheduler.mode=FAIR): the micro-batch thread inherits this local
@@ -110,23 +123,27 @@ def streaming_envelope(spark, rows_per_sec: int = 100, run_secs: int = 25) -> di
     # ignore_cleanup_errors: state-store maintenance threads can still be
     # compacting checkpoint files for a beat after q.stop() returns; a
     # cleanup race must not fail the bench run
-    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as ckpt:
-        q = (
-            windowed.writeStream.format("memory")
-            .queryName("bench_envelope")
-            .option("checkpointLocation", ckpt)
-            .outputMode("update")
-            .trigger(processingTime="1 second")
-            .start()
-        )
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
-        try:
-            time.sleep(run_secs)
-            progress = [json.loads(p.json) for p in q.recentProgress]
-        finally:
-            q.stop()
-            q.awaitTermination(30)
+    try:
+        with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as ckpt:
+            q = (
+                windowed.writeStream.format("memory")
+                .queryName("bench_envelope")
+                .option("checkpointLocation", ckpt)
+                .outputMode("update")
+                .trigger(processingTime="1 second")
+                .start()
+            )
+            _restore()
+            try:
+                time.sleep(run_secs)
+                progress = [json.loads(p.json) for p in q.recentProgress]
+            finally:
+                q.stop()
+                q.awaitTermination(30)
+    finally:
+        # a failed start() (bad checkpoint dir, source error) must not leave
+        # the session stuck at 8 shuffle partitions in the latency pool
+        _restore()
     lat = [
         p["durationMs"]["triggerExecution"] / 1000.0
         for p in progress
@@ -135,7 +152,10 @@ def streaming_envelope(spark, rows_per_sec: int = 100, run_secs: int = 25) -> di
     lat.sort()
     if not lat:
         return {"events_per_sec": rows_per_sec, "batches": 0, "p95_batch_sec": None}
-    p95 = lat[min(len(lat) - 1, int(round(0.95 * len(lat))) )]
+    # nearest-rank p95 = ceil(0.95*n)-1 (0-indexed); the previous
+    # round(0.95*n) indexed past rank 95 -- at n<=20 it WAS the sample max,
+    # so one GC-stalled trigger defined the whole headline reading
+    p95 = lat[min(len(lat) - 1, max(0, math.ceil(0.95 * len(lat)) - 1))]
     return {
         "events_per_sec": rows_per_sec,
         "batches": len(lat),
@@ -270,9 +290,9 @@ def main() -> None:
     # the same session; a loader iteration planned in that window runs with 8
     # partitions. That only perturbs the load generator (acceptable), never
     # the envelope measurement itself.
-    # 45 s run (~38 measured batches): with only ~20 batches the p95 index
-    # rounds to the sample max, so one trigger that lands behind a q5 stage
-    # burst defines the whole reading; ~38 batches puts p95 below the top two
+    # 45 s run (~38 measured batches): at ~20 batches nearest-rank p95 is
+    # the second-highest sample, so one trigger that lands behind a q5 stage
+    # burst still colors the reading; ~38 batches puts p95 below the top two
     loader = threading.Thread(target=batch_load, daemon=True)
     loader.start()
     try:
@@ -302,7 +322,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "streaming": envelope,
+        "streaming": envelope,  # legacy alias of streaming_isolated -- kept
+        # because earlier-round consumers parse it; both always carry the
+        # same isolated-envelope dict
         "streaming_isolated": envelope,
         "streaming_concurrent": envelope_concurrent,
         "streaming_headroom": envelope_headroom,

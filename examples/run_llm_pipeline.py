@@ -21,7 +21,9 @@ real pipeline ships:
     4. leakage_safe_split_assign  -- cluster-atomic train/val/test membership
                                      (near-dup clusters never straddle splits)
     5. decontamination_ngrams     -- flag test-set overlap
-    6. sequence_pack_offsets      -- context-window packing offsets
+    6. pack_offsets_frame         -- context-window packing offsets over the
+                                     SHIPPED (filtered) corpus, not the raw
+                                     table, so offsets match the real stream
     7. write train shards partitioned by split
     8. pack_efficiency_report     -- padding waste / utilization go-no-go
     9. training_shuffle_order     -- stable pseudo-random load order
@@ -64,6 +66,7 @@ import pyspark.sql.functions as F  # noqa: E402
 
 from flink_cdc_fluss_quickstart_spark.functions import dedup  # noqa: E402
 from flink_cdc_fluss_quickstart_spark.session import get_spark  # noqa: E402
+from flink_cdc_fluss_quickstart_spark.plans.pipeline_queries import pack_offsets_frame  # noqa: E402
 from flink_cdc_fluss_quickstart_spark.plans.registry import all_specs  # noqa: E402
 from flink_cdc_fluss_quickstart_spark.tables import load_table  # noqa: E402
 
@@ -95,7 +98,10 @@ def main() -> None:
     # (gibberish / rare-token soup under the corpus-fit unigram LM); the
     # threshold is a data-dependent scalar, broadcast like the temperature
     # resampling rates
-    lm = q["unigram_lm_surprisal"].builder(spark, sf_dir)
+    # persisted (released by the release_caches() below): lm feeds both the
+    # percentile aggregate and the crossJoin's left side -- unpersisted, the
+    # full surprisal pipeline (corpus scans + LM fit) would execute twice
+    lm = dedup.track_cache(q["unigram_lm_surprisal"].builder(spark, sf_dir).persist())
     cut = lm.agg(F.expr("percentile(bits_per_token, 0.95D)").alias("__cut"))
     fluent = (
         lm.crossJoin(F.broadcast(cut))
@@ -155,21 +161,25 @@ def main() -> None:
         .withColumn("__contaminated", F.lit(True))
     )
 
-    print("== 6. packing offsets")
-    packs = q["sequence_pack_offsets"].builder(spark, sf_dir).select(
-        "doc_id", "n_tokens", "start_offset", "first_pack"
-    )
-
-    print("== 7. materialize shards")
+    print("== 6-7. pack the SHIPPED corpus + materialize shards")
     docs = load_table(spark, sf_dir, "documents")
-    shards = (
+    # packing runs over the corpus that is actually WRITTEN (post routing /
+    # surprisal cut / dedup / decontamination): offsets computed over the
+    # full table would reserve phantom token spans for every dropped doc,
+    # so the shipped start_offset/first_pack would not match the real
+    # concatenated token stream a loader sees
+    kept = (
         docs.join(clean, "doc_id")
         .join(splits, "doc_id")
         .join(F.broadcast(contaminated), "doc_id", "left")
         .filter(F.col("__contaminated").isNull())  # drop leaked test overlap
-        .join(packs, "doc_id")
-        .select("doc_id", "split", "lang", "source", "n_tokens",
-                "start_offset", "first_pack", "text")
+    )
+    packs = pack_offsets_frame(kept.select("doc_id", "text")).select(
+        "doc_id", "n_tokens", "start_offset", "first_pack"
+    )
+    shards = kept.join(packs, "doc_id").select(
+        "doc_id", "split", "lang", "source", "n_tokens",
+        "start_offset", "first_pack", "text",
     )
     shards.write.mode("overwrite").partitionBy("split").parquet(out_dir)
     # steps 2b/3 persisted tracked frames (the LM's doc-term-frequency frame,
@@ -186,7 +196,8 @@ def main() -> None:
     n_out = out.count()
     print(f"corpus {n_raw} docs -> {n_out} training docs ({out_dir})")
 
-    print("== 8. packing efficiency (full corpus)")
+    print("== 8. packing efficiency (the registered FULL-corpus report; the"
+          " shipped-corpus numbers are the shard summary above)")
     q["pack_efficiency_report"].builder(spark, sf_dir).show()
 
     print("== 9. training shuffle order (first 5 positions)")

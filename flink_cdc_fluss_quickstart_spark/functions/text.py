@@ -36,8 +36,16 @@ LANG_ORDER = ("en", "de", "fr", "es")  # deterministic tie-break precedence
 
 
 def tokens(text: Column) -> Column:
-    """Whitespace tokenization (BPE-ish regex split)."""
-    return F.split(F.trim(text), TOKEN_SPLIT_RE)
+    """Whitespace tokenization (BPE-ish regex split). A token is a maximal
+    run of non-whitespace, so empty or whitespace-only text yields an EMPTY
+    array -- bare split(trim(''), ...) returns [''] (one phantom token that
+    would pass min-token gates and pad budget counts); the guard and its
+    DuckDB mirror (the CASE around every oracle's regexp_split_to_array)
+    keep both engines at 0. NULL text stays NULL through either branch."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(t, TOKEN_SPLIT_RE)
+    )
 
 
 def token_count(text: Column) -> Column:

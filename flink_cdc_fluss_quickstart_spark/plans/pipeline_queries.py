@@ -67,7 +67,7 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH tok AS (
       SELECT doc_id, lang,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             CAST(len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END)) AS BIGINT) AS n_tokens
       FROM documents
     ),
     ranked AS (
@@ -137,10 +137,10 @@ _ROUTE_ORACLE = rf"""
            END AS route
     FROM (
       SELECT doc_id,
-             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END)) AS n_tokens,
              CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                                   x -> x IN ({", ".join(f"'{w}'" for w in text.STOPWORDS)}))) AS DOUBLE)
-               / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+               / len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END)) AS stopword_ratio,
              CASE
                WHEN len(regexp_extract_all(text, '[一-鿿]')) > 0 THEN 'zh'
                WHEN s_en > 0 AND s_en >= GREATEST(s_de, s_fr, s_es) THEN 'en'
@@ -370,7 +370,7 @@ PACK_SHARD = 1024  # doc ids per prefix-sum shard (contiguous ranges, so
 _PACK_ORACLE = f"""
     WITH tok AS (
       SELECT doc_id,
-             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+             CAST(len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END)) AS BIGINT) AS n_tokens
       FROM documents
     ),
     cum AS (
@@ -412,9 +412,19 @@ _PACK_ORACLE = f"""
     f" cumsum falls into at 100 TB, one level up.",
 )
 def sequence_pack_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_offsets_frame(load_table(spark, sf_dir, "documents"))
+
+
+def pack_offsets_frame(d: DataFrame) -> DataFrame:
+    """Packing offsets over an arbitrary (doc_id, text) frame -- the frame
+    form exists so a pipeline can pack the corpus it actually SHIPS (post
+    filter/dedup/decontamination) rather than the raw table; offsets computed
+    over a superset leave phantom gaps at every dropped doc's token span.
+    Sharding by doc_id div PACK_SHARD tolerates gaps: shards just carry
+    fewer than PACK_SHARD docs and (shard, doc_id) order is still doc_id
+    order."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
@@ -614,7 +624,7 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     SELECT source,
            COUNT(*) AS n_docs,
-           CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
+           CAST(SUM(len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END))) AS BIGINT) AS total_tokens,
            CAST(COUNT(*) AS DOUBLE)
              / CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS doc_share,
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
@@ -754,7 +764,7 @@ CHUNK_STRIDE = 48   # tokens between chunk starts (< CHUNK_TOKENS => overlap)
     "context_chunks",
     oracle=f"""
     WITH tok AS (
-      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+      SELECT doc_id, (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END) AS w
       FROM documents
     )
     SELECT doc_id,
@@ -814,7 +824,7 @@ BATCH_SUBBUCKETS = 256  # hash-prefix sub-buckets for the two-level rank
     oracle=f"""
     WITH tok AS (
       SELECT doc_id,
-             CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+             CAST(len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\\s+') END)) AS BIGINT) AS n_tokens,
              md5(CAST(doc_id AS VARCHAR)) AS hx
       FROM documents
     ),
@@ -1124,7 +1134,7 @@ MIX_ALPHA = 0.5                # temperature on the per-source token mass
     WITH avail AS (
       SELECT source,
              CAST(COUNT(*) AS BIGINT) AS n_docs,
-             CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+             CAST(SUM(len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END))) AS BIGINT)
                AS tokens_available
       FROM documents GROUP BY source
     ),
@@ -1337,7 +1347,7 @@ def qsketch_hist_frame(tok: DataFrame) -> DataFrame:
     oracle=r"""
     WITH tok AS (
       SELECT doc_id, lang,
-             CAST(greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)
+             CAST(greatest(len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END)), 1)
                   AS BIGINT) AS n_tokens
       FROM documents
     ),

@@ -61,7 +61,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_count",
     oracle=r"""
     SELECT doc_id,
-           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END)) AS n_tokens,
            length(text) AS n_chars_obs
     FROM documents
     """,
@@ -83,14 +83,14 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            (n_tokens >= 10 AND stopword_ratio >= 0.01) AS is_quality
     FROM (
       SELECT doc_id,
-             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END)) AS n_tokens,
              CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
                / length(text) AS punct_ratio,
              CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
                                   x -> x IN ({_STOP_SQL}))) AS DOUBLE)
-               / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio,
+               / len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END)) AS stopword_ratio,
              CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-               / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+               / len((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END)) AS avg_token_len
       FROM documents
     )
     """,
@@ -101,13 +101,17 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     t = F.col("text")
     n_tokens = text.token_count(t)
+    # try_divide: a blank doc has 0 tokens / 0 length, and under Spark's ANSI
+    # default a bare `/` THROWS on the zero denominator where DuckDB yields
+    # NULL -- try_divide returns the same NULL, so the ratio columns agree on
+    # blank docs in both engines (planted-tested in tests/test_functions.py)
     out = d.select(
         "doc_id",
         n_tokens.alias("n_tokens"),
-        (text.punct_count(t).cast("double") / F.length(t)).alias("punct_ratio"),
-        (text.stopword_count(t).cast("double") / n_tokens).alias("stopword_ratio"),
-        (
-            F.length(F.regexp_replace(t, r"\s", "")).cast("double") / n_tokens
+        F.try_divide(text.punct_count(t).cast("double"), F.length(t)).alias("punct_ratio"),
+        F.try_divide(text.stopword_count(t).cast("double"), n_tokens).alias("stopword_ratio"),
+        F.try_divide(
+            F.length(F.regexp_replace(t, r"\s", "")).cast("double"), n_tokens
         ).alias("avg_token_len"),
     )
     return out.withColumn(
@@ -1661,8 +1665,8 @@ _G_REQ_SQL = ", ".join(f"'{w}'" for w in GOPHER_REQUIRED)
                   AS DOUBLE) / len(ln) AS ellipsis_ratio
       FROM (
         SELECT doc_id, text,
-               regexp_split_to_array(trim(text), '\s+') AS w,
-               list_transform(regexp_split_to_array(trim(text), '\s+'),
+               (CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END) AS w,
+               list_transform((CASE WHEN trim(text) = '' THEN []::VARCHAR[] ELSE regexp_split_to_array(trim(text), '\s+') END),
                               x -> lower(x)) AS lw,
                string_split(text, chr(10)) AS ln
         FROM documents
@@ -1694,15 +1698,23 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(text.tokens(t), lambda x: F.lower(x)).alias("lw"),
         F.split(t, "\n").alias("ln"),
     )
+    # try_divide: a blank doc has 0 tokens, and under Spark's ANSI default a
+    # bare `/` THROWS on the zero denominator where DuckDB yields NULL; the
+    # NULL ratios then fail every >=-threshold rule exactly like the oracle
     n_words = F.size("w").cast("bigint")
-    mwl = F.length(F.regexp_replace(t, r"\s", "")).cast("double") / F.size("w")
-    symbol_ratio = (
-        F.length(F.regexp_replace(t, r"[^#]", ""))
-        + F.floor((F.length(t) - F.length(F.replace(t, F.lit("...")))) / 3)
-    ).cast("double") / F.size("w")
-    alpha_ratio = (
-        F.size(F.filter(F.col("w"), lambda x: x.rlike("[A-Za-z]"))).cast("double")
-        / F.size("w")
+    mwl = F.try_divide(
+        F.length(F.regexp_replace(t, r"\s", "")).cast("double"), F.size("w")
+    )
+    symbol_ratio = F.try_divide(
+        (
+            F.length(F.regexp_replace(t, r"[^#]", ""))
+            + F.floor((F.length(t) - F.length(F.replace(t, F.lit("...")))) / 3)
+        ).cast("double"),
+        F.size("w"),
+    )
+    alpha_ratio = F.try_divide(
+        F.size(F.filter(F.col("w"), lambda x: x.rlike("[A-Za-z]"))).cast("double"),
+        F.size("w"),
     )
     n_required = F.size(
         F.filter(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import re
+import urllib.parse
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -138,8 +139,11 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     est_splits = 0
     for f in files:
         if f.startswith("file:"):
+            # inputFiles() returns URIs: percent-decode before stat'ing, or a
+            # path with a space/'%' raises and silently disables the spread
+            path = urllib.parse.unquote(f[len("file:"):])
             try:
-                size = os.path.getsize(f[len("file:"):])
+                size = os.path.getsize(path)
             except OSError:
                 return df
             est_splits += max(1, -(-size // max_split))

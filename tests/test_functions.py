@@ -376,3 +376,75 @@ def test_events_json_stats_malformed_payload_parity(spark):
     assert got == want
     assert got["a"] == (3, -4, 3, 1)
     assert got["b"] == (4, None, None, 4)
+
+
+def test_blank_text_counts_zero_tokens_in_both_engines(spark, tmp_path):
+    """token = maximal run of non-whitespace, so a blank or whitespace-only
+    document carries ZERO tokens -- bare split(trim(''), ...) returns ['']
+    (a phantom token that passed min-token gates and padded budget counts)
+    and DuckDB's regexp_split_to_array shares the quirk, so the guard must
+    exist on BOTH sides. Runs REAL registered queries over a planted parquet
+    corpus with blank docs and asserts full result parity plus the explicit
+    zero counts."""
+    import duckdb
+    import pandas as pd
+
+    from flink_cdc_fluss_quickstart_spark.functions import text as tfn
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    # the function contract itself
+    probe = spark.createDataFrame(
+        [("",), ("   ",), (" one  two ",), (None,)], "t string"
+    ).select(tfn.token_count(F.col("t")).alias("n")).collect()
+    assert [r["n"] for r in probe] == [0, 0, 2, None]
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["the quick brown fox", "", "   ", "one lonely token"],
+            "lang": ["en", "en", "de", "de"],
+            "source": ["src0", "src0", "src1", "src1"],
+            "n_chars": [19, 0, 3, 16],
+        }
+    )
+    td = str(tmp_path)
+    docs.to_parquet(f"{td}/documents.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{td}/documents.parquet')"
+    )
+    for name in (
+        "text_quality",
+        "token_count",
+        "token_stats_by_lang",
+        "quality_filter_route",
+        "domain_mix_report",
+        "length_bucket_batches",
+        "token_budget_mix_plan",
+        "quantile_sketch_report",
+        "sequence_pack_offsets",
+        "pack_efficiency_report",
+        "gopher_quality_flags",
+        "c4_quality_flags",
+        "collocation_pmi",
+        "char_entropy",
+    ):
+        spec = get(name)
+        sdf = spec.builder(spark, td)
+        s_rows = sorted(
+            tuple(None if v is None else round(v, 9) if isinstance(v, float) else v for v in r)
+            for r in (tuple(x) for x in sdf.collect())
+        )
+        res = con.execute(spec.oracle)
+        d_rows = sorted(
+            tuple(None if v is None else round(float(v), 9) if isinstance(v, float) else v for v in r)
+            for r in res.fetchall()
+        )
+        assert s_rows == d_rows, f"{name}: {s_rows} != {d_rows}"
+    # blank docs explicitly: zero tokens, zero-width pack spans
+    packs = {
+        r["doc_id"]: r.asDict()
+        for r in get("sequence_pack_offsets").builder(spark, td).collect()
+    }
+    assert packs[2]["n_tokens"] == 0 and packs[3]["n_tokens"] == 0
+    assert packs[3]["start_offset"] == 4  # doc 1's 4 tokens, nothing from 2

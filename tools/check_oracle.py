@@ -12,7 +12,7 @@ from __future__ import annotations
 import math
 import sys
 import time
-from datetime import datetime
+from datetime import datetime, timezone
 from decimal import Decimal
 
 import duckdb
@@ -34,7 +34,18 @@ def canon(v):
             return "NaN"
         return v
     if isinstance(v, datetime):
+        # convert a tz-aware value to UTC wall time BEFORE dropping tzinfo --
+        # a bare replace() would keep the local wall clock and misread any
+        # non-zero offset as a different instant
+        if v.tzinfo is not None:
+            v = v.astimezone(timezone.utc)
         return v.replace(tzinfo=None).isoformat()
+    # recurse into collections so decimals/datetimes nested in array/struct
+    # results are canonicalized too (a top-level-only pass compared them raw)
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
     return v
 
 

@@ -179,6 +179,9 @@ def deep_point(ops: tuple[str, ...], factors: list[int]) -> None:
     try:
         for op in ops:  # untimed codegen warmup, as in the full sweep
             specs[op].builder(spark, BASE_SF).count()
+        # warmup ops persist profile frames; drop them so the first timed
+        # operator and the first calibration run against a cold cache
+        spark.catalog.clearCache()
         for f in factors:
             d = os.path.join(tmp, f"x{f}")
             os.makedirs(d, exist_ok=True)
@@ -242,6 +245,9 @@ def main() -> None:
         # and every ratio reads artificially sub-linear
         for op in OPS:
             specs[op].builder(spark, BASE_SF).count()
+        # warmup ops persist profile frames; drop them so the first timed
+        # operator and the first calibration run against a cold cache
+        spark.catalog.clearCache()
         for f in factors:
             d = os.path.join(tmp, f"x{f}")
             os.makedirs(d, exist_ok=True)
