@@ -790,13 +790,22 @@ CHUNK_STRIDE = 48   # tokens between chunk starts (< CHUNK_TOKENS => overlap)
 )
 def context_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tok = spread(d).select(
-        "doc_id", F.expr(r"split(trim(text), '\\s+')").alias("w")
-    )
+    # text.tokens, not a raw split: a blank doc must yield ZERO chunks in
+    # both engines (bare split(trim('')) is [''] -> one phantom chunk row,
+    # caught by the planted-corpus sweep)
+    tok = spread(d).select("doc_id", text.tokens(F.col("text")).alias("w"))
+    # the empty-array branch both drops blank docs (explode of [] emits no
+    # row, matching the oracle's empty range) and keeps ANSI happy --
+    # sequence(1, 0) with a positive step is an error, not empty
     starts = tok.select(
         "doc_id",
         "w",
-        F.explode(F.expr(f"sequence(1, size(w), {CHUNK_STRIDE})")).alias("start_tok"),
+        F.explode(
+            F.expr(
+                f"CASE WHEN size(w) >= 1 THEN sequence(1, size(w), {CHUNK_STRIDE})"
+                f" ELSE CAST(array() AS array<int>) END"
+            )
+        ).alias("start_tok"),
     )
     chunk_len = F.expr(f"least({CHUNK_TOKENS}, size(w) - start_tok + 1)")
     return starts.select(

@@ -428,6 +428,7 @@ def test_blank_text_counts_zero_tokens_in_both_engines(spark, tmp_path):
         "c4_quality_flags",
         "collocation_pmi",
         "char_entropy",
+        "context_chunks",
     ):
         spec = get(name)
         sdf = spec.builder(spark, td)
