@@ -44,6 +44,25 @@ DOC_EDGES = """
   ) t(doc_id, text, lang, source, n_chars)
 """
 
+# orders with no lineitems / a customer with no orders / orders exactly ON
+# the date-range boundaries the TPC-H shapes filter by -- the outer, anti,
+# and semi join null-extension paths plus boundary-predicate paths that the
+# generator's dense key coverage may never leave unmatched
+ORD_EDGES = """
+  SELECT * FROM (VALUES
+    (900001, 900001, 'F', 123.45, TIMESTAMP '1996-01-01 00:00:00', '1-URGENT'),
+    (900002, 900001, 'O', 543.21, TIMESTAMP '1996-12-31 23:59:59', '5-LOW'),
+    (900003, 0,      'O',   0.0,  TIMESTAMP '1997-01-01 00:00:00', '3-MEDIUM')
+  ) t(o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority)
+"""
+
+CUST_EDGES = """
+  SELECT * FROM (VALUES
+    (900001, 'Customer#900001', 0, -999.99, 'BUILDING'),
+    (900002, 'Customer#900002', 1,    0.0,  'MACHINERY')
+  ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
+"""
+
 EV_EDGES = """
   SELECT * FROM (VALUES
     (900001, TIMESTAMP '2024-01-10 12:00:00', 77, 'view',     1.5,  'not json'),
@@ -64,20 +83,25 @@ EV_EDGES = """
 """
 
 
+EDGES = {
+    "documents.parquet": DOC_EDGES,
+    "events.parquet": EV_EDGES,
+    "orders.parquet": ORD_EDGES,
+    "customer.parquet": CUST_EDGES,
+}
+
+
 def build(dst: str) -> None:
     con = duckdb.connect()
     for f in os.listdir(BASE):
-        if f in ("documents.parquet", "events.parquet"):
+        if f in EDGES:
             continue
         os.symlink(os.path.join(BASE, f), os.path.join(dst, f))
-    con.execute(
-        f"COPY (SELECT * FROM read_parquet('{BASE}/documents.parquet')"
-        f" UNION ALL {DOC_EDGES}) TO '{dst}/documents.parquet' (FORMAT PARQUET)"
-    )
-    con.execute(
-        f"COPY (SELECT * FROM read_parquet('{BASE}/events.parquet')"
-        f" UNION ALL {EV_EDGES}) TO '{dst}/events.parquet' (FORMAT PARQUET)"
-    )
+    for f, edges in EDGES.items():
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{BASE}/{f}')"
+            f" UNION ALL {edges}) TO '{dst}/{f}' (FORMAT PARQUET)"
+        )
 
 
 def main() -> int:
