@@ -193,3 +193,35 @@ def test_plan_build_runs_no_compute_jobs(spark, name, monkeypatch):
         f"plan build for {name} ran {len(job_ids)} jobs for {calls['n']} table"
         f" loads -- an eager action at build time"
     )
+
+
+def test_asof_view_is_single_shuffle(spark):
+    """The r8 review fix: the views side must NOT carry a pre-dedup
+    row_number pass -- asof_join's right_order tie policy already picks the
+    same row -- so the whole as-of query is exactly ONE hash exchange (the
+    union-tag window's user_id shuffle)."""
+    plan, _ = _plans(spark, "asof_view_before_purchase")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_q16_part_filter_applies_before_anti_join(spark):
+    """The r8 review fix: the ~16x-selective part join must sit BELOW the
+    supplier anti join (Catalyst won't reorder an inner join below an anti
+    join on its own), so the anti probe sees the filtered lineitem."""
+    plan, _ = _plans(spark, "q16_supplier_part_variety")
+    anti = plan.index("LeftAnti")
+    # the part-side inner join appears deeper in the tree (later in the
+    # toString) than the anti join that consumes its output
+    inner = plan.index("p_partkey", anti)
+    assert inner > anti, plan[:2000]
+
+
+def test_q8_customer_prefiltered_through_region_dims(spark):
+    """The r8 review fix: customer must join the broadcast nation+region
+    dims BEFORE meeting the orders fact chain, so the o_custkey shuffle
+    join probes only the ASIA-region customers."""
+    plan, _ = _plans(spark, "q8_national_market_share")
+    # the customer-side broadcast joins to nation/region appear below
+    # (later in toString than) the o_custkey join that consumes them
+    shuffle_join = plan.index("o_custkey")
+    assert plan.index("r_regionkey", shuffle_join) > shuffle_join, plan[:2000]
