@@ -182,7 +182,17 @@ def hex4_sql(expr: str, group: int) -> str:
 
 
 PHASH_BANDS = 4  # 16-bit bands over the 64-bit hash (LSH candidate blocking)
-PHASH_HAMMING_MAX = 8  # accept pairs within this bit distance
+# Verify-stage acceptance radius. RECALL CONTRACT: the band blocking only
+# GUARANTEES a shared band for pairs at Hamming distance < PHASH_BANDS
+# (pigeonhole); pairs at distance 4..PHASH_HAMMING_MAX are found only when
+# their differing bits cluster into <= 3 bands -- likely for real perceptual
+# edits (a local change perturbs adjacent DCT coefficients, which land in the
+# same band), but not guaranteed. Raising PHASH_BANDS to cover d=8 exactly
+# would need 9+ bands of <8 bits, whose tiny key space (<=2^7 values) makes
+# every bucket corpus/128-sized -- a quadratic blow-up at scale. The 4x16-bit
+# layout is the standard pHash-dedup trade: exact recall below 4 bits,
+# clustered-error recall up to the verify radius, bounded bucket sizes.
+PHASH_HAMMING_MAX = 8
 
 PHASH_SCHEMA = "doc_id long, phash string"
 

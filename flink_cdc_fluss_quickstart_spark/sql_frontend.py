@@ -65,15 +65,22 @@ _TYPE_MAP = {
 
 
 def _parse_type(s: str) -> T.DataType:
+    # fullmatch, not match: an unanchored prefix match silently accepted any
+    # suffixed garbage as the prefix's type -- notably Flink's TIMESTAMP_LTZ
+    # parsed as the NTZ type (prefix "TIMESTAMP", LTZ group unmatched),
+    # shifting every event-time value by the session zone
     s = s.strip().upper()
-    m = re.match(r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", s)
+    m = re.fullmatch(r"DECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", s)
     if m:
         return T.DecimalType(int(m.group(1)), int(m.group(2)))
-    m = re.match(r"TIMESTAMP(?:\s*\(\s*\d+\s*\))?(\s+WITH\s+LOCAL\s+TIME\s+ZONE)?", s)
+    m = re.fullmatch(
+        r"TIMESTAMP(?:\s*\(\s*\d+\s*\))?(\s+WITH\s+LOCAL\s+TIME\s+ZONE)?", s
+    )
     if m:
         return T.TimestampType() if m.group(1) else T.TimestampNTZType()
-    m = re.match(r"VARCHAR(\s*\(\s*\d+\s*\))?|CHAR(\s*\(\s*\d+\s*\))?|TEXT", s)
-    if m:
+    if re.fullmatch(r"TIMESTAMP_LTZ(?:\s*\(\s*\d+\s*\))?", s):
+        return T.TimestampType()  # Flink's session-zone timestamp spelling
+    if re.fullmatch(r"(?:VARCHAR|CHAR)(?:\s*\(\s*\d+\s*\))?|TEXT|STRING", s):
         return T.StringType()
     if s in _TYPE_MAP:
         return _TYPE_MAP[s]
@@ -217,13 +224,15 @@ def _parse_agg_view_shape(select_sql: str, target_spec: "TableSpec",
     if len(tables) != 2 or {ja, jb} != {a1, a2}:
         return None
     # every source mentioned ANYWHERE in the statement must be one of the
-    # two parsed join tables; a 3rd table (or a subquery FROM) would be left
-    # unscoped and unstreamed -- reject, don't half-stream
-    all_sources = {
+    # two parsed join tables AND each must appear exactly once; a 3rd table,
+    # a subquery FROM, or a SECOND mention of a staging table (self-subquery,
+    # extra join -- a set-based check passed those) would be left unscoped
+    # and unstreamed -- reject, don't half-stream
+    mentions = sorted(
         n.split(".")[-1].lower()
         for n in re.findall(r"(?:\bFROM|\bJOIN)\s+([\w.]+)", select_sql, re.I)
-    }
-    if all_sources != {t1, t2}:
+    )
+    if mentions != sorted([t1, t2]):
         return None
     key_by_alias = {ja: jac, jb: jbc}
 
@@ -312,11 +321,14 @@ def _parse_single_table_agg_shape(select_sql: str, target_spec: "TableSpec",
         return None
     tbl = m.group(1).split(".")[-1].lower()
     alias = (m.group(2) or tbl).lower()
-    all_sources = {
+    # exactly ONE mention of the one staging table (the list-equality twin
+    # of the join shape's check: a self-subquery's second FROM passed a
+    # set-based comparison but its span is never rewritten)
+    mentions = [
         n.split(".")[-1].lower()
         for n in re.findall(r"(?:\bFROM|\bJOIN)\s+([\w.]+)", select_sql, re.I)
-    }
-    if all_sources != {tbl}:
+    ]
+    if mentions != [tbl]:
         return None
     sm = re.match(r"\s*SELECT\s+(.*?)\bFROM\b", select_sql, re.I | re.S)
     gm = re.search(
@@ -354,6 +366,44 @@ def _parse_single_table_agg_shape(select_sql: str, target_spec: "TableSpec",
     )
 
 
+def _align_to_schema(df: DataFrame, spec: "TableSpec") -> DataFrame:
+    """Positional rename to the DDL order + cast to the declared types
+    (e.g. SUM widens DECIMAL; the DDL pins (15,2))."""
+    cols = [f.name for f in spec.schema.fields]
+    return df.toDF(*cols).select(
+        *[F.col(f.name).cast(f.dataType).alias(f.name) for f in spec.schema.fields]
+    )
+
+
+def _merge_refresh(
+    target: "PKTable",
+    spec: "TableSpec",
+    aligned: DataFrame,
+    gone_keys: DataFrame | None,
+    batch_id: int,
+    writer_id: str,
+) -> None:
+    """The ONE upsert+retract merge recipe both refresh paths share (the
+    incremental affected-keys view and the full-requery fallback used to
+    hand-roll identical copies that could drift): aligned rows become
+    op='U' upserts, `gone_keys` (the target's key columns for groups that
+    vanished) become null-padded op='D' deletes, and the union merges at
+    `batch_id`."""
+    cols = [f.name for f in spec.schema.fields]
+    keys = target.keys
+    changes = aligned.withColumn("op", F.lit("U"))
+    if gone_keys is not None:
+        pad = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in spec.schema.fields
+            if f.name not in keys
+        ]
+        deletes = gone_keys.select(*keys, *pad).select(*cols).withColumn("op", F.lit("D"))
+        changes = changes.unionByName(deletes)
+    changes = changes.withColumn("seq", F.lit(batch_id).cast("long"))
+    target.merge(changes, batch_id=batch_id, writer_id=writer_id)
+
+
 class IncrementalAggView:
     """Affected-keys-maintained materialized view over staging PK tables:
     `refresh(keys)` re-runs the parsed SELECT with the anchor table scoped to
@@ -389,24 +439,11 @@ class IncrementalAggView:
             snap.createOrReplaceTempView(vname)
         fresh = eng.spark.sql(shape.rewritten_sql)
 
-        cols = [f.name for f in spec.schema.fields]
-        aligned = fresh.toDF(*cols).select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in spec.schema.fields]
-        )
-        upserts = aligned.withColumn("op", F.lit("U"))
+        aligned = _align_to_schema(fresh, spec)
         gone = affected.toDF(shape.pk_col).join(
             aligned.select(shape.pk_col), shape.pk_col, "left_anti"
         )
-        pad = [
-            F.lit(None).cast(f.dataType).alias(f.name)
-            for f in spec.schema.fields
-            if f.name != shape.pk_col
-        ]
-        deletes = gone.select(shape.pk_col, *pad).select(*cols).withColumn("op", F.lit("D"))
-        changes = upserts.unionByName(deletes).withColumn(
-            "seq", F.lit(batch_id).cast("long")
-        )
-        target.merge(changes, batch_id=batch_id, writer_id=writer_id)
+        _merge_refresh(target, spec, aligned, gone, batch_id, writer_id)
         self.refresh_stats.append(
             {"writer": writer_id, "batch_id": batch_id, "n_affected": n_affected}
         )
@@ -482,10 +519,21 @@ class Engine:
             # dialect's drop+create yields an EMPTY table, so a resurrected
             # name must not see the old rows
             store = self.stores.pop(name, None)
-            if store is not None:
-                import shutil
+            import glob as _glob
+            import shutil
 
+            if store is not None:
                 shutil.rmtree(store.path, ignore_errors=True)
+            # ... and every streaming checkpoint that fed it: a kept
+            # checkpoint would make a drop+recreate+re-INSERT resume PAST the
+            # already-consumed changelog epochs, silently leaving the
+            # resurrected table missing those rows
+            for ckpt in _glob.glob(
+                os.path.join(self.warehouse, "_ckpt", f"{name}_from_*")
+            ) + _glob.glob(
+                os.path.join(self.warehouse, "_ckpt", f"view_{name}_from_*")
+            ):
+                shutil.rmtree(ckpt, ignore_errors=True)
         elif head.startswith(("CREATE TABLE", "CREATE TEMPORARY TABLE")):
             self._create_table(stmt)
         elif head.startswith("INSERT INTO"):
@@ -555,9 +603,20 @@ class Engine:
             # and 'bucket' in the generated init-catalogs.sql paimon DDL
             n_buckets = int(options.get("bucket.num", options.get("bucket", "4")))
             path = os.path.join(self.warehouse, self.current_catalog, self.current_db, name)
-            keys = pk or [fields[0].name]
+            # fail fast, never guess: a managed store is an UPSERT (PK) table,
+            # and silently keying a PK-less DDL on its first column collapsed
+            # distinct rows that shared that value (1000 clicks by 10 users
+            # -> 10 rows, no warning). Append-only log tables are a different
+            # storage model this engine does not implement; every reference
+            # script declares a PRIMARY KEY.
+            if not pk:
+                raise ValueError(
+                    f"managed table {name!r} requires PRIMARY KEY (append-only"
+                    " log tables are not supported; declare a key or bind the"
+                    " name as a connector source)"
+                )
             self.stores[name] = PKTable(
-                self.spark, path, keys=keys, order_by=["seq"], n_buckets=n_buckets
+                self.spark, path, keys=pk, order_by=["seq"], n_buckets=n_buckets
             )
 
     @staticmethod
@@ -589,9 +648,12 @@ class Engine:
         target = self.stores[target_name]
         target_spec = self.tables[target_name]
 
+        # \b-anchored like every other FROM/JOIN scan here: without it an
+        # identifier ending in "from"/"join" (SELECT valid_from FROM t)
+        # matched its own tail and captured the keyword as the source name
         src_names = {
             n.split(".")[-1].lower()
-            for n in re.findall(r"(?:FROM|JOIN)\s+([\w.]+)", select_sql, re.I)
+            for n in re.findall(r"(?:\bFROM|\bJOIN)\s+([\w.]+)", select_sql, re.I)
         }
         streaming_sources = [n for n in src_names if n in self.bound_sources]
         is_agg = re.search(r"\bGROUP\s+BY\b", select_sql, re.I) is not None
@@ -684,6 +746,16 @@ class Engine:
                         .filter(F.col("op") != OP_DELETE)
                         .drop("op", "seq", "before")
                     )
+                elif n in self.tables and self.tables[n].is_connector_source:
+                    # fail fast: a declared connector source with no
+                    # bind_source() would snapshot EMPTY here, and the MV
+                    # refresh below would then retract every existing row of
+                    # the target -- wiping a populated view with no error
+                    raise ValueError(
+                        f"connector source {n!r} has no bound data: call"
+                        " Engine.bind_source() before INSERT ... SELECT"
+                        " reads it"
+                    )
                 else:
                     snap = self.spark.createDataFrame([], self.tables[n].schema)
                 snap.createOrReplaceTempView(n)
@@ -763,29 +835,19 @@ class Engine:
 
     def _refresh_view(self, target: PKTable, spec: TableSpec, df: DataFrame) -> None:
         """Merge a full query result into a PK table: upsert all rows, delete
-        keys that vanished since the last refresh."""
-        cols = [f.name for f in spec.schema.fields]
-        aligned = df.toDF(*cols)  # positional: SELECT list matches DDL order
-        # cast to declared types (e.g. SUM widens DECIMAL; DDL pins (15,2))
-        aligned = aligned.select(
-            *[F.col(f.name).cast(f.dataType).alias(f.name) for f in spec.schema.fields]
-        )
+        keys that vanished since the last refresh (the _merge_refresh recipe,
+        shared with IncrementalAggView.refresh)."""
+        aligned = _align_to_schema(df, spec)
         current = target.snapshot()
-        upserts = aligned.withColumn("op", F.lit("U"))
-        if current is not None:
-            keys = target.keys
-            gone = current.select(*keys).join(aligned.select(*keys), keys, "left_anti")
-            pad = [
-                F.lit(None).cast(f.dataType).alias(f.name)
-                for f in spec.schema.fields
-                if f.name not in keys
-            ]
-            deletes = gone.select(*keys, *pad).select(*cols).withColumn("op", F.lit("D"))
-            changes = upserts.unionByName(deletes)
-        else:
-            changes = upserts
-        changes = changes.withColumn("seq", F.lit(target.last_batch_id("sql-mv") + 1).cast("long"))
-        target.merge(changes, batch_id=target.last_batch_id("sql-mv") + 1, writer_id="sql-mv")
+        gone = (
+            current.select(*target.keys).join(
+                aligned.select(*target.keys), target.keys, "left_anti"
+            )
+            if current is not None
+            else None
+        )
+        batch_id = target.last_batch_id("sql-mv") + 1
+        _merge_refresh(target, spec, aligned, gone, batch_id, writer_id="sql-mv")
 
     def await_all(self, timeout: int = 300) -> None:
         pending, self.queries = list(self.queries), []

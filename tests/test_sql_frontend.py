@@ -628,3 +628,162 @@ def test_alias_colliding_with_table_name_rejected_by_view_parser():
         "v",
     )
     assert shape is None
+
+
+def test_parse_type_is_anchored_and_knows_timestamp_ltz():
+    """fullmatch semantics: TIMESTAMP_LTZ(3) is the session-zone timestamp
+    (the unanchored prefix match read it as NTZ, shifting every event time),
+    and suffixed garbage raises instead of silently parsing as the prefix."""
+    import pyspark.sql.types as T
+
+    from flink_cdc_fluss_quickstart_spark.sql_frontend import _parse_type
+
+    assert _parse_type("TIMESTAMP_LTZ(3)") == T.TimestampType()
+    assert _parse_type("TIMESTAMP_LTZ") == T.TimestampType()
+    assert _parse_type("TIMESTAMP(3)") == T.TimestampNTZType()
+    assert _parse_type("TIMESTAMP(3) WITH LOCAL TIME ZONE") == T.TimestampType()
+    for bad in ("TIMESTAMPFOO", "VARCHAR2", "DECIMAL(10,2) ZONED"):
+        with pytest.raises(ValueError):
+            _parse_type(bad)
+
+
+def test_agg_shape_rejects_second_mention_of_staging_table():
+    """A second mention of a staging table (self-subquery or extra join)
+    must fall back to full requery -- the set-based source check accepted it
+    while the rewrite left the second span unstreamed, so every refresh died
+    on the raw table name."""
+    import pyspark.sql.types as T
+
+    from flink_cdc_fluss_quickstart_spark.sql_frontend import (
+        TableSpec,
+        _parse_agg_view_shape,
+        _parse_single_table_agg_shape,
+    )
+
+    spec = TableSpec(
+        name="v",
+        schema=T.StructType(
+            [
+                T.StructField("movie_id", T.LongType()),
+                T.StructField("n", T.LongType()),
+            ]
+        ),
+        primary_key=["movie_id"],
+    )
+    good_join = (
+        "SELECT t.movie_id, COUNT(*) AS n FROM tickets t JOIN movies m"
+        " ON t.movie_id = m.movie_id GROUP BY t.movie_id"
+    )
+    assert _parse_agg_view_shape(good_join, spec, "v") is not None
+    dup_join = (
+        "SELECT t.movie_id, COUNT(*) AS n FROM tickets t JOIN movies m"
+        " ON t.movie_id = m.movie_id JOIN tickets t2 ON t2.ticket_id = t.ticket_id"
+        " GROUP BY t.movie_id"
+    )
+    assert _parse_agg_view_shape(dup_join, spec, "v") is None
+    spec1 = TableSpec(
+        name="v",
+        schema=T.StructType(
+            [
+                T.StructField("status", T.StringType()),
+                T.StructField("n", T.LongType()),
+            ]
+        ),
+        primary_key=["status"],
+    )
+    good_single = "SELECT status, COUNT(*) AS n FROM tickets GROUP BY status"
+    assert _parse_single_table_agg_shape(good_single, spec1, "v") is not None
+    self_sub = (
+        "SELECT status, COUNT(*) AS n FROM tickets WHERE cost >"
+        " (SELECT AVG(cost) FROM tickets) GROUP BY status"
+    )
+    assert _parse_single_table_agg_shape(self_sub, spec1, "v") is None
+
+
+def test_create_table_without_primary_key_raises(spark, tmp_path):
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="PRIMARY KEY"):
+        eng.execute("CREATE TABLE clicks (user_id BIGINT, url STRING) WITH ('bucket.num'='2');")
+
+
+def test_unbound_connector_source_fails_fast(spark, tmp_path):
+    """A declared-but-never-bound connector source must raise, not snapshot
+    empty -- an empty snapshot made the MV refresh retract every existing
+    row of the target."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    with pytest.raises(ValueError, match="no bound data"):
+        eng.execute(
+            """
+            CREATE TABLE src (id BIGINT, v STRING, PRIMARY KEY (id) NOT ENFORCED)
+            WITH ('connector' = 'postgres-cdc');
+            CREATE TABLE tgt (id BIGINT, v STRING, PRIMARY KEY (id) NOT ENFORCED)
+            WITH ('bucket.num' = '2');
+            INSERT INTO tgt SELECT id, v FROM src;
+            """
+        )
+
+
+def test_identifier_ending_in_from_does_not_shadow_source(spark, workload, tmp_path):
+    """`SELECT ... valid_from FROM t`: the unanchored FROM/JOIN scan matched
+    the identifier's own tail and captured the keyword as the source name,
+    crashing the batch path with KeyError('from')."""
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.bind_source("pg_osb_users", workload["users"], osb.USERS_SCHEMA)
+    eng.execute(
+        """
+        CREATE TABLE pg_osb_users (
+          user_id BIGINT, username STRING, email STRING, created_at TIMESTAMP(3),
+          PRIMARY KEY (user_id) NOT ENFORCED
+        ) WITH ('connector' = 'postgres-cdc');
+        CREATE TABLE user_valid (
+          user_id BIGINT, valid_from STRING,
+          PRIMARY KEY (user_id) NOT ENFORCED
+        ) WITH ('bucket.num' = '2');
+        INSERT INTO user_valid SELECT user_id, username AS valid_from FROM pg_osb_users;
+        """
+    )
+    eng.await_all()
+    rows = {r.user_id: r.valid_from for r in eng.snapshot("user_valid").collect()}
+    assert rows[3] == "user_3"
+
+
+def test_drop_table_clears_streaming_checkpoints(spark, workload, tmp_path):
+    """DROP + recreate + re-INSERT must rebuild the full table: a surviving
+    checkpoint made the new stream resume past the already-consumed epochs,
+    silently losing those rows."""
+    import os
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.bind_source("pg_osb_users", workload["users"], osb.USERS_SCHEMA)
+    ddl = """
+        CREATE TABLE pg_osb_users (
+          user_id BIGINT, username STRING, email STRING, created_at TIMESTAMP(3),
+          PRIMARY KEY (user_id) NOT ENFORCED
+        ) WITH ('connector' = 'postgres-cdc');
+        CREATE TABLE users_copy (
+          user_id BIGINT, username STRING, email STRING, created_at TIMESTAMP(3),
+          PRIMARY KEY (user_id) NOT ENFORCED
+        ) WITH ('bucket.num' = '2');
+        INSERT INTO users_copy SELECT * FROM pg_osb_users;
+    """
+    eng.execute(ddl)
+    eng.await_all()
+    n_first = eng.snapshot("users_copy").count()
+    assert n_first == 5
+    eng.execute("DROP TABLE users_copy;")
+    assert not any(
+        d.startswith("users_copy_from_")
+        for d in (os.listdir(os.path.join(str(tmp_path / "wh"), "_ckpt"))
+                  if os.path.isdir(os.path.join(str(tmp_path / "wh"), "_ckpt")) else [])
+    )
+    eng.execute(
+        """
+        CREATE TABLE users_copy (
+          user_id BIGINT, username STRING, email STRING, created_at TIMESTAMP(3),
+          PRIMARY KEY (user_id) NOT ENFORCED
+        ) WITH ('bucket.num' = '2');
+        INSERT INTO users_copy SELECT * FROM pg_osb_users;
+        """
+    )
+    eng.await_all()
+    assert eng.snapshot("users_copy").count() == n_first
