@@ -63,6 +63,34 @@ CUST_EDGES = """
   ) t(c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment)
 """
 
+# lineitem rows against the planted order 900002 (900001 stays
+# lineitem-less): NULL ship date (interval comparisons null out in both
+# engines), zero quantity, discount at the 0/1 boundaries, a part/supplier
+# key that exists nowhere
+LI_EDGES = """
+  SELECT * FROM (VALUES
+    (900002, 1, 1, 1, 0.0,  100.0, 0.0, 0.01, 'N', 'O', NULL::TIMESTAMP),
+    (900002, 1, 1, 2, 5.0,  200.0, 1.0, 0.02, 'R', 'F', TIMESTAMP '1996-03-01 00:00:00'),
+    (900002, 900001, 900001, 3, 7.0, 300.0, 0.5, 0.0, 'A', 'F', TIMESTAMP '1996-03-02 00:00:00')
+  ) t(l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+      l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate)
+"""
+
+# a supplier no lineitem references, with an extreme negative balance, and a
+# part no lineitem references whose attributes sit exactly ON the q16/q19
+# filter boundaries
+SUPP_EDGES = """
+  SELECT * FROM (VALUES
+    (900009, 'Supplier#900009', 0, -9999.99)
+  ) t(s_suppkey, s_name, s_nationkey, s_acctbal)
+"""
+
+PART_EDGES = """
+  SELECT * FROM (VALUES
+    (900009, 'planted part', 'Brand#3', 'PROMO', 1, 0.0)
+  ) t(p_partkey, p_name, p_brand, p_type, p_size, p_retailprice)
+"""
+
 EV_EDGES = """
   SELECT * FROM (VALUES
     (900001, TIMESTAMP '2024-01-10 12:00:00', 77, 'view',     1.5,  'not json'),
@@ -88,6 +116,9 @@ EDGES = {
     "events.parquet": EV_EDGES,
     "orders.parquet": ORD_EDGES,
     "customer.parquet": CUST_EDGES,
+    "lineitem.parquet": LI_EDGES,
+    "supplier.parquet": SUPP_EDGES,
+    "part.parquet": PART_EDGES,
 }
 
 
