@@ -168,11 +168,16 @@ def main() -> None:
     # full table would reserve phantom token spans for every dropped doc,
     # so the shipped start_offset/first_pack would not match the real
     # concatenated token stream a loader sees
-    kept = (
+    # persisted (released below): kept feeds BOTH pack_offsets_frame and the
+    # shards join with different column prunings, so without the persist the
+    # whole cleaning subtree (dedup representatives, routing, splits,
+    # decontamination joins) would execute twice inside the one write action
+    kept = dedup.track_cache(
         docs.join(clean, "doc_id")
         .join(splits, "doc_id")
         .join(F.broadcast(contaminated), "doc_id", "left")
         .filter(F.col("__contaminated").isNull())  # drop leaked test overlap
+        .persist()
     )
     packs = pack_offsets_frame(kept.select("doc_id", "text")).select(
         "doc_id", "n_tokens", "start_offset", "first_pack"

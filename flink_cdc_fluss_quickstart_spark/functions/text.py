@@ -35,6 +35,18 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 LANG_ORDER = ("en", "de", "fr", "es")  # deterministic tie-break precedence
 
 
+#: DuckDB spelling of tokens() -- the guarded whitespace split every oracle
+#: interpolates verbatim. ONE canonical form, enforced by
+#: tests/test_registry_guard.py::test_oracle_token_split_is_the_canonical_guard:
+#: an oracle spelling the split differently (or bare) fails CI, so the two
+#: engines' tokenizers cannot drift. Mirrors tokens() below exactly,
+#: including the blank-text empty-array branch.
+DUCK_TOKENS = (
+    "(CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE regexp_split_to_array(trim(text), '\\s+') END)"
+)
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization (BPE-ish regex split). A token is a maximal
     run of non-whitespace, so empty or whitespace-only text yields an EMPTY

@@ -685,10 +685,14 @@ def approx_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer-typed member, matching from_json('k BIGINT') exactly.
     oracle="""
     WITH parsed AS (
+      -- TRY_CAST, not CAST: json_type is 'UBIGINT' for EVERY positive
+      -- integer, so a k in [2^63, 2^64) passes the type gate but overflows
+      -- BIGINT -- Spark's from_json nulls it (bad_payload) where a bare
+      -- CAST would hard-error
       SELECT event_type,
              CASE WHEN json_valid(props)
                        AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
-                  THEN CAST(json_extract(props, '$.k') AS BIGINT) END AS k
+                  THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS k
       FROM events
     )
     SELECT event_type,

@@ -463,6 +463,11 @@ class Engine:
         self.stores: dict[str, PKTable] = {}
         self.bound_sources: dict[str, tuple[str, T.StructType]] = {}
         self.replicated_from: dict[str, str] = {}  # staging table -> source
+        # target table -> exact checkpoint dirs its streams use, so DROP can
+        # remove precisely these (a `{name}_from_*` glob over-matched a
+        # sibling table literally NAMED `{name}_from_...`, wiping the
+        # survivor's resume state)
+        self.ckpts: dict[str, set[str]] = {}
         self.views: dict[str, IncrementalAggView] = {}
         self.queries: list = []  # running StreamingQuery handles
 
@@ -519,20 +524,18 @@ class Engine:
             # dialect's drop+create yields an EMPTY table, so a resurrected
             # name must not see the old rows
             store = self.stores.pop(name, None)
-            import glob as _glob
             import shutil
 
             if store is not None:
                 shutil.rmtree(store.path, ignore_errors=True)
-            # ... and every streaming checkpoint that fed it: a kept
-            # checkpoint would make a drop+recreate+re-INSERT resume PAST the
-            # already-consumed changelog epochs, silently leaving the
-            # resurrected table missing those rows
-            for ckpt in _glob.glob(
-                os.path.join(self.warehouse, "_ckpt", f"{name}_from_*")
-            ) + _glob.glob(
-                os.path.join(self.warehouse, "_ckpt", f"view_{name}_from_*")
-            ):
+            # ... and every streaming checkpoint that fed it (the EXACT dirs
+            # this engine registered, never a glob -- `{name}_from_*` would
+            # also match a sibling table named `{name}_from_...` and wipe the
+            # survivor's resume state): a kept checkpoint would make a
+            # drop+recreate+re-INSERT resume PAST the already-consumed
+            # changelog epochs, silently leaving the resurrected table
+            # missing those rows
+            for ckpt in self.ckpts.pop(name, ()):
                 shutil.rmtree(ckpt, ignore_errors=True)
         elif head.startswith(("CREATE TABLE", "CREATE TEMPORARY TABLE")):
             self._create_table(stmt)
@@ -694,6 +697,7 @@ class Engine:
             cols = [f.name for f in target_spec.schema.fields]
             projected = stream.select("op", "seq", *cols)
             ckpt = os.path.join(self.warehouse, "_ckpt", f"{target_name}_from_{src}")
+            self.ckpts.setdefault(target_name, set()).add(ckpt)
 
             def fb(batch_df: DataFrame, batch_id: int) -> None:
                 target.merge(batch_df, batch_id=batch_id, writer_id=f"sql-{src}")
@@ -804,6 +808,7 @@ class Engine:
             ckpt = os.path.join(
                 self.warehouse, "_ckpt", f"view_{target_name}_from_{src}"
             )
+            self.ckpts.setdefault(target_name, set()).add(ckpt)
             src_key = shape.key_by_table[tbl]
             store = self.stores[tbl]
             sync_writer = f"view-sync-{target_name}-{src}"

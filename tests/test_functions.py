@@ -360,6 +360,9 @@ def test_events_json_stats_malformed_payload_parity(spark):
         ("b", '{"k": 3.5}'),  # non-integral k -> bad
         ("b", '{"x": 1}'),    # missing key -> bad
         ("b", None),          # NULL props -> bad
+        # json_type 'UBIGINT' but overflows BIGINT: Spark nulls, the oracle
+        # must TRY_CAST (a bare CAST hard-errors) -> bad
+        ("b", '{"k": 10000000000000000000}'),
     ]
     ev = spark.createDataFrame(rows, "event_type string, props string")
     got = {
@@ -375,7 +378,7 @@ def test_events_json_stats_malformed_payload_parity(spark):
     }
     assert got == want
     assert got["a"] == (3, -4, 3, 1)
-    assert got["b"] == (4, None, None, 4)
+    assert got["b"] == (5, None, None, 5)
 
 
 def test_blank_text_counts_zero_tokens_in_both_engines(spark, tmp_path):

@@ -270,3 +270,30 @@ def test_stamp_history_governance_check():
 
     stamp_history = importlib.import_module("stamp_history")
     assert stamp_history.check() == []
+
+
+def test_oracle_token_split_is_the_canonical_guard():
+    """Every oracle's whitespace token split over `text` must be EXACTLY the
+    canonical blank-guarded spelling (functions/text.DUCK_TOKENS) that
+    mirrors tokens(): a site retuned away from it -- or spelled bare --
+    silently re-opens the cross-engine phantom-token divergence the guard
+    closed, so the lockstep is CI-enforced here instead of trusting 15
+    hand-copied oracle sites to stay in sync."""
+    import re
+
+    from flink_cdc_fluss_quickstart_spark.functions import text as tfn
+    from flink_cdc_fluss_quickstart_spark.plans.registry import all_specs
+
+    bare = re.compile(r"regexp_split_to_array\(trim\(text\)")
+    total = 0
+    for name, spec in sorted(all_specs().items()):
+        if spec.oracle is None:
+            continue
+        n_bare = len(bare.findall(spec.oracle))
+        n_guarded = spec.oracle.count(tfn.DUCK_TOKENS)
+        assert n_bare == n_guarded, (
+            f"{name}: {n_bare - n_guarded} token split(s) not the canonical"
+            " DUCK_TOKENS guard"
+        )
+        total += n_guarded
+    assert total >= 15  # the guard is actually in use, not vacuously green

@@ -770,12 +770,17 @@ def test_drop_table_clears_streaming_checkpoints(spark, workload, tmp_path):
     eng.await_all()
     n_first = eng.snapshot("users_copy").count()
     assert n_first == 5
-    eng.execute("DROP TABLE users_copy;")
-    assert not any(
-        d.startswith("users_copy_from_")
-        for d in (os.listdir(os.path.join(str(tmp_path / "wh"), "_ckpt"))
-                  if os.path.isdir(os.path.join(str(tmp_path / "wh"), "_ckpt")) else [])
+    # a sibling table literally NAMED users_copy_from_... must keep its
+    # checkpoint across the DROP (a `users_copy_from_*` glob wiped it)
+    decoy = os.path.join(
+        str(tmp_path / "wh"), "_ckpt", "users_copy_from_kafka_from_pg_osb_users"
     )
+    os.makedirs(decoy)
+    eng.execute("DROP TABLE users_copy;")
+    ckpt_dir = os.path.join(str(tmp_path / "wh"), "_ckpt")
+    remaining = os.listdir(ckpt_dir) if os.path.isdir(ckpt_dir) else []
+    assert "users_copy_from_pg_osb_users" not in remaining
+    assert os.path.isdir(decoy)  # the sibling's resume state survives
     eng.execute(
         """
         CREATE TABLE users_copy (

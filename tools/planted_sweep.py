@@ -33,7 +33,9 @@ import tempfile
 
 import duckdb
 
-BASE = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+# abspath: the symlink targets are stored verbatim, so a relative base dir
+# would resolve against the TEMPDIR and every non-edge table dangles
+BASE = os.path.abspath(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001")
 
 DOC_EDGES = """
   SELECT * FROM (VALUES
@@ -106,7 +108,8 @@ EV_EDGES = """
     (900011, TIMESTAMP '2024-01-13 10:00:00', NULL, 'click',  1.0,  '{"k": 7}'),
     (900012, TIMESTAMP '2024-01-13 11:00:00', 80, 'click',    NULL, '{"k": 8}'),
     (900013, TIMESTAMP '2024-01-13 12:00:00', 80, 'click',    1.0,  '{"k": -5}'),
-    (900014, TIMESTAMP '2024-01-13 13:00:00', 80, 'click',    1.0,  '{"k": 4000000000}')
+    (900014, TIMESTAMP '2024-01-13 13:00:00', 80, 'click',    1.0,  '{"k": 4000000000}'),
+    (900015, TIMESTAMP '2024-01-13 14:00:00', 80, 'click',    1.0,  '{"k": 10000000000000000000}')
   ) t(event_id, ts, user_id, event_type, value, props)
 """
 
