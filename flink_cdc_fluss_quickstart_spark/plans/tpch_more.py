@@ -371,38 +371,43 @@ def q16_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY totalprice DESC, orderkey ASC
     LIMIT 100
     """,
-    description="TPC-H Q18 shape: grouped-HAVING subquery as a semi join"
-    " (left_semi on the >threshold orderkeys) + re-aggregation + top-100.",
+    description="TPC-H Q18 shape: the grouped-HAVING subquery's per-order"
+    " quantity is carried through the customer/orders joins (they are"
+    " key-unique, so the re-aggregation the naive spelling runs after the"
+    " semi join is the SAME sum) -- one lineitem scan + one l_orderkey"
+    " shuffle instead of two of each, then top-100.",
 )
 def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    # The HAVING subquery is one grouped pass over lineitem. NOTE: lineitem
-    # IS scanned twice and shuffled on l_orderkey twice -- the two exchanges
-    # have different children (raw scan vs partial aggregate) so ReuseExchange
-    # cannot fire (verified in the executed plan). The alternative -- persist
-    # the grouped frame and derive both sides from it -- trades a full
-    # lineitem-aggregate cache for one scan; at 100 TB prefer the rescan
-    # (cheap columnar scan of 2 columns) over caching a fact-sized frame.
+    # ONE grouped pass over lineitem serves both roles: the HAVING filter
+    # AND the projected total -- q18's re-aggregation after the joins sums
+    # exactly the per-order quantity the HAVING subquery already computed
+    # (the order key is in the final GROUP BY, and the customer/orders joins
+    # are key-unique so they duplicate no lineitem rows). The naive
+    # semi-join-then-re-aggregate spelling scanned and shuffled lineitem
+    # TWICE -- ReuseExchange cannot fire across the raw-scan and
+    # partial-aggregate exchanges (verified in the executed plan) -- where
+    # this carries the qty through the join: at 100 TB that is one
+    # fact-table scan instead of two, and the post-filter `big` frame
+    # (orders over the threshold) is far smaller than lineitem.
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(_dec("l_quantity")).alias("qty"))
         .filter(F.col("qty") > F.lit(250).cast(DEC))
-        .select("l_orderkey")
     )
-    o_big = o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
     out = (
-        c.join(o_big, c.c_custkey == o_big.o_custkey)
-        .join(li, li.l_orderkey == o_big.o_orderkey)
-        .groupBy(
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(big, o.o_orderkey == big.l_orderkey)
+        .select(
             F.col("c_name").alias("name"),
             F.col("c_custkey").alias("custkey"),
             F.col("o_orderkey").alias("orderkey"),
             F.col("o_orderdate").alias("orderdate"),
             F.col("o_totalprice").alias("totalprice"),
+            F.col("qty").cast("double").alias("total_qty"),
         )
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("total_qty"))
         .orderBy(F.desc("totalprice"), F.asc("orderkey"))
         .limit(100)
     )

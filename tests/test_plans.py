@@ -225,3 +225,12 @@ def test_q8_customer_prefiltered_through_region_dims(spark):
     # (later in toString than) the o_custkey join that consumes them
     shuffle_join = plan.index("o_custkey")
     assert plan.index("r_regionkey", shuffle_join) > shuffle_join, plan[:2000]
+
+
+def test_q18_scans_lineitem_once(spark):
+    """q18's HAVING aggregate doubles as the projected total (the joins are
+    key-unique), so the plan must read lineitem ONCE -- the naive semi-join
+    + re-aggregate spelling scanned and shuffled it twice with no
+    ReuseExchange possible."""
+    plan, _ = _plans(spark, "q18_large_volume_orders")
+    assert plan.count("lineitem.parquet") == 1, plan[:2000]
