@@ -276,10 +276,20 @@ def q15_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     # The max is equality-compared on the exact DECIMAL sum (not the DOUBLE
     # rendering) so tie semantics match the oracle bit-for-bit.
-    rev = li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_rev"))
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
+
+    # rev is SUPPLIER-sized (one row per suppkey -- dimension cardinality,
+    # not fact), and it feeds two consumers of different shapes: the 1-row
+    # max aggregate and the threshold join. Unpersisted, each consumer
+    # re-ran the whole lineitem scan+aggregation (verified: 2 fact scans in
+    # the executed plan); persisting the bounded frame makes the scalar
+    # subquery genuinely free. Lazy persist -- plan builds stay job-free.
+    rev = track_cache(
+        li.groupBy("l_suppkey").agg(F.sum(_rev()).alias("total_rev")).persist()
+    )
     mx = rev.agg(F.max("total_rev").alias("mx"))
-    # 1-row broadcast join stands in for the scalar subquery: no second scan
-    # of lineitem, and the join adds no shuffle.
+    # 1-row broadcast join stands in for the scalar subquery; the join adds
+    # no shuffle.
     out = (
         rev.join(F.broadcast(mx), rev.total_rev == F.col("mx"))
         .join(s, s.s_suppkey == rev.l_suppkey)
@@ -588,15 +598,21 @@ def q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.broadcast(
         load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
     )
-    per_part = (
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
+
+    # per_part is PART-sized (dimension cardinality); persisted because the
+    # grand-total aggregate and the threshold join would otherwise each
+    # re-run the lineitem join+aggregation (verified: 2 fact scans before).
+    per_part = track_cache(
         li.join(s, li.l_suppkey == s.s_suppkey)
         .join(n, s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(_rev()).alias("val"))
+        .persist()
     )
     # Scalar subquery as a 1-row broadcast: the grand total re-aggregates the
-    # per-part frame (no second lineitem scan), and the threshold comparison
-    # happens in exact DECIMAL so the cut is bit-identical to the oracle.
+    # persisted per-part frame, and the threshold comparison happens in
+    # exact DECIMAL so the cut is bit-identical to the oracle.
     total = per_part.agg(
         (F.lit(0.001).cast("decimal(12,10)") * F.sum("val")).alias("cut")
     )

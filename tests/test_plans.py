@@ -234,3 +234,12 @@ def test_q18_scans_lineitem_once(spark):
     ReuseExchange possible."""
     plan, _ = _plans(spark, "q18_large_volume_orders")
     assert plan.count("lineitem.parquet") == 1, plan[:2000]
+
+
+@pytest.mark.parametrize("name", ["q15_top_revenue_supplier", "q11_important_part_value"])
+def test_scalar_subquery_shapes_reuse_the_bounded_aggregate(spark, name):
+    """q15/q11 derive a scalar threshold from a dimension-sized aggregated
+    frame and then filter that same frame: both consumers must read the
+    persisted frame (unpersisted, each re-ran the full lineitem scan)."""
+    plan, _ = _plans(spark, name)
+    assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
