@@ -301,19 +301,27 @@ def phash_pairs(hashes: DataFrame) -> DataFrame:
     payloads share all 4), then an exact Hamming verify via two 32-bit
     halves (BIGINT xor + bit_count -- no unsigned-64 overflow). The join is
     band-keyed -- bucket-sized work, never corpus^2."""
-    # band identity includes position k, not just the 4 hex chars
-    bands = hashes.select(
-        "doc_id",
-        F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring("phash", 9, 8), 16, 10).cast("long").alias("h2"),
-        F.explode(
-            F.array(
-                *[
-                    F.concat(F.lit(f"{k}:"), F.substring("phash", 4 * k + 1, 4))
-                    for k in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
+
+    # band identity includes position k, not just the 4 hex chars.
+    # PERSISTED (lazy, tracked): the band frame self-joins as a and b, and
+    # Spark recomputes each alias's lineage independently -- when `hashes`
+    # comes from the mapInPandas DCT extractor, that re-ran the whole Python
+    # hashing pass once per join side
+    bands = track_cache(
+        hashes.select(
+            "doc_id",
+            F.conv(F.substring("phash", 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring("phash", 9, 8), 16, 10).cast("long").alias("h2"),
+            F.explode(
+                F.array(
+                    *[
+                        F.concat(F.lit(f"{k}:"), F.substring("phash", 4 * k + 1, 4))
+                        for k in range(PHASH_BANDS)
+                    ]
+                )
+            ).alias("band"),
+        ).persist()
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (

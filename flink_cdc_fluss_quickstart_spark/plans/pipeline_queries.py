@@ -18,6 +18,19 @@ from flink_cdc_fluss_quickstart_spark.functions.dedup import hash_bucket, md5_he
 from flink_cdc_fluss_quickstart_spark.plans.registry import register
 from flink_cdc_fluss_quickstart_spark.tables import load_table, spread
 
+def _cached(df: DataFrame) -> DataFrame:
+    """Tracked MEMORY_AND_DISK persist, released via dedup.release_caches()
+    (the text_queries._cached twin). Used where a NARROW derived frame --
+    token counts, buckets -- feeds multiple consumers: re-deriving it would
+    re-read the wide `text` column from parquet once per consumer, the
+    dominant I/O at corpus scale. Lazy, so plan builds stay job-free."""
+    from pyspark import StorageLevel
+
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
+
+    return track_cache(df.persist(StorageLevel.MEMORY_AND_DISK))
+
+
 def _duck_hex(hexpr: str, pos: int = 1, length: int = 8) -> str:
     """DuckDB spelling of hex-prefix-to-BIGINT over a hex-string expression,
     parsed positionally -- the ONE hex->int idiom every oracle here uses.
@@ -425,10 +438,16 @@ def pack_offsets_frame(d: DataFrame) -> DataFrame:
     order."""
     from pyspark.sql.window import Window
 
-    tok = d.select(
-        "doc_id",
-        text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-        F.expr(f"doc_id div {PACK_SHARD}").alias("__shard"),
+    # persisted: tok is 3 narrow columns but feeds the stage-1 window, the
+    # shard-totals aggregate, and (through it) the base computation --
+    # unpersisted, each consumer re-read and re-tokenized the wide text
+    # column (3 full corpus scans in the executed plan)
+    tok = _cached(
+        d.select(
+            "doc_id",
+            text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+            F.expr(f"doc_id div {PACK_SHARD}").alias("__shard"),
+        )
     )
     # stage 1: per-shard running sum (parallel across shards)
     w_local = (
@@ -595,10 +614,15 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    h = d.select(
-        "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hx")
-    ).withColumn(
-        "shuffle_bucket", F.conv(F.substring("hx", 1, 3), 16, 10).cast("bigint")
+    # persisted: the narrow (doc_id, hx, bucket) projection feeds the
+    # per-bucket rank window AND the bucket-base prefix sum -- each
+    # re-scanned and re-hashed the corpus
+    h = _cached(
+        d.select(
+            "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hx")
+        ).withColumn(
+            "shuffle_bucket", F.conv(F.substring("hx", 1, 3), 16, 10).cast("bigint")
+        )
     )
     w = Window.partitionBy("shuffle_bucket").orderBy("hx", "doc_id")
     pos = h.withColumn("bucket_pos", (F.row_number().over(w) - 1).cast("bigint"))
@@ -698,7 +722,9 @@ TEMP_ALPHA = 0.5
 )
 def temperature_resample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    # persisted: the lang-cardinality counts frame feeds the min aggregate
+    # and the rates join -- each re-scanned the corpus's lang column
+    counts = _cached(d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l")))
     n_min = counts.agg(F.min("n_l").alias("n_min"))
     rates = counts.crossJoin(F.broadcast(n_min)).select(
         "lang",
@@ -879,11 +905,13 @@ def length_bucket_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    b = d.select(
+    # persisted: the narrow token/bucket projection feeds two window passes
+    # -- unpersisted, each re-read and re-tokenized the wide text column
+    b = _cached(d.select(
         "doc_id",
         text.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("hx"),
-    ).select(
+    )).select(
         "doc_id",
         "n_tokens",
         "hx",
@@ -973,12 +1001,15 @@ def fixed_count_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    b = d.select(
-        "doc_id",
-        "source",
-        "lang",
-        F.md5(F.col("doc_id").cast("string")).alias("hx"),
-    ).withColumn("sub", F.conv(F.substring("hx", 1, 2), 16, 10).cast("bigint"))
+    # persisted: feeds the per-source rank window and the base prefix sum
+    b = _cached(
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            F.md5(F.col("doc_id").cast("string")).alias("hx"),
+        ).withColumn("sub", F.conv(F.substring("hx", 1, 2), 16, 10).cast("bigint"))
+    )
     wb = (
         Window.partitionBy("source").orderBy("sub")
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -1178,9 +1209,13 @@ MIX_ALPHA = 0.5                # temperature on the per-source token mass
 )
 def token_budget_mix_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    avail = d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(text.token_count(F.col("text")).cast("bigint")).alias("tokens_available"),
+    # persisted: the source-cardinality availability frame feeds the
+    # temperature total AND the quota join -- each re-tokenized the corpus
+    avail = _cached(
+        d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(text.token_count(F.col("text")).cast("bigint")).alias("tokens_available"),
+        )
     )
     ti = avail.withColumn(
         "t",
@@ -1423,7 +1458,9 @@ def quantile_sketch_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
-    tok = qsketch_tokens_frame(d)
+    # persisted: the narrow token projection feeds the sketch histogram AND
+    # the exact-rank grader -- unpersisted, each re-read the text column
+    tok = _cached(qsketch_tokens_frame(d))
     hist = qsketch_hist_frame(tok)
     cum = hist.select(
         "lang",
