@@ -459,23 +459,35 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     delay = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
     lined = li.join(o, li.l_orderkey == o.o_orderkey).withColumn("is_late", delay > 365)
-    # Spark-first rewrite of the double correlated EXISTS: one grouped pass
-    # computes per-order supplier counts; a late line survives iff its order
-    # has >1 distinct supplier and exactly 1 distinct *late* supplier (which
-    # must then be this line's). Equivalent set, two fewer lineitem scans.
-    per_order = lined.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    # Spark-first rewrite of the double correlated EXISTS, single-pass form:
+    # ONE grouped pass reduces the fact join to (order, supplier) grain --
+    # carrying a has-late flag and the per-pair late-line count -- and the
+    # per-order supplier census becomes a window over that REDUCED frame.
+    # The previous spelling re-joined the fact frame against its own
+    # aggregate, which re-ran the lineitem-orders shuffle join end-to-end
+    # (both facts scanned twice); a late line survives iff its order has >1
+    # distinct supplier and exactly 1 distinct late supplier, so summing the
+    # sole-late pairs' late-line counts is the identical numwait.
+    from pyspark.sql.window import Window
+
+    per_os = lined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("is_late").cast("int")).alias("has_late"),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_lines"),
     )
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        lined.filter(F.col("is_late"))
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        per_os.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late_supp", F.sum("has_late").over(w))
+        .filter(
+            (F.col("has_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
     )
     return (
         waiting.join(s, waiting.l_suppkey == s.s_suppkey)
         .groupBy(F.col("s_name").alias("name"))
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
     )
 
 

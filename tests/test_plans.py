@@ -243,3 +243,15 @@ def test_scalar_subquery_shapes_reuse_the_bounded_aggregate(spark, name):
     persisted frame (unpersisted, each re-ran the full lineitem scan)."""
     plan, _ = _plans(spark, name)
     assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+
+
+def test_q21_scans_each_fact_once(spark):
+    """q21's per-order census runs as a window over the (order, supplier)
+    reduction, so each fact table is scanned once -- the fact-vs-own-
+    aggregate join re-ran the lineitem-orders shuffle join end-to-end."""
+    import re
+    from collections import Counter
+
+    plan, _ = _plans(spark, "q21_sole_late_supplier")
+    scans = Counter(re.findall(r"FileScan parquet \[[^\]]*\][^\n]*?(\w+)\.parquet", plan))
+    assert scans["lineitem"] == 1 and scans["orders"] == 1, dict(scans)
