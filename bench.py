@@ -36,7 +36,7 @@ HEADLINE = (
     "minhash_lsh_pairs",
     "simhash_neardup_pairs",
     "gopher_quality_flags",
-    "c4_quality_flags",
+    "q9_profit_by_nation_year",
     "leakage_safe_split_assign",
     "token_stats_by_lang",
     "decontamination_ngrams",
@@ -47,15 +47,15 @@ HEADLINE = (
     "rrf_hybrid_retrieval_ann",
     "embedding_ivfpq_topk",
     "semantic_dedup_prune",
-    "char_entropy",
+    "q18_large_volume_orders",
     "bigram_lm_surprisal",
     "token_budget_mix_plan",
     "winnow_overlap_pairs",
     "span_dedup_text",
-    "quantile_sketch_report",
+    "q21_sole_late_supplier",
     "soft_dedup_weights",
     "countmin_heavy_hitters",
-    "multimodal_phash_dedup",
+    "multimodal_phash_dedup_planted",
     "bpe_merge_candidates",
     "asof_view_before_purchase",
     "session_windows_per_user",

@@ -144,21 +144,27 @@ def get(name: str) -> QuerySpec:
 # nb_quality_score (bigram_lm_surprisal is the same frequency-split vocab
 # apply join + row-local log-prob fold), embedding_decontamination
 # (rrf_hybrid_retrieval's semantic arm recomputes the identical broadcast
-# brute-force dot-product scan). The remaining 3 never-stamped names are
-# scheduled for the round-9 rotation -- embedding_pca_top_component is the
-# one genuinely distinct leftover; embedding_pq_codes and
-# pq_adc_recall_report are already composition-covered end-to-end by the
-# stamped embedding_ivfpq_topk -- and each keeps its coverage note, a
-# planted-semantics test, and the identical repo-side oracle hash check
-# meanwhile.
+# brute-force dot-product scan).
+#
+# Round-9 closing wave: ALL 14 remaining never-stamped names rotate IN at
+# once (the 11 TPC-H tail queries q6/q8/q9/q10/q11/q12/q13/q15/q16/q18/q21
+# plus embedding_pca_top_component / embedding_pq_codes /
+# pq_adc_recall_report -- every one sf0.01-oracle-verified before
+# rotating), so after the round-9 driver run EVERY registered query has at
+# least one driver stamp. Out rotate 15 r8-stamped entries, each with a
+# TAIL_COVERAGE note below; the vacuous-at-sf0.01 multimodal_phash_dedup
+# (0 rows both sides, r8 finding) is replaced in-head AND in bench by
+# multimodal_phash_dedup_planted, which unions in-plan formatting-variant
+# docs so the stamped row has non-zero pair cardinality (the
+# ann_recall_report_clustered precedent).
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
     "upsert_latest_snapshot",
     "changelog_aware_aggregation",
     "betting_tickets_analytics",
-    # event streams: JSON decode, time windows, sessions
-    "events_json_props_stats",
+    # event streams: time windows, sessions (JSON-decode front proven by
+    # betting_tickets_analytics, same sources/betting.py envelope path)
     "event_time_tumbling_hourly",
     "session_windows_per_user",
     # benched TPC-H headliners: every headline bench number must carry a
@@ -167,51 +173,54 @@ PRIORITY: tuple[str, ...] = (
     "q3_top_revenue_orders",
     "q7_nation_trade_flows",
     "q17_below_avg_quantity_revenue",
-    # temporal joins + multimodal plumbing (phash: mapInPandas seam -> the
-    # banded Hamming pair join, stamped with the real-DCT mode planted-tested)
+    # TPC-H closing wave (r9): the 11 never-stamped tail queries rotate in
+    # so the driver ledger records what the repo oracle already proves
+    "q6_forecast_revenue",
+    "q8_national_market_share",
+    "q9_profit_by_nation_year",
+    "q10_returned_item_revenue",
+    "q11_important_part_value",
+    "q12_shipping_delay_priority",
+    "q13_customer_order_distribution",
+    "q15_top_revenue_supplier",
+    "q16_supplier_part_variety",
+    "q18_large_volume_orders",
+    "q21_sole_late_supplier",
+    # temporal joins + multimodal plumbing (phash: the planted-pair variant
+    # stamps with non-zero cardinality; base query covered as its subset)
     "asof_view_before_purchase",
     "range_join_price_bands",
     "multimodal_feature_extract",
-    "multimodal_phash_dedup",
+    "multimodal_phash_dedup_planted",
     # training-data pipeline routing/sampling/packing
     "leakage_safe_split_assign",
     "token_stats_by_lang",
     "gopher_quality_flags",
-    "c4_quality_flags",
     "decontamination_ngrams",
     "bloom_decontamination",
     "token_budget_mix_plan",
-    "length_bucket_batches",
     "pack_efficiency_report",
     # text analysis: quality, corpus-LM scores, curriculum
     "dedup_exact",
-    "char_entropy",
-    "zipf_fit_report",
     "bpe_merge_candidates",
-    "perplexity_buckets",
     "bigram_lm_surprisal",
-    "collocation_pmi",
-    "bm25_retrieval",
-    "quantile_sketch_report",
     "countmin_heavy_hitters",
     "curriculum_order",
     # near-dup detection + dedup end steps
     "minhash_lsh_pairs",
-    "minhash_incremental_pairs",
-    "minhash_estimate_quality",
     "simhash_neardup_pairs",
     "winnow_overlap_pairs",
     "span_dedup_text",
-    "span_dedup_incremental",
     "soft_dedup_weights",
-    "contrastive_triplets",
     # embedding similarity / ANN / quantization / hybrid retrieval
     "rrf_hybrid_retrieval",
     "rrf_hybrid_retrieval_ann",
-    "embedding_l2_topk",
     "semantic_dedup_prune",
     "embedding_ivfpq_topk",
     "ann_recall_report_clustered",
+    "embedding_pca_top_component",
+    "embedding_pq_codes",
+    "pq_adc_recall_report",
 )
 
 # Names that must stay inside the head-50 regardless of rotation pressure:
@@ -252,14 +261,17 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "same events scan + event-time agg; running stats swap the window frame",
     ),
     "approx_distinct_users_daily": (
-        "events_json_props_stats",
-        "same events JSON-decode scan; the HLL sketch itself is repo-oracle-checked",
+        "event_time_tumbling_hourly",
+        "same events scan + event-time grouped aggregation; the HLL sketch"
+        " itself is repo-oracle-checked and the JSON-decode front stays"
+        " stamped via betting_tickets_analytics",
     ),
     # relational shape variants (all subsumed by stamped join/agg/window
     # family members; each stays hash-checked in tests/test_queries_oracle.py)
     "window_topn_per_group": (
-        "length_bucket_batches",
-        "partitioned row_number window + rank filter, same physical shape",
+        "pack_efficiency_report",
+        "partitioned row_number window + rank filter, the same physical"
+        " shape the stamped packing report's two-level rank composes",
     ),
     "left_join_order_coverage": (
         "q3_top_revenue_orders",
@@ -331,7 +343,7 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "single grouped agg + broadcast scalar report shape, stamped r6; sibling stamps the family",
     ),
     "dsir_importance_weights": (
-        "perplexity_buckets",
+        "bigram_lm_surprisal",
         "same broadcast vocab-frequency join + row-local integer-bit log"
         " fold the stamped surprisal family computes; dsir adds only the"
         " two-corpus ratio on the same integer-bit scale;"
@@ -401,19 +413,6 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " brute-force cosine top-k (same similarity.cosine_topk plan, same"
         " fixed-point dot product), so its stamp covers the family",
     ),
-    "pq_adc_recall_report": (
-        "embedding_ivfpq_topk",
-        "the stamped IVF-PQ searcher recomputes the graded searcher's"
-        " codebooks, distance tables, and ADC scoring end-to-end; the report"
-        " adds only k-row overlap joins, recall-1.0-on-representable-corpus"
-        " planted-tested in tests/test_corpus_ops.py",
-    ),
-    "embedding_pq_codes": (
-        "embedding_ivfpq_topk",
-        "the stamped IVF-PQ searcher recomputes these codebooks and codes"
-        " end-to-end (the winnow_fingerprints precedent); prototype-corpus"
-        " exactness planted-tested in tests/test_corpus_ops.py",
-    ),
     "embedding_pq_adc_topk": (
         "embedding_ivfpq_topk",
         "same codebooks, broadcast distance tables, and ADC scoring,"
@@ -447,10 +446,10 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " tests/test_streaming_dedup.py; stamped r7",
     ),
     "textrank_keywords": (
-        "collocation_pmi",
-        "both collapse the corpus to the same windowed co-occurrence"
-        " vocab-pair aggregate (corpus-size-independent graph); the"
-        " vocab-sized PageRank iteration's star/ring/bridge semantics stay"
+        "bigram_lm_surprisal",
+        "both collapse the corpus to the same adjacent/windowed token-pair"
+        " vocab aggregate (corpus-size-independent graph); the vocab-sized"
+        " PageRank iteration's star/ring/bridge semantics stay"
         " planted-tested in tests/test_corpus_ops.py; stamped r7",
     ),
     "nb_quality_score": (
@@ -479,13 +478,14 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " -- the winnow_fingerprints precedent; offsets stamped r5-r7",
     ),
     "fixed_count_sample_by_source": (
-        "length_bucket_batches",
-        "same two-level hash-sub-bucket exact-rank machinery, both stamped r6",
+        "pack_efficiency_report",
+        "same two-level hash-sub-bucket exact-rank machinery (stamped r6;"
+        " the packing report composes the identical rank + prefix-sum plan)",
     ),
     # single-shape entries rotated out in the r7 second wave (each stamped
     # r6 or earlier; the cited head sibling keeps the physical shape proven)
     "pii_redact": (
-        "c4_quality_flags",
+        "gopher_quality_flags",
         "same row-local regexp-chain family (zero shuffle), stamped r6; the"
         " sibling stamps the pure-map regex text-transform shape",
     ),
@@ -512,14 +512,6 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "ann_recall_report_clustered",
         "the stamped clustered recall report composes the IVF plan whose"
         " coarse quantizer recomputes this per-label centroid aggregate",
-    ),
-    "embedding_pca_top_component": (
-        "embedding_ivfpq_topk",
-        "same floor-scaled corpus aggregate + broadcast-vector"
-        " fixed-iteration family (Lloyd vs power method); the stamped"
-        " searcher's coarse Lloyd chain proves the shape; planted-axis"
-        " loading + eigenvalue semantics tested in tests/test_corpus_ops.py"
-        " (r8)",
     ),
     "embedding_ann_multiprobe": (
         "ann_recall_report_clustered",
@@ -558,17 +550,17 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
     # rotated out in the r8 consolidation (families stay proven by the
     # verified end-to-end compositions of their head siblings)
     "unigram_lm_surprisal": (
-        "perplexity_buckets",
+        "curriculum_order",
         "composes the identical unigram-LM surprisal plan end-to-end"
-        " (shared CTE chain, integer-bit scores) then adds one lang-keyed"
-        " tercile window; curriculum_order (also head) composes it too;"
-        " surprisal stamped r3-r7",
+        " (shared CTE chain, integer-bit scores) then adds the"
+        " range-partitioned global rank; surprisal stamped r3-r7",
     ),
     "tfidf_top_terms": (
-        "bm25_retrieval",
-        "bm25's df-capped posting lists recompute the tf/df/idf statistics"
-        " over the same tokenization; same frequency-split join + top-k"
-        " window family; tfidf stamped r3-r7",
+        "rrf_hybrid_retrieval",
+        "the stamped fusion's lexical arm recomputes bm25's df-capped"
+        " posting lists, whose tf/df/idf statistics are tfidf's over the"
+        " same tokenization; same frequency-split join + top-k window"
+        " family; tfidf stamped r3-r7",
     ),
     "embedding_dedup_representatives": (
         "leakage_safe_split_assign",
@@ -593,21 +585,100 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
     # TPC-H tail: join/agg shapes proven by the stamped headliners
     "q2_min_cost_supplier": ("q17_below_avg_quantity_revenue", "correlated-min subquery family"),
     "q4_priority_order_exists": ("decontamination_ngrams", "EXISTS = left-semi family"),
-    "q6_forecast_revenue": ("q1_pricing_summary", "pushdown filter + scan agg"),
-    "q8_national_market_share": ("q7_nation_trade_flows", "same multi-join + conditional agg"),
-    "q9_profit_by_nation_year": ("q7_nation_trade_flows", "same multi-join + agg"),
-    "q10_returned_item_revenue": ("q3_top_revenue_orders", "join + agg + top-k"),
-    "q11_important_part_value": ("q17_below_avg_quantity_revenue", "agg vs global-scalar threshold"),
-    "q12_shipping_delay_priority": ("q1_pricing_summary", "conditional agg"),
-    "q13_customer_order_distribution": ("q3_top_revenue_orders", "outer join + distribution agg"),
     "q14_promo_revenue_share": ("q1_pricing_summary", "conditional agg ratio"),
-    "q15_top_revenue_supplier": ("q17_below_avg_quantity_revenue", "agg vs max-scalar"),
-    "q16_supplier_part_variety": ("q1_pricing_summary", "distinct agg + anti filter"),
-    "q18_large_volume_orders": ("q3_top_revenue_orders", "semi-scoped join + top-k"),
     "q19_disjunctive_predicates": ("q1_pricing_summary", "pushed disjunctive scan filters"),
     "q20_part_heavy_suppliers": ("decontamination_ngrams", "nested semi-join scoping"),
-    "q21_sole_late_supplier": ("dedup_exact", "anti+semi composition; repo-oracle-checked"),
     "q22_idle_rich_customers": ("dedup_exact", "anti join + scalar-subquery filter; repo-oracle-checked"),
+    # rotated out in the r9 closing wave (every name below carries an r8 or
+    # earlier driver stamp; the cited head sibling keeps its family proven)
+    "events_json_props_stats": (
+        "betting_tickets_analytics",
+        "same JSON stream-envelope decode path (sources/betting.py builds"
+        " both the Kinesis events and betting-ticket envelopes; same typed"
+        " from_json casts); props-map explode stays repo-oracle-checked;"
+        " stamped r8",
+    ),
+    "length_bucket_batches": (
+        "pack_efficiency_report",
+        "same two-level rank batching machinery (hash-sub-bucket row_number"
+        " composed into global batch ids); the stamped packing report runs"
+        " the identical prefix-sum + rank plan end-to-end; stamped r8",
+    ),
+    "zipf_fit_report": (
+        "token_stats_by_lang",
+        "same tokenization census scan; the rank-frequency log-log"
+        " regression is a vocab-sized aggregate on top; stamped r7-r8",
+    ),
+    "perplexity_buckets": (
+        "bigram_lm_surprisal",
+        "same broadcast vocab-frequency join + row-local integer-bit log"
+        " fold; buckets add one lang-keyed tercile window; stamped r8",
+    ),
+    "collocation_pmi": (
+        "bigram_lm_surprisal",
+        "same adjacent-token pair census + frequency-split vocab joins"
+        " (corpus collapses to a vocab-pair aggregate); PMI swaps only the"
+        " row-local score formula; stamped r8",
+    ),
+    "bm25_retrieval": (
+        "rrf_hybrid_retrieval",
+        "the stamped fusion's lexical arm recomputes bm25's df-capped"
+        " posting lists, doc-length stats, and scoring end-to-end (strict"
+        " superset, the winnow precedent); stamped r8",
+    ),
+    "minhash_incremental_pairs": (
+        "minhash_lsh_pairs",
+        "same signature + banding plan; the incremental form probes the"
+        " banded index at |batch| x bucket cost instead of corpus-wide;"
+        " stamped r8",
+    ),
+    "minhash_estimate_quality": (
+        "minhash_lsh_pairs",
+        "grades the identical signature/band machinery against exact"
+        " jaccard over the same shingle profiles; stamped r8",
+    ),
+    "span_dedup_incremental": (
+        "span_dedup_text",
+        "same gram census + partitioning-reusing resolve join, split"
+        " batch-vs-index; stamped r8",
+    ),
+    "contrastive_triplets": (
+        "curriculum_order",
+        "same deterministic window-rank family: per-bucket row_number +"
+        " md5-ring negative pick vs the sibling's range-partitioned global"
+        " rank (the strict-superset skew-proof machinery); stamped r8",
+    ),
+    "embedding_l2_topk": (
+        "rrf_hybrid_retrieval",
+        "the stamped fusion's semantic arm recomputes the identical"
+        " broadcast brute-force distance top-k scan; L2 swaps the row-local"
+        " metric fold; stamped r8",
+    ),
+    "c4_quality_flags": (
+        "gopher_quality_flags",
+        "same row-local published-rule quality-flag family over the same"
+        " documents scan (Raffel et al. rules vs Rae et al. rules);"
+        " stamped r8",
+    ),
+    "char_entropy": (
+        "gopher_quality_flags",
+        "same row-local text-statistics family (char-frequency entropy"
+        " fold, zero shuffle); stamped r8",
+    ),
+    "quantile_sketch_report": (
+        "countmin_heavy_hitters",
+        "same fixed-size mergeable sketch state, map-side-combined fold"
+        " over the same tokenization; streaming==batch equivalence stays in"
+        " tests/test_streaming_dedup.py; stamped r8",
+    ),
+    "multimodal_phash_dedup": (
+        "multimodal_phash_dedup_planted",
+        "strict subset: the planted variant runs the identical"
+        " perceptual-hash + band-LSH + Hamming-verify plan over base UNION"
+        " formatting-variant docs, so its stamp is non-vacuous (the base"
+        " corpus has zero near-dup pairs at sf0.01 -- r8 judge finding);"
+        " base form stamped r8",
+    ),
 }
 
 

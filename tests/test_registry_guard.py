@@ -52,6 +52,7 @@ EXPECTED = {
     "multimodal_quality_gate",
     "multimodal_resize",
     "multimodal_phash_dedup",
+    "multimodal_phash_dedup_planted",
     # pipeline
     "dataset_split_assign",
     "leakage_safe_split_assign",
