@@ -1229,7 +1229,7 @@ def embedding_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
 DECON_BENCH_MOD = 97  # vec_id % MOD == 0 plays the held-out benchmark set
 DECON_THRESHOLD = 0.3  # max-cosine flag threshold
 
-_DECON_COS = (
+_DECON_COS_RAW = (
     "(CAST(list_sum(list_transform(c.embedding,"
     " (x, i) -> CAST(floor(x::DOUBLE * bv[i]::DOUBLE * 1e12) AS BIGINT))) AS DOUBLE) / 1e12)"
     " / (sqrt(CAST(list_sum(list_transform(c.embedding,"
@@ -1237,6 +1237,10 @@ _DECON_COS = (
     " * sqrt(CAST(list_sum(list_transform(bv,"
     " x -> CAST(floor(x::DOUBLE * x::DOUBLE * 1e12) AS BIGINT))) AS DOUBLE) / 1e12))"
 )
+# NaN guard mirroring the Spark side's nanvl: 0/0 from a zero-norm vector
+# must rank BELOW every finite cosine, not above (both engines order NaN
+# greater than all doubles)
+_DECON_COS = f"(CASE WHEN isnan({_DECON_COS_RAW}) THEN CAST(-2.0 AS DOUBLE) ELSE {_DECON_COS_RAW} END)"
 
 
 @register(
@@ -1312,10 +1316,16 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(
                 F.transform(
                     F.col("bench"),
+                    # nanvl: a zero-norm vector yields 0/0 = NaN, and Spark's
+                    # struct ordering ranks NaN ABOVE every double -- without
+                    # the guard a degenerate corpus row would win the max and
+                    # flag as contaminated; -2.0 (below any cosine) keeps the
+                    # sentinel semantics of the empty-benchmark fallback
                     lambda e: F.struct(
-                        (
+                        F.nanvl(
                             similarity.dot(F.col("embedding"), e["bv"])
-                            / (F.col("__cn") * e["bn"])
+                            / (F.col("__cn") * e["bn"]),
+                            F.lit(-2.0),
                         ).alias("cos"),
                         (-e["b_id"]).cast("bigint").alias("neg_id"),
                     ),

@@ -470,9 +470,17 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sole-late pairs' late-line counts is the identical numwait.
     from pyspark.sql.window import Window
 
-    per_os = lined.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max(F.col("is_late").cast("int")).alias("has_late"),
-        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_lines"),
+    # NULL-suppkey lines are excluded BEFORE the census: the oracle's EXISTS
+    # (l2.l_suppkey <> l1.l_suppkey) is NULL-false, so a NULL supplier must
+    # not count toward n_supp (TPC-H data never has one; planted-sweep
+    # hygiene closes the divergence anyway)
+    per_os = (
+        lined.filter(F.col("l_suppkey").isNotNull())
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(F.col("is_late").cast("int")).alias("has_late"),
+            F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_lines"),
+        )
     )
     w = Window.partitionBy("l_orderkey")
     waiting = (

@@ -466,10 +466,41 @@ class Engine:
         # target table -> exact checkpoint dirs its streams use, so DROP can
         # remove precisely these (a `{name}_from_*` glob over-matched a
         # sibling table literally NAMED `{name}_from_...`, wiping the
-        # survivor's resume state)
-        self.ckpts: dict[str, set[str]] = {}
+        # survivor's resume state). PERSISTED next to the warehouse: a fresh
+        # Engine over the same warehouse must still purge on DROP, or a
+        # drop+recreate+re-INSERT in the new session silently resumes past
+        # the already-consumed changelog epochs (r8 advice).
+        self.ckpts: dict[str, set[str]] = self._load_ckpt_registry()
         self.views: dict[str, IncrementalAggView] = {}
         self.queries: list = []  # running StreamingQuery handles
+
+    # -- checkpoint registry (warehouse-persistent) --------------------------
+
+    @property
+    def _ckpt_registry_path(self) -> str:
+        return os.path.join(self.warehouse, "_ckpt_registry.json")
+
+    def _load_ckpt_registry(self) -> dict[str, set[str]]:
+        try:
+            with open(self._ckpt_registry_path) as f:
+                import json
+
+                return {k: set(v) for k, v in json.load(f).items()}
+        except (OSError, ValueError):
+            return {}
+
+    def _save_ckpt_registry(self) -> None:
+        import json
+
+        os.makedirs(self.warehouse, exist_ok=True)
+        tmp = self._ckpt_registry_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({k: sorted(v) for k, v in self.ckpts.items()}, f)
+        os.replace(tmp, self._ckpt_registry_path)
+
+    def _register_ckpt(self, target_name: str, ckpt: str) -> None:
+        self.ckpts.setdefault(target_name, set()).add(ckpt)
+        self._save_ckpt_registry()
 
     # -- runtime binding ---------------------------------------------------
 
@@ -535,7 +566,10 @@ class Engine:
             # drop+recreate+re-INSERT resume PAST the already-consumed
             # changelog epochs, silently leaving the resurrected table
             # missing those rows
-            for ckpt in self.ckpts.pop(name, ()):
+            dropped = self.ckpts.pop(name, ())
+            if dropped:
+                self._save_ckpt_registry()
+            for ckpt in dropped:
                 shutil.rmtree(ckpt, ignore_errors=True)
         elif head.startswith(("CREATE TABLE", "CREATE TEMPORARY TABLE")):
             self._create_table(stmt)
@@ -697,7 +731,7 @@ class Engine:
             cols = [f.name for f in target_spec.schema.fields]
             projected = stream.select("op", "seq", *cols)
             ckpt = os.path.join(self.warehouse, "_ckpt", f"{target_name}_from_{src}")
-            self.ckpts.setdefault(target_name, set()).add(ckpt)
+            self._register_ckpt(target_name, ckpt)
 
             def fb(batch_df: DataFrame, batch_id: int) -> None:
                 target.merge(batch_df, batch_id=batch_id, writer_id=f"sql-{src}")
@@ -808,7 +842,7 @@ class Engine:
             ckpt = os.path.join(
                 self.warehouse, "_ckpt", f"view_{target_name}_from_{src}"
             )
-            self.ckpts.setdefault(target_name, set()).add(ckpt)
+            self._register_ckpt(target_name, ckpt)
             src_key = shape.key_by_table[tbl]
             store = self.stores[tbl]
             sync_writer = f"view-sync-{target_name}-{src}"

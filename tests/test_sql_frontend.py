@@ -792,3 +792,45 @@ def test_drop_table_clears_streaming_checkpoints(spark, workload, tmp_path):
     )
     eng.await_all()
     assert eng.snapshot("users_copy").count() == n_first
+
+
+def test_drop_table_clears_checkpoints_across_engine_restart(spark, workload, tmp_path):
+    """The checkpoint registry must survive an Engine restart (it is
+    persisted next to the warehouse): a FRESH Engine over the same warehouse
+    that DROPs a table created by a previous session must still purge that
+    table's streaming checkpoints, or the recreate+re-INSERT silently
+    resumes past the already-consumed changelog epochs (r8 advice: the
+    in-memory-only registry left the bug alive across restarts)."""
+    import os
+
+    wh = str(tmp_path / "wh")
+    ddl = """
+        CREATE TABLE pg_osb_users (
+          user_id BIGINT, username STRING, email STRING, created_at TIMESTAMP(3),
+          PRIMARY KEY (user_id) NOT ENFORCED
+        ) WITH ('connector' = 'postgres-cdc');
+        CREATE TABLE users_copy (
+          user_id BIGINT, username STRING, email STRING, created_at TIMESTAMP(3),
+          PRIMARY KEY (user_id) NOT ENFORCED
+        ) WITH ('bucket.num' = '2');
+        INSERT INTO users_copy SELECT * FROM pg_osb_users;
+    """
+    eng1 = Engine(spark, warehouse=wh)
+    eng1.bind_source("pg_osb_users", workload["users"], osb.USERS_SCHEMA)
+    eng1.execute(ddl)
+    eng1.await_all()
+    assert eng1.snapshot("users_copy").count() == 5
+    ckpt = os.path.join(wh, "_ckpt", "users_copy_from_pg_osb_users")
+    assert os.path.isdir(ckpt)
+
+    # simulate a restart: a brand-new Engine over the same warehouse
+    eng2 = Engine(spark, warehouse=wh)
+    eng2.bind_source("pg_osb_users", workload["users"], osb.USERS_SCHEMA)
+    eng2.execute("DROP TABLE IF EXISTS users_copy;")
+    assert not os.path.isdir(ckpt), "restarted engine must purge the old checkpoint"
+    eng2.execute(ddl.replace(
+        "CREATE TABLE pg_osb_users",
+        "CREATE TABLE IF NOT EXISTS pg_osb_users",
+    ))
+    eng2.await_all()
+    assert eng2.snapshot("users_copy").count() == 5

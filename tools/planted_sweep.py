@@ -126,6 +126,17 @@ EDGES = {
 
 
 def build(dst: str) -> None:
+    # fail fast with the table named: a base dir missing one of the EDGES
+    # tables (or storing it as a Spark-written parquet DIRECTORY) would
+    # otherwise surface as an unhelpful read_parquet error mid-copy
+    missing = [
+        f for f in EDGES if not os.path.isfile(os.path.join(BASE, f))
+    ]
+    if missing:
+        raise SystemExit(
+            f"planted_sweep: base dir {BASE} is missing single-file parquet"
+            f" tables required for edge planting: {', '.join(sorted(missing))}"
+        )
     con = duckdb.connect()
     for f in os.listdir(BASE):
         if f in EDGES:
