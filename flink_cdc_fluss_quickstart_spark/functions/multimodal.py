@@ -7,11 +7,14 @@ executor -- all per-row work happens inside `mapInPandas` over Arrow batches
 boundary is vectorized, and the output drops the payload so downstream
 shuffles move only metadata + features.
 
-The real decoders (image/audio/video) need codec libraries that are not in
-this container, so `decode_media` is a clearly-marked stub: mode="real"
-raises NotImplementedError; mode="stub" derives a deterministic digest-based
-fake so the full pipeline (schema, batching, partitioning, feature columns)
-is exercised end-to-end and oracle-checkable.
+mode="real" natively decodes the codec-free raster formats in pure numpy
+(uncompressed 24/32-bit BMP, binary PPM/PGM -> grayscale -> resize -> the
+same DCT feature/hash math) and raises a clearly-marked NotImplementedError
+for formats that genuinely need codec libraries absent here (JPEG/PNG/
+audio/video -- wire PIL/ffmpeg at that seam in production). mode="stub"
+derives a deterministic digest-based fake so the full pipeline (schema,
+batching, partitioning, feature columns) is exercised end-to-end and
+oracle-checkable.
 """
 
 from __future__ import annotations
@@ -50,8 +53,11 @@ def attach_payload(documents: DataFrame, media_type: str = "text/plain") -> Data
 def decode_media(payload: bytes, media_type: str, mode: str = "stub") -> list[float]:
     """Decode one payload into a FEATURE_DIMS-dim feature vector.
 
-    mode="real" is the integration point for actual codecs (PIL/ffmpeg/...):
-    NOT implemented in this container. mode="raster" runs real signal math
+    mode="real" REALLY decodes the codec-free raster formats (decode_image:
+    uncompressed BMP, binary PPM/PGM) -> grayscale -> resize -> the raster
+    feature math, and raises NotImplementedError for payloads needing codec
+    libraries (JPEG/PNG/audio/video -- the PIL/ffmpeg integration point).
+    mode="raster" runs real signal math
     over the deterministic byte raster (the pHash precedent: only the
     decode step is stood in for): mean level, contrast (std), low-frequency
     DCT energy share, and edge energy -- the feature set a quality gate
@@ -60,10 +66,15 @@ def decode_media(payload: bytes, media_type: str, mode: str = "stub") -> list[fl
     md5(payload) scaled to [0, 1].
     """
     if mode == "real":
-        raise NotImplementedError(
-            "real media decoding requires codec libraries not present in this "
-            "environment; wire PIL/torchaudio/ffmpeg here in production"
-        )
+        img = decode_image(payload)
+        if img is None:
+            raise NotImplementedError(
+                "mode='real' decodes the codec-free raster formats natively"
+                " (uncompressed 24/32-bit BMP, binary PPM/PGM); this payload"
+                " is none of those -- wire PIL/torchaudio/ffmpeg here for"
+                " JPEG/PNG/audio/video in production"
+            )
+        return _features_from_raster(_resize_gray(img, PHASH_RASTER))
     if mode == "raster":
         return raster_features(payload)
     digest = hashlib.md5(payload).hexdigest()
@@ -71,8 +82,8 @@ def decode_media(payload: bytes, media_type: str, mode: str = "stub") -> list[fl
 
 
 def raster_features(payload: bytes) -> list[float]:
-    """Real signal statistics over the byte raster (swap bytes->raster for
-    decode+grayscale+resize in production; the math below is unchanged):
+    """Real signal statistics over the byte raster (the decoded-image twin is
+    decode_media(mode='real') -> _features_from_raster; the math is shared):
 
     f0 mean level in [0, 1]         -- brightness
     f1 std dev in [0, 1]            -- contrast (0 for a constant payload)
@@ -80,11 +91,16 @@ def raster_features(payload: bytes) -> list[float]:
        8x8 low block over total AC energy; DC excluded from both sides)
     f3 mean absolute horizontal gradient in [0, 1] -- edge energy
     """
+    return _features_from_raster(_byte_raster(payload, PHASH_RASTER))
+
+
+def _features_from_raster(img) -> list[float]:
+    """The raster_features math over an (n, n) float64 grayscale array in
+    [0, 255] -- one implementation whether the raster came from the byte
+    stand-in (_byte_raster) or a real decoded image (decode_image)."""
     import numpy as np
 
-    n = PHASH_RASTER
-    img = _byte_raster(payload, n)
-    d = _dct_matrix(n)
+    d = _dct_matrix(img.shape[0])
     coeffs = d @ img @ d.T
     ac = coeffs**2
     ac[0, 0] = 0.0
@@ -92,6 +108,92 @@ def raster_features(payload: bytes) -> list[float]:
     low_share = float(ac[:8, :8].sum()) / total if total > 0 else 0.0
     grad = float(np.abs(np.diff(img, axis=1)).mean()) / 255.0
     return [float(img.mean()) / 255.0, float(img.std()) / 255.0, low_share, grad]
+
+
+def decode_image(payload: bytes):
+    """Pure-numpy decode of the CODEC-FREE raster image formats into an
+    (h, w) float64 grayscale array in [0, 255], or None when the payload is
+    not one of them (JPEG/PNG/... genuinely need codec libraries and stay
+    behind the NotImplementedError seam):
+
+    - BMP ('BM'): uncompressed (BI_RGB) 24/32-bit, bottom-up or top-down,
+      4-byte row stride honored; BGR(A) -> integer-milli luma.
+    - PPM ('P6') / PGM ('P5'): binary netpbm with whitespace/comment
+      header handling, maxval <= 255.
+
+    Luma = (299 R + 587 G + 114 B) / 1000 (ITU-R BT.601 in exact
+    milli-weights, so the grayscale is deterministic float64).
+    """
+    import numpy as np
+
+    if payload[:2] == b"BM" and len(payload) >= 54:
+        off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if comp != 0 or bpp not in (24, 32) or w <= 0 or h == 0:
+            return None
+        bottom_up, ah = h > 0, abs(h)
+        nb = bpp // 8
+        stride = ((w * nb + 3) // 4) * 4
+        if len(payload) < off + stride * ah:
+            return None
+        rows = np.frombuffer(payload, np.uint8, count=stride * ah, offset=off)
+        px = rows.reshape(ah, stride)[:, : w * nb].reshape(ah, w, nb).astype(np.float64)
+        gray = (299.0 * px[..., 2] + 587.0 * px[..., 1] + 114.0 * px[..., 0]) / 1000.0
+        return gray[::-1] if bottom_up else gray
+    if payload[:2] in (b"P5", b"P6"):
+        vals, i = [], 2
+        while len(vals) < 3 and i < len(payload):
+            c = payload[i : i + 1]
+            if c == b"#":  # comment to end of line
+                nl = payload.find(b"\n", i)
+                i = len(payload) if nl == -1 else nl + 1
+            elif c.isspace():
+                i += 1
+            elif c.isdigit():
+                j = i
+                while j < len(payload) and payload[j : j + 1].isdigit():
+                    j += 1
+                vals.append(int(payload[i:j]))
+                i = j
+            else:
+                return None
+        if len(vals) < 3 or i >= len(payload) or not payload[i : i + 1].isspace():
+            return None
+        i += 1  # single whitespace after maxval, then binary samples
+        w, h, maxval = vals
+        if w <= 0 or h <= 0 or not 0 < maxval <= 255:
+            return None
+        nch = 3 if payload[:2] == b"P6" else 1
+        if len(payload) < i + w * h * nch:
+            return None
+        px = np.frombuffer(payload, np.uint8, count=w * h * nch, offset=i).astype(np.float64)
+        scale = 255.0 / maxval
+        if nch == 1:
+            return px.reshape(h, w) * scale
+        px = px.reshape(h, w, 3)
+        return (299.0 * px[..., 0] + 587.0 * px[..., 1] + 114.0 * px[..., 2]) / 1000.0 * scale
+    return None
+
+
+def _resize_gray(img, n: int):
+    """Deterministic nearest-index downsample/upsample of an (h, w) array to
+    (n, n): index map i_src = floor(i * h / n) -- integer arithmetic, no
+    interpolation ambiguity across platforms."""
+    import numpy as np
+
+    h, w = img.shape
+    return img[(np.arange(n) * h) // n][:, (np.arange(n) * w) // n]
+
+
+def _decoded_or_byte_raster(payload: bytes, n: int):
+    """The shared raster entry for mode='real' paths: a decodable codec-free
+    image payload becomes its real grayscale raster resized to (n, n); any
+    other payload keeps the deterministic byte-raster stand-in."""
+    img = decode_image(payload)
+    return _byte_raster(payload, n) if img is None else _resize_gray(img, n)
 
 
 def extract_features(frame: DataFrame, mode: str = "stub") -> DataFrame:
@@ -230,10 +332,11 @@ def _dct_matrix(n: int):
 def phash_real_batch(payloads) -> list[str]:
     """The classic 8x8-DCT median pHash over a whole Arrow batch at once.
 
-    Per payload: bytes -> deterministic PHASH_RASTER^2 grayscale raster
-    (linear-interpolated resample of the byte sequence -- the stand-in for a
-    decoded, resized image; a production image build swaps exactly this step
-    for `decode -> grayscale -> resize`, the DCT hashing below is unchanged)
+    Per payload: bytes -> PHASH_RASTER^2 grayscale raster -- a REAL
+    decode -> grayscale -> resize for the codec-free image formats
+    (decode_image: BMP/PPM/PGM), the deterministic byte-sequence resample
+    stand-in for everything else (_byte_raster; swap in PIL/ffmpeg there
+    for codec formats, the DCT hashing below is unchanged)
     -> 2-D DCT-II (one batched matmul pair, D @ imgs @ D.T) -> top-left
     PHASH_DCT_LOW^2 low-frequency block -> threshold each coefficient at the
     MEDIAN of the block (DC excluded from the median so a uniform brightness
@@ -245,7 +348,7 @@ def phash_real_batch(payloads) -> list[str]:
     d = _dct_matrix(n)
     imgs = np.empty((len(payloads), n, n), dtype=np.float64)
     for r, p in enumerate(payloads):
-        imgs[r] = _byte_raster(p, n)
+        imgs[r] = _decoded_or_byte_raster(p, n)
     coeffs = d @ imgs @ d.T  # batched 2-D DCT-II ((n,n) broadcasts over the batch dim)
     low = coeffs[:, :PHASH_DCT_LOW, :PHASH_DCT_LOW].reshape(len(payloads), -1)
     med = np.median(low[:, 1:], axis=1, keepdims=True)
