@@ -68,11 +68,36 @@ def debezium_decode(raw: DataFrame, payload: T.StructType,
     replay carries the same column. Malformed envelopes surface as NULL-op
     rows (filter or dead-letter them; they never fail the stream).
 
+    Wire-format coverage (the real Debezium JSON converter, not just the
+    flattened test shape):
+
+    - schemas.enable=true wraps the envelope as {"schema": ..., "payload":
+      {before, after, source, op, ts_ms}} -- both forms decode (the wrapped
+      payload is tried first and coalesced with the flat parse);
+    - Kafka TOMBSTONES (null value after a delete, for log compaction) and
+      schema-change / heartbeat messages (different JSON structure, no `op`)
+      become NULL-op rows -- filter or dead-letter them, they never fail
+      the stream;
+    - connector config contract for typed columns: run Debezium with
+      'decimal.handling.mode' = 'string' (DECIMAL arrives as "12.50",
+      parseable into a DecimalType payload field; the default 'precise'
+      mode emits base64 two's-complement bytes) and 'time.precision.mode'
+      = 'connect' (TIMESTAMP arrives as epoch millis -- declare LongType
+      and convert with epoch_millis_to_timestamp).
+
     All expression work (`from_json`, struct field access, CASE) is JVM-side
     whole-stage-codegen -- at 100 TB/day of CDC this path must never drop
     into Python.
     """
-    env = F.from_json(F.col(value_col).cast("string"), debezium_envelope_schema(payload))
+    val = F.col(value_col).cast("string")
+    env_schema = debezium_envelope_schema(payload)
+    wrapped = F.from_json(
+        val, T.StructType([T.StructField("payload", env_schema, True)])
+    )["payload"]
+    # flat envelopes have no top-level `payload` field -> wrapped is NULL and
+    # the flat parse wins; wrapped envelopes parse flat into an all-NULL
+    # struct that the coalesce never reaches
+    env = F.coalesce(wrapped, F.from_json(val, env_schema))
     op = F.element_at(
         F.create_map(*[F.lit(x) for kv in _DEBEZIUM_OP.items() for x in kv]),
         env["op"],
@@ -88,6 +113,14 @@ def debezium_decode(raw: DataFrame, payload: T.StructType,
     if include_before:
         cols.append("before")
     return out.select(*cols)
+
+
+def epoch_millis_to_timestamp(col) -> "F.Column":
+    """Debezium 'time.precision.mode' = 'connect' temporal parity: TIMESTAMP
+    columns arrive as int64 epoch MILLIS; this converts them to a Spark
+    timestamp JVM-side (declare the payload field LongType, convert after
+    decode)."""
+    return F.timestamp_millis(F.col(col) if isinstance(col, str) else col)
 
 
 def kafka_changelog_stream(
