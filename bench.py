@@ -310,11 +310,13 @@ def main() -> None:
     envelope_concurrent["batch_load"] = "q5_region_revenue loop"
     print(f"# streaming_envelope (concurrent): {envelope_concurrent}", file=sys.stderr)
 
-    # headroom probe: 100x the reference's ~10 ev/s recordable envelope
+    # headroom probe: 1000x the reference's ~10 ev/s recordable envelope
     # (isolated; documents how far the same pipeline is from saturating --
-    # micro-batch cost is state-commit dominated, so rate barely moves it)
-    envelope_headroom = streaming_envelope(spark, rows_per_sec=1000)
-    print(f"# streaming_envelope (1000 ev/s): {envelope_headroom}", file=sys.stderr)
+    # micro-batch cost is state-commit dominated, so rate barely moves it
+    # until the millions: the r9 knee sweep in BENCH_NOTES.md measured p95
+    # crossing 1 s at ~3,000,000 ev/s and collapse at 4M)
+    envelope_headroom = streaming_envelope(spark, rows_per_sec=10_000)
+    print(f"# streaming_envelope (10000 ev/s): {envelope_headroom}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
