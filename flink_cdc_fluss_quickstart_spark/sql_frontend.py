@@ -652,8 +652,13 @@ class Engine:
                     " log tables are not supported; declare a key or bind the"
                     " name as a connector source)"
                 )
+            # lake format selection, the reference's Paimon-or-Iceberg
+            # tiering choice (deploy:316-358) mapped onto the Spark-native
+            # columnar stores: 'table.datalake.format' = 'parquet' | 'orc'
+            fmt = options.get("table.datalake.format", "parquet")
             self.stores[name] = PKTable(
-                self.spark, path, keys=pk, order_by=["seq"], n_buckets=n_buckets
+                self.spark, path, keys=pk, order_by=["seq"],
+                n_buckets=n_buckets, data_format=fmt,
             )
 
     @staticmethod

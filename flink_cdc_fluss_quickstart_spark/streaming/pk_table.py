@@ -78,27 +78,40 @@ class PKTable:
 
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
                  order_by: Sequence[str], n_buckets: int = 4,
-                 gc_grace_secs: float = GC_GRACE_SECS) -> None:
+                 gc_grace_secs: float = GC_GRACE_SECS,
+                 data_format: str = "parquet") -> None:
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.order_by = list(order_by)
         self.n_buckets = n_buckets
         self.gc_grace_secs = gc_grace_secs
+        # lake format: the reference deploys Paimon OR Iceberg tiering
+        # (deploy:316-358) behind one table interface; the analogue here is
+        # a second Spark-native columnar format behind the SAME manifest/
+        # bucket/txn machinery -- every semantic (atomic snapshot swap,
+        # bucket pruning, idempotent txns, GC grace) is format-agnostic
+        if data_format not in ("parquet", "orc"):
+            raise ValueError(f"unsupported data_format: {data_format!r}"
+                             " (parquet and orc are the Spark-native columnar stores)")
+        self.data_format = data_format
         os.makedirs(path, exist_ok=True)
         if not os.path.exists(self._manifest_path):
             self._write_manifest(
-                {"buckets": {}, "txn": {}, "version": 0, "n_buckets": n_buckets}
+                {"buckets": {}, "txn": {}, "version": 0, "n_buckets": n_buckets,
+                 "format": data_format}
             )
         else:
-            # bucket count is a CREATION-time table property (the reference's
-            # 'bucket.num', tickets-cdc.sql:34): reopening with a different
-            # ctor value must not re-route keys, or a merge rewrites only the
-            # new-numbered bucket and the key's old row survives in the old
-            # one -- duplicate PKs with no error. Adopt the stored value.
-            stored = self._read_manifest().get("n_buckets")
-            if stored is not None:
-                self.n_buckets = stored
+            # bucket count and lake format are CREATION-time table properties
+            # (the reference's 'bucket.num', tickets-cdc.sql:34): reopening
+            # with a different ctor value must not re-route keys -- a merge
+            # would rewrite only the new-numbered bucket and the key's old
+            # row survives in the old one (duplicate PKs with no error) --
+            # or misread existing files. Adopt the stored values.
+            stored = self._read_manifest()
+            if stored.get("n_buckets") is not None:
+                self.n_buckets = stored["n_buckets"]
+            self.data_format = stored.get("format", "parquet")
 
     # -- manifest ---------------------------------------------------------
 
@@ -125,7 +138,7 @@ class PKTable:
         dirs = [d for d in dirs if os.path.exists(d)]
         if not dirs:
             return None
-        return self.spark.read.parquet(*dirs)
+        return self.spark.read.format(self.data_format).load(dirs)
 
     def last_batch_id(self, writer_id: str) -> int:
         return self._read_manifest()["txn"].get(writer_id, -1)
@@ -192,7 +205,7 @@ class PKTable:
         batch_rows = batch_latest.drop("__bucket").withColumn("__gen", F.lit(1))
         if old_dirs:
             old = (
-                self.spark.read.parquet(*old_dirs)
+                self.spark.read.format(self.data_format).load(old_dirs)
                 .withColumn(op_col, F.lit("I"))
                 .withColumn("__gen", F.lit(0))
             )
@@ -208,9 +221,9 @@ class PKTable:
         )
         # ONE partitioned write job for all affected buckets
         vdir = f"v{version}"
-        result.write.partitionBy("__bucket").mode("overwrite").parquet(
-            os.path.join(self.path, vdir)
-        )
+        result.write.partitionBy("__bucket").mode("overwrite").format(
+            self.data_format
+        ).save(os.path.join(self.path, vdir))
 
         superseded = [
             m["buckets"][str(b)] for b in affected if str(b) in m["buckets"]
@@ -250,9 +263,9 @@ class PKTable:
         version = m["version"] + 1
         vdir = f"v{version}"
         bucketed = df.withColumn("__bucket", _bucket_expr(self.keys, self.n_buckets))
-        bucketed.write.partitionBy("__bucket").mode("overwrite").parquet(
-            os.path.join(self.path, vdir)
-        )
+        bucketed.write.partitionBy("__bucket").mode("overwrite").format(
+            self.data_format
+        ).save(os.path.join(self.path, vdir))
         old = dict(m["buckets"])
         m["buckets"] = {
             str(b): os.path.join(vdir, f"__bucket={b}") for b in range(self.n_buckets)
