@@ -1237,10 +1237,13 @@ _DECON_COS_RAW = (
     " * sqrt(CAST(list_sum(list_transform(bv,"
     " x -> CAST(floor(x::DOUBLE * x::DOUBLE * 1e12) AS BIGINT))) AS DOUBLE) / 1e12))"
 )
-# NaN guard mirroring the Spark side's nanvl: 0/0 from a zero-norm vector
-# must rank BELOW every finite cosine, not above (both engines order NaN
-# greater than all doubles)
-_DECON_COS = f"(CASE WHEN isnan({_DECON_COS_RAW}) THEN CAST(-2.0 AS DOUBLE) ELSE {_DECON_COS_RAW} END)"
+# zero-norm guard mirroring the Spark side's try_divide+nanvl+coalesce:
+# DuckDB returns NULL for x/0 (any numeric type), and a hypothetical NaN
+# would rank ABOVE every finite cosine -- both collapse to the -2.0 sentinel
+_DECON_COS = (
+    f"COALESCE(CASE WHEN isnan({_DECON_COS_RAW}) THEN CAST(-2.0 AS DOUBLE)"
+    f" ELSE {_DECON_COS_RAW} END, CAST(-2.0 AS DOUBLE))"
+)
 
 
 @register(
@@ -1316,15 +1319,23 @@ def embedding_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max(
                 F.transform(
                     F.col("bench"),
-                    # nanvl: a zero-norm vector yields 0/0 = NaN, and Spark's
-                    # struct ordering ranks NaN ABOVE every double -- without
-                    # the guard a degenerate corpus row would win the max and
-                    # flag as contaminated; -2.0 (below any cosine) keeps the
-                    # sentinel semantics of the empty-benchmark fallback
+                    # zero-norm guard (r8 advice): a zero-norm vector makes
+                    # the cosine 0/0 -- under ANSI that division THROWS, so
+                    # try_divide returns NULL instead, and any hypothetical
+                    # NaN would rank ABOVE every double in struct-max
+                    # ordering -- both collapse to the -2.0 sentinel (below
+                    # any cosine), matching the empty-benchmark fallback and
+                    # the oracle's NULL-division semantics (DuckDB x/0 is
+                    # NULL)
                     lambda e: F.struct(
-                        F.nanvl(
-                            similarity.dot(F.col("embedding"), e["bv"])
-                            / (F.col("__cn") * e["bn"]),
+                        F.coalesce(
+                            F.nanvl(
+                                F.try_divide(
+                                    similarity.dot(F.col("embedding"), e["bv"]),
+                                    F.col("__cn") * e["bn"],
+                                ),
+                                F.lit(-2.0),
+                            ),
                             F.lit(-2.0),
                         ).alias("cos"),
                         (-e["b_id"]).cast("bigint").alias("neg_id"),

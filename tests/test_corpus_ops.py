@@ -946,3 +946,39 @@ def test_embedding_decontamination_flags_benchmark_lookalikes(spark):
     assert abs(out[2]["max_benchmark_cos"]) < 1e-9
     assert abs(out[3]["max_benchmark_cos"] - 0.6) < 1e-9
     assert abs(out[4]["max_benchmark_cos"] - 0.09950371902099892) < 1e-6
+
+
+def test_embedding_decontamination_zero_norm_vectors_never_flag(spark):
+    """The r8-advice NaN guard: a zero-norm vector yields 0/0 = NaN cosines,
+    and Spark's struct-max ranks NaN above every double -- ungated, a
+    degenerate corpus row would 'win' the max and flag as contaminated, and
+    a zero-norm BENCHMARK row would contaminate every corpus row. With the
+    nanvl guard both sides resolve to the -2.0 sentinel instead."""
+    import tempfile
+
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    dim = 64
+
+    def vec(*pairs):
+        v = [0.0] * dim
+        for i, x in pairs:
+            v[i] = float(x)
+        return v
+
+    vecs = [
+        (0, vec()),                 # zero-norm BENCHMARK row (vec_id % 97 == 0)
+        (1, vec((0, 1.0))),         # finite corpus vec: all cosines NaN -> sentinel
+        (2, vec()),                 # zero-norm CORPUS vec: NaN against any benchmark
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        _write_embeddings(td, vecs)
+        out = {
+            r["vec_id"]: r.asDict()
+            for r in get("embedding_decontamination").builder(spark, td).collect()
+        }
+    assert set(out) == {1, 2}
+    assert not out[1]["contaminated"] and not out[2]["contaminated"]
+    assert out[1]["max_benchmark_cos"] == -2.0  # the sentinel, never NaN
+    assert out[2]["max_benchmark_cos"] == -2.0
+    assert out[1]["benchmark_id"] == 0  # deterministic argmax under all-sentinel ties
