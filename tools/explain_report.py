@@ -89,8 +89,13 @@ REPORT = (
     "range_join_price_bands",
     "multimodal_feature_extract",
     "multimodal_phash_dedup",
+    "multimodal_phash_dedup_planted",
     "gopher_quality_flags",
     "c4_quality_flags",
+    # r9 bench headliners
+    "q9_profit_by_nation_year",
+    "q18_large_volume_orders",
+    "q21_sole_late_supplier",
 )
 
 
