@@ -168,7 +168,6 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the base query's sf0.01 stamp vacuous (0 rows both sides: the synthetic
 # corpus has no formatting near-dups).
 PHASH_PLANT_MOD = 10
-PHASH_PLANT_OFFSET = 10_000_000
 
 
 def _planted_documents(docs: DataFrame) -> DataFrame:
@@ -176,10 +175,19 @@ def _planted_documents(docs: DataFrame) -> DataFrame:
     (the ann_recall_report_clustered precedent): variant text wraps the
     original in pure-punctuation decoration, which the stub pHash's
     normalization (lowercase + non-alnum runs -> space + trim) collapses,
-    so each (doc, variant) pair collides at Hamming 0 in both engines."""
-    variants = docs.filter(F.pmod(F.col("doc_id"), F.lit(PHASH_PLANT_MOD)) == 0).select(
-        (F.col("doc_id") + F.lit(PHASH_PLANT_OFFSET)).alias("doc_id"),
-        F.concat(F.lit("## "), F.col("text"), F.lit(" !!")).alias("text"),
+    so each (doc, variant) pair collides at Hamming 0 in both engines.
+    Variant ids offset by max(doc_id)+1 -- derived in-plan as a broadcast
+    one-row aggregate, never a fixed literal, so no corpus id range can
+    collide with a variant id (a fixed 10M offset had a silent-merge cliff
+    for corpora with ids past it; r9 review)."""
+    off = docs.agg((F.max("doc_id") + 1).alias("__off"))
+    variants = (
+        docs.filter(F.pmod(F.col("doc_id"), F.lit(PHASH_PLANT_MOD)) == 0)
+        .crossJoin(F.broadcast(off))
+        .select(
+            (F.col("doc_id") + F.col("__off")).alias("doc_id"),
+            F.concat(F.lit("## "), F.col("text"), F.lit(" !!")).alias("text"),
+        )
     )
     return docs.select("doc_id", "text").unionByName(variants)
 
@@ -190,7 +198,7 @@ def _planted_documents(docs: DataFrame) -> DataFrame:
     WITH docs_planted AS (
       SELECT doc_id, text FROM documents
       UNION ALL
-      SELECT doc_id + {PHASH_PLANT_OFFSET} AS doc_id,
+      SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents) AS doc_id,
              '## ' || text || ' !!' AS text
       FROM documents WHERE doc_id % {PHASH_PLANT_MOD} = 0
     ),

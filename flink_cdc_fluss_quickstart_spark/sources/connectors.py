@@ -91,13 +91,22 @@ def debezium_decode(raw: DataFrame, payload: T.StructType,
     """
     val = F.col(value_col).cast("string")
     env_schema = debezium_envelope_schema(payload)
-    wrapped = F.from_json(
-        val, T.StructType([T.StructField("payload", env_schema, True)])
-    )["payload"]
-    # flat envelopes have no top-level `payload` field -> wrapped is NULL and
-    # the flat parse wins; wrapped envelopes parse flat into an all-NULL
-    # struct that the coalesce never reaches
-    env = F.coalesce(wrapped, F.from_json(val, env_schema))
+    # ONE parse for both converter shapes: a superset schema carrying the
+    # flat envelope fields AND a `payload` field of the same envelope type.
+    # A wrapped record fills `payload` (flat fields absent -> NULL); a flat
+    # record leaves `payload` NULL and fills the fields -- so the coalesce
+    # picks the right shape without tokenizing the JSON twice (this is the
+    # 100 TB/day hot path; the previous two-from_json spelling parsed every
+    # flat record twice).
+    superset = T.StructType(
+        [*env_schema.fields, T.StructField("payload", env_schema, True)]
+    )
+    p = F.from_json(val, superset)
+    flat = F.struct(*[p[f.name].alias(f.name) for f in env_schema.fields])
+    # the isNotNull gate keeps the struct constructor from touching fields
+    # of a NULL parse result (tombstones / malformed JSON) -- ungated, the
+    # generated unsafe projection NPEs on the null struct
+    env = F.coalesce(p["payload"], F.when(p.isNotNull(), flat))
     op = F.element_at(
         F.create_map(*[F.lit(x) for kv in _DEBEZIUM_OP.items() for x in kv]),
         env["op"],

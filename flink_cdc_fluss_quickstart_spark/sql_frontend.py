@@ -466,11 +466,14 @@ class Engine:
         # target table -> exact checkpoint dirs its streams use, so DROP can
         # remove precisely these (a `{name}_from_*` glob over-matched a
         # sibling table literally NAMED `{name}_from_...`, wiping the
-        # survivor's resume state). PERSISTED next to the warehouse: a fresh
-        # Engine over the same warehouse must still purge on DROP, or a
-        # drop+recreate+re-INSERT in the new session silently resumes past
-        # the already-consumed changelog epochs (r8 advice).
-        self.ckpts: dict[str, set[str]] = self._load_ckpt_registry()
+        # survivor's resume state), and table -> its PK store path so DROP
+        # in a FRESH engine also removes the on-disk data (the in-memory
+        # stores dict alone resurrected the old rows on recreate). Both maps
+        # PERSIST next to the warehouse: a fresh Engine over the same
+        # warehouse must purge on DROP, or a drop+recreate+re-INSERT in the
+        # new session silently resumes past the already-consumed changelog
+        # epochs over the old table state (r8 advice + r9 review).
+        self.ckpts, self.store_paths = self._load_registry()
         self.views: dict[str, IncrementalAggView] = {}
         self.queries: list = []  # running StreamingQuery handles
 
@@ -480,14 +483,20 @@ class Engine:
     def _ckpt_registry_path(self) -> str:
         return os.path.join(self.warehouse, "_ckpt_registry.json")
 
-    def _load_ckpt_registry(self) -> dict[str, set[str]]:
+    def _load_registry(self) -> tuple[dict[str, set[str]], dict[str, str]]:
         try:
             with open(self._ckpt_registry_path) as f:
                 import json
 
-                return {k: set(v) for k, v in json.load(f).items()}
+                data = json.load(f)
         except (OSError, ValueError):
-            return {}
+            return {}, {}
+        if "ckpts" not in data:  # pre-r9 flat shape: {table: [ckpt dirs]}
+            return {k: set(v) for k, v in data.items()}, {}
+        return (
+            {k: set(v) for k, v in data["ckpts"].items()},
+            dict(data.get("stores", {})),
+        )
 
     def _save_ckpt_registry(self) -> None:
         import json
@@ -495,12 +504,23 @@ class Engine:
         os.makedirs(self.warehouse, exist_ok=True)
         tmp = self._ckpt_registry_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({k: sorted(v) for k, v in self.ckpts.items()}, f)
+            json.dump(
+                {
+                    "ckpts": {k: sorted(v) for k, v in self.ckpts.items()},
+                    "stores": self.store_paths,
+                },
+                f,
+            )
         os.replace(tmp, self._ckpt_registry_path)
 
     def _register_ckpt(self, target_name: str, ckpt: str) -> None:
         self.ckpts.setdefault(target_name, set()).add(ckpt)
         self._save_ckpt_registry()
+
+    def _register_store(self, name: str, path: str) -> None:
+        if self.store_paths.get(name) != path:
+            self.store_paths[name] = path
+            self._save_ckpt_registry()
 
     # -- runtime binding ---------------------------------------------------
 
@@ -553,24 +573,36 @@ class Engine:
             self.replicated_from.pop(name, None)
             # also drop the PK store AND its on-disk data: the reference
             # dialect's drop+create yields an EMPTY table, so a resurrected
-            # name must not see the old rows
+            # name must not see the old rows. The store path comes from the
+            # PERSISTED registry (falling back to the in-memory handle), so
+            # a fresh engine over the same warehouse purges it too -- the
+            # in-memory stores dict alone left the old manifest+data behind
+            # and the recreated table adopted them (r9 review finding).
             store = self.stores.pop(name, None)
             import shutil
 
-            if store is not None:
-                shutil.rmtree(store.path, ignore_errors=True)
+            store_path = self.store_paths.get(name) or (
+                store.path if store is not None else None
+            )
+            if store_path:
+                shutil.rmtree(store_path, ignore_errors=True)
             # ... and every streaming checkpoint that fed it (the EXACT dirs
             # this engine registered, never a glob -- `{name}_from_*` would
             # also match a sibling table named `{name}_from_...` and wipe the
             # survivor's resume state): a kept checkpoint would make a
             # drop+recreate+re-INSERT resume PAST the already-consumed
             # changelog epochs, silently leaving the resurrected table
-            # missing those rows
-            dropped = self.ckpts.pop(name, ())
-            if dropped:
-                self._save_ckpt_registry()
-            for ckpt in dropped:
+            # missing those rows. Deletion happens BEFORE the registry
+            # forgets the dirs: the reversed order left a crash window where
+            # live checkpoint data survived at a path no registry referenced
+            # (this order is crash-safe -- a crash re-purges on the next
+            # DROP, and the dirs are dead either way since the table is gone).
+            for ckpt in self.ckpts.get(name, ()):
                 shutil.rmtree(ckpt, ignore_errors=True)
+            if name in self.ckpts or name in self.store_paths:
+                self.ckpts.pop(name, None)
+                self.store_paths.pop(name, None)
+                self._save_ckpt_registry()
         elif head.startswith(("CREATE TABLE", "CREATE TEMPORARY TABLE")):
             self._create_table(stmt)
         elif head.startswith("INSERT INTO"):
@@ -660,6 +692,9 @@ class Engine:
                 self.spark, path, keys=pk, order_by=["seq"],
                 n_buckets=n_buckets, data_format=fmt,
             )
+            # persist name -> store path so a FRESH engine's DROP can purge
+            # the on-disk data, not only this session's
+            self._register_store(name, path)
 
     @staticmethod
     def _split_columns(body: str) -> list[str]:

@@ -828,9 +828,16 @@ def test_drop_table_clears_checkpoints_across_engine_restart(spark, workload, tm
     eng2.bind_source("pg_osb_users", workload["users"], osb.USERS_SCHEMA)
     eng2.execute("DROP TABLE IF EXISTS users_copy;")
     assert not os.path.isdir(ckpt), "restarted engine must purge the old checkpoint"
+    # ... and the on-disk STORE: recreating before any INSERT must yield an
+    # EMPTY table, not resurrect the old manifest+rows (r9 review: the
+    # in-memory stores dict alone left the data behind across restarts)
+    store_dir = os.path.join(wh, "default_catalog", "default", "users_copy")
+    assert not os.path.isdir(store_dir), "restarted engine must purge the store data"
     eng2.execute(ddl.replace(
         "CREATE TABLE pg_osb_users",
         "CREATE TABLE IF NOT EXISTS pg_osb_users",
-    ))
+    ).split("INSERT INTO")[0])
+    assert eng2.snapshot("users_copy") is None, "recreated table must start empty"
+    eng2.execute("INSERT INTO users_copy SELECT * FROM pg_osb_users;")
     eng2.await_all()
     assert eng2.snapshot("users_copy").count() == 5

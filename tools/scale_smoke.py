@@ -117,9 +117,26 @@ VOLUME_OPS: dict[str, tuple[str, str]] = {
 FACTOR_CAP: dict[str, int] = {"winnow_overlap_pairs": 10}
 
 
-def build_scaled(out_dir: str, factor: int) -> None:
+def build_scaled(out_dir: str, factor: int, odd_replica_ids: bool = False) -> None:
     """documents/embeddings replicated `factor`x with shifted ids; the other
-    tables are linked as-is (the timed ops only read these two)."""
+    tables are linked as-is (the timed ops only read these two).
+
+    odd_replica_ids=True is the FIXED-QUERY-SET mode: replica rows get odd
+    ids (2 * (id + copy * n) + 1, disjoint from the unchanged base range),
+    which no EVEN-modulus %-residue query predicate selects (bm25's
+    doc_id % 100 == 0, the ANN family's vec_id % 50 == 0) -- those queries
+    stay pinned at the base set while postings/cells grow factor-x,
+    isolating corpus growth from query-set growth (the r8 judge ask). The
+    guarantee is scoped to even moduli: an ODD-modulus selector (e.g.
+    embedding_decontamination's % 97 benchmark split, span dedup's % 5
+    grouping) still matches odd replica ids, so fixed-query ratios must not
+    be quoted for those ops from this mode."""
+
+    def replica_id(col: str, n: int):
+        shifted = F.col(col) + F.col("__copy") * n
+        new = (shifted * 2 + 1) if odd_replica_ids else shifted
+        return F.when(F.col("__copy") == 0, F.col(col)).otherwise(new).alias(col)
+
     spark = get_spark("scale-smoke")
     docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
@@ -127,7 +144,7 @@ def build_scaled(out_dir: str, factor: int) -> None:
     scaled = (
         docs.crossJoin(copies)
         .select(
-            (F.col("doc_id") + F.col("__copy") * n).alias("doc_id"),
+            replica_id("doc_id", n),
             # per-copy prefix: keeps exact-dup structure bounded and shifts
             # shingles so the near-dup graph grows with the corpus instead of
             # collapsing into factor-sized exact-dup cliques
@@ -145,13 +162,10 @@ def build_scaled(out_dir: str, factor: int) -> None:
     scaled.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
     emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
     m = emb.agg(F.max("vec_id")).collect()[0][0] + 1
-    scaled_emb = (
-        emb.crossJoin(copies)
-        .select(
-            (F.col("vec_id") + F.col("__copy") * m).alias("vec_id"),
-            "embedding",
-            "label",
-        )
+    scaled_emb = emb.crossJoin(copies).select(
+        replica_id("vec_id", m),
+        "embedding",
+        "label",
     )
     scaled_emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
     for t in ("region", "nation", "customer", "supplier", "part", "orders",
@@ -162,48 +176,8 @@ def build_scaled(out_dir: str, factor: int) -> None:
 
 
 def build_scaled_fixed_queries(out_dir: str, factor: int) -> None:
-    """Scaled corpus whose QUERY SET stays the base corpus's: replica rows
-    get ODD ids (2 * (id + copy * n) + 1, disjoint from the unchanged base
-    id range), and every retrieval query predicate in the repo selects ids
-    by residue (doc_id % 100 == 0 / vec_id % 50 == 0), which no odd id can
-    satisfy -- so queries are FIXED at the base set while postings/cells
-    grow ~factor-x. This isolates corpus growth from query-set growth: the
-    full sweep's query sets are corpus-proportional, confounding the two
-    (the r8 judge ask)."""
-    spark = get_spark("scale-smoke")
-    docs = spark.read.parquet(os.path.join(BASE_SF, "documents.parquet"))
-    n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    copies = spark.range(factor).withColumnRenamed("id", "__copy")
-    scaled = (
-        docs.crossJoin(copies)
-        .select(
-            F.when(F.col("__copy") == 0, F.col("doc_id"))
-            .otherwise((F.col("doc_id") + F.col("__copy") * n) * 2 + 1)
-            .alias("doc_id"),
-            F.when(F.col("__copy") == 0, F.col("text"))
-            .otherwise(F.concat(F.lit("copy"), F.col("__copy"), F.lit(" "), F.col("text")))
-            .alias("text"),
-            "lang",
-            "source",
-        )
-        .withColumn("n_chars", F.length("text").cast("long"))
-    )
-    scaled.write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
-    emb = spark.read.parquet(os.path.join(BASE_SF, "embeddings.parquet"))
-    m = emb.agg(F.max("vec_id")).collect()[0][0] + 1
-    scaled_emb = emb.crossJoin(copies).select(
-        F.when(F.col("__copy") == 0, F.col("vec_id"))
-        .otherwise((F.col("vec_id") + F.col("__copy") * m) * 2 + 1)
-        .alias("vec_id"),
-        "embedding",
-        "label",
-    )
-    scaled_emb.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events"):
-        src = os.path.join(BASE_SF, f"{t}.parquet")
-        if os.path.exists(src):
-            os.symlink(src, os.path.join(out_dir, f"{t}.parquet"))
+    """build_scaled in fixed-query-set mode (see odd_replica_ids there)."""
+    build_scaled(out_dir, factor, odd_replica_ids=True)
 
 
 def deep_point(ops: tuple[str, ...], factors: list[int],
@@ -272,9 +246,11 @@ def main() -> None:
             [int(a) for a in rest] or [1, 10, 30],
             builder=build_scaled_fixed_queries if fixed else build_scaled,
             query_note=(
-                "(fixed-query-set corpora: replica ids are odd, so the"
-                " %-residue query predicates select only the base rows --"
-                " query count constant across factors)"
+                "(fixed-query-set corpora: replica ids are odd, so EVEN-modulus"
+                " %-residue query predicates -- bm25 % 100, the ANN family"
+                " % 50 -- select only the base rows: query count constant"
+                " across factors for those ops; not valid for odd-modulus"
+                " selectors like embedding_decontamination % 97)"
                 if fixed
                 else ""
             ),
