@@ -114,7 +114,13 @@ VOLUME_OPS: dict[str, tuple[str, str]] = {
 # groups are shuffle-distributed across executor heaps -- the cap documents
 # the single-node harness limit, not a plan defect; capped cells render
 # as "--".
-FACTOR_CAP: dict[str, int] = {"winnow_overlap_pairs": 10}
+FACTOR_CAP: dict[str, int] = {
+    "winnow_overlap_pairs": 10,
+    # x100 replication OOMs the single JVM inside the minhash-pair CC loop
+    # (pair groups concentrate in one heap here; on a cluster they shuffle
+    # across executors) -- x30 completes at 15.5 s, the r9 deep point
+    "leakage_safe_split_assign": 30,
+}
 
 
 def build_scaled(out_dir: str, factor: int, odd_replica_ids: bool = False) -> None:
@@ -211,6 +217,12 @@ def deep_point(ops: tuple[str, ...], factors: list[int],
 
             calib[f] = bench._calibrate(spark)
             for op in ops:
+                if f > FACTOR_CAP.get(op, 1 << 30):
+                    # same single-JVM guard as the full sweep: a capped op
+                    # renders "--" instead of OOMing the shared session and
+                    # killing every later op's measurement
+                    print(f"<!-- {op} x{f}: skipped (FACTOR_CAP) -->", file=sys.stderr)
+                    continue
                 t0 = time.time()
                 n_out = specs[op].builder(spark, d).count()
                 rows[op][f] = time.time() - t0
@@ -229,9 +241,16 @@ def deep_point(ops: tuple[str, ...], factors: list[int],
         f" {calib[factors[-1]] / max(calib[factors[0]], 1e-9):.1f}x |"
     )
     for op in ops:
-        cells = " | ".join(f"{rows[op][f]:.2f}s" for f in factors)
-        ratio = rows[op][factors[-1]] / max(rows[op][factors[0]], 1e-9)
-        print(f"| {op} | {cells} | {ratio:.1f}x |")
+        cells = " | ".join(
+            f"{rows[op][f]:.2f}s" if f in rows[op] else "--" for f in factors
+        )
+        have = [f for f in factors if f in rows[op]]
+        if not have:
+            print(f"| {op} | {cells} | -- |")
+            continue
+        ratio = rows[op][have[-1]] / max(rows[op][have[0]], 1e-9)
+        cap_note = "" if have[-1] == factors[-1] else f" (at x{have[-1]})"
+        print(f"| {op} | {cells} | {ratio:.1f}x{cap_note} |")
 
 
 def main() -> None:
