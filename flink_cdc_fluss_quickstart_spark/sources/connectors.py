@@ -124,6 +124,55 @@ def debezium_decode(raw: DataFrame, payload: T.StructType,
     return out.select(*cols)
 
 
+def debezium_schema_drift(raw: DataFrame, payload: T.StructType,
+                          value_col: str = "value") -> DataFrame:
+    """Schema-DRIFT monitor for a Debezium topic: one row per row-image key
+    that the declared payload schema does NOT carry, with occurrence count
+    and the first/last LSN it appeared at.
+
+    Why it exists: `from_json` with a fixed schema silently DROPS unknown
+    fields, so a source-side `ALTER TABLE ADD COLUMN` keeps the replication
+    pipeline green while every new column's values are discarded. Running
+    this monitor alongside the pipeline (same topic frame) turns that silent
+    data loss into an alarm with a WAL position to replay from.
+
+    All JVM-side: get_json_object pulls the after/before objects (wrapped or
+    flat converter shape), json_object_keys lists their keys, and the
+    declared field names filter out expected ones -- one scan, one grouped
+    aggregate, no Python. Unparseable/tombstone records contribute nothing.
+    """
+    val = F.col(value_col).cast("string")
+
+    def obj(field: str) -> F.Column:
+        # wrapped (schemas.enable=true) takes priority, same as the decode
+        return F.coalesce(
+            F.get_json_object(val, f"$.payload.{field}"),
+            F.get_json_object(val, f"$.{field}"),
+        )
+
+    lsn = F.coalesce(
+        F.get_json_object(val, "$.payload.source.lsn"),
+        F.get_json_object(val, "$.source.lsn"),
+    ).cast("long")
+    keys = F.array_distinct(
+        F.concat(
+            F.coalesce(F.json_object_keys(obj("after")), F.array()),
+            F.coalesce(F.json_object_keys(obj("before")), F.array()),
+        )
+    )
+    declared = [f.name for f in payload.fields]
+    return (
+        raw.select(F.explode(keys).alias("key"), lsn.alias("lsn"))
+        .filter(~F.col("key").isin(declared))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("lsn").alias("first_lsn"),
+            F.max("lsn").alias("last_lsn"),
+        )
+    )
+
+
 def epoch_millis_to_timestamp(col) -> "F.Column":
     """Debezium 'time.precision.mode' = 'connect' temporal parity: TIMESTAMP
     columns arrive as int64 epoch MILLIS; this converts them to a Spark

@@ -194,3 +194,34 @@ def test_before_image_survives_for_group_key_moving_updates(spark):
     ).collect()[0]
     assert out.before.status == "scheduled" and out.status == "live"
     assert out.before.ticket_id == 5
+
+
+def test_schema_drift_monitor_reports_unknown_columns(spark):
+    """A source-side ALTER TABLE ADD COLUMN keeps from_json silently
+    dropping the new column; the drift monitor must surface it with a WAL
+    position to replay from, across both converter shapes, while declared
+    columns and non-row messages report nothing."""
+    extra_after = dict(_row(9, "live", "2.00"), note="added upstream")
+    events = [
+        _flat("c", None, _row(1, "scheduled", "1.00"), 10),       # clean
+        _wrapped("c", None, extra_after, 20),                      # drifted
+        _flat("u", dict(_row(9, "x", "1.00"), note="old"), extra_after, 30),
+        None,                                                      # tombstone
+        HEARTBEAT,
+        SCHEMA_CHANGE,
+        "{corrupted",
+    ]
+    raw = spark.createDataFrame([(v,) for v in events], "value string")
+    out = {r.key: r for r in connectors.debezium_schema_drift(raw, TICKETS_WIRE).collect()}
+    assert set(out) == {"note"}
+    assert out["note"].n_rows == 2  # the wrapped insert + the flat update
+    assert (out["note"].first_lsn, out["note"].last_lsn) == (20, 30)
+
+
+def test_schema_drift_monitor_is_silent_on_clean_topics(spark):
+    events = [
+        _flat("c", None, _row(1, "scheduled", "1.00"), 1),
+        _wrapped("d", _row(1, "scheduled", "1.00"), None, 2),
+    ]
+    raw = spark.createDataFrame([(v,) for v in events], "value string")
+    assert connectors.debezium_schema_drift(raw, TICKETS_WIRE).count() == 0
