@@ -255,3 +255,13 @@ def test_q21_scans_each_fact_once(spark):
     plan, _ = _plans(spark, "q21_sole_late_supplier")
     scans = Counter(re.findall(r"FileScan parquet \[[^\]]*\][^\n]*?(\w+)\.parquet", plan))
     assert scans["lineitem"] == 1 and scans["orders"] == 1, dict(scans)
+
+
+def test_q9_filter_pushed_and_fact_scanned_once(spark):
+    """q9 (newly benched r9): the p_type filter must reach the part scan
+    (shrinking the build side before the join) and the 7-way tree must read
+    the lineitem fact exactly once -- supply-side dims join as
+    broadcast/hash builds around one fact pass."""
+    plan, _ = _plans(spark, "q9_profit_by_nation_year")
+    assert "p_type" in plan and "PushedFilters" in plan, plan[:2000]
+    assert plan.count("lineitem.parquet") == 1, plan[:2000]
