@@ -642,6 +642,13 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "same gram census + partitioning-reusing resolve join, split"
         " batch-vs-index; stamped r8",
     ),
+    "line_dedup_text": (
+        "span_dedup_text",
+        "same corpus census + frequency-gated resolve join family at line"
+        " granularity (the C4 repeated-span rule); new r9, sf0.001"
+        " repo-oracle-checked + planted boilerplate semantics in"
+        " tests/test_corpus_ops.py",
+    ),
     "contrastive_triplets": (
         "curriculum_order",
         "same deterministic window-rank family: per-bucket row_number +"

@@ -3243,3 +3243,103 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est - exact).alias("abs_err"),
         )
     )
+
+
+# --- cross-corpus line dedup (the C4 repeated-line rule) ----------------------
+
+LINE_DEDUP_MAX = 2  # keep lines whose corpus-wide frequency is <= this
+
+# the synthetic corpus has no duplicated lines (single-line word-soup docs),
+# so the registered query plants deterministic boilerplate IN-PLAN -- the
+# multimodal_phash_dedup_planted precedent: every 3rd doc gains a header
+# line and every 4th a footer line, which the census then removes while
+# every unique content line survives
+_LD_HEADER = "SUBSCRIBE TO OUR NEWSLETTER"
+_LD_FOOTER = "Copyright 2024 All Rights Reserved"
+
+
+def line_dedup_frame(docs: DataFrame, max_freq: int = LINE_DEDUP_MAX) -> DataFrame:
+    """C4-style cross-corpus line dedup (Raffel et al. 2020 section 2.2 --
+    the repeated-span discard rule, at the line granularity RefinedWeb/CCNet
+    apply it): drop every line whose trimmed form appears more than
+    `max_freq` times ACROSS the corpus (boilerplate headers, cookie
+    banners, copyright footers), reassemble the survivors in document
+    order. Docs whose every line is boilerplate drop out entirely.
+
+    Scale shape: one line explode -> one census groupBy (map-side combined;
+    the key space is the distinct-line vocabulary, Zipf-headed) -> one
+    hash anti/equi join back on the trimmed line -> one per-doc ordered
+    reassembly via array_sort(collect_list(struct(pos, line))) -- no
+    window over the corpus, no driver collection, the span_dedup census
+    family with lines instead of gram hashes."""
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    ).withColumn("key", F.trim(F.col("line")))
+    census = lines.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    kept = lines.join(census.filter(F.col("n") <= max_freq).select("key"), "key")
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+    )
+
+
+@register(
+    "line_dedup_text",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN '{_LD_HEADER}' || chr(10) ELSE '' END)
+             || text ||
+             (CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_LD_FOOTER}' ELSE '' END)
+             AS text
+      FROM documents
+    ),
+    arrs AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM planted),
+    lines AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos, arr[u.i] AS line,
+             trim(arr[u.i]) AS key
+      FROM arrs CROSS JOIN UNNEST(range(1, len(arr) + 1)) AS u(i)
+    ),
+    census AS (SELECT key, COUNT(*) AS n FROM lines GROUP BY key),
+    kept AS (
+      SELECT l.doc_id, l.pos, l.line
+      FROM lines l JOIN census c ON l.key = c.key
+      WHERE c.n <= {LINE_DEDUP_MAX}
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+           string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+    FROM kept GROUP BY doc_id
+    """,
+    description="Cross-corpus LINE dedup, the C4 repeated-span discard rule"
+    f" (Raffel et al. 2020 section 2.2) at line granularity: every line"
+    f" whose trimmed form appears more than {LINE_DEDUP_MAX} times in the"
+    " corpus is dropped from every document (boilerplate headers, cookie"
+    " banners, copyright footers -- the web-scrape noise n-gram dedup"
+    " under-weights because it is a tiny fraction of each doc), and"
+    " surviving lines reassemble in document order. The registered form"
+    " plants deterministic header/footer boilerplate in-plan (the phash"
+    " planted precedent -- the synthetic corpus is single-line) so the"
+    " stamped result exercises both the removal and the survival paths."
+    " One explode + one census aggregate + one line-keyed join + one"
+    " ordered per-doc reassembly; no corpus-sized window, no driver loop.",
+)
+def line_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(_LD_HEADER + "\n"))
+            .otherwise(F.lit("")),
+            F.col("text"),
+            F.when(F.pmod(F.col("doc_id"), F.lit(4)) == 0, F.lit("\n" + _LD_FOOTER))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return line_dedup_frame(spread(planted))

@@ -982,3 +982,36 @@ def test_embedding_decontamination_zero_norm_vectors_never_flag(spark):
     assert out[1]["max_benchmark_cos"] == -2.0  # the sentinel, never NaN
     assert out[2]["max_benchmark_cos"] == -2.0
     assert out[1]["benchmark_id"] == 0  # deterministic argmax under all-sentinel ties
+
+
+def test_line_dedup_removes_corpus_hot_lines_keeps_order(spark):
+    """C4 repeated-line rule on planted docs: boilerplate appearing in >2
+    docs is dropped everywhere, unique content lines survive in original
+    order (including a duplicate WITHIN one doc, which counts toward the
+    corpus frequency), and an all-boilerplate doc drops out entirely."""
+    from flink_cdc_fluss_quickstart_spark.plans.text_queries import line_dedup_frame
+
+    bp = "SUBSCRIBE NOW"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{bp}\nalpha beta\ngamma"),
+            (2, f"delta\n{bp}\nepsilon"),
+            (3, f"zeta\n{bp}"),
+            (4, bp),                      # all boilerplate -> drops out
+            (5, "eta\neta\ntheta"),       # within-doc dup: freq 2 <= max, kept
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in line_dedup_frame(docs).collect()}
+    assert set(out) == {1, 2, 3, 5}
+    assert out[1].text_dedup == "alpha beta\ngamma"
+    assert out[2].text_dedup == "delta\nepsilon"   # middle line removed, order kept
+    assert out[3].text_dedup == "zeta"
+    assert out[5].text_dedup == "eta\neta\ntheta" and out[5].n_lines_kept == 3
+    # a line at exactly max_freq+1 corpus occurrences is removed
+    docs2 = spark.createDataFrame(
+        [(i, "shared line\nuniq %d" % i) for i in range(3)],
+        "doc_id long, text string",
+    )
+    out2 = {r.doc_id: r.text_dedup for r in line_dedup_frame(docs2).collect()}
+    assert out2 == {0: "uniq 0", 1: "uniq 1", 2: "uniq 2"}

@@ -111,6 +111,7 @@ EXPECTED = {
     "repetition_signals",
     "span_dedup_text",
     "span_dedup_incremental",
+    "line_dedup_text",
     "doc_novelty_score",
     "nb_quality_score",
     "bpe_merge_candidates",

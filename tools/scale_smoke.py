@@ -66,6 +66,7 @@ OPS = (
     "minhash_incremental_pairs",
     "span_dedup_text",
     "span_dedup_incremental",
+    "line_dedup_text",
     "soft_dedup_weights",
     "doc_novelty_score",
     "nb_quality_score",
