@@ -187,3 +187,49 @@ def test_real_mode_pipeline_finds_cross_format_pairs(spark):
     pairs = {(r.id_a, r.id_b) for r in mm.phash_pairs(hashes).collect()}
     assert (1, 2) in pairs
     assert all(p == (1, 2) for p in pairs)
+
+
+# --- property-based round-trips (pure numpy, no Spark) ------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    dims = st.tuples(st.integers(1, 23), st.integers(1, 23))
+
+    @settings(max_examples=40, deadline=None)
+    @given(dims=dims, seed=st.integers(0, 2**31 - 1), bpp=st.sampled_from([24, 32]),
+           top_down=st.booleans())
+    def test_bmp_roundtrip_any_shape(dims, seed, bpp, top_down):
+        """encode(decode) identity over arbitrary (h, w) incl. stride-padding
+        widths, both bit depths and both row orders."""
+        h, w = dims
+        px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+        img = mm.decode_image(make_bmp(px, bpp=bpp, top_down=top_down))
+        np.testing.assert_allclose(img, luma(px))
+
+    @settings(max_examples=40, deadline=None)
+    @given(dims=dims, seed=st.integers(0, 2**31 - 1), maxval=st.integers(1, 255),
+           gray=st.booleans())
+    def test_netpbm_roundtrip_any_shape_and_maxval(dims, seed, maxval, gray):
+        h, w = dims
+        rng = np.random.default_rng(seed)
+        if gray:
+            g = rng.integers(0, maxval + 1, (h, w), dtype=np.uint8)
+            img = mm.decode_image(make_pgm(g, maxval=maxval))
+            np.testing.assert_allclose(img, g.astype(np.float64) * (255.0 / maxval))
+        else:
+            px = rng.integers(0, maxval + 1, (h, w, 3), dtype=np.uint8)
+            img = mm.decode_image(make_ppm(px, maxval=maxval))
+            np.testing.assert_allclose(img, luma(px) * (255.0 / maxval))
+
+    @settings(max_examples=30, deadline=None)
+    @given(payload=st.binary(min_size=0, max_size=200))
+    def test_arbitrary_bytes_never_crash_decode(payload):
+        """decode_image on arbitrary bytes returns an array or None, never
+        raises -- malformed headers, truncations, random magic included."""
+        img = mm.decode_image(payload)
+        assert img is None or img.ndim == 2
+
+except ImportError:  # pragma: no cover - hypothesis is in the test env
+    pass
