@@ -123,6 +123,12 @@ def main() -> None:
         F.sum("n_tokens").alias("tokens_total"),
     ).show()
 
+    print("== 2d-ii. line-level dedup (C4 repeated-line rule, boilerplate volume)")
+    q["line_dedup_text"].builder(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_lines_kept").alias("lines_kept"),
+    ).show()
+
     print("== 2e. classifier-based domain scoring (NB log-odds, pred counts)")
     q["nb_quality_score"].builder(spark, sf_dir).groupBy("pred_positive").agg(
         F.count(F.lit(1)).alias("n_docs"),
