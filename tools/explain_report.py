@@ -66,6 +66,7 @@ REPORT = (
     "collocation_pmi",
     "span_dedup_text",
     "span_dedup_incremental",
+    "line_dedup_text",
     "doc_novelty_score",
     "nb_quality_score",
     "bpe_merge_candidates",
