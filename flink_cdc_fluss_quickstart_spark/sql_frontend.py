@@ -499,6 +499,12 @@ class Engine:
         )
 
     def _save_ckpt_registry(self) -> None:
+        # whole-file swap from THIS engine's view: like the reference's SQL
+        # client, a warehouse has one active engine at a time (the PKTable
+        # commit-lock note covers multi-driver production: map onto the
+        # table format's own transaction protocol). Interleaving two LIVE
+        # engines over one warehouse is out of contract -- sequential
+        # engines are fine because every engine loads the registry at init.
         import json
 
         os.makedirs(self.warehouse, exist_ok=True)
