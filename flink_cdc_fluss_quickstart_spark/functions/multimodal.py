@@ -162,7 +162,10 @@ def decode_image(payload: bytes):
                 return None
         if len(vals) < 3 or i >= len(payload) or not payload[i : i + 1].isspace():
             return None
-        i += 1  # single whitespace after maxval, then binary samples
+        # single whitespace after maxval, then binary samples; a CRLF
+        # header terminator counts as ONE separator, or the '\n' would be
+        # read as the first sample and shift the whole raster by a byte
+        i += 2 if payload[i : i + 2] == b"\r\n" else 1
         w, h, maxval = vals
         if w <= 0 or h <= 0 or not 0 < maxval <= 255:
             return None

@@ -1239,10 +1239,13 @@ _DECON_COS_RAW = (
 )
 # zero-norm guard mirroring the Spark side's try_divide+nanvl+coalesce:
 # DuckDB returns NULL for x/0 (any numeric type), and a hypothetical NaN
-# would rank ABOVE every finite cosine -- both collapse to the -2.0 sentinel
-_DECON_COS = (
-    f"COALESCE(CASE WHEN isnan({_DECON_COS_RAW}) THEN CAST(-2.0 AS DOUBLE)"
-    f" ELSE {_DECON_COS_RAW} END, CAST(-2.0 AS DOUBLE))"
+# would rank ABOVE every finite cosine -- both collapse to the -2.0 sentinel.
+# Applied over a named column (cos_raw) in a sub-select so the list_transform
+# dot product is evaluated ONCE per candidate-benchmark pair, not re-inlined
+# inside both the isnan test and the ELSE branch (r9 advice).
+_DECON_COS_GUARD = (
+    "COALESCE(CASE WHEN isnan(cos_raw) THEN CAST(-2.0 AS DOUBLE)"
+    " ELSE cos_raw END, CAST(-2.0 AS DOUBLE))"
 )
 
 
@@ -1257,9 +1260,12 @@ _DECON_COS = (
       SELECT vec_id, label, embedding FROM embeddings
       WHERE vec_id % {DECON_BENCH_MOD} <> 0
     ),
-    p AS (
-      SELECT c.vec_id, c.label, b.b_id, {_DECON_COS} AS cos
+    p0 AS (
+      SELECT c.vec_id, c.label, b.b_id, {_DECON_COS_RAW} AS cos_raw
       FROM c CROSS JOIN b
+    ),
+    p AS (
+      SELECT vec_id, label, b_id, {_DECON_COS_GUARD} AS cos FROM p0
     ),
     r AS (
       SELECT vec_id, label, b_id, cos,

@@ -491,7 +491,19 @@ class Engine:
                 data = json.load(f)
         except (OSError, ValueError):
             return {}, {}
-        if "ckpts" not in data:  # pre-r9 flat shape: {table: [ckpt dirs]}
+        # shape detection is STRUCTURAL, not key-presence: the new shape is
+        # exactly {"ckpts": {table: [dirs]}, "stores": {table: path}}, while
+        # the pre-r9 flat shape is {table: [ckpt dirs]} -- where a table
+        # could legitimately be NAMED 'ckpts', so '"ckpts" in data' alone
+        # would misread a legacy file and drop every other table's
+        # checkpoint dirs from DROP purging (r9 advice)
+        is_v2 = (
+            set(data) <= {"ckpts", "stores"}
+            and isinstance(data.get("ckpts"), dict)
+            and isinstance(data.get("stores", {}), dict)
+            and all(isinstance(v, list) for v in data.get("ckpts", {}).values())
+        )
+        if not is_v2:  # pre-r9 flat shape: {table: [ckpt dirs]}
             return {k: set(v) for k, v in data.items()}, {}
         return (
             {k: set(v) for k, v in data["ckpts"].items()},
@@ -693,7 +705,10 @@ class Engine:
             # lake format selection, the reference's Paimon-or-Iceberg
             # tiering choice (deploy:316-358) mapped onto the Spark-native
             # columnar stores: 'table.datalake.format' = 'parquet' | 'orc'
-            fmt = options.get("table.datalake.format", "parquet")
+            # enum option VALUES are case-insensitive in the reference
+            # dialect ('ORC' == 'orc'); keys are already lowercased by the
+            # options parser, values are not -- normalize here (r9 advice)
+            fmt = options.get("table.datalake.format", "parquet").strip().lower()
             self.stores[name] = PKTable(
                 self.spark, path, keys=pk, order_by=["seq"],
                 n_buckets=n_buckets, data_format=fmt,

@@ -103,6 +103,23 @@ def test_pgm_grayscale_exact():
     np.testing.assert_allclose(mm.decode_image(make_pgm(g)), g.astype(np.float64))
 
 
+def test_netpbm_crlf_header_terminator_is_one_separator():
+    """A header whose post-maxval terminator is '\\r\\n' (CRLF-written file)
+    must not read the '\\n' as the first pixel sample -- that shifted every
+    sample by one byte into a plausible-but-wrong raster (r9 advice)."""
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    crlf = b"P5\r\n4 3\r\n255\r\n" + g.tobytes()
+    np.testing.assert_allclose(mm.decode_image(crlf), g.astype(np.float64))
+    # bare-'\r' terminator (no LF) still consumes exactly one byte
+    cr_only = b"P5\n4 3\n255\r" + g.tobytes()
+    np.testing.assert_allclose(mm.decode_image(cr_only), g.astype(np.float64))
+    # and the P6 color path agrees with its LF twin on the same pixels
+    px = gradient_rgb(4, 4)
+    lf = make_ppm(px)
+    crlf6 = b"P6\r\n4 4\r\n255\r\n" + px.astype(np.uint8).tobytes()
+    np.testing.assert_allclose(mm.decode_image(crlf6), mm.decode_image(lf))
+
+
 def test_non_image_and_truncated_payloads_return_none():
     assert mm.decode_image(b"plain text payload") is None
     assert mm.decode_image(b"\x89PNG\r\n\x1a\n....") is None  # codec format

@@ -63,6 +63,27 @@ def test_unknown_format_fails_fast(spark, tmp_path):
                 data_format="iceberg")
 
 
+def test_sql_frontend_datalake_format_value_is_case_insensitive(spark, tmp_path):
+    """Enum option VALUES are case-insensitive in the reference dialect:
+    'ORC' / 'Parquet' must route like their lowercase forms instead of
+    failing PKTable's format validation (r9 advice)."""
+    from flink_cdc_fluss_quickstart_spark.sql_frontend import Engine
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    eng.execute(
+        """
+        CREATE TABLE t_upper (
+          k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED
+        ) WITH ('bucket.num' = '2', 'table.datalake.format' = 'ORC');
+        CREATE TABLE t_mixed (
+          k BIGINT, v STRING, PRIMARY KEY (k) NOT ENFORCED
+        ) WITH ('table.datalake.format' = 'Parquet');
+        """
+    )
+    assert eng.store_for("t_upper").data_format == "orc"
+    assert eng.store_for("t_mixed").data_format == "parquet"
+
+
 def test_sql_frontend_datalake_format_option(spark, tmp_path, workload):
     """The dialect surface: 'table.datalake.format' = 'orc' on a managed
     table routes the replication pipeline's store to ORC, end-to-end."""

@@ -841,3 +841,29 @@ def test_drop_table_clears_checkpoints_across_engine_restart(spark, workload, tm
     eng2.execute("INSERT INTO users_copy SELECT * FROM pg_osb_users;")
     eng2.await_all()
     assert eng2.snapshot("users_copy").count() == 5
+
+
+def test_ckpt_registry_shape_detection_is_structural(spark, tmp_path):
+    """A PRE-r9 flat registry ({table: [ckpt dirs]}) that happens to contain
+    a table literally named 'ckpts' must still load as the flat shape --
+    key-presence sniffing silently dropped every OTHER table's checkpoint
+    dirs from DROP purging (r9 advice). The new shape is detected by
+    structure, not by the presence of one key."""
+    import json
+    import os
+
+    wh = str(tmp_path / "wh")
+    os.makedirs(wh)
+    legacy = {"ckpts": ["/tmp/ck-a"], "users_copy": ["/tmp/ck-b"]}
+    with open(os.path.join(wh, "_ckpt_registry.json"), "w") as f:
+        json.dump(legacy, f)
+    eng = Engine(spark, warehouse=wh)
+    assert eng.ckpts == {"ckpts": {"/tmp/ck-a"}, "users_copy": {"/tmp/ck-b"}}
+    assert eng.store_paths == {}
+
+    # the v2 shape round-trips through save/load unchanged
+    eng._register_ckpt("t1", "/tmp/ck-1")
+    eng._register_store("t1", "/tmp/store-1")
+    eng2 = Engine(spark, warehouse=wh)
+    assert eng2.ckpts["t1"] == {"/tmp/ck-1"}
+    assert eng2.store_paths == {"t1": "/tmp/store-1"}
