@@ -512,11 +512,14 @@ class Engine:
 
     def _save_ckpt_registry(self) -> None:
         # whole-file swap from THIS engine's view: like the reference's SQL
-        # client, a warehouse has one active engine at a time (the PKTable
-        # commit-lock note covers multi-driver production: map onto the
-        # table format's own transaction protocol). Interleaving two LIVE
-        # engines over one warehouse is out of contract -- sequential
-        # engines are fine because every engine loads the registry at init.
+        # client, a warehouse has one active engine at a time. For TABLE
+        # DATA the contract is ENFORCED: each PKTable handle claims a writer
+        # epoch at first write and a superseded handle's commit raises
+        # StaleWriterError (pk_table._fence). The ckpt registry itself stays
+        # last-writer-wins -- it only grows monotonically within an engine's
+        # life, and sequential engines are fine because every engine loads
+        # the registry at init; production maps onto the table format's own
+        # transaction protocol.
         import json
 
         os.makedirs(self.warehouse, exist_ok=True)

@@ -18,7 +18,18 @@ collapses those three roles into one structure, Spark-first:
   the same interface maps 1:1 onto Delta/Iceberg MERGE.
 
 Batch reads of the table ARE the "lakehouse" surface: plain parquet scans
-with partition/bucket pruning available to Catalyst.
+with partition/bucket pruning available to Catalyst. Two further lakehouse
+semantics ride the same manifest:
+
+- **time travel**: the manifest keeps per-commit bucket-pointer deltas, so
+  `snapshot(version=)` / `snapshot_at_batch(writer, batch)` reconstruct any
+  retained past state (Iceberg snapshot reads; expiry via GC grace +
+  HISTORY_KEEP, expired reads raise rather than silently mis-answer),
+- **writer fencing**: each handle claims a writer epoch at its first write
+  (an O_EXCL marker file, atomic across processes); a commit from a
+  superseded epoch raises StaleWriterError -- the single-active-engine
+  contract enforced, not just documented (production: Delta/Iceberg
+  optimistic-commit conflicts).
 """
 
 from __future__ import annotations
@@ -39,6 +50,24 @@ from flink_cdc_fluss_quickstart_spark.operators.changelog import (
 )
 
 MANIFEST = "manifest.json"
+
+# Commit-history retention: the manifest keeps the bucket-pointer deltas of
+# the most recent commits so `snapshot(version=)` can reconstruct earlier
+# table states (the lakehouse time-travel surface; production analogue is the
+# Iceberg metadata log / Delta commit log). Older entries are pruned and the
+# readable floor advances -- Iceberg's expire_snapshots. Reading a pruned or
+# GC-expired version raises instead of silently returning a wrong state.
+HISTORY_KEEP = 512
+
+
+class StaleWriterError(RuntimeError):
+    """A commit was attempted by a PKTable handle whose writer epoch has been
+    superseded: another handle (a second engine over the same warehouse)
+    claimed the table since this handle's first write. The single-active-
+    engine contract is ENFORCED here rather than documented -- the stale
+    committer fails fast instead of silently interleaving manifests. In
+    production this maps onto the table format's own transaction protocol
+    (Delta/Iceberg optimistic commit conflict)."""
 
 # Superseded bucket directories linger this long before removal: a reader
 # that planned against an older manifest (a concurrent refresh job, a
@@ -95,6 +124,9 @@ class PKTable:
             raise ValueError(f"unsupported data_format: {data_format!r}"
                              " (parquet and orc are the Spark-native columnar stores)")
         self.data_format = data_format
+        # writer-epoch fence state: claimed lazily at this handle's FIRST
+        # write (a read-only handle never claims), checked at every commit
+        self._epoch: int | None = None
         os.makedirs(path, exist_ok=True)
         if not os.path.exists(self._manifest_path):
             self._write_manifest(
@@ -129,16 +161,144 @@ class PKTable:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path)  # atomic snapshot swap
 
+    # -- writer-epoch fence -------------------------------------------------
+
+    @property
+    def _epoch_dir(self) -> str:
+        return os.path.join(self.path, "_epochs")
+
+    def _latest_epoch(self) -> int:
+        try:
+            names = os.listdir(self._epoch_dir)
+        except FileNotFoundError:
+            return 0
+        return max(
+            (int(n[6:]) for n in names if n.startswith("epoch.")), default=0
+        )
+
+    def _fence(self) -> None:
+        """Claim this handle's writer epoch on first write (an O_EXCL marker
+        file, atomic even across processes -- no JSON read-modify-write);
+        afterwards fail fast whenever a NEWER epoch exists: the table was
+        claimed by another engine and this handle must not commit again."""
+        if self._epoch is None:
+            os.makedirs(self._epoch_dir, exist_ok=True)
+            n = self._latest_epoch() + 1
+            while True:
+                try:
+                    fd = os.open(
+                        os.path.join(self._epoch_dir, f"epoch.{n}"),
+                        os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                    )
+                    os.close(fd)
+                    break
+                except FileExistsError:  # lost the claim race; take the next
+                    n += 1
+            self._epoch = n
+            # older markers are dead weight: staleness only compares against
+            # the MAX, which unlinking smaller epochs never changes
+            for name in os.listdir(self._epoch_dir):
+                if name.startswith("epoch.") and int(name[6:]) < n:
+                    try:
+                        os.unlink(os.path.join(self._epoch_dir, name))
+                    except OSError:
+                        pass
+            return
+        latest = self._latest_epoch()
+        if latest > self._epoch:
+            raise StaleWriterError(
+                f"writer epoch {self._epoch} superseded by {latest} at"
+                f" {self.path}: another engine claimed this table; this"
+                " handle must not commit (single-active-engine contract)"
+            )
+
     # -- read -------------------------------------------------------------
 
-    def snapshot(self) -> DataFrame | None:
-        """Current table state as a DataFrame (None when empty)."""
+    def snapshot(self, version: int | None = None) -> DataFrame | None:
+        """Table state as a DataFrame (None when empty).
+
+        ``version=N`` time-travels to the state right after manifest version
+        N was committed (the lakehouse snapshot-read surface; version 0 is
+        the empty table). Past states stay readable while their superseded
+        bucket dirs survive GC grace and their history entries retention --
+        a pruned/expired version raises instead of returning a wrong state,
+        exactly Iceberg's expire_snapshots contract.
+        """
         m = self._read_manifest()
-        dirs = [os.path.join(self.path, d) for d in m["buckets"].values()]
+        if version is None:
+            buckets = m["buckets"]
+        else:
+            buckets = self._buckets_at(m, version)
+        dirs = [os.path.join(self.path, d) for d in buckets.values()]
+        if version is not None:
+            gone = [d for d in dirs if not os.path.exists(d)]
+            if gone:
+                raise ValueError(
+                    f"snapshot v{version} expired: data dirs {gone} were"
+                    " garbage-collected (raise gc_grace_secs to retain"
+                    " longer time-travel windows)"
+                )
         dirs = [d for d in dirs if os.path.exists(d)]
         if not dirs:
             return None
         return self.spark.read.format(self.data_format).load(dirs)
+
+    def _buckets_at(self, m: dict, version: int) -> dict[str, str]:
+        """Reconstruct the bucket-pointer map as of manifest `version` by
+        walking the commit history backwards from the current map, undoing
+        each later commit's recorded deltas."""
+        if version > m["version"] or version < 0:
+            raise ValueError(
+                f"unknown version {version} (current is {m['version']})"
+            )
+        floor = m.get("history_floor", 0)
+        if version < floor:
+            raise ValueError(
+                f"snapshot v{version} expired: history retained back to"
+                f" v{floor} only (HISTORY_KEEP commits)"
+            )
+        buckets = dict(m["buckets"])
+        for e in sorted(m.get("history", []), key=lambda e: -e["v"]):
+            if e["v"] <= version:
+                break
+            for b, old in e["changed"].items():
+                if old is None:
+                    buckets.pop(b, None)
+                else:
+                    buckets[b] = old
+        return buckets
+
+    def snapshot_at_batch(self, writer_id: str, batch_id: int) -> DataFrame | None:
+        """Read-at-batch: the table state right after `writer_id` committed
+        `batch_id` (the newest data commit from that writer at or below the
+        id -- empty batches advance the txn watermark without a version)."""
+        m = self._read_manifest()
+        versions = [
+            e["v"]
+            for e in m.get("history", [])
+            if e.get("writer") == writer_id and e.get("batch") is not None
+            and e["batch"] <= batch_id
+        ]
+        if not versions:
+            raise ValueError(
+                f"no retained commit from writer {writer_id!r} at or below"
+                f" batch {batch_id} (history floor v{m.get('history_floor', 0)})"
+            )
+        return self.snapshot(version=max(versions))
+
+    def _record_commit(self, m: dict, version: int, writer_id: str | None,
+                       batch_id: int | None, changed: dict) -> None:
+        hist = m.get("history", [])
+        hist.append(
+            {"v": version, "writer": writer_id, "batch": batch_id, "changed": changed}
+        )
+        if len(hist) > HISTORY_KEEP:
+            dropped = hist[: len(hist) - HISTORY_KEEP]
+            hist = hist[len(hist) - HISTORY_KEEP:]
+            m["history_floor"] = max(
+                m.get("history_floor", 0), max(e["v"] for e in dropped)
+            )
+        m["history"] = hist
 
     def last_batch_id(self, writer_id: str) -> int:
         return self._read_manifest()["txn"].get(writer_id, -1)
@@ -165,6 +325,7 @@ class PKTable:
 
     def _merge_locked(self, changes: DataFrame, batch_id: int | None,
                       writer_id: str, op_col: str) -> None:
+        self._fence()
         m = self._read_manifest()
         if batch_id is None:
             batch_id = m["txn"].get(writer_id, -1) + 1
@@ -228,10 +389,22 @@ class PKTable:
         superseded = [
             m["buckets"][str(b)] for b in affected if str(b) in m["buckets"]
         ]
+        # history delta BEFORE the pointer swap: bucket -> prior dir (None =
+        # bucket did not exist), enough to undo this commit on a time-travel
+        # read
+        changed = {str(b): m["buckets"].get(str(b)) for b in affected}
         for b in affected:
-            m["buckets"][str(b)] = os.path.join(vdir, f"__bucket={b}")
+            bdir = os.path.join(vdir, f"__bucket={b}")
+            if os.path.exists(os.path.join(self.path, bdir)):
+                m["buckets"][str(b)] = bdir
+            else:
+                # the merge deleted every key in this bucket: no partition
+                # dir was written, so drop the pointer rather than leave it
+                # dangling (a versioned read must only see real dirs)
+                m["buckets"].pop(str(b), None)
         m["version"] = version
         m["txn"][writer_id] = batch_id
+        self._record_commit(m, version, writer_id, batch_id, changed)
         expired = self._queue_gc(m, superseded)
         self._write_manifest(m)
         for d in expired:
@@ -259,6 +432,7 @@ class PKTable:
             self._overwrite_locked(df)
 
     def _overwrite_locked(self, df: DataFrame) -> None:
+        self._fence()
         m = self._read_manifest()
         version = m["version"] + 1
         vdir = f"v{version}"
@@ -267,10 +441,19 @@ class PKTable:
             self.data_format
         ).save(os.path.join(self.path, vdir))
         old = dict(m["buckets"])
+        # register only the bucket dirs the write actually produced (a seed
+        # whose rows hash into a subset of buckets writes only those
+        # partitions; dangling pointers would break versioned reads)
         m["buckets"] = {
-            str(b): os.path.join(vdir, f"__bucket={b}") for b in range(self.n_buckets)
+            str(b): os.path.join(vdir, f"__bucket={b}")
+            for b in range(self.n_buckets)
+            if os.path.exists(os.path.join(self.path, vdir, f"__bucket={b}"))
         }
         m["version"] = version
+        self._record_commit(
+            m, version, None, None,
+            {b: old.get(b) for b in set(old) | set(m["buckets"])},
+        )
         # a full replace starts a new txn epoch: keeping the per-writer
         # high-watermarks would silently no-op every merge from a stream
         # restarted with a fresh checkpoint (batch ids restart at 0), freezing

@@ -1,0 +1,160 @@
+"""Writer-epoch fence + time-travel reads for the PK table store (r9 verdict
+items 3 and 7): the single-active-engine contract is ENFORCED -- two handles
+racing a merge leave exactly one live writer, the stale one raises -- and
+every retained manifest version is readable via snapshot(version=) /
+snapshot_at_batch(), with expired versions raising instead of silently
+returning a wrong state (the Iceberg expire_snapshots contract). Reference
+parity: the reference delegates both to Paimon/Iceberg transactions and
+snapshot reads (flink-gen.sh:118-142, deploy:316-358)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_cdc_fluss_quickstart_spark.streaming import pk_table
+from flink_cdc_fluss_quickstart_spark.streaming.pk_table import (
+    PKTable,
+    StaleWriterError,
+)
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, "op string, seq long, k long, v string")
+
+
+def _state(t, **kw):
+    snap = t.snapshot(**kw)
+    return {} if snap is None else {r.k: r.v for r in snap.collect()}
+
+
+# --- writer-epoch fence ------------------------------------------------------
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_two_handles_racing_a_merge_the_loser_raises(spark, tmp_path, fmt):
+    """The enforced single-active-engine contract, both lake formats: after a
+    second handle's first write claims the table, the first handle's next
+    commit fails fast instead of silently interleaving manifests."""
+    path = str(tmp_path / fmt)
+    h1 = PKTable(spark, path, keys=["k"], order_by=["seq"], data_format=fmt)
+    h1.merge(_batch(spark, [("I", 1, 1, "a")]), batch_id=0)
+    h2 = PKTable(spark, path, keys=["k"], order_by=["seq"], data_format=fmt)
+    h2.merge(_batch(spark, [("I", 2, 2, "b")]), batch_id=1)  # claims the table
+    with pytest.raises(StaleWriterError, match="superseded"):
+        h1.merge(_batch(spark, [("U", 3, 1, "LOST-RACE")]), batch_id=2)
+    # the winner keeps committing; the loser's failed commit changed nothing
+    h2.merge(_batch(spark, [("U", 4, 1, "a2")]), batch_id=2)
+    assert _state(h2) == {1: "a2", 2: "b"}
+
+
+def test_stale_overwrite_also_raises(spark, tmp_path):
+    path = str(tmp_path / "t")
+    h1 = PKTable(spark, path, keys=["k"], order_by=["seq"])
+    h1.merge(_batch(spark, [("I", 1, 1, "a")]), batch_id=0)
+    h2 = PKTable(spark, path, keys=["k"], order_by=["seq"])
+    h2.overwrite(spark.createDataFrame([(9, "seed", 0)], "k long, v string, seq long"))
+    with pytest.raises(StaleWriterError):
+        h1.overwrite(
+            spark.createDataFrame([(1, "stale", 0)], "k long, v string, seq long")
+        )
+    assert _state(h2) == {9: "seed"}
+
+
+def test_read_only_handles_never_claim_the_table(spark, tmp_path):
+    """snapshot() must not fence: monitoring readers over a live table are in
+    contract, and opening a reader must not invalidate the active writer."""
+    path = str(tmp_path / "t")
+    writer = PKTable(spark, path, keys=["k"], order_by=["seq"])
+    writer.merge(_batch(spark, [("I", 1, 1, "a")]), batch_id=0)
+    reader = PKTable(spark, path, keys=["k"], order_by=["seq"])
+    assert _state(reader) == {1: "a"}
+    writer.merge(_batch(spark, [("U", 2, 1, "a2")]), batch_id=1)  # still live
+    assert _state(reader) == {1: "a2"}
+
+
+def test_sequential_engine_handoff_stays_in_contract(spark, tmp_path):
+    """The restart pattern (fresh handle over the same storage, old handle
+    never writes again) must keep working -- the fence only bites writers
+    that commit AFTER being superseded."""
+    path = str(tmp_path / "t")
+    h1 = PKTable(spark, path, keys=["k"], order_by=["seq"])
+    h1.merge(_batch(spark, [("I", 1, 1, "a")]), batch_id=0)
+    h2 = PKTable(spark, path, keys=["k"], order_by=["seq"])
+    h2.merge(_batch(spark, [("I", 2, 2, "b")]), batch_id=1)
+    h3 = PKTable(spark, path, keys=["k"], order_by=["seq"])
+    h3.merge(_batch(spark, [("I", 3, 3, "c")]), batch_id=2)
+    assert _state(h3) == {1: "a", 2: "b", 3: "c"}
+
+
+# --- time travel -------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_snapshot_version_reads_every_retained_state(spark, tmp_path, fmt):
+    """Each manifest version reads back exactly the state recorded right
+    after its commit -- including a pre-merge state after later upserts,
+    deletes, and a bucket emptied entirely."""
+    t = PKTable(spark, str(tmp_path / fmt), keys=["k"], order_by=["seq"],
+                data_format=fmt, n_buckets=2)
+    oracle = {}
+    t.merge(_batch(spark, [("I", 1, 1, "a"), ("I", 2, 2, "b")]), batch_id=0)
+    oracle[1] = {1: "a", 2: "b"}
+    t.merge(_batch(spark, [("U", 3, 1, "a2"), ("I", 4, 3, "c")]), batch_id=1)
+    oracle[2] = {1: "a2", 2: "b", 3: "c"}
+    t.merge(_batch(spark, [("D", 5, 1, "a2"), ("D", 6, 2, "b"), ("D", 7, 3, "c")]),
+            batch_id=2)
+    oracle[3] = {}
+    t.merge(_batch(spark, [("I", 8, 4, "d")]), batch_id=3)
+    oracle[4] = {4: "d"}
+    assert _state(t, version=0) == {}
+    for v, want in oracle.items():
+        assert _state(t, version=v) == want, f"version {v}"
+    assert _state(t) == oracle[4]  # current read unchanged
+
+
+def test_snapshot_at_batch_maps_writer_batches_to_versions(spark, tmp_path):
+    t = PKTable(spark, str(tmp_path / "t"), keys=["k"], order_by=["seq"])
+    t.merge(_batch(spark, [("I", 1, 1, "a")]), batch_id=10, writer_id="cdc")
+    t.merge(_batch(spark, [("U", 2, 1, "a2")]), batch_id=11, writer_id="cdc")
+    t.merge(_batch(spark, [("I", 3, 2, "b")]), batch_id=12, writer_id="cdc")
+    got = t.snapshot_at_batch("cdc", 11)
+    assert {r.k: r.v for r in got.collect()} == {1: "a2"}
+    with pytest.raises(ValueError, match="no retained commit"):
+        t.snapshot_at_batch("cdc", 9)
+    with pytest.raises(ValueError, match="no retained commit"):
+        t.snapshot_at_batch("other-writer", 12)
+
+
+def test_expired_version_raises_not_wrong_answer(spark, tmp_path):
+    """With gc_grace_secs=0 superseded dirs go immediately: the old version
+    must RAISE (its data is gone), never return a reconstructed-but-wrong
+    frame -- and the current read stays intact."""
+    t = PKTable(spark, str(tmp_path / "t"), keys=["k"], order_by=["seq"],
+                gc_grace_secs=0.0)
+    t.merge(_batch(spark, [("I", 1, 1, "a")]), batch_id=0)
+    t.merge(_batch(spark, [("U", 2, 1, "a2")]), batch_id=1)
+    with pytest.raises(ValueError, match="expired"):
+        t.snapshot(version=1)
+    assert _state(t) == {1: "a2"}
+    with pytest.raises(ValueError, match="unknown version"):
+        t.snapshot(version=99)
+
+
+def test_history_pruning_advances_the_readable_floor(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(pk_table, "HISTORY_KEEP", 2)
+    t = PKTable(spark, str(tmp_path / "t"), keys=["k"], order_by=["seq"])
+    for i in range(4):
+        t.merge(_batch(spark, [("I", i + 1, i, f"v{i}")]), batch_id=i)
+    # versions 3 and 4 retained (KEEP=2); 1 and 2 pruned
+    assert _state(t, version=4) == {0: "v0", 1: "v1", 2: "v2", 3: "v3"}
+    assert _state(t, version=3) == {0: "v0", 1: "v1", 2: "v2"}
+    with pytest.raises(ValueError, match="expired: history"):
+        t.snapshot(version=1)
+
+
+def test_overwrite_participates_in_time_travel(spark, tmp_path):
+    t = PKTable(spark, str(tmp_path / "t"), keys=["k"], order_by=["seq"])
+    t.merge(_batch(spark, [("I", 1, 1, "pre-seed")]), batch_id=0)
+    t.overwrite(spark.createDataFrame([(2, "seeded", 0)], "k long, v string, seq long"))
+    assert _state(t, version=1) == {1: "pre-seed"}
+    assert _state(t, version=2) == {2: "seeded"}

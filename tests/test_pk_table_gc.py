@@ -123,17 +123,19 @@ def test_merge_gc_never_drops_referenced_dirs(spark, tmp_path_factory, steps):
 
 
 def test_concurrent_writers_serialize_commits(spark, tmp_path):
-    """Two threads merge disjoint key ranges into the same table through
-    separate PKTable instances (same path -> same commit lock). The final
-    state must be the union of both folds and hold the GC invariants --
-    an interleaved read-modify-write would lose bucket pointers."""
+    """Two threads merge disjoint key ranges into the same table through ONE
+    shared PKTable handle (the supported in-process pattern: an engine's
+    pipelines all commit through the table's single store handle, serialized
+    by the commit lock). The final state must be the union of both folds and
+    hold the GC invariants -- an interleaved read-modify-write would lose
+    bucket pointers. Two SEPARATE handles racing is now out of contract by
+    construction: the writer-epoch fence makes the superseded handle raise
+    (tests/test_pk_table_fence.py)."""
     path = str(tmp_path / "t")
     n_batches, keys_per = 4, 6
-    tables = [
-        PKTable(spark, path, keys=["k"], order_by=["seq"], n_buckets=4,
-                gc_grace_secs=0.0)
-        for _ in range(2)
-    ]
+    shared = PKTable(spark, path, keys=["k"], order_by=["seq"], n_buckets=4,
+                     gc_grace_secs=0.0)
+    tables = [shared, shared]
     errors: list[BaseException] = []
 
     def writer(idx: int) -> None:
