@@ -235,7 +235,16 @@ def main() -> None:
 
     print("== 13. tokenizer induction (top-5 BPE merge candidates)")
     q["bpe_merge_candidates"].builder(spark, sf_dir).limit(5).show()
-    dedup.release_caches()  # steps 11-13 persist the shared term frames
+
+    print("== 13b. tokenizer application (BPE-encode the corpus: the token"
+          " counts the packer would consume instead of whitespace counts)")
+    q["bpe_encode_tokens"].builder(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_bpe_tokens").alias("bpe_tokens"),
+    ).show()
+    dedup.release_caches()  # steps 11-13b persist the shared term frames
 
     print("== 14. corpus monitors (distinct-count sketch + heavy hitters)")
     q["kmv_distinct_tokens"].builder(spark, sf_dir).orderBy("lang").show()

@@ -150,13 +150,29 @@ def get(name: str) -> QuerySpec:
 # once (the 11 TPC-H tail queries q6/q8/q9/q10/q11/q12/q13/q15/q16/q18/q21
 # plus embedding_pca_top_component / embedding_pq_codes /
 # pq_adc_recall_report -- every one sf0.01-oracle-verified before
-# rotating), so after the round-9 driver run EVERY registered query has at
-# least one driver stamp. Out rotate 15 r8-stamped entries, each with a
-# TAIL_COVERAGE note below; the vacuous-at-sf0.01 multimodal_phash_dedup
-# (0 rows both sides, r8 finding) is replaced in-head AND in bench by
-# multimodal_phash_dedup_planted, which unions in-plan formatting-variant
-# docs so the stamped row has non-zero pair cardinality (the
-# ann_recall_report_clustered precedent).
+# rotating), so after the round-9 driver run every query registered AT
+# ROTATION TIME has at least one driver stamp (line_dedup_text, added later
+# in round 9, waits for the r10 rotation below). Out rotate 15 r8-stamped
+# entries, each with a TAIL_COVERAGE note below; the vacuous-at-sf0.01
+# multimodal_phash_dedup (0 rows both sides, r8 finding) is replaced
+# in-head AND in bench by multimodal_phash_dedup_planted, which unions
+# in-plan formatting-variant docs so the stamped row has non-zero pair
+# cardinality (the ann_recall_report_clustered precedent).
+#
+# Round-10 rotation: line_dedup_text (the one query with zero driver
+# stamps, r9 verdict item 1) rotates IN together with the three operators
+# ADDED in round 10 (bpe_encode_tokens, line_dedup_incremental,
+# anti_join_customers_without_orders_planted -- each sf0.001-oracle-checked
+# before rotating, stamped the round they land). Out rotate four r9-stamped
+# entries whose families stay proven by head siblings: bpe_merge_candidates
+# (bpe_encode_tokens ITERATES that exact pair-census + argmax step as merge
+# round 1..N -- strict superset, the pack_efficiency precedent),
+# q10_returned_item_revenue (q3's customer-orders-lineitem revenue tree +
+# TakeOrdered; the broadcast nation leg is q7's), q12_shipping_delay_priority
+# (q1's conditional-agg family over the same orders-lineitem join q3
+# stamps), q15_top_revenue_supplier (q17's scalar-subquery-vs-aggregate
+# family). The vacuous anti_join stamp critique (r9 "what's wrong" item 1)
+# closes via the planted variant, whose TAIL note now covers the base form.
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -178,14 +194,13 @@ PRIORITY: tuple[str, ...] = (
     "q6_forecast_revenue",
     "q8_national_market_share",
     "q9_profit_by_nation_year",
-    "q10_returned_item_revenue",
     "q11_important_part_value",
-    "q12_shipping_delay_priority",
     "q13_customer_order_distribution",
-    "q15_top_revenue_supplier",
     "q16_supplier_part_variety",
     "q18_large_volume_orders",
     "q21_sole_late_supplier",
+    # planted-edge anti join (non-vacuous null-extension stamp, r10)
+    "anti_join_customers_without_orders_planted",
     # temporal joins + multimodal plumbing (phash: the planted-pair variant
     # stamps with non-zero cardinality; base query covered as its subset)
     "asof_view_before_purchase",
@@ -202,7 +217,7 @@ PRIORITY: tuple[str, ...] = (
     "pack_efficiency_report",
     # text analysis: quality, corpus-LM scores, curriculum
     "dedup_exact",
-    "bpe_merge_candidates",
+    "bpe_encode_tokens",
     "bigram_lm_surprisal",
     "countmin_heavy_hitters",
     "curriculum_order",
@@ -211,6 +226,8 @@ PRIORITY: tuple[str, ...] = (
     "simhash_neardup_pairs",
     "winnow_overlap_pairs",
     "span_dedup_text",
+    "line_dedup_text",
+    "line_dedup_incremental",
     "soft_dedup_weights",
     # embedding similarity / ANN / quantization / hybrid retrieval
     "rrf_hybrid_retrieval",
@@ -278,8 +295,12 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "same customer-orders join tree; outer null-extension repo-oracle-checked",
     ),
     "anti_join_customers_without_orders": (
-        "dedup_exact",
-        "anti-join family also exercised by q22 repo oracle; trivially-small stamped result rotated out",
+        "anti_join_customers_without_orders_planted",
+        "strict subset: the planted variant runs the identical left-anti"
+        " plan over base UNION ALL planted order-less customers, so its"
+        " stamped row is non-vacuous (every generated customer has orders"
+        " -- the r9 verdict's vacuous-stamp finding); base form stamped"
+        " r1-r4, semantics also planted-swept (customer 900001/2)",
     ),
     "semi_join_active_suppliers": (
         "decontamination_ngrams",
@@ -642,12 +663,29 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "same gram census + partitioning-reusing resolve join, split"
         " batch-vs-index; stamped r8",
     ),
-    "line_dedup_text": (
-        "span_dedup_text",
-        "same corpus census + frequency-gated resolve join family at line"
-        " granularity (the C4 repeated-span rule); new r9, sf0.001"
-        " repo-oracle-checked + planted boilerplate semantics in"
-        " tests/test_corpus_ops.py",
+    # rotated out in the r10 wave (families stay proven by head siblings)
+    "bpe_merge_candidates": (
+        "bpe_encode_tokens",
+        "strict superset: the encode LEARNS its merge table by iterating"
+        " the identical vocab pair-census + count-then-pair argmax step"
+        " (merge round 1 IS bpe_merge_candidates' top-1) before applying"
+        " it corpus-wide; candidates stamped r8-r9",
+    ),
+    "q10_returned_item_revenue": (
+        "q3_top_revenue_orders",
+        "same customer-orders-lineitem revenue agg + TakeOrderedAndProject"
+        " top-k tree; q10 adds only the broadcast nation leg q7 stamps;"
+        " stamped r9",
+    ),
+    "q12_shipping_delay_priority": (
+        "q1_pricing_summary",
+        "conditional-agg (CASE-sum) family over the orders-lineitem join"
+        " q3 stamps; stamped r9",
+    ),
+    "q15_top_revenue_supplier": (
+        "q17_below_avg_quantity_revenue",
+        "same scalar-subquery-vs-aggregate family (max-over-view vs"
+        " per-key-avg correlated filter); stamped r9",
     ),
     "contrastive_triplets": (
         "curriculum_order",

@@ -326,6 +326,55 @@ def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
     )
 
 
+# Planted order-less customers for the non-vacuous anti-join stamp: keys in
+# the 900001+ range the generator's dense key space never reaches (the
+# planted-sweep convention, tools/planted_sweep.py). The generated corpus
+# gives every customer at least one order at the driver's scale factors, so
+# the base query's stamped rows were 0-vs-0 (r9 verdict blemish 1); the
+# planted variant unions these in-plan -- the multimodal_phash_dedup_planted
+# precedent -- so the stamped row exercises the null-extension path with
+# cardinality >= 3.
+_ANTI_PLANTED = (
+    (900001, "BUILDING"),
+    (900002, "MACHINERY"),
+    (900005, "AUTOMOBILE"),
+)
+
+
+@register(
+    "anti_join_customers_without_orders_planted",
+    oracle=f"""
+    WITH u AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+      UNION ALL
+      SELECT * FROM (VALUES {", ".join(f"({k}, '{s}')" for k, s in _ANTI_PLANTED)})
+        t(c_custkey, c_mktsegment)
+    )
+    SELECT c_custkey AS custkey, c_mktsegment AS mktsegment
+    FROM u
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = u.c_custkey)
+    """,
+    description="Left anti join (NOT EXISTS decorrelation) with planted"
+    " order-less customers unioned in-plan, so the stamped result is"
+    " non-vacuous at every scale factor (the generated corpus gives every"
+    " customer orders; the base form's stamped rows were 0-vs-0). Strict"
+    " superset of anti_join_customers_without_orders: identical anti-join"
+    " over base UNION ALL planted keys.",
+)
+def anti_join_customers_without_orders_planted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    planted = spark.createDataFrame(
+        list(_ANTI_PLANTED), "c_custkey long, c_mktsegment string"
+    )
+    u = c.unionByName(planted)
+    o = load_table(spark, sf_dir, "orders")
+    return u.join(o, u.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("mktsegment")
+    )
+
+
 @register(
     "semi_join_active_suppliers",
     oracle="""

@@ -2400,6 +2400,209 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- tokenizer application: BPE-encode the corpus ---------------------------
+
+# Merge-table depth for the registered encode query. Each merge is one
+# vocab-sized round (pair census -> argmax -> row-local fold), so the corpus
+# cost is independent of this constant; a production tokenizer runs the same
+# loop to 32k-100k merges over the SAME vocab-collapsed census.
+BPE_ENCODE_MERGES = 6
+
+# Symbol-string delimiter for the fold. Corpus tokens that CONTAIN the
+# delimiter are excluded from encoding on BOTH engines (word-soup corpora
+# have none; a production deployment picks an unused control char, e.g.
+# U+001F, exactly as HF tokenizers reserve boundary markers).
+_BPE_SEP = "|"
+
+
+def _bpe_apply_merge(sym: F.Column, a: str, b: str) -> F.Column:
+    """Greedy left-to-right application of ONE merge (a, b) to a delimited
+    symbol string ('h|e|l|l|o' under merge (l, l) -> 'h|e|ll|o'): a single
+    row-local fold. The accumulator is itself the delimited string, so
+    "merge" is plain concat without the separator (the merged symbol IS
+    a||b) -- identical arithmetic on both engines, including the a == b run
+    semantics ('a|a|a|a|a' -> 'aa|aa|a', the Sennrich scan order)."""
+    la = len(a)
+
+    def fold(acc: F.Column, x: F.Column) -> F.Column:
+        last_is_a = (
+            F.substr(acc, F.length(acc) - F.lit(la - 1), F.lit(la)) == F.lit(a)
+        ) & (
+            (F.length(acc) == la)
+            | (F.substr(acc, F.length(acc) - F.lit(la), F.lit(1)) == F.lit(_BPE_SEP))
+        )
+        return (
+            F.when(acc == "", x)
+            .when((x == F.lit(b)) & last_is_a, F.concat(acc, x))
+            .otherwise(F.concat(acc, F.lit(_BPE_SEP), x))
+        )
+
+    return F.aggregate(F.split(sym, r"\|"), F.lit(""), fold)
+
+
+def bpe_learn_merges(vocab: DataFrame, n_merges: int) -> tuple[DataFrame, list[tuple[str, str]]]:
+    """Learn up to `n_merges` BPE merges (Sennrich et al. 2016) over a
+    (tok, c, sym) vocab frame and return (encoded vocab, merge table).
+
+    Each round: adjacent symbol-pair census weighted by word count ->
+    argmax (count DESC, then pair, a deterministic total order) -> apply
+    the merge to every vocab word with the row-local fold above. The ONLY
+    driver-side data per round is the single argmax row (the Lloyd /
+    connected-components precedent); the corpus itself is never touched --
+    rounds operate on the vocab census exclusively."""
+    merges: list[tuple[str, str]] = []
+    cur = _cached(vocab)
+    for _ in range(n_merges):
+        s = F.split("sym", r"\|")
+        best = (
+            cur.withColumn("s", s)
+            .filter(F.size("s") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(0, size(s) - 2),"
+                        " j -> struct(s[j] AS a, s[j + 1] AS b))"
+                    )
+                ).alias("p"),
+                "c",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("c").alias("pc"))
+            .orderBy(F.col("pc").desc(), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:  # every word is a single symbol already
+            break
+        a, b = best[0]["a"], best[0]["b"]
+        merges.append((a, b))
+        cur = _cached(
+            cur.select("tok", "c", _bpe_apply_merge(F.col("sym"), a, b).alias("sym"))
+        )
+    return cur, merges
+
+
+def bpe_encode_frame(d: DataFrame, n_merges: int = BPE_ENCODE_MERGES) -> DataFrame:
+    """Corpus-wide BPE encode over (doc_id, text): learn `n_merges` merges
+    from the vocab census, apply them to the vocab, then join the encoding
+    back to each document's term frequencies (unit-testable twin of the
+    registered query)."""
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok")).filter(
+        (F.length("tok") >= 1) & ~F.col("tok").contains(_BPE_SEP)
+    )
+    dtf = _cached(toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    vocab = dtf.groupBy("tok").agg(F.sum("tf").alias("c")).select(
+        "tok", "c", F.array_join(F.split("tok", ""), _BPE_SEP).alias("sym")
+    )
+    enc_vocab, _ = bpe_learn_merges(vocab, n_merges)
+    # symbol count without re-splitting: the fold only ever inserts the
+    # separator, so n_sym = len(sym) - len(tok) + 1
+    enc = enc_vocab.select(
+        "tok",
+        "c",
+        (F.length("sym") - F.length("tok") + 1).cast("bigint").alias("n_sym"),
+    )
+    # Zipf-skew-proof application join (the LM-surprisal machinery): the
+    # bounded head (>= 1/LM_HEAD_DENOM of token mass, <= LM_HEAD_DENOM rows
+    # by construction) broadcasts; the long tail takes the shuffle join
+    total = enc.agg(F.sum(F.col("c")).alias("__n"))
+    w = enc.crossJoin(F.broadcast(total))
+    head = w.filter(F.col("c") * LM_HEAD_DENOM >= F.col("__n")).select("tok", "n_sym")
+    tail = w.filter(F.col("c") * LM_HEAD_DENOM < F.col("__n")).select("tok", "n_sym")
+    scored = dtf.join(F.broadcast(head), "tok").unionByName(dtf.join(tail, "tok"))
+    return scored.groupBy("doc_id").agg(
+        F.sum("tf").cast("bigint").alias("n_words"),
+        F.sum(F.col("tf") * F.length("tok")).cast("bigint").alias("n_chars"),
+        F.sum(F.col("tf") * F.col("n_sym")).cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Unrolled merge CTE chain: iteration i computes the pair census over
+    v{i}, picks the argmax merge m{i} (count DESC, pair ASC), and folds it
+    into v{i+1} with the SAME accumulator-string reduce the Spark side runs.
+    LEFT JOIN ON TRUE keeps the chain total when no pair exists (all-single-
+    symbol vocab), mirroring the builder's early break."""
+    parts = [
+        f"""
+    WITH w AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE length(tok) >= 1 AND NOT contains(tok, '{_BPE_SEP}')
+      GROUP BY tok
+    ),
+    v0 AS (
+      SELECT tok, c,
+             substr(regexp_replace(tok, '(.)', '\\1{_BPE_SEP}', 'g'),
+                    1, 2 * length(tok) - 1) AS sym
+      FROM w
+    )"""
+    ]
+    for i in range(n_merges):
+        parts.append(f""",
+    p{i} AS (
+      SELECT s[j] AS a, s[j + 1] AS b, SUM(c) AS pc
+      FROM (SELECT string_split(sym, '{_BPE_SEP}') AS s, c FROM v{i})
+      CROSS JOIN unnest(range(1, len(s))) AS u(j)
+      GROUP BY s[j], s[j + 1]
+    ),
+    m{i} AS (SELECT a, b FROM p{i} ORDER BY pc DESC, a ASC, b ASC LIMIT 1),
+    v{i + 1} AS (
+      SELECT tok, c,
+        CASE WHEN m.a IS NULL THEN sym
+        ELSE list_reduce(string_split(sym, '{_BPE_SEP}'), (acc, x) ->
+          CASE WHEN x = m.b
+                AND substr(acc, length(acc) - length(m.a) + 1) = m.a
+                AND (length(acc) = length(m.a)
+                     OR substr(acc, length(acc) - length(m.a), 1) = '{_BPE_SEP}')
+          THEN acc || x ELSE acc || '{_BPE_SEP}' || x END)
+        END AS sym
+      FROM v{i} LEFT JOIN m{i} AS m ON TRUE
+    )""")
+    parts.append(f""",
+    enc AS (
+      SELECT tok, CAST(length(sym) - length(tok) + 1 AS BIGINT) AS n_sym
+      FROM v{n_merges}
+    ),
+    dtf AS (
+      SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      WHERE length(tok) >= 1 AND NOT contains(tok, '{_BPE_SEP}')
+      GROUP BY doc_id, tok
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_words,
+           CAST(SUM(tf * length(tok)) AS BIGINT) AS n_chars,
+           CAST(SUM(tf * n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM dtf JOIN enc USING (tok)
+    GROUP BY doc_id""")
+    return "".join(parts)
+
+
+@register(
+    "bpe_encode_tokens",
+    oracle=_bpe_encode_oracle(BPE_ENCODE_MERGES),
+    description="Tokenizer APPLICATION: learn a BPE merge table"
+    f" ({BPE_ENCODE_MERGES} merges, Sennrich et al. 2016) over the"
+    " vocab-collapsed word census and encode every document with it --"
+    " the step a real pipeline runs between tokenizer induction"
+    " (bpe_merge_candidates is the first iteration of this exact loop) and"
+    " sequence packing, which today consumes whitespace token counts."
+    " Per-doc output: word/char counts and the post-merge BPE token count."
+    " Scale shape: the corpus collapses ONCE to a |vocabulary|-sized"
+    " (word, count) census (one map-side-combined shuffle); each merge"
+    " round is a vocab-sized pair census + a ONE-ROW argmax collect (the"
+    " Lloyd/connected-components precedent) + a row-local fold; the final"
+    " encode join rides the LM family's bounded-head broadcast + tail"
+    " shuffle split, so the Zipf head never skews a shuffle join. The"
+    " corpus is scanned once for the census and once for the per-doc"
+    " rollup, independent of merge count.",
+)
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return bpe_encode_frame(d)
+
+
 # --- C4 rule-based cleaning (Raffel et al. 2020, section 2.2) ---------------
 
 C4_MIN_LINE_WORDS = 3  # a retained line must contain >= 3 words
@@ -3258,6 +3461,21 @@ _LD_HEADER = "SUBSCRIBE TO OUR NEWSLETTER"
 _LD_FOOTER = "Copyright 2024 All Rights Reserved"
 
 
+def _reassemble_lines(kept: DataFrame) -> DataFrame:
+    """Per-doc ordered reassembly of surviving (doc_id, pos, line) rows:
+    array_sort(collect_list(struct)) -- no corpus-sized window."""
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text_dedup"),
+    )
+
+
 def line_dedup_frame(docs: DataFrame, max_freq: int = LINE_DEDUP_MAX) -> DataFrame:
     """C4-style cross-corpus line dedup (Raffel et al. 2020 section 2.2 --
     the repeated-span discard rule, at the line granularity RefinedWeb/CCNet
@@ -3272,21 +3490,16 @@ def line_dedup_frame(docs: DataFrame, max_freq: int = LINE_DEDUP_MAX) -> DataFra
     reassembly via array_sort(collect_list(struct(pos, line))) -- no
     window over the corpus, no driver collection, the span_dedup census
     family with lines instead of gram hashes."""
-    lines = docs.select(
-        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
-    ).withColumn("key", F.trim(F.col("line")))
+    lines = _line_rows(docs)
     census = lines.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     kept = lines.join(census.filter(F.col("n") <= max_freq).select("key"), "key")
-    return kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lines_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda x: x["line"],
-            ),
-            "\n",
-        ).alias("text_dedup"),
-    )
+    return _reassemble_lines(kept)
+
+
+def _line_rows(docs: DataFrame) -> DataFrame:
+    return docs.select(
+        "doc_id", F.posexplode(F.split("text", "\n")).alias("pos", "line")
+    ).withColumn("key", F.trim(F.col("line")))
 
 
 @register(
@@ -3332,7 +3545,12 @@ def line_dedup_frame(docs: DataFrame, max_freq: int = LINE_DEDUP_MAX) -> DataFra
 )
 def line_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    planted = docs.select(
+    return line_dedup_frame(spread(_ld_planted(docs)))
+
+
+def _ld_planted(docs: DataFrame) -> DataFrame:
+    """The in-plan boilerplate planting shared by both line-dedup forms."""
+    return docs.select(
         "doc_id",
         F.concat(
             F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(_LD_HEADER + "\n"))
@@ -3342,4 +3560,122 @@ def line_dedup_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit("")),
         ).alias("text"),
     )
-    return line_dedup_frame(spread(planted))
+
+
+# --- incremental (batch-vs-census) line dedup --------------------------------
+
+# Deterministic stand-in for "today's ingest batch" -- the span-incremental
+# convention: every 5th doc is new, the rest are the already-ingested corpus
+# whose line census is the persisted index.
+LINE_BATCH_MOD = 5
+
+# The shared line-census planting SQL (header on every 3rd doc, footer on
+# every 4th), reused verbatim by both line-dedup oracles
+_LD_PLANTED_SQL = f"""
+    planted AS (
+      SELECT doc_id,
+             (CASE WHEN doc_id % 3 = 0 THEN '{_LD_HEADER}' || chr(10) ELSE '' END)
+             || text ||
+             (CASE WHEN doc_id % 4 = 0 THEN chr(10) || '{_LD_FOOTER}' ELSE '' END)
+             AS text
+      FROM documents
+    ),
+    arrs AS (SELECT doc_id, string_split(text, chr(10)) AS arr FROM planted),
+    lines AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS pos, arr[u.i] AS line,
+             trim(arr[u.i]) AS key
+      FROM arrs CROSS JOIN UNNEST(range(1, len(arr) + 1)) AS u(i)
+    )"""
+
+
+def line_dedup_step(
+    batch: DataFrame, census: DataFrame | None, max_freq: int = LINE_DEDUP_MAX
+) -> tuple[DataFrame, DataFrame]:
+    """One ingest step of incremental line dedup: rewrite the (doc_id, text)
+    `batch` against the accumulated line census `census` (a (key, n) frame;
+    None = first ingest) and return (rebuilt_batch, batch_census_to_append).
+
+    A batch line survives when its census-so-far count -- prior ingests'
+    occurrences PLUS this batch's -- stays within max_freq; otherwise every
+    batch occurrence is dropped (the C4 rule's disposition at ingest time:
+    boilerplate is removed from every later batch once the census has
+    learned it, while earlier ingests' already-shipped copies are not
+    retroactively rewritten -- the inherent incremental asymmetry, identical
+    to span_dedup_incremental's contract). Ingest cost is |batch| line rows
+    probing a key-partitioned census join; the corpus is never re-exploded.
+
+    CACHE CONTRACT: persists the batch's line frame (both outputs share it);
+    a long-running caller must dedup.release_caches() after materializing
+    both returned frames -- the span_dedup_step hygiene rule.
+    """
+    lines = _cached(_line_rows(batch))
+    bc = lines.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    if census is None:
+        census = batch.sparkSession.createDataFrame([], "key string, n long")
+    # callers append per-batch censuses; collapse to one count per key here
+    idx = census.groupBy("key").agg(F.sum("n").alias("n_idx"))
+    gate = (
+        bc.join(idx, "key", "left")
+        .filter(F.col("n") + F.coalesce(F.col("n_idx"), F.lit(0)) <= max_freq)
+        .select("key")
+    )
+    return _reassemble_lines(lines.join(gate, "key")), bc
+
+
+def line_dedup_incremental_frame(
+    d: DataFrame, max_freq: int = LINE_DEDUP_MAX
+) -> DataFrame:
+    """Batch-vs-census line dedup over a (doc_id, text) frame (unit-testable
+    twin of the registered query; batch membership is doc_id % LINE_BATCH_MOD
+    == 0, the census side is derived in-plan from the rest of the corpus)."""
+    lines = _cached(_line_rows(d))
+    is_batch = F.pmod(F.col("doc_id"), F.lit(LINE_BATCH_MOD)) == 0
+    b = lines.filter(is_batch)
+    idx = lines.filter(~is_batch).groupBy("key").agg(F.count(F.lit(1)).alias("n_idx"))
+    bc = b.groupBy("key").agg(F.count(F.lit(1)).alias("n_b"))
+    gate = (
+        bc.join(idx, "key", "left")
+        .filter(F.col("n_b") + F.coalesce(F.col("n_idx"), F.lit(0)) <= max_freq)
+        .select("key")
+    )
+    return _reassemble_lines(b.join(gate, "key"))
+
+
+@register(
+    "line_dedup_incremental",
+    oracle=f"""
+    WITH {_LD_PLANTED_SQL.strip()},
+    b AS (SELECT * FROM lines WHERE doc_id % {LINE_BATCH_MOD} = 0),
+    idx AS (
+      SELECT key, COUNT(*) AS n_idx FROM lines
+      WHERE doc_id % {LINE_BATCH_MOD} <> 0 GROUP BY key
+    ),
+    bc AS (SELECT key, COUNT(*) AS n_b FROM b GROUP BY key),
+    gate AS (
+      SELECT bc.key FROM bc LEFT JOIN idx USING (key)
+      WHERE bc.n_b + COALESCE(idx.n_idx, 0) <= {LINE_DEDUP_MAX}
+    ),
+    kept AS (SELECT b.doc_id, b.pos, b.line FROM b JOIN gate USING (key))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_lines_kept,
+           string_agg(line, chr(10) ORDER BY pos) AS text_dedup
+    FROM kept GROUP BY doc_id
+    """,
+    description="Daily-ingest form of the C4 repeated-line rule: only the"
+    f" NEW batch (doc_id % {LINE_BATCH_MOD} = 0 stands in for today's"
+    " ingest) is exploded and rewritten; a batch line is dropped when the"
+    " persisted corpus census count plus the batch's own occurrences"
+    f" exceeds {LINE_DEDUP_MAX} -- boilerplate the census has learned is"
+    " removed from every later ingest without re-scanning the corpus, the"
+    " span_dedup_incremental contract at line granularity. Ingest cost is"
+    " |batch| line rows probing a key-partitioned census join plus a"
+    " |batch|-sized internal census; after each ingest the batch census"
+    " appends to the index. The in-plan census derives from the same table"
+    " only because the driver provides one corpus; the planted header/"
+    "footer boilerplate (the line_dedup_text planting) exercises both the"
+    " census-hit and the batch-internal paths. Streaming loop equivalence"
+    " proven in tests/test_streaming_dedup.py via line_dedup_step.",
+)
+def line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return line_dedup_incremental_frame(spread(_ld_planted(docs)))

@@ -1015,3 +1015,122 @@ def test_line_dedup_removes_corpus_hot_lines_keeps_order(spark):
     )
     out2 = {r.doc_id: r.text_dedup for r in line_dedup_frame(docs2).collect()}
     assert out2 == {0: "uniq 0", 1: "uniq 1", 2: "uniq 2"}
+
+
+# --- BPE encode (merge-table application) ------------------------------------
+
+
+def _py_bpe(corpus_words, n_merges):
+    """Independent pure-Python BPE reference (Sennrich et al. 2016): learn
+    merges by weighted pair count (count DESC, then pair ASC) and apply each
+    greedily left-to-right. Returns (merges, {word: n_symbols})."""
+    from collections import Counter
+
+    vocab = Counter(corpus_words)
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs = Counter()
+        for w, c in vocab.items():
+            s = syms[w]
+            for j in range(len(s) - 1):
+                pairs[(s[j], s[j + 1])] += c
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        for w in syms:
+            s, out, j = syms[w], [], 0
+            while j < len(s):
+                if j + 1 < len(s) and s[j] == a and s[j + 1] == b:
+                    out.append(a + b)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            syms[w] = out
+    return merges, {w: len(s) for w, s in syms.items()}
+
+
+def test_bpe_encode_matches_independent_reference_multi_merge(spark):
+    """Planted multi-merge corpus (the classic low/lower/newest/widest
+    shape): the learned merge table AND every per-doc encoded token count
+    must match an independently-implemented scan-based BPE."""
+    rows = [
+        (1, "low low low lower lower"),
+        (2, "newest newest newest newest widest"),
+        (3, "low newest wider widest lowest"),
+    ]
+    n_merges = 6
+    words = [w for _, t in rows for w in t.split(" ")]
+    ref_merges, ref_nsym = _py_bpe(words, n_merges)
+    assert len(ref_merges) == n_merges  # the fixture really exercises depth
+
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in tq.bpe_encode_frame(_docs(spark, rows), n_merges).collect()
+    }
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        assert out[doc_id]["n_words"] == len(ws)
+        assert out[doc_id]["n_chars"] == sum(len(w) for w in ws)
+        assert out[doc_id]["n_bpe_tokens"] == sum(ref_nsym[w] for w in ws), doc_id
+
+    # the learned merge table itself matches the reference sequence
+    toks = _docs(spark, rows).select(F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).select(
+        "tok", "c", F.array_join(F.split("tok", ""), "|").alias("sym")
+    )
+    _, got_merges = tq.bpe_learn_merges(vocab, n_merges)
+    assert got_merges == ref_merges
+
+
+def test_bpe_encode_same_symbol_runs_fold_greedily(spark):
+    """a==b runs take the Sennrich scan order: 'aaaaa' under merge (a,a)
+    becomes [aa, aa, a] -- 3 symbols, never 2 ([aa,aa,a] vs [aa,a,aa] both
+    have 3, but a naive regex-style re-merge would produce [aaaa, a])."""
+    rows = [(1, "aaaaa aaaaa aa"), (2, "aaa")]
+    _, ref_nsym = _py_bpe(["aaaaa", "aaaaa", "aa", "aaa"], 1)
+    out = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in tq.bpe_encode_frame(_docs(spark, rows), 1).collect()
+    }
+    assert out[1] == 2 * ref_nsym["aaaaa"] + ref_nsym["aa"] == 3 + 3 + 1
+    assert out[2] == ref_nsym["aaa"] == 2
+
+
+def test_bpe_encode_single_symbol_vocab_stops_early(spark):
+    """All-single-char words: no pair exists, the learner breaks, and the
+    encode degenerates to whitespace token counts (n_bpe_tokens == n_chars)."""
+    rows = [(1, "a b a b c"), (2, "c c c")]
+    out = {r["doc_id"]: r.asDict() for r in tq.bpe_encode_frame(_docs(spark, rows), 4).collect()}
+    assert out[1]["n_bpe_tokens"] == out[1]["n_chars"] == 5
+    assert out[2]["n_bpe_tokens"] == out[2]["n_chars"] == 3
+
+
+def test_line_dedup_incremental_batch_vs_census_rule(spark):
+    """Only batch docs (doc_id % LINE_BATCH_MOD == 0) are rewritten; a batch
+    line drops when census + batch occurrences exceed the max, whether the
+    copies live in the census, the batch, or both."""
+    assert tq.LINE_BATCH_MOD == 5 and tq.LINE_DEDUP_MAX == 2
+    rows = [
+        # census side (doc_id % 5 != 0)
+        (1, "census boiler\nunique c1"),
+        (2, "census boiler\nunique c2"),          # census count -> 2
+        (3, "half boiler\nunique c3"),            # census count -> 1
+        # batch side (doc_id % 5 == 0)
+        (5, "census boiler\nkept alpha"),         # 2 + 1 > 2 -> dropped
+        (10, "half boiler\nkept beta"),           # 1 + 1 <= 2 -> kept
+        (15, "batch boiler\nkept gamma"),         # 0 + 3 > 2 -> dropped
+        (20, "batch boiler\nbatch boiler\nkept delta"),
+    ]
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in tq.line_dedup_incremental_frame(_docs(spark, rows)).collect()
+    }
+    assert set(out) == {5, 10, 15, 20}            # census docs never rewritten
+    assert out[5]["text_dedup"] == "kept alpha"
+    assert out[10]["text_dedup"] == "half boiler\nkept beta"
+    assert out[15]["text_dedup"] == "kept gamma"
+    assert out[20]["text_dedup"] == "kept delta"

@@ -38,6 +38,7 @@ EXPECTED = {
     "window_topn_per_group",
     "left_join_order_coverage",
     "anti_join_customers_without_orders",
+    "anti_join_customers_without_orders_planted",
     "semi_join_active_suppliers",
     "setop_multi_status_customers",
     "setop_except_large_orders",
@@ -112,9 +113,11 @@ EXPECTED = {
     "span_dedup_text",
     "span_dedup_incremental",
     "line_dedup_text",
+    "line_dedup_incremental",
     "doc_novelty_score",
     "nb_quality_score",
     "bpe_merge_candidates",
+    "bpe_encode_tokens",
     # similarity
     "embedding_cosine_topk",
     "embedding_ann_lsh",

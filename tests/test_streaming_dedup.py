@@ -294,3 +294,72 @@ def test_quantile_hist_as_streaming_state(spark, tmp_path):
     # planted bins: 4,5,7 -> b=2; 33 -> b=5; 1 -> b=0; 260 -> b=8
     assert expected == {("a", 2): 3, ("b", 5): 1, ("b", 0): 1, ("b", 8): 1}
     assert len(streamed) <= 2 * 64  # bounded state, by construction
+
+
+def test_streaming_line_dedup_census_learns_boilerplate(spark, tmp_path):
+    """The daily-ingest line-dedup loop run as a STREAM (the span-dedup
+    precedent at line granularity): each micro-batch rewrites its documents
+    against the accumulated line census (plans.text_queries.line_dedup_step),
+    then appends its batch census. The incremental contract: a line is
+    dropped as soon as census-so-far + batch occurrences exceed the C4
+    max-frequency -- boilerplate learned in earlier ingests is removed from
+    every later batch, unique lines always survive, and a single batch over
+    an empty census reproduces the one-shot rule exactly."""
+    import os
+
+    import pandas as pd
+
+    from flink_cdc_fluss_quickstart_spark.functions import dedup
+    from flink_cdc_fluss_quickstart_spark.plans import text_queries as tq
+
+    assert tq.LINE_DEDUP_MAX == 2  # fixture arithmetic below assumes 2
+    boiler = "SUBSCRIBE NOW"
+    rows1 = [
+        (1, f"{boiler}\nalpha one\nbeta two"),     # 1st + 2nd corpus copies of
+        (2, f"gamma three\n{boiler}"),             #   the boilerplate: both KEPT
+        (3, "delta four\nepsilon five"),
+    ]
+    rows2 = [
+        (11, f"{boiler}\nzeta six"),               # census already at 2 -> dropped
+        (12, "eta seven\neta seven\neta seven"),   # batch-internal x3 -> dropped
+    ]
+    rows3 = [
+        (21, f"theta eight\n{boiler}\niota nine"), # still dropped in batch 3
+    ]
+    src, ckpt, census = (str(tmp_path / p) for p in ("src", "ckpt", "census"))
+    os.makedirs(src)
+    for name, rows in (("e1", rows1), ("e2", rows2), ("e3", rows3)):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            os.path.join(src, f"{name}.parquet"), index=False
+        )
+
+    emitted = {}
+
+    def fb(batch_df, batch_id):
+        idx = spark.read.parquet(census) if os.path.exists(census) else None
+        rebuilt, bc = tq.line_dedup_step(batch_df, idx)
+        emitted.update({r["doc_id"]: r.asDict() for r in rebuilt.collect()})
+        bc.write.mode("append").parquet(census)
+        dedup.release_caches()  # the step's cache contract
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "line dedup stream did not drain"
+
+    # batch 1 over an empty census == the one-shot rule on batch 1
+    b1 = spark.createDataFrame(rows1, "doc_id bigint, text string")
+    one_shot = {r["doc_id"]: r.asDict() for r in tq.line_dedup_frame(b1).collect()}
+    assert {k: emitted[k] for k in (1, 2, 3)} == one_shot
+    assert emitted[1]["text_dedup"] == f"{boiler}\nalpha one\nbeta two"  # kept at n=2
+    # later ingests: the census has learned the boilerplate
+    assert emitted[11]["text_dedup"] == "zeta six"
+    assert emitted[21]["text_dedup"] == "theta eight\niota nine"
+    # batch-internal over-frequency drops every occurrence: doc 12 vanishes
+    assert 12 not in emitted

@@ -87,3 +87,97 @@ def test_replicate_strips_before_image_and_respects_target_ordering(spark, tmp_p
     assert q2.awaitTermination(240), "custom-order replication did not drain"
     got = {r["k"]: r["v"] for r in target.snapshot().collect()}
     assert got == {10: "b"}  # ordered by ts, latest row wins
+
+
+def test_rate_admission_cap_bounds_every_batch(spark):
+    """Bounded-batch admission (the maxOffsetsPerTrigger equivalent for the
+    rate harness): with a rows-per-trigger cap, NO micro-batch ever admits
+    more than the cap regardless of how far modeled arrival outruns
+    consumption -- overload becomes backlog, never unbounded batches (r9
+    verdict: past the ~3M ev/s knee the uncapped pipeline compounded
+    latency to collapse)."""
+    import tempfile
+    import time
+
+    import pyspark.sql.functions as F
+
+    cap = 500
+    src = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", cap)
+        .load()
+        .groupBy((F.col("value") % 5).alias("k"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    with tempfile.TemporaryDirectory(ignore_cleanup_errors=True) as ckpt:
+        q = (
+            src.writeStream.format("memory")
+            .queryName("admission_cap_probe")
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(processingTime="1 second")
+            .start()
+        )
+        try:
+            deadline = time.time() + 30
+            while time.time() < deadline:
+                sizes = [
+                    p["numInputRows"] for p in q.recentProgress
+                    if p["numInputRows"] > 0
+                ]
+                if len(sizes) >= 4:
+                    break
+                time.sleep(1)
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+    assert len(sizes) >= 4, "admission probe produced too few batches"
+    assert max(sizes) <= cap, f"a batch exceeded the admission cap: {sizes}"
+    assert all(s == cap for s in sizes), sizes  # exactly cap rows per trigger
+
+
+def test_bench_overload_envelope_reports_backlog_not_latency(spark):
+    """The bench's capped overload block: modeled arrival far above the cap
+    must surface as positive backlog growth with a bounded (trigger-sized)
+    p95 -- the graceful-degradation contract. Tiny rates keep this CI-fast;
+    the 2x-knee numbers live in the per-round bench JSON."""
+    import bench
+
+    out = bench.streaming_envelope(
+        spark, rows_per_sec=100_000, run_secs=10, rows_per_batch=200
+    )
+    assert out["rows_per_batch"] == 200
+    assert out["batches"] >= 1
+    assert out["p95_batch_sec"] < LATENCY_BUDGET_MS / 1000.0
+    # arrival is modeled at 100k/s but at most 200 rows admit per ~1 s
+    # trigger, so backlog must grow at (nearly) the arrival rate
+    assert out["admitted_per_sec"] <= 200
+    assert out["backlog_growth_per_sec"] >= 99_000
+
+
+def test_file_source_admission_bounds_batches(spark, tmp_path):
+    """The repo's own streaming sources carry the same admission knob
+    natively: files_per_trigger bounds how much of a deep file backlog one
+    trigger may consume, so a restart against accumulated epochs drains as
+    N bounded batches, not one giant one."""
+    dirs = osb.generate_workload(
+        str(tmp_path / "wl"), epochs=6, seed=3, tickets_per_epoch=10,
+        updates_per_epoch=5,
+    )
+    tickets = PKTable(
+        spark, str(tmp_path / "tickets"), keys=["ticket_id"], order_by=["seq"]
+    )
+    q = replicate(
+        osb.changelog_stream(spark, dirs["tickets"], osb.TICKETS_SCHEMA,
+                             files_per_trigger=2),
+        tickets,
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(240)
+    batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    # 6 epoch files at 2 per trigger: exactly 3 bounded batches, and no
+    # batch swallowed more than its 2-file admission
+    assert len(batches) == 3
+    per_epoch_max = max(p["numInputRows"] for p in batches) / 2
+    assert all(p["numInputRows"] <= 2 * per_epoch_max for p in batches)
+    assert tickets.snapshot().count() > 0
