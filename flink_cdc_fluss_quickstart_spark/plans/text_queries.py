@@ -2533,7 +2533,9 @@ def _bpe_encode_oracle(n_merges: int) -> str:
     ),
     v0 AS (
       SELECT tok, c,
-             substr(regexp_replace(tok, '(.)', '\\1{_BPE_SEP}', 'g'),
+             -- (?s): RE2's '.' must match newline too, or a token like
+             -- chr(10)||chr(10) never gets delimited (planted-sweep edge)
+             substr(regexp_replace(tok, '(?s)(.)', '\\1{_BPE_SEP}', 'g'),
                     1, 2 * length(tok) - 1) AS sym
       FROM w
     )"""

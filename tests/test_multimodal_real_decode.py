@@ -250,3 +250,39 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is in the test env
     pass
+
+
+# --- optional-PIL codec seam (skip-if-absent) --------------------------------
+
+
+def test_png_routes_through_real_decode_when_pil_present():
+    """The production wiring point for codec-bound formats, kept honest
+    without faking a codec: WITH Pillow installed (absent in this
+    container, so this skips here and runs elsewhere), a real PNG payload
+    must route through decode_media(mode='real') -- PIL decode, mode-'L'
+    luma (the same ITU-R 601 weights as the native paths), then the shared
+    raster feature math -- instead of hitting the NotImplementedError
+    seam."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    px = gradient_rgb(24, 24)
+    buf = io.BytesIO()
+    Image.fromarray(px, mode="RGB").save(buf, format="PNG")
+    payload = buf.getvalue()
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+
+    img = mm.decode_image(payload)
+    assert img is not None and img.shape == (24, 24)
+    # PIL mode-'L' is integer-rounded 601 luma; stay within rounding of ours
+    assert np.abs(img - luma(px)).max() <= 1.0
+
+    feats = mm.decode_media(payload, "image/png", mode="real")
+    expect = mm._features_from_raster(mm._resize_gray(img, mm.PHASH_RASTER))
+    assert feats == expect
+
+    # a corrupt payload still falls through to the documented seam
+    with pytest.raises(NotImplementedError, match="codec"):
+        mm.decode_media(payload[:20], "image/png", mode="real")
