@@ -30,7 +30,6 @@ HEADLINE = (
     "q17_below_avg_quantity_revenue",
     "q7_nation_trade_flows",
     "upsert_latest_snapshot",
-    "changelog_aware_aggregation",
     "event_time_tumbling_hourly",
     "dedup_exact",
     "minhash_lsh_pairs",
@@ -49,19 +48,24 @@ HEADLINE = (
     "semantic_dedup_prune",
     "q18_large_volume_orders",
     "bigram_lm_surprisal",
-    "token_budget_mix_plan",
     "winnow_overlap_pairs",
     "span_dedup_text",
     "q21_sole_late_supplier",
-    "soft_dedup_weights",
     "countmin_heavy_hitters",
     "multimodal_phash_dedup_planted",
     "bpe_encode_tokens",
     "line_dedup_text",
-    "asof_view_before_purchase",
-    "session_windows_per_user",
     "range_join_price_bands",
     "multimodal_feature_extract",
+    # r11 rotation wave: set-ops / grouping sets / distinct-agg (in for
+    # changelog_aware_aggregation, session_windows_per_user,
+    # asof_view_before_purchase, token_budget_mix_plan, soft_dedup_weights
+    # -- every benched name carries a driver correctness row)
+    "setop_multi_status_customers",
+    "setop_except_large_orders",
+    "rollup_nation_segment_revenue",
+    "cube_status_priority_revenue",
+    "distinct_agg_parts_per_priority",
 )
 
 
@@ -363,23 +367,48 @@ def main() -> None:
     print(f"# streaming_envelope (6M ev/s arrival, 1M/batch admission cap):"
           f" {envelope_overload}", file=sys.stderr)
 
+    # The driver records only the last ~2000 chars of stdout and parses the
+    # final JSON line (r10's single fat line outgrew that window and the
+    # official record lost its headline -- VERDICT r10 item 1). So: each
+    # streaming block gets its OWN stdout JSON line first, full fidelity,
+    # and the final machine-read line stays compact -- per-query timings
+    # plus scalar streaming summaries only, compact separators, with a hard
+    # length guard that sheds optional keys before it ever overflows again.
+    for key, block in (
+        ("streaming_isolated", envelope),
+        ("streaming_concurrent", envelope_concurrent),
+        ("streaming_headroom", envelope_headroom),
+        ("streaming_overload_capped", envelope_overload),
+    ):
+        print(json.dumps({"metric": key, **block}, separators=(",", ":")))
+
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    headline = {
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "streaming": envelope,  # legacy alias of streaming_isolated -- kept
-        # because earlier-round consumers parse it; both always carry the
-        # same isolated-envelope dict
-        "streaming_isolated": envelope,
-        "streaming_concurrent": envelope_concurrent,
-        "streaming_headroom": envelope_headroom,
-        "streaming_overload_capped": envelope_overload,
+        "streaming_p95": {
+            "isolated": envelope.get("p95_batch_sec"),
+            "concurrent": envelope_concurrent.get("p95_batch_sec"),
+            "headroom_10k": envelope_headroom.get("p95_batch_sec"),
+            "overload_capped": envelope_overload.get("p95_batch_sec"),
+            "overload_backlog_per_sec": envelope_overload.get(
+                "backlog_growth_per_sec"),
+        },
         "calibration_sec": round(calib, 3),
         "calibration_before_streaming_sec": round(calib_streaming, 3),
         "sf": sf,
-    }))
+    }
+    line = json.dumps(headline, separators=(",", ":"))
+    # shed detail rather than overflow the driver's capture window; the
+    # streaming detail already went out on its own lines above
+    for drop in ("streaming_p95", "calibration_before_streaming_sec"):
+        if len(line) <= 1800:
+            break
+        headline.pop(drop, None)
+        line = json.dumps(headline, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

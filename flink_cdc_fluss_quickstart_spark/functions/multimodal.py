@@ -162,14 +162,19 @@ def decode_image(payload: bytes):
                 return None
         if len(vals) < 3 or i >= len(payload) or not payload[i : i + 1].isspace():
             return None
-        # single whitespace after maxval, then binary samples; a CRLF
-        # header terminator counts as ONE separator, or the '\n' would be
-        # read as the first sample and shift the whole raster by a byte
-        i += 2 if payload[i : i + 2] == b"\r\n" else 1
         w, h, maxval = vals
         if w <= 0 or h <= 0 or not 0 < maxval <= 255:
             return None
         nch = 3 if payload[:2] == b"P6" else 1
+        # single whitespace after maxval, then binary samples. The spec says
+        # ONE whitespace byte, so a '\r\n' pair is ambiguous: CRLF-written
+        # header (skip both) vs bare-'\r' terminator whose first sample is
+        # legitimately 0x0A (skip one). Disambiguate by size: if skipping
+        # just the '\r' leaves EXACTLY w*h*nch payload bytes, the 0x0A is a
+        # sample; otherwise it is separator residue from a CRLF writer.
+        i += 1
+        if payload[i - 1 : i + 1] == b"\r\n" and len(payload) - i != w * h * nch:
+            i += 1
         if len(payload) < i + w * h * nch:
             return None
         px = np.frombuffer(payload, np.uint8, count=w * h * nch, offset=i).astype(np.float64)

@@ -173,16 +173,26 @@ def get(name: str) -> QuerySpec:
 # stamps), q15_top_revenue_supplier (q17's scalar-subquery-vs-aggregate
 # family). The vacuous anti_join stamp critique (r9 "what's wrong" item 1)
 # closes via the planted variant, whose TAIL note now covers the base form.
+#
+# Round-11 rotation (r10 verdict item 8 -- keep driver stamps fresh across
+# the WHOLE registry): the five stalest-stamped tail queries (the r1-r5
+# set-op/rollup/distinct-agg family) rotate IN; out rotate the three
+# 9-stamp head entries the suggester names (changelog_aware_aggregation,
+# session_windows_per_user, asof_view_before_purchase -- families stay
+# proven by upsert/tumbling/range-join siblings plus their streaming pytest
+# batteries) and two 3-stamp pipeline entries (token_budget_mix_plan,
+# soft_dedup_weights) whose shapes stay stamped via leakage_safe_split's
+# hash-routing family and minhash_lsh's banded-pair family. bench.HEADLINE
+# swaps the same five names (guard: every benched name carries a driver
+# correctness row).
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
     "upsert_latest_snapshot",
-    "changelog_aware_aggregation",
     "betting_tickets_analytics",
-    # event streams: time windows, sessions (JSON-decode front proven by
+    # event streams: time windows (JSON-decode front proven by
     # betting_tickets_analytics, same sources/betting.py envelope path)
     "event_time_tumbling_hourly",
-    "session_windows_per_user",
     # benched TPC-H headliners: every headline bench number must carry a
     # driver-side correctness row (guarded)
     "q1_pricing_summary",
@@ -201,9 +211,15 @@ PRIORITY: tuple[str, ...] = (
     "q21_sole_late_supplier",
     # planted-edge anti join (non-vacuous null-extension stamp, r10)
     "anti_join_customers_without_orders_planted",
+    # set-ops / grouping-sets / distinct-agg wave (r11: stalest tail stamps,
+    # last driver-stamped r4-r5, rotate back in for fresh rows)
+    "setop_multi_status_customers",
+    "setop_except_large_orders",
+    "rollup_nation_segment_revenue",
+    "cube_status_priority_revenue",
+    "distinct_agg_parts_per_priority",
     # temporal joins + multimodal plumbing (phash: the planted-pair variant
     # stamps with non-zero cardinality; base query covered as its subset)
-    "asof_view_before_purchase",
     "range_join_price_bands",
     "multimodal_feature_extract",
     "multimodal_phash_dedup_planted",
@@ -213,7 +229,6 @@ PRIORITY: tuple[str, ...] = (
     "gopher_quality_flags",
     "decontamination_ngrams",
     "bloom_decontamination",
-    "token_budget_mix_plan",
     "pack_efficiency_report",
     # text analysis: quality, corpus-LM scores, curriculum
     "dedup_exact",
@@ -228,7 +243,6 @@ PRIORITY: tuple[str, ...] = (
     "span_dedup_text",
     "line_dedup_text",
     "line_dedup_incremental",
-    "soft_dedup_weights",
     # embedding similarity / ANN / quantization / hybrid retrieval
     "rrf_hybrid_retrieval",
     "rrf_hybrid_retrieval_ann",
@@ -306,25 +320,42 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "decontamination_ngrams",
         "left-semi scoping join is the same shape decontamination's gram gate uses",
     ),
-    "setop_multi_status_customers": (
-        "q7_nation_trade_flows",
-        "UNION/INTERSECT compile to the stamped join+agg primitives; repo-oracle-checked",
+    # r11 rotate-outs: 9-stamp streaming/temporal trio + two 3-stamp
+    # pipeline entries; each family stays proven by a stamped head sibling
+    # plus (for the streaming pair) its dedicated pytest battery
+    "changelog_aware_aggregation": (
+        "upsert_latest_snapshot",
+        "same PKTable changelog merge path (S6/K1, streaming/pk_table.py);"
+        " the retraction-correct affected-keys refresh stays proven by"
+        " tests/test_streaming.py (group-key-move + checkpoint-restart"
+        " retraction tests); stamped r2-r10, 9 driver rows",
     ),
-    "setop_except_large_orders": (
-        "q7_nation_trade_flows",
-        "EXCEPT compiles to the stamped anti-join+agg primitives; repo-oracle-checked",
+    "session_windows_per_user": (
+        "event_time_tumbling_hourly",
+        "same events scan + watermark + event-time grouped aggregation;"
+        " session swaps the window operator (session_window vs window) and"
+        " stays repo-oracle-checked + covered by"
+        " tests/test_streaming_windows.py; stamped r2-r10",
     ),
-    "rollup_nation_segment_revenue": (
-        "q7_nation_trade_flows",
-        "grouping-set expansion over the stamped multi-join agg tree",
+    "asof_view_before_purchase": (
+        "range_join_price_bands",
+        "same temporal-join family (plans/temporal_queries.py): both build"
+        " the event-time-bounded join the asof backward-search composes;"
+        " asof semantics stay repo-oracle-checked + planted-swept;"
+        " stamped r2-r10",
     ),
-    "cube_status_priority_revenue": (
-        "q1_pricing_summary",
-        "CUBE over the stamped lineitem aggregation shape",
+    "token_budget_mix_plan": (
+        "leakage_safe_split_assign",
+        "same pipeline routing family: per-domain budget allocation over"
+        " the stamped md5-hash predicate machinery + a grouped token-sum"
+        " (the token_stats_by_lang shape, also stamped); stamped r8-r10",
     ),
-    "distinct_agg_parts_per_priority": (
-        "q1_pricing_summary",
-        "distinct-agg rewrite of the stamped lineitem aggregation",
+    "soft_dedup_weights": (
+        "minhash_lsh_pairs",
+        "downstream of the stamped banded candidate-pair family: weights"
+        " derive from the same dedup-components CC over minhash-banded"
+        " pairs; pointer-jumping + weight semantics stay repo-oracle-checked"
+        " and planted-swept; stamped r8-r10",
     ),
     # multimodal: one stamped representative proves the Arrow mapInPandas
     # batch plumbing; the variants differ only in the pandas fn body

@@ -555,6 +555,52 @@ class Engine:
     def snapshot(self, name: str) -> DataFrame | None:
         return self.stores[name.lower()].snapshot()
 
+    def query(self, sql: str) -> DataFrame:
+        """Batch SELECT over the lakehouse tables (the reference's
+        batch-mode querying of tiered snapshots, README.md:81-95), with
+        SQL-level time travel: ``FROM t VERSION AS OF n`` (or Iceberg's
+        ``FOR SYSTEM_VERSION AS OF n``) routes to
+        ``PKTable.snapshot(version=n)`` -- the r10 Python time-travel API
+        surfaced in the dialect. Every other table mention reads the
+        CURRENT snapshot, so `SELECT ... FROM t VERSION AS OF 3 a JOIN t b
+        ON ...` compares a past state against the live one in one query.
+        """
+        def versioned_view(m: "re.Match[str]") -> str:
+            name = m.group(1).split(".")[-1].lower()
+            version = int(m.group(2))
+            if name not in self.stores:
+                raise ValueError(f"unknown table for time travel: {name}")
+            df = self.stores[name].snapshot(version=version)
+            if df is None:
+                raise ValueError(
+                    f"version {version} of {name} is empty: an empty"
+                    " snapshot carries no schema to SELECT from"
+                )
+            vname = f"__timetravel_{name}_v{version}"
+            df.createOrReplaceTempView(vname)
+            return vname
+
+        rewritten = re.sub(
+            r"([\w.]+)\s+(?:FOR\s+SYSTEM_VERSION\s+AS\s+OF|VERSION\s+AS\s+OF)"
+            r"\s+(\d+)",
+            versioned_view,
+            sql,
+            flags=re.I,
+        )
+        # current snapshots for every other lakehouse table mentioned (the
+        # same snapshot-to-temp-view binding the MV SELECT path uses)
+        for n in set(re.findall(r"(?:\bFROM|\bJOIN)\s+([\w.]+)", rewritten, re.I)):
+            base = n.split(".")[-1].lower()
+            if base in self.stores and not base.startswith("__timetravel_"):
+                snap = self.stores[base].snapshot()
+                if snap is None:
+                    raise ValueError(
+                        f"table {base} is empty: an empty snapshot carries"
+                        " no schema to SELECT from"
+                    )
+                snap.createOrReplaceTempView(base)
+        return self.spark.sql(rewritten)
+
     # -- execution ---------------------------------------------------------
 
     def execute(self, script: str) -> None:

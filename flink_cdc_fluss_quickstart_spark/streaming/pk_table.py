@@ -64,10 +64,14 @@ class StaleWriterError(RuntimeError):
     """A commit was attempted by a PKTable handle whose writer epoch has been
     superseded: another handle (a second engine over the same warehouse)
     claimed the table since this handle's first write. The single-active-
-    engine contract is ENFORCED here rather than documented -- the stale
-    committer fails fast instead of silently interleaving manifests. In
-    production this maps onto the table format's own transaction protocol
-    (Delta/Iceberg optimistic commit conflict)."""
+    engine contract is enforced at two points -- commit entry (_fence) and
+    again immediately before the manifest swap (_write_manifest) -- so a
+    stale committer fails fast instead of silently interleaving manifests,
+    even when supersession lands mid-way through its Spark write job. The
+    residual window is the microseconds between the final re-check and
+    os.replace; in production this maps onto the table format's own
+    transaction protocol (Delta/Iceberg optimistic commit conflict), which
+    closes it entirely."""
 
 # Superseded bucket directories linger this long before removal: a reader
 # that planned against an older manifest (a concurrent refresh job, a
@@ -131,7 +135,7 @@ class PKTable:
         if not os.path.exists(self._manifest_path):
             self._write_manifest(
                 {"buckets": {}, "txn": {}, "version": 0, "n_buckets": n_buckets,
-                 "format": data_format}
+                 "format": data_format, "history": [], "history_floor": 0}
             )
         else:
             # bucket count and lake format are CREATION-time table properties
@@ -156,6 +160,20 @@ class PKTable:
             return json.load(f)
 
     def _write_manifest(self, m: dict) -> None:
+        # last line of defense for the writer fence (T4): the commit-entry
+        # _fence() check can be seconds stale by the time the Spark write job
+        # finishes, and last-writer-wins os.replace would clobber a rival
+        # engine's committed manifest. Re-checking here shrinks the lost-
+        # commit window from a whole write job to the microseconds between
+        # this check and the rename. A raise at this point leaves at most an
+        # orphaned, never-referenced v-dir on disk -- no manifest damage.
+        if self._epoch is not None and self._latest_epoch() > self._epoch:
+            raise StaleWriterError(
+                f"writer epoch {self._epoch} superseded by"
+                f" {self._latest_epoch()} at {self.path} during commit:"
+                " another engine claimed this table mid-write; aborting"
+                " before the manifest swap"
+            )
         tmp = self._manifest_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
@@ -251,7 +269,13 @@ class PKTable:
             raise ValueError(
                 f"unknown version {version} (current is {m['version']})"
             )
-        floor = m.get("history_floor", 0)
+        # a legacy manifest (written before commit history existed) can
+        # reconstruct NO earlier version; treating its missing floor as 0
+        # would silently return the current bucket map labeled as version N.
+        # Expired reads must raise, never mis-answer.
+        floor = m.get(
+            "history_floor", m["version"] if "history" not in m else 0
+        )
         if version < floor:
             raise ValueError(
                 f"snapshot v{version} expired: history retained back to"
@@ -288,6 +312,11 @@ class PKTable:
 
     def _record_commit(self, m: dict, version: int, writer_id: str | None,
                        batch_id: int | None, changed: dict) -> None:
+        # first commit over a legacy (pre-history) manifest: versions below
+        # the previous one are unreconstructable -- pin the floor there so
+        # they raise as expired instead of walking a partial history
+        if "history" not in m:
+            m["history_floor"] = max(m.get("history_floor", 0), version - 1)
         hist = m.get("history", [])
         hist.append(
             {"v": version, "writer": writer_id, "batch": batch_id, "changed": changed}
@@ -460,6 +489,15 @@ class PKTable:
         # the table at the seed. Re-seeding + replay stays safe without them:
         # a replayed upsert re-applies the same latest-per-key rows.
         m["txn"] = {}
+        # ...and the retained history must follow the txn reset: a restarted
+        # stream reuses batch ids from 0, so pre-overwrite (writer, batch)
+        # tags would let snapshot_at_batch silently answer a NEW-epoch probe
+        # with an OLD-epoch state. Strip the tags (version time travel keeps
+        # working -- the undo deltas are untouched); read-at-batch then only
+        # matches commits from the current epoch.
+        for e in m["history"][:-1]:
+            e["writer"] = None
+            e["batch"] = None
         expired = self._queue_gc(m, list(old.values()))
         self._write_manifest(m)
         for d in expired:

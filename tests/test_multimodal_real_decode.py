@@ -120,6 +120,21 @@ def test_netpbm_crlf_header_terminator_is_one_separator():
     np.testing.assert_allclose(mm.decode_image(crlf6), mm.decode_image(lf))
 
 
+def test_netpbm_bare_cr_with_lf_first_sample_disambiguated_by_size():
+    """The netpbm spec allows a bare '\\r' header terminator; a file whose
+    FIRST SAMPLE is legitimately 0x0A then looks byte-identical to a CRLF
+    header. Size disambiguates (r10 advice): skipping only the '\\r' leaves
+    exactly w*h samples here, so the 0x0A must be read as pixel data --
+    the old heuristic consumed both bytes and rejected the valid file."""
+    g = np.arange(12, dtype=np.uint8).reshape(3, 4) * 20
+    g[0, 0] = 0x0A  # first raster byte is LF
+    ambiguous = b"P5\n4 3\n255\r" + g.tobytes()  # exact fit after one byte
+    np.testing.assert_allclose(mm.decode_image(ambiguous), g.astype(np.float64))
+    # the CRLF exact-fit twin still skips both separator bytes
+    crlf = b"P5\n4 3\n255\r\n" + g.tobytes()
+    np.testing.assert_allclose(mm.decode_image(crlf), g.astype(np.float64))
+
+
 def test_non_image_and_truncated_payloads_return_none():
     assert mm.decode_image(b"plain text payload") is None
     assert mm.decode_image(b"\x89PNG\r\n\x1a\n....") is None  # codec format

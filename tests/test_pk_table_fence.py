@@ -158,3 +158,136 @@ def test_overwrite_participates_in_time_travel(spark, tmp_path):
     t.overwrite(spark.createDataFrame([(2, "seeded", 0)], "k long, v string, seq long"))
     assert _state(t, version=1) == {1: "pre-seed"}
     assert _state(t, version=2) == {2: "seeded"}
+
+
+# --- mid-write fence race (r10 verdict item 5 / advice) -----------------------
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_commit_straddling_a_rival_claim_raises_before_manifest_swap(
+    spark, tmp_path, fmt, monkeypatch
+):
+    """The check-then-write window: a commit that passed the entry _fence()
+    but is still inside its Spark write job when a rival claims the table
+    must ALSO raise (at the pre-swap re-check in _write_manifest), instead
+    of clobbering the rival's manifest seconds later. _queue_gc runs between
+    the data write and the manifest swap -- the injection point."""
+    path = str(tmp_path / fmt)
+    h1 = PKTable(spark, path, keys=["k"], order_by=["seq"], data_format=fmt)
+    h1.merge(_batch(spark, [("I", 1, 1, "a")]), batch_id=0)
+
+    real_queue_gc = PKTable._queue_gc
+    fired = []
+
+    def rival_claims_mid_commit(self, m, superseded):
+        if not fired:  # one-shot: the rival's own merge must run unhooked
+            fired.append(True)
+            h2 = PKTable(spark, path, keys=["k"], order_by=["seq"],
+                         data_format=fmt)
+            h2.merge(_batch(spark, [("I", 9, 9, "rival")]), batch_id=100,
+                     writer_id="rival")
+        return real_queue_gc(self, m, superseded)
+
+    monkeypatch.setattr(PKTable, "_queue_gc", rival_claims_mid_commit)
+    with pytest.raises(StaleWriterError, match="mid-write"):
+        h1.merge(_batch(spark, [("U", 2, 1, "LOST")]), batch_id=1)
+    monkeypatch.setattr(PKTable, "_queue_gc", real_queue_gc)
+
+    # the rival's committed state survived the straddling commit
+    h3 = PKTable(spark, path, keys=["k"], order_by=["seq"], data_format=fmt)
+    assert _state(h3) == {1: "a", 9: "rival"}
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "orc"])
+def test_overwrite_straddling_a_rival_claim_raises(spark, tmp_path, fmt, monkeypatch):
+    path = str(tmp_path / fmt)
+    h1 = PKTable(spark, path, keys=["k"], order_by=["seq"], data_format=fmt)
+    h1.merge(_batch(spark, [("I", 1, 1, "a")]), batch_id=0)
+
+    real_queue_gc = PKTable._queue_gc
+    fired = []
+
+    def rival_claims_mid_commit(self, m, superseded):
+        if not fired:
+            fired.append(True)
+            h2 = PKTable(spark, path, keys=["k"], order_by=["seq"],
+                         data_format=fmt)
+            h2.merge(_batch(spark, [("I", 9, 9, "rival")]), batch_id=100,
+                     writer_id="rival")
+        return real_queue_gc(self, m, superseded)
+
+    monkeypatch.setattr(PKTable, "_queue_gc", rival_claims_mid_commit)
+    with pytest.raises(StaleWriterError, match="mid-write"):
+        h1.overwrite(
+            spark.createDataFrame([(1, "stale", 0)], "k long, v string, seq long")
+        )
+    monkeypatch.setattr(PKTable, "_queue_gc", real_queue_gc)
+    h3 = PKTable(spark, path, keys=["k"], order_by=["seq"], data_format=fmt)
+    assert _state(h3) == {1: "a", 9: "rival"}
+
+
+# --- legacy-manifest time travel (r10 advice, medium) -------------------------
+
+
+def test_legacy_manifest_versions_raise_instead_of_misanswering(spark, tmp_path):
+    """A manifest written before commit history existed can reconstruct NO
+    earlier version: snapshot(version=N) for pre-upgrade versions must raise
+    as expired, never return the current bucket map labeled as version N."""
+    import json as _json
+
+    path = str(tmp_path / "t")
+    t = PKTable(spark, path, keys=["k"], order_by=["seq"])
+    t.merge(_batch(spark, [("I", 1, 1, "a")]), batch_id=0)
+    t.merge(_batch(spark, [("U", 2, 1, "a2")]), batch_id=1)
+
+    # simulate the legacy on-disk layout: strip the history bookkeeping
+    mp = t._manifest_path
+    m = _json.load(open(mp))
+    m.pop("history", None)
+    m.pop("history_floor", None)
+    _json.dump(m, open(mp, "w"))
+
+    legacy = PKTable(spark, path, keys=["k"], order_by=["seq"])
+    cur = m["version"]
+    assert _state(legacy) == {1: "a2"}  # current read intact
+    assert _state(legacy, version=cur) == {1: "a2"}  # current version ok
+    for v in range(cur):  # every earlier version is unreconstructable
+        with pytest.raises(ValueError, match="expired"):
+            legacy.snapshot(version=v)
+
+    # first post-upgrade commit pins the floor at the prior version: the
+    # new commit is undoable, everything before it stays expired
+    legacy.merge(_batch(spark, [("I", 3, 2, "b")]), batch_id=2)
+    assert _state(legacy, version=cur) == {1: "a2"}
+    for v in range(cur):
+        with pytest.raises(ValueError, match="expired"):
+            legacy.snapshot(version=v)
+
+
+# --- post-overwrite read-at-batch epoch isolation (r10 advice, low) -----------
+
+
+def test_snapshot_at_batch_never_blends_txn_epochs(spark, tmp_path):
+    """overwrite() resets per-writer batch watermarks (restarted streams
+    reuse ids from 0); retained pre-overwrite (writer, batch) history tags
+    must not satisfy a NEW-epoch probe with an OLD-epoch state."""
+    t = PKTable(spark, str(tmp_path / "t"), keys=["k"], order_by=["seq"])
+    t.merge(_batch(spark, [("I", 1, 1, "old-epoch")]), batch_id=5, writer_id="cdc")
+    t.overwrite(spark.createDataFrame([(2, "seed", 0)], "k long, v string, seq long"))
+
+    # new epoch, no commits yet: a probe for batch 5 must raise, not return
+    # the pre-overwrite batch-5 state
+    with pytest.raises(ValueError, match="no retained commit"):
+        t.snapshot_at_batch("cdc", 5)
+
+    # after the restarted stream commits batch 0, probes resolve within the
+    # NEW epoch only: batch 5 now matches batch 0 (newest at-or-below),
+    # never the old epoch's batch-5 commit
+    t.merge(_batch(spark, [("I", 9, 3, "new-epoch")]), batch_id=0, writer_id="cdc")
+    want = {2: "seed", 3: "new-epoch"}
+    assert {r.k: r.v for r in t.snapshot_at_batch("cdc", 0).collect()} == want
+    assert {r.k: r.v for r in t.snapshot_at_batch("cdc", 5).collect()} == want
+
+    # version time travel over the stripped entries keeps working
+    assert _state(t, version=1) == {1: "old-epoch"}
+    assert _state(t, version=2) == {2: "seed"}

@@ -867,3 +867,51 @@ def test_ckpt_registry_shape_detection_is_structural(spark, tmp_path):
     eng2 = Engine(spark, warehouse=wh)
     assert eng2.ckpts["t1"] == {"/tmp/ck-1"}
     assert eng2.store_paths == {"t1": "/tmp/store-1"}
+
+
+def test_sql_time_travel_version_as_of(spark, tmp_path):
+    """The lakehouse batch-query surface at SQL level (reference
+    README.md:81-95): `FROM t VERSION AS OF n` reads the state recorded
+    right after manifest version n -- the r10 Python snapshot(version=)
+    API exposed in the dialect (r10 verdict item 6)."""
+    from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable
+
+    eng = Engine(spark, warehouse=str(tmp_path / "wh"))
+    t = PKTable(spark, str(tmp_path / "t"), keys=["k"], order_by=["seq"])
+    t.merge(spark.createDataFrame(
+        [("I", 1, 1, "a"), ("I", 2, 2, "b")],
+        "op string, seq long, k long, v string"), batch_id=0)
+    oracle_v1 = {1: "a", 2: "b"}
+    t.merge(spark.createDataFrame(
+        [("U", 3, 1, "a2"), ("I", 4, 3, "c"), ("D", 5, 2, "b")],
+        "op string, seq long, k long, v string"), batch_id=1)
+    oracle_v2 = {1: "a2", 3: "c"}
+    eng.stores["serving"] = t
+
+    got_v1 = {r.k: r.v for r in
+              eng.query("SELECT k, v FROM serving VERSION AS OF 1").collect()}
+    assert got_v1 == oracle_v1
+    got_now = {r.k: r.v for r in
+               eng.query("SELECT k, v FROM serving").collect()}
+    assert got_now == oracle_v2
+    # Iceberg-dialect synonym
+    got_sv = {r.k: r.v for r in eng.query(
+        "SELECT k, v FROM serving FOR SYSTEM_VERSION AS OF 1").collect()}
+    assert got_sv == oracle_v1
+
+    # past-vs-current in ONE statement: keys whose value changed or vanished
+    diff = eng.query(
+        "SELECT old.k FROM serving VERSION AS OF 1 old "
+        "LEFT JOIN serving cur ON old.k = cur.k "
+        "WHERE cur.v IS NULL OR cur.v <> old.v ORDER BY old.k"
+    ).collect()
+    assert [r.k for r in diff] == [1, 2]
+
+    # contract errors surface through the SQL path too
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown version"):
+        eng.query("SELECT * FROM serving VERSION AS OF 99")
+    with _pytest.raises(ValueError, match="empty"):
+        eng.query("SELECT * FROM serving VERSION AS OF 0")
+    with _pytest.raises(ValueError, match="unknown table"):
+        eng.query("SELECT * FROM nope VERSION AS OF 1")
