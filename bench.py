@@ -54,6 +54,7 @@ HEADLINE = (
     "countmin_heavy_hitters",
     "multimodal_phash_dedup_planted",
     "bpe_encode_tokens",
+    "tokenizer_fertility_by_lang",
     "line_dedup_text",
     "range_join_price_bands",
     "multimodal_feature_extract",

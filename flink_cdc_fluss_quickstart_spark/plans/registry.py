@@ -199,9 +199,10 @@ PRIORITY: tuple[str, ...] = (
     "q3_top_revenue_orders",
     "q7_nation_trade_flows",
     "q17_below_avg_quantity_revenue",
-    # TPC-H closing wave (r9): the 11 never-stamped tail queries rotate in
+    # TPC-H closing wave (r9): the never-stamped tail queries rotate in
     # so the driver ledger records what the repo oracle already proves
-    "q6_forecast_revenue",
+    # (q6 out-rotated r11 for the new fertility report; its single-scan
+    # filtered-agg family stays proven by q1)
     "q8_national_market_share",
     "q9_profit_by_nation_year",
     "q11_important_part_value",
@@ -233,6 +234,7 @@ PRIORITY: tuple[str, ...] = (
     # text analysis: quality, corpus-LM scores, curriculum
     "dedup_exact",
     "bpe_encode_tokens",
+    "tokenizer_fertility_by_lang",
     "bigram_lm_surprisal",
     "countmin_heavy_hitters",
     "curriculum_order",
@@ -323,6 +325,12 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
     # r11 rotate-outs: 9-stamp streaming/temporal trio + two 3-stamp
     # pipeline entries; each family stays proven by a stamped head sibling
     # plus (for the streaming pair) its dedicated pytest battery
+    "q6_forecast_revenue": (
+        "q1_pricing_summary",
+        "same single-lineitem-scan family: pushed shipdate/discount/quantity"
+        " predicates + one grouped SUM; q1 stamps the scan + agg shape"
+        " (10 driver rows) and q6 stays repo-oracle-checked; stamped r9-r10",
+    ),
     "changelog_aware_aggregation": (
         "upsert_latest_snapshot",
         "same PKTable changelog merge path (S6/K1, streaming/pk_table.py);"

@@ -2414,6 +2414,16 @@ BPE_ENCODE_MERGES = 6
 # U+001F, exactly as HF tokenizers reserve boundary markers).
 _BPE_SEP = "|"
 
+# Lineage flattening cadence for the merge loop: every K rounds the vocab is
+# localCheckpoint-ed (the PKTable batch-pin precedent), truncating the
+# logical plan to a flat RDD scan. Without it each round stacks another
+# cache node whose PRINTED lineage includes all prior rounds -- execution
+# was fine (the persists truncate actual work) but the 6-merge demo's
+# explain string was already ~1 MB (r10 verdict item 7) and analysis cost
+# grew with merge depth; at real tokenizer depths (32k-100k merges) the
+# plan itself must stay O(K) deep, not O(n_merges).
+_BPE_CHECKPOINT_EVERY = 4
+
 
 def _bpe_apply_merge(sym: F.Column, a: str, b: str) -> F.Column:
     """Greedy left-to-right application of ONE merge (a, b) to a delimited
@@ -2476,9 +2486,15 @@ def bpe_learn_merges(vocab: DataFrame, n_merges: int) -> tuple[DataFrame, list[t
             break
         a, b = best[0]["a"], best[0]["b"]
         merges.append((a, b))
-        cur = _cached(
-            cur.select("tok", "c", _bpe_apply_merge(F.col("sym"), a, b).alias("sym"))
+        folded = cur.select(
+            "tok", "c", _bpe_apply_merge(F.col("sym"), a, b).alias("sym")
         )
+        if len(merges) % _BPE_CHECKPOINT_EVERY == 0:
+            # flatten: materialize the vocab census (small by construction --
+            # one row per distinct corpus token) and drop all prior lineage
+            cur = folded.localCheckpoint(eager=True)
+        else:
+            cur = _cached(folded)
     return cur, merges
 
 
@@ -2517,12 +2533,14 @@ def bpe_encode_frame(d: DataFrame, n_merges: int = BPE_ENCODE_MERGES) -> DataFra
     )
 
 
-def _bpe_encode_oracle(n_merges: int) -> str:
-    """Unrolled merge CTE chain: iteration i computes the pair census over
-    v{i}, picks the argmax merge m{i} (count DESC, pair ASC), and folds it
-    into v{i+1} with the SAME accumulator-string reduce the Spark side runs.
-    LEFT JOIN ON TRUE keeps the chain total when no pair exists (all-single-
-    symbol vocab), mirroring the builder's early break."""
+def _bpe_encode_oracle_cte(n_merges: int) -> str:
+    """The unrolled merge WITH-chain (w -> v0 -> p{i}/m{i}/v{i+1} -> enc ->
+    dtf), shared by the per-doc encode oracle and the per-lang fertility
+    oracle. Iteration i computes the pair census over v{i}, picks the
+    argmax merge m{i} (count DESC, pair ASC), and folds it into v{i+1}
+    with the SAME accumulator-string reduce the Spark side runs. LEFT JOIN
+    ON TRUE keeps the chain total when no pair exists (all-single-symbol
+    vocab), mirroring the builder's early break."""
     parts = [
         f"""
     WITH w AS (
@@ -2571,14 +2589,45 @@ def _bpe_encode_oracle(n_merges: int) -> str:
       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       WHERE length(tok) >= 1 AND NOT contains(tok, '{_BPE_SEP}')
       GROUP BY doc_id, tok
-    )
+    )""")
+    return "".join(parts)
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Per-doc encode rollup over the shared merge-chain CTE."""
+    return _bpe_encode_oracle_cte(n_merges) + """
     SELECT doc_id,
            CAST(SUM(tf) AS BIGINT) AS n_words,
            CAST(SUM(tf * length(tok)) AS BIGINT) AS n_chars,
            CAST(SUM(tf * n_sym) AS BIGINT) AS n_bpe_tokens
     FROM dtf JOIN enc USING (tok)
-    GROUP BY doc_id""")
-    return "".join(parts)
+    GROUP BY doc_id"""
+
+
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    """Per-language fertility report over the same merge-chain CTE. The two
+    ratio columns are floor-scaled to integer milli-units: 1000*a/b on
+    BIGINT sums is exact in IEEE double below 2^53, so floor() picks the
+    identical integer on both engines (the repo's float-parity idiom)."""
+    return _bpe_encode_oracle_cte(n_merges) + """,
+    perdoc AS (
+      SELECT doc_id,
+             SUM(tf) AS n_words,
+             SUM(tf * length(tok)) AS n_chars,
+             SUM(tf * n_sym) AS n_bpe
+      FROM dtf JOIN enc USING (tok)
+      GROUP BY doc_id
+    )
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_words) AS BIGINT) AS n_words,
+           CAST(SUM(p.n_bpe) AS BIGINT) AS n_bpe_tokens,
+           CAST(floor(1000.0 * SUM(p.n_bpe) / SUM(p.n_words)) AS BIGINT)
+             AS fertility_milli,
+           CAST(floor(1000.0 * SUM(p.n_chars) / SUM(p.n_bpe)) AS BIGINT)
+             AS chars_per_token_milli
+    FROM perdoc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang"""
 
 
 @register(
@@ -2603,6 +2652,43 @@ def _bpe_encode_oracle(n_merges: int) -> str:
 def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     return bpe_encode_frame(d)
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle=_bpe_fertility_oracle(BPE_ENCODE_MERGES),
+    description="Tokenizer SELECTION report: per-language BPE fertility"
+    " (BPE tokens per whitespace word) and compression (chars per BPE"
+    " token), the two numbers a pipeline compares across candidate"
+    " tokenizers before committing a vocab -- high fertility on a language"
+    " means its text fragments into more pieces per word, inflating"
+    " training cost for the same corpus. Composes the bpe_encode_tokens"
+    " per-doc encode (same learned merge table) with a lang-keyed grouped"
+    " aggregation; the ratio columns are floor-scaled integer milli-units"
+    " (exact on both engines below 2^53). Scale shape: inherits the encode"
+    " census posture (corpus scanned twice, vocab-bound learn rounds) plus"
+    " ONE extra broadcast-sized join of per-doc rollups to (doc_id, lang)"
+    " and a |languages|-row final aggregate.",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return fertility_frame(d)
+
+
+def fertility_frame(d: DataFrame, n_merges: int = BPE_ENCODE_MERGES) -> DataFrame:
+    """Per-lang fertility/compression over (doc_id, text, lang) -- the
+    unit-testable twin of the registered query."""
+    enc = bpe_encode_frame(d, n_merges)
+    joined = enc.join(d.select("doc_id", "lang"), "doc_id")
+    return joined.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("n_words"),
+        F.sum("n_bpe_tokens").cast("bigint").alias("n_bpe_tokens"),
+        F.floor(F.lit(1000.0) * F.sum("n_bpe_tokens") / F.sum("n_words"))
+        .cast("bigint").alias("fertility_milli"),
+        F.floor(F.lit(1000.0) * F.sum("n_chars") / F.sum("n_bpe_tokens"))
+        .cast("bigint").alias("chars_per_token_milli"),
+    )
 
 
 # --- C4 rule-based cleaning (Raffel et al. 2020, section 2.2) ---------------

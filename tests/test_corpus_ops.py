@@ -1134,3 +1134,91 @@ def test_line_dedup_incremental_batch_vs_census_rule(spark):
     assert out[10]["text_dedup"] == "half boiler\nkept beta"
     assert out[15]["text_dedup"] == "kept gamma"
     assert out[20]["text_dedup"] == "kept delta"
+
+
+def test_bpe_encode_deep_merge_table_matches_reference_and_plan_stays_flat(spark):
+    """Real-tokenizer-depth shakeout (r10 verdict item 7): an 18-merge table
+    over a suffix-rich planted corpus must match the independent scan-based
+    BPE exactly, AND the result frame's printed plan must stay bounded --
+    the merge loop localCheckpoints the vocab every _BPE_CHECKPOINT_EVERY
+    rounds, so plan depth is O(K), not O(n_merges) (the 6-merge demo's
+    lineage was ~1 MB before this)."""
+    rows = [
+        (1, "internationalization internationalization localization"
+            " localization localization modernization"),
+        (2, "tokenization tokenization tokenizer tokenizers normalization"
+            " normalization organization"),
+        (3, "internationalization localization tokenization modernization"
+            " organization organizations"),
+        (4, "organization organization organizations modernization"
+            " modernizer normalizer internationalize"),
+    ]
+    n_merges = 18
+    words = [w for _, t in rows for w in t.split(" ")]
+    ref_merges, ref_nsym = _py_bpe(words, n_merges)
+    assert len(ref_merges) == n_merges  # the corpus really sustains depth 18
+
+    df = tq.bpe_encode_frame(_docs(spark, rows), n_merges)
+    out = {r["doc_id"]: r.asDict() for r in df.collect()}
+    for doc_id, text in rows:
+        ws = text.split(" ")
+        assert out[doc_id]["n_words"] == len(ws)
+        assert out[doc_id]["n_chars"] == sum(len(w) for w in ws)
+        assert out[doc_id]["n_bpe_tokens"] == sum(ref_nsym[w] for w in ws), doc_id
+
+    # the merge table itself matches the reference sequence at depth 18
+    toks = _docs(spark, rows).select(F.explode(F.split("text", " ")).alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).select(
+        "tok", "c", F.array_join(F.split("tok", ""), "|").alias("sym")
+    )
+    _, got_merges = tq.bpe_learn_merges(vocab, n_merges)
+    assert got_merges == ref_merges
+
+    # printed lineage stays analysis-sized at depth 18 (was ~1 MB at depth 6)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert len(buf.getvalue()) < 50_000, len(buf.getvalue())
+
+
+def test_tokenizer_fertility_by_lang_matches_reference(spark):
+    """Planted two-language corpus: per-lang fertility (BPE tokens per word,
+    milli-units) and compression (chars per BPE token) must match the
+    independent scan-based BPE reference exactly -- the merge table is
+    learned over the WHOLE corpus (one tokenizer, per-lang report), which
+    is the real tokenizer-selection setup."""
+    import math
+
+    rows = [
+        (1, "low low low lower lower", "en"),
+        (2, "newest newest newest newest widest", "en"),
+        (3, "lolo lolo lolo lola lola", "xx"),
+        (4, "lola lolo widest lowest", "xx"),
+    ]
+    n_merges = 6
+    words = [w for _, t, _ in rows for w in t.split(" ")]
+    _, ref_nsym = _py_bpe(words, n_merges)
+
+    ref = {}
+    for lang in ("en", "xx"):
+        docs = [(i, t) for i, t, lg in rows if lg == lang]
+        ws = [w for _, t in docs for w in t.split(" ")]
+        n_words = len(ws)
+        n_chars = sum(len(w) for w in ws)
+        n_bpe = sum(ref_nsym[w] for w in ws)
+        ref[lang] = {
+            "n_docs": len(docs),
+            "n_words": n_words,
+            "n_bpe_tokens": n_bpe,
+            "fertility_milli": math.floor(1000.0 * n_bpe / n_words),
+            "chars_per_token_milli": math.floor(1000.0 * n_chars / n_bpe),
+        }
+
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["lang"]: r.asDict() for r in tq.fertility_frame(d, n_merges).collect()}
+    for lang, want in ref.items():
+        for k, v in want.items():
+            assert out[lang][k] == v, (lang, k, out[lang], want)

@@ -118,6 +118,7 @@ EXPECTED = {
     "nb_quality_score",
     "bpe_merge_candidates",
     "bpe_encode_tokens",
+    "tokenizer_fertility_by_lang",
     # similarity
     "embedding_cosine_topk",
     "embedding_ann_lsh",
