@@ -244,7 +244,10 @@ def main() -> None:
         F.sum("n_chars").alias("chars"),
         F.sum("n_bpe_tokens").alias("bpe_tokens"),
     ).show()
-    dedup.release_caches()  # steps 11-13b persist the shared term frames
+    print("== 13c. tokenizer selection report (per-lang fertility:"
+          " BPE tokens per word + chars per token, milli-units)")
+    q["tokenizer_fertility_by_lang"].builder(spark, sf_dir).orderBy("lang").show()
+    dedup.release_caches()  # steps 11-13c persist the shared term frames
 
     print("== 14. corpus monitors (distinct-count sketch + heavy hitters)")
     q["kmv_distinct_tokens"].builder(spark, sf_dir).orderBy("lang").show()
