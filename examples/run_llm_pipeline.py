@@ -148,6 +148,12 @@ def main() -> None:
         F.max("cluster_size").alias("largest_cluster"),
     ).show()
 
+    print("== 3d. near-dup source-overlap report (which sources copy from"
+          " each other: top pairs by share)")
+    q["neardup_source_overlap"].builder(spark, sf_dir).orderBy(
+        F.col("n_pairs").desc()
+    ).limit(5).show()
+
     print("== 3b. semantic dedup (SemDeDup keep rate per k-means cell)")
     q["semantic_dedup_prune"].builder(spark, sf_dir).groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs"),

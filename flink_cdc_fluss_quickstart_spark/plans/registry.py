@@ -358,6 +358,13 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " the stamped md5-hash predicate machinery + a grouped token-sum"
         " (the token_stats_by_lang shape, also stamped); stamped r8-r10",
     ),
+    "neardup_source_overlap": (
+        "minhash_lsh_pairs",
+        "strict downstream of the stamped banded pair join (same candidate"
+        " generation); everything added -- two (id, source) equi joins,"
+        " canonical pair order, a |sources|^2 rollup -- is repo-oracle-"
+        "checked and planted-tested (cross-source mirror corpus)",
+    ),
     "soft_dedup_weights": (
         "minhash_lsh_pairs",
         "downstream of the stamped banded candidate-pair family: weights"

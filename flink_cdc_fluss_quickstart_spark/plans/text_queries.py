@@ -528,6 +528,82 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def neardup_source_overlap_frame(d: DataFrame) -> DataFrame:
+    """Which sources copy from each other: near-dup candidate pairs tagged
+    with both endpoints' sources (canonical least/greatest order so (a,b)
+    and (b,a) collapse), rolled up to pair counts and corpus share in
+    integer milli-units -- the unit-testable twin of the registered query."""
+    pairs = dedup.band_self_join(
+        dedup.minhash_band_keyed(d, "doc_id", "text"), "doc_id"
+    )
+    src = d.select("doc_id", "source")
+    tagged = (
+        pairs
+        .join(src.withColumnRenamed("doc_id", "id_a")
+                 .withColumnRenamed("source", "sa"), "id_a")
+        .join(src.withColumnRenamed("doc_id", "id_b")
+                 .withColumnRenamed("source", "sb"), "id_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    g = tagged.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    total = g.agg(F.sum("n_pairs").alias("__t"))
+    return g.crossJoin(F.broadcast(total)).select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        F.floor(F.lit(1000.0) * F.col("n_pairs") / F.col("__t"))
+        .cast("bigint").alias("share_milli"),
+    )
+
+
+def _source_overlap_oracle() -> str:
+    from flink_cdc_fluss_quickstart_spark.plans.registry import get
+
+    pairs = get("minhash_lsh_pairs").oracle
+    return f"""
+    WITH p AS ({pairs}),
+    s AS (SELECT doc_id, source FROM documents),
+    tagged AS (
+      SELECT least(sa.source, sb.source) AS source_a,
+             greatest(sa.source, sb.source) AS source_b
+      FROM p
+      JOIN s sa ON p.id_a = sa.doc_id
+      JOIN s sb ON p.id_b = sb.doc_id
+    ),
+    g AS (
+      SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM tagged GROUP BY source_a, source_b
+    )
+    SELECT source_a, source_b, n_pairs,
+           CAST(floor(1000.0 * n_pairs / SUM(n_pairs) OVER ()) AS BIGINT)
+             AS share_milli
+    FROM g"""
+
+
+@register(
+    "neardup_source_overlap",
+    oracle=_source_overlap_oracle(),
+    description="Corpus-curation report: near-dup pair volume BY SOURCE"
+    " PAIR -- which sources copy from each other (mirror-heavy source"
+    " pairs are the first thing a curation pass drops or reweights)."
+    " Strict downstream of minhash_lsh_pairs: the same banded candidate"
+    " join, then both endpoints tag their doc's source (two doc_id-keyed"
+    " joins of an (id, source) projection -- never documents), canonical"
+    " least/greatest source order, and a |sources|^2-bounded rollup with"
+    " floor-scaled integer milli-shares against a one-row broadcast total."
+    " Scale shape: identical to the pair join it consumes; everything"
+    " after the pairs is metadata-sized.",
+)
+def neardup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return neardup_source_overlap_frame(d)
+
+
 # the NEW-ingest membership rule for the incremental dedup shape: a pure
 # row-local function of the id (every 5th doc), standing in for "today's
 # batch" against the already-indexed corpus

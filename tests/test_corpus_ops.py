@@ -1222,3 +1222,34 @@ def test_tokenizer_fertility_by_lang_matches_reference(spark):
     for lang, want in ref.items():
         for k, v in want.items():
             assert out[lang][k] == v, (lang, k, out[lang], want)
+
+
+def test_neardup_source_overlap_planted_cross_source_mirror(spark):
+    """Planted corpus: source B mirrors two of source A's docs (near-dup
+    with tiny edits), source C is clean. The report must attribute the
+    cross-source pairs to (A, B) in canonical order, count the within-A
+    pair, and show nothing involving C."""
+    base1 = "the quick brown fox jumps over the lazy dog again and again " * 4
+    base2 = "pack my box with five dozen liquor jugs every single day now " * 4
+    clean = "completely unrelated text about distributed query planning " * 4
+    rows = [
+        (1, base1, "en", "srcA", len(base1)),
+        (2, base2, "en", "srcA", len(base2)),
+        (3, base1 + "mirrored tail", "en", "srcB", len(base1) + 13),
+        (4, base2 + "mirrored tail", "en", "srcB", len(base2) + 13),
+        (5, base1 + "another copy", "en", "srcA", len(base1) + 12),
+        (6, clean, "en", "srcC", len(clean)),
+    ]
+    d = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {(r.source_a, r.source_b): r.asDict()
+           for r in tq.neardup_source_overlap_frame(d).collect()}
+
+    # pairs: (1,3) A-B, (2,4) A-B, (1,5) A-A, (3,5) A-B -- C appears nowhere
+    assert set(out) == {("srcA", "srcB"), ("srcA", "srcA")}
+    assert out[("srcA", "srcB")]["n_pairs"] == 3
+    assert out[("srcA", "srcA")]["n_pairs"] == 1
+    total = sum(v["n_pairs"] for v in out.values())
+    for v in out.values():
+        assert v["share_milli"] == (1000 * v["n_pairs"]) // total

@@ -119,6 +119,7 @@ EXPECTED = {
     "bpe_merge_candidates",
     "bpe_encode_tokens",
     "tokenizer_fertility_by_lang",
+    "neardup_source_overlap",
     # similarity
     "embedding_cosine_topk",
     "embedding_ann_lsh",
