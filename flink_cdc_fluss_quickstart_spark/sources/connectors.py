@@ -78,12 +78,14 @@ def debezium_decode(raw: DataFrame, payload: T.StructType,
       schema-change / heartbeat messages (different JSON structure, no `op`)
       become NULL-op rows -- filter or dead-letter them, they never fail
       the stream;
-    - connector config contract for typed columns: run Debezium with
-      'decimal.handling.mode' = 'string' (DECIMAL arrives as "12.50",
-      parseable into a DecimalType payload field; the default 'precise'
-      mode emits base64 two's-complement bytes) and 'time.precision.mode'
-      = 'connect' (TIMESTAMP arrives as epoch millis -- declare LongType
-      and convert with epoch_millis_to_timestamp).
+    - connector config contract for typed columns: BOTH decimal modes
+      decode -- 'decimal.handling.mode' = 'string' (DECIMAL arrives as
+      "12.50", parseable into a DecimalType payload field) and the DEFAULT
+      'precise' mode (base64 two's-complement unscaled bytes -- declare
+      StringType and convert with precise_decimal(col, p, s)); for
+      temporals run 'time.precision.mode' = 'connect' (TIMESTAMP arrives
+      as epoch millis -- declare LongType and convert with
+      epoch_millis_to_timestamp).
 
     All expression work (`from_json`, struct field access, CASE) is JVM-side
     whole-stage-codegen -- at 100 TB/day of CDC this path must never drop
@@ -170,6 +172,46 @@ def debezium_schema_drift(raw: DataFrame, payload: T.StructType,
             F.min("lsn").alias("first_lsn"),
             F.max("lsn").alias("last_lsn"),
         )
+    )
+
+
+def precise_decimal(col, precision: int, scale: int) -> "F.Column":
+    """Debezium DEFAULT 'decimal.handling.mode' = 'precise' parity: NUMERIC/
+    DECIMAL columns arrive as the base64 of the unscaled value's minimal
+    two's-complement big-endian bytes (Kafka Connect's logical Decimal;
+    the scale lives in the connect schema and must match the DECLARED
+    target type, exactly as it must for the reference's DECIMAL(10,2)
+    odds columns -- tickets-cdc.sql:49). Declare the payload field
+    StringType and convert after decode, the epoch_millis_to_timestamp
+    pattern.
+
+    Pure JVM expression work: unbase64 -> hex -> conv(16,10) as the
+    unsigned reading; the two's-complement sign comes from the first
+    nibble (>= 8 means the sign bit is set) and the modulus 2^(4*len)
+    comes from a 16-entry literal map of EXACT decimal strings -- never
+    pow(), whose double->decimal cast routes through the 17-significant-
+    digit string form and silently corrupts 2^64's low digits. Then exact
+    decimal division by 10^scale. Supports unscaled values up to 8 bytes
+    -- every DECIMAL(18,s) and both of the reference's widths; wider
+    payloads return NULL (dead-letter them) rather than a silently
+    wrapped value, since conv() arithmetic is 64-bit."""
+    c = F.col(col) if isinstance(col, str) else col
+    hexs = F.hex(F.unbase64(c))
+    unsigned = F.conv(hexs, 16, 10).cast("decimal(38,0)")
+    modulus = F.element_at(
+        F.create_map(
+            *[x for n in range(1, 17)
+              for x in (F.lit(n), F.lit(str(1 << (4 * n))))]
+        ),
+        F.length(hexs).cast("int"),
+    ).cast("decimal(38,0)")
+    negative = F.conv(F.substring(hexs, 1, 1), 16, 10).cast("int") >= 8
+    signed = F.when(negative, unsigned - modulus).otherwise(unsigned)
+    value = signed / F.lit(10 ** scale).cast("decimal(19,0)")
+    return (
+        F.when(F.length(hexs) > 16, F.lit(None))
+        .otherwise(value)
+        .cast(T.DecimalType(precision, scale))
     )
 
 

@@ -225,3 +225,91 @@ def test_schema_drift_monitor_is_silent_on_clean_topics(spark):
     ]
     raw = spark.createDataFrame([(v,) for v in events], "value string")
     assert connectors.debezium_schema_drift(raw, TICKETS_WIRE).count() == 0
+
+
+# --- precise-mode decimals (the Debezium DEFAULT, r11) -------------------------
+
+
+def _connect_decimal_b64(unscaled: int) -> str:
+    """Kafka Connect logical Decimal wire bytes: base64 of the unscaled
+    value's MINIMAL two's-complement big-endian bytes (Java
+    BigInteger.toByteArray)."""
+    import base64
+
+    n = 1
+    while not (-(1 << (8 * n - 1)) <= unscaled < (1 << (8 * n - 1))):
+        n += 1
+    return base64.b64encode(unscaled.to_bytes(n, "big", signed=True)).decode()
+
+
+def test_precise_decimal_matches_bigdecimal_semantics(spark):
+    """decimal.handling.mode='precise' (the Debezium DEFAULT): base64
+    two's-complement unscaled bytes decode to the exact DECIMAL value --
+    positives, negatives, zero, sign-bit-boundary lengths, a DECIMAL(15,2)
+    widening, and the >8-byte guard (NULL, never a wrapped value)."""
+    from decimal import Decimal
+
+    cases = [  # (unscaled, precision, scale)
+        (1250, 10, 2),            # 12.50 -- the reference's cost shape
+        (-1250, 10, 2),           # -12.50 (two's complement)
+        (0, 10, 2),               # 0.00
+        (127, 10, 2),             # 1 byte, positive max
+        (128, 10, 2),             # forces the 0x0080 two-byte encoding
+        (-128, 10, 2),            # 1 byte 0x80 -- sign bit alone
+        (-129, 10, 2),            # two bytes 0xFF7F
+        (99999999, 10, 2),        # 999999.99 near precision cap
+        (123456789012345, 15, 2), # DECIMAL(15,2) widening case
+        (-(1 << 62), 19, 0),      # 8-byte negative (19 digits)
+        (7, 5, 0),                # scale 0
+    ]
+    rows = [(i, _connect_decimal_b64(u)) for i, (u, _, _) in enumerate(cases)]
+    df = spark.createDataFrame(rows, "i int, wire string")
+    outs = {}
+    for i, (u, p, s) in enumerate(cases):
+        got = (
+            df.filter(F.col("i") == i)
+            .select(connectors.precise_decimal("wire", p, s).alias("v"))
+            .collect()[0]["v"]
+        )
+        outs[i] = got
+        want = Decimal(u) / (Decimal(10) ** s)
+        assert got == want, (i, u, got, want)
+
+    # >8-byte unscaled payloads (beyond conv's 64-bit arithmetic) dead-letter
+    # as NULL instead of silently wrapping
+    wide = spark.createDataFrame(
+        [(1, _connect_decimal_b64(1 << 72))], "i int, wire string"
+    )
+    assert (
+        wide.select(connectors.precise_decimal("wire", 38, 2).alias("v"))
+        .collect()[0]["v"]
+        is None
+    )
+
+
+def test_precise_decimal_through_full_envelope_decode(spark):
+    """End-to-end: a precise-mode envelope (cost declared StringType on the
+    wire, converted after decode) yields the same typed frame as the
+    string-mode contract above."""
+    wire_schema = T.StructType(
+        [
+            T.StructField("ticket_id", T.LongType(), True),
+            T.StructField("cost", T.StringType(), True),  # base64 bytes
+        ]
+    )
+    env = {
+        "before": None,
+        "after": {"ticket_id": 1, "cost": _connect_decimal_b64(1250)},
+        "op": "c",
+        "ts_ms": 1700000000000,
+        "source": {"lsn": 101},
+    }
+    raw = spark.createDataFrame([(json.dumps(env),)], "value string")
+    decoded = connectors.debezium_decode(raw, wire_schema, include_before=False)
+    typed = decoded.withColumn(
+        "cost", connectors.precise_decimal("cost", 10, 2)
+    )
+    r = typed.collect()[0]
+    assert r.op == "I" and r.seq == 101 and r.ticket_id == 1
+    assert str(r.cost) == "12.50"
+    assert dict(typed.dtypes)["cost"] == "decimal(10,2)"
