@@ -223,6 +223,23 @@ def epoch_millis_to_timestamp(col) -> "F.Column":
     return F.timestamp_millis(F.col(col) if isinstance(col, str) else col)
 
 
+def epoch_micros_to_timestamp(col) -> "F.Column":
+    """Debezium DEFAULT 'time.precision.mode' = 'adaptive_time_microseconds'
+    parity: Postgres TIMESTAMP arrives as int64 epoch MICROS
+    (io.debezium.time.MicroTimestamp). Declare LongType, convert after
+    decode -- with this and precise_decimal the seam consumes a Debezium
+    connector running entirely on DEFAULT config."""
+    return F.timestamp_micros(F.col(col) if isinstance(col, str) else col)
+
+
+def epoch_days_to_date(col) -> "F.Column":
+    """Debezium DATE parity (io.debezium.time.Date, both precision modes):
+    int32 days since epoch. Declare IntegerType/LongType, convert after
+    decode."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_from_unix_date(c.cast("int"))
+
+
 def kafka_changelog_stream(
     spark: SparkSession,
     bootstrap_servers: str,

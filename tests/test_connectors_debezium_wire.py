@@ -313,3 +313,20 @@ def test_precise_decimal_through_full_envelope_decode(spark):
     assert r.op == "I" and r.seq == 101 and r.ticket_id == 1
     assert str(r.cost) == "12.50"
     assert dict(typed.dtypes)["cost"] == "decimal(10,2)"
+
+
+def test_default_mode_temporals_decode(spark):
+    """time.precision.mode default (adaptive_time_microseconds): TIMESTAMP
+    as epoch micros, DATE as epoch days -- both convert JVM-side to the
+    exact instant/day."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [(1700000000123456, 19000)], "ts_us long, d_days int"
+    )
+    r = df.select(
+        connectors.epoch_micros_to_timestamp("ts_us").alias("ts"),
+        connectors.epoch_days_to_date("d_days").alias("d"),
+    ).collect()[0]
+    assert r.ts == datetime.datetime(2023, 11, 14, 22, 13, 20, 123456)
+    assert r.d == datetime.date(1970, 1, 1) + datetime.timedelta(days=19000)
