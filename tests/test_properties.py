@@ -259,3 +259,51 @@ def test_connected_components_match_union_find(spark, es):
         r.id: r.component_id for r in connected_components(edges, nodes).collect()
     }
     assert out == expected
+
+
+# --- Debezium precise-mode decimal decode ------------------------------------
+
+_dec_cases = st.lists(
+    st.tuples(
+        st.integers(-(10 ** 18), 10 ** 18),  # unscaled, within 8 wire bytes
+        st.integers(0, 6),                   # scale
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(_dec_cases)
+@settings(**SETTINGS)
+def test_precise_decimal_decodes_any_bigdecimal(spark, cases):
+    """Property: for ANY (unscaled, scale) within 8 wire bytes, decoding the
+    Kafka Connect Decimal bytes reproduces Decimal(unscaled) / 10^scale
+    exactly -- including sign-bit-boundary byte lengths the minimal
+    two's-complement encoding produces."""
+    import base64
+    from decimal import Decimal
+
+    from flink_cdc_fluss_quickstart_spark.sources.connectors import precise_decimal
+
+    def wire(u: int) -> str:
+        n = 1
+        while not (-(1 << (8 * n - 1)) <= u < (1 << (8 * n - 1))):
+            n += 1
+        return base64.b64encode(u.to_bytes(n, "big", signed=True)).decode()
+
+    # one job per distinct scale (the column expression is scale-typed)
+    by_scale: dict[int, list[tuple[int, int]]] = {}
+    for i, (u, s) in enumerate(cases):
+        by_scale.setdefault(s, []).append((i, u))
+    for s, items in by_scale.items():
+        df = spark.createDataFrame(
+            [(i, wire(u)) for i, u in items], "i int, w string"
+        )
+        got = {
+            r.i: r.v
+            for r in df.select(
+                "i", precise_decimal("w", 38, s).alias("v")
+            ).collect()
+        }
+        for i, u in items:
+            assert got[i] == Decimal(u) / (Decimal(10) ** s), (u, s, got[i])
