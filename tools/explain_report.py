@@ -50,6 +50,7 @@ REPORT = (
     "cube_status_priority_revenue",
     "distinct_agg_parts_per_priority",
     "minhash_lsh_pairs",
+    "neardup_source_overlap",
     "minhash_incremental_pairs",
     "minhash_estimate_quality",
     "ngram_jaccard_neardup",
