@@ -194,9 +194,18 @@ def precise_decimal(col, precision: int, scale: int) -> "F.Column":
     decimal division by 10^scale. Supports unscaled values up to 8 bytes
     -- every DECIMAL(18,s) and both of the reference's widths; wider
     payloads return NULL (dead-letter them) rather than a silently
-    wrapped value, since conv() arithmetic is 64-bit."""
+    wrapped value, since conv() arithmetic is 64-bit.
+
+    Malformed payloads (non-base64 text, empty strings) yield NULL rather
+    than failing the stream -- under ANSI mode a bare unbase64 RAISES on
+    invalid input, which would let one corrupted record kill a 100 TB/day
+    pipeline; the rlike gate keeps the never-fail contract the envelope
+    decode already honors for malformed JSON."""
     c = F.col(col) if isinstance(col, str) else col
-    hexs = F.hex(F.unbase64(c))
+    valid = c.rlike("^(?:[A-Za-z0-9+/]{4})*(?:[A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$") & (
+        F.length(c) > 0
+    )
+    hexs = F.hex(F.unbase64(F.when(valid, c)))
     unsigned = F.conv(hexs, 16, 10).cast("decimal(38,0)")
     modulus = F.element_at(
         F.create_map(

@@ -330,3 +330,23 @@ def test_default_mode_temporals_decode(spark):
     ).collect()[0]
     assert r.ts == datetime.datetime(2023, 11, 14, 22, 13, 20, 123456)
     assert r.d == datetime.date(1970, 1, 1) + datetime.timedelta(days=19000)
+
+
+def test_precise_decimal_malformed_payloads_null_never_fail(spark):
+    """ANSI mode makes bare unbase64 RAISE on invalid input; a corrupted
+    record must dead-letter as NULL, not kill the stream."""
+    rows = [
+        (0, "not base64!!"),
+        (1, ""),
+        (2, None),
+        (3, "BOI="),   # valid base64 of 0x04E2 = 1250 -> 12.50
+    ]
+    df = spark.createDataFrame(rows, "i int, w string")
+    got = {
+        r.i: r.v
+        for r in df.select(
+            "i", connectors.precise_decimal("w", 10, 2).alias("v")
+        ).collect()
+    }
+    assert got[0] is None and got[1] is None and got[2] is None
+    assert str(got[3]) == "12.50"
