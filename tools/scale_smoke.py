@@ -105,6 +105,13 @@ PAIR_OPS = (
 VOLUME_OPS: dict[str, tuple[str, str]] = {
     # op -> (output column summed for the volume, unit label)
     "doc_novelty_score": ("n_grams", "gram-occurrence rows"),
+    # pair-AGGREGATING report: its output is a handful of source-pair rows
+    # but the traffic through the tag-and-rollup joins is the banded
+    # candidate-pair stream, which grows quadratically in the replication
+    # factor by construction (same inherent growth as minhash_lsh_pairs,
+    # whose emitted-pair defense is measured above); sum(n_pairs) recovers
+    # exactly that intermediate volume from the report itself
+    "neardup_source_overlap": ("n_pairs", "near-dup candidate pairs"),
 }
 
 # single-JVM memory guard: an op whose OUTPUT is quadratic by construction
@@ -200,6 +207,7 @@ def deep_point(ops: tuple[str, ...], factors: list[int],
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
     rows: dict[str, dict[int, float]] = {op: {} for op in ops}
+    vol_counts: dict[str, dict[int, int]] = {op: {} for op in ops if op in VOLUME_OPS}
     counts: dict[int, int] = {}
     calib: dict[int, float] = {}
     tmp = tempfile.mkdtemp(prefix="scale_deep_")
@@ -227,6 +235,13 @@ def deep_point(ops: tuple[str, ...], factors: list[int],
                 t0 = time.time()
                 n_out = specs[op].builder(spark, d).count()
                 rows[op][f] = time.time() - t0
+                if op in VOLUME_OPS:
+                    # untimed second evaluation summing the operator's own
+                    # volume column -- the traffic measure, never the timing
+                    col, _unit = VOLUME_OPS[op]
+                    vol_counts[op][f] = (
+                        specs[op].builder(spark, d).agg(F.sum(col)).collect()[0][0]
+                    )
                 print(f"<!-- {op} x{f}: {rows[op][f]:.2f}s ({n_out} rows) -->", file=sys.stderr)
                 spark.catalog.clearCache()
     finally:
@@ -252,6 +267,26 @@ def deep_point(ops: tuple[str, ...], factors: list[int],
         ratio = rows[op][have[-1]] / max(rows[op][have[0]], 1e-9)
         cap_note = "" if have[-1] == factors[-1] else f" (at x{have[-1]})"
         print(f"| {op} | {cells} | {ratio:.1f}x{cap_note} |")
+    if vol_counts:
+        print()
+        print("Volume defense (runtime tracks intermediate traffic, same as")
+        print("the full sweep's pair/volume tables):")
+        print()
+        print("| operator | metric | " + " | ".join(f"x{f}" for f in factors) + " |")
+        print("|---|---|" + "---|" * len(factors))
+        for op, vols in vol_counts.items():
+            _col, unit = VOLUME_OPS[op]
+            vol_cells = " | ".join(
+                f"{vols[f]:,}" if f in vols else "--" for f in factors
+            )
+            print(f"| {op} | {unit} | {vol_cells} |")
+            per_cells = " | ".join(
+                f"{rows[op][f] / max(vols[f], 1) * 1000:.3f}s"
+                if f in vols
+                else "--"
+                for f in factors
+            )
+            print(f"| {op} | sec per 1k pairs | {per_cells} |")
 
 
 def main() -> None:
