@@ -185,6 +185,20 @@ def get(name: str) -> QuerySpec:
 # hash-routing family and minhash_lsh's banded-pair family. bench.HEADLINE
 # swaps the same five names (guard: every benched name carries a driver
 # correctness row).
+#
+# Round-11 second wave: neardup_source_overlap (ADDED late in r11, the one
+# never-stamped name) rotates IN so it is driver-stamped the round it lands
+# (the standing added-in-round-N cadence); out rotates
+# q13_customer_order_distribution (freshly stamped r9+r10, family note
+# below -- its outer-join tree stays stamped via q3 and its grouped
+# count-distribution shape via distinct_agg_parts_per_priority).
+#
+# Round-11 third wave: logreg_quality_score (ADDED r11 -- the trained
+# discriminative curation scorer completing the NB/DSIR/logreg triad)
+# rotates IN per the added-in-round-N cadence, sf0.001+sf0.01
+# oracle-checked before rotating; out rotates q8_national_market_share
+# (freshly stamped r9+r10; its two-nation join tree stays stamped via q7
+# and its profit/share rollup via q9, note below).
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -203,10 +217,8 @@ PRIORITY: tuple[str, ...] = (
     # so the driver ledger records what the repo oracle already proves
     # (q6 out-rotated r11 for the new fertility report; its single-scan
     # filtered-agg family stays proven by q1)
-    "q8_national_market_share",
     "q9_profit_by_nation_year",
     "q11_important_part_value",
-    "q13_customer_order_distribution",
     "q16_supplier_part_variety",
     "q18_large_volume_orders",
     "q21_sole_late_supplier",
@@ -232,6 +244,7 @@ PRIORITY: tuple[str, ...] = (
     "bloom_decontamination",
     "pack_efficiency_report",
     # text analysis: quality, corpus-LM scores, curriculum
+    "logreg_quality_score",
     "dedup_exact",
     "bpe_encode_tokens",
     "tokenizer_fertility_by_lang",
@@ -240,6 +253,7 @@ PRIORITY: tuple[str, ...] = (
     "curriculum_order",
     # near-dup detection + dedup end steps
     "minhash_lsh_pairs",
+    "neardup_source_overlap",
     "simhash_neardup_pairs",
     "winnow_overlap_pairs",
     "span_dedup_text",
@@ -358,12 +372,18 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " the stamped md5-hash predicate machinery + a grouped token-sum"
         " (the token_stats_by_lang shape, also stamped); stamped r8-r10",
     ),
-    "neardup_source_overlap": (
-        "minhash_lsh_pairs",
-        "strict downstream of the stamped banded pair join (same candidate"
-        " generation); everything added -- two (id, source) equi joins,"
-        " canonical pair order, a |sources|^2 rollup -- is repo-oracle-"
-        "checked and planted-tested (cross-source mirror corpus)",
+    "q8_national_market_share": (
+        "q7_nation_trade_flows",
+        "same two-nation supplier/customer join tree over the lineitem"
+        " fact (q7 stamps it); the year-grouped revenue-share rollup stays"
+        " stamped via q9's profit-by-nation-year aggregation; stamped r9+r10",
+    ),
+    "q13_customer_order_distribution": (
+        "q3_top_revenue_orders",
+        "same customer-orders join tree (outer null-extension also covered"
+        " by left_join_order_coverage's note); the second-level grouped"
+        " count-distribution shape stays stamped via"
+        " distinct_agg_parts_per_priority; stamped r9+r10",
     ),
     "soft_dedup_weights": (
         "minhash_lsh_pairs",

@@ -3843,3 +3843,285 @@ def line_dedup_incremental_frame(
 def line_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return line_dedup_incremental_frame(spread(_ld_planted(docs)))
+
+
+# --- trained quality classifier: logistic-regression distillation ------------
+
+# fastText-style quality classifier (Joulin et al. 2016 -- the architecture
+# CCNet / LLaMA-style curation pipelines train on weakly-labeled examples):
+# full-batch gradient descent on a linear model over cheap per-doc features,
+# distilling a hard rule label into a smooth 0..1 quality score. The repo's
+# NB (generative) and DSIR (importance-ratio) scorers cover the other two
+# classic curation scorers; this is the trained DISCRIMINATIVE one.
+#
+# Determinism contract (the floor-scaled-BIGINT discipline, registry.py):
+# every corpus-wide float reduction (feature moments, per-round gradients)
+# floor-scales its PER-ROW contribution to BIGINT before summing, so sums
+# are exact integers independent of partition order; all remaining per-row
+# math uses only IEEE correctly-rounded ops (+ - * / abs sqrt least floor,
+# NEVER exp/log -- the sigmoid is the rational 0.5 + 0.5*z/(1+|z|)), built
+# with the identical association order on both engines, so Spark and DuckDB
+# agree bit-for-bit on weights and scores.
+LOGREG_ROUNDS = 8
+LOGREG_LR = 2.0
+LOGREG_SCALE = 1_000_000
+# compact high-signal function-word list (shared by features AND weak label)
+LOGREG_STOPS = ("a", "the", "of", "to", "and", "in", "is", "it", "that", "for")
+LOGREG_LONG_LEN = 6  # "long token" feature threshold
+LOGREG_MWL_CAP = 20.0  # mean-word-length feature cap (robustness to 1-token docs)
+LOGREG_LEN_CAP = 100  # word-count feature saturation
+LOGREG_LABEL_MIN_WORDS = 40  # weak label: nw >= 40 AND stop_ratio >= 0.05
+LOGREG_LABEL_MIN_STOP = 0.05
+
+_LR_STOP_SQL = ", ".join(f"'{w}'" for w in LOGREG_STOPS)
+_LR_NFEAT = 5  # bias + 4 standardized features
+_LR_S = "1000000.0"  # the quantization scale as both engines' literal
+
+
+def logreg_features_frame(d: DataFrame) -> DataFrame:
+    """Per-doc raw feature row: bias x0=1, stopword ratio x1, capped mean
+    word length x2, long-token ratio x3, saturated length x4, weak label y.
+    Each ratio is a single division of exact integers (CASE-guarded against
+    0-token docs on both engines); NULL text propagates NULL features and a
+    0 label identically on both engines."""
+    t = F.col("text")
+    w = text.tokens(t)
+    nw = F.size(w)
+    nstop = F.size(F.filter(w, lambda x: x.isin(*LOGREG_STOPS)))
+    nlong = F.size(F.filter(w, lambda x: F.length(x) >= LOGREG_LONG_LEN))
+    nonws = F.length(F.regexp_replace(t, r"\s", ""))
+    x1 = F.when(nw == 0, F.lit(0.0)).otherwise(nstop.cast("double") / nw)
+    x2 = F.least(
+        F.when(nw == 0, F.lit(0.0)).otherwise(nonws.cast("double") / nw),
+        F.lit(LOGREG_MWL_CAP),
+    )
+    x3 = F.when(nw == 0, F.lit(0.0)).otherwise(nlong.cast("double") / nw)
+    x4 = F.least(nw, F.lit(LOGREG_LEN_CAP)).cast("double") / F.lit(100.0)
+    y = (
+        F.when((nw >= LOGREG_LABEL_MIN_WORDS) & (x1 >= F.lit(LOGREG_LABEL_MIN_STOP)), F.lit(1.0))
+        .otherwise(F.lit(0.0))
+    )
+    return d.select(
+        "doc_id",
+        F.lit(1.0).alias("x0"),
+        x1.alias("x1"),
+        x2.alias("x2"),
+        x3.alias("x3"),
+        x4.alias("x4"),
+        y.alias("y"),
+    )
+
+
+def _lr_z(w: list[float], pfx: str) -> F.Column:
+    """w . x with the FIXED association order ((((w0*f0)+w1*f1)+...)+w4*f4)
+    -- float addition is not associative, so the oracle builds the same."""
+    z = F.lit(w[0]) * F.col(f"{pfx}0")
+    for j in range(1, _LR_NFEAT):
+        z = z + F.lit(w[j]) * F.col(f"{pfx}{j}")
+    return z
+
+
+def _lr_sig(z: F.Column) -> F.Column:
+    """Rational 'fast sigmoid' 0.5 + 0.5*z/(1+|z|): same monotone S-shape,
+    but every op is IEEE correctly-rounded (exp is not), so both engines
+    produce bit-identical doubles."""
+    return F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1.0) + F.abs(z)))
+
+
+def logreg_quality_frame(d: DataFrame) -> DataFrame:
+    """Fit by full-batch GD and score every doc.
+
+    Execution shape (100 TB posture): the corpus collapses ONCE into a
+    cached 6-double-per-doc projection; then 2 moment passes + LOGREG_ROUNDS
+    gradient passes, each a map-side-combined aggregate to ONE 5-long row
+    (the Lloyd/BPE one-row-collect precedent -- driver traffic is 5 scalars
+    per round, never row data); final scoring is one row-local projection.
+    No shuffle ever carries more than the aggregate row per partition."""
+    scale = float(LOGREG_SCALE)
+    feats = _cached(logreg_features_frame(d))
+    row = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.floor(F.lit(scale) * F.col(f"x{j}"))).alias(f"m{j}")
+            for j in range(1, _LR_NFEAT)
+        ],
+    ).collect()[0]
+    n = max(row["n"], 1)
+    m = {
+        j: ((row[f"m{j}"] if row[f"m{j}"] is not None else 0) / scale) / n
+        for j in range(1, _LR_NFEAT)
+    }
+    vrow = feats.agg(
+        *[
+            F.sum(
+                F.floor(
+                    F.lit(scale)
+                    * ((F.col(f"x{j}") - F.lit(m[j])) * (F.col(f"x{j}") - F.lit(m[j])))
+                )
+            ).alias(f"v{j}")
+            for j in range(1, _LR_NFEAT)
+        ]
+    ).collect()[0]
+    sd = {}
+    for j in range(1, _LR_NFEAT):
+        s = math.sqrt(((vrow[f"v{j}"] if vrow[f"v{j}"] is not None else 0) / scale) / n)
+        sd[j] = 1.0 if s == 0.0 else s
+    std = _cached(
+        feats.select(
+            "doc_id",
+            "y",
+            F.col("x0").alias("s0"),
+            *[
+                ((F.col(f"x{j}") - F.lit(m[j])) / F.lit(sd[j])).alias(f"s{j}")
+                for j in range(1, _LR_NFEAT)
+            ],
+        )
+    )
+    w = [0.0] * _LR_NFEAT
+    for _ in range(LOGREG_ROUNDS):
+        sgm = _lr_sig(_lr_z(w, "s"))
+        g = std.agg(
+            *[
+                F.sum(
+                    F.floor(F.lit(scale) * ((sgm - F.col("y")) * F.col(f"s{j}")))
+                ).alias(f"g{j}")
+                for j in range(_LR_NFEAT)
+            ]
+        ).collect()[0]
+        w = [
+            w[j]
+            - LOGREG_LR * (((g[f"g{j}"] if g[f"g{j}"] is not None else 0) / scale) / n)
+            for j in range(_LR_NFEAT)
+        ]
+    sgm = _lr_sig(_lr_z(w, "s"))
+    sm = F.floor(F.lit(scale) * sgm)
+    return std.select(
+        "doc_id",
+        F.col("y").cast("bigint").alias("weak_label"),
+        sm.alias("score_micro"),
+        (sm >= F.lit(LOGREG_SCALE // 2)).alias("predicted"),
+    )
+
+
+def _lr_oracle_sql() -> str:
+    """The SAME computation as DuckDB CTEs: unrolled GD rounds, weights
+    carried through 1-row CTEs, every expression built with the identical
+    association order as the Spark side (see the builders above)."""
+    S = _LR_S
+
+    def z(wref: str, fref: str, pfx: str) -> str:
+        e = f"({wref}.w0 * {fref}.{pfx}0)"
+        for j in range(1, _LR_NFEAT):
+            e = f"({e} + ({wref}.w{j} * {fref}.{pfx}{j}))"
+        return e
+
+    def sig(zexpr: str) -> str:
+        return f"(0.5 + 0.5 * ({zexpr} / (1.0 + abs({zexpr}))))"
+
+    mm = ", ".join(
+        f"SUM(CAST(floor({S} * f.x{j}) AS BIGINT)) AS M{j}" for j in range(1, _LR_NFEAT)
+    )
+    mv = ", ".join(
+        f"((COALESCE(mm.M{j}, 0) / {S}) / GREATEST(nn.n, 1)) AS m{j}"
+        for j in range(1, _LR_NFEAT)
+    )
+    vv = ", ".join(
+        f"SUM(CAST(floor({S} * ((f.x{j} - mv.m{j}) * (f.x{j} - mv.m{j}))) AS BIGINT)) AS V{j}"
+        for j in range(1, _LR_NFEAT)
+    )
+    sdv = ", ".join(
+        f"CASE WHEN sqrt(((COALESCE(vv.V{j}, 0) / {S}) / GREATEST(nn.n, 1))) = 0.0"
+        f" THEN 1.0 ELSE sqrt(((COALESCE(vv.V{j}, 0) / {S}) / GREATEST(nn.n, 1))) END AS sd{j}"
+        for j in range(1, _LR_NFEAT)
+    )
+    std = "f.doc_id, f.y, f.x0 AS s0, " + ", ".join(
+        f"((f.x{j} - mv.m{j}) / sdv.sd{j}) AS s{j}" for j in range(1, _LR_NFEAT)
+    )
+    rounds = []
+    for r in range(1, LOGREG_ROUNDS + 1):
+        sg = sig(z(f"w{r - 1}", "s", "s"))
+        gsel = ", ".join(
+            f"SUM(CAST(floor({S} * (({sg} - s.y) * s.s{j})) AS BIGINT)) AS g{j}"
+            for j in range(_LR_NFEAT)
+        )
+        wsel = ", ".join(
+            f"(w{r - 1}.w{j} - {LOGREG_LR} * (((COALESCE(g{r}.g{j}, 0) / {S})"
+            f" / GREATEST(nn.n, 1)))) AS w{j}"
+            for j in range(_LR_NFEAT)
+        )
+        rounds.append(
+            f"g{r} AS (SELECT {gsel} FROM s CROSS JOIN w{r - 1}),\n"
+            f"    w{r} AS (SELECT {wsel} FROM w{r - 1} CROSS JOIN g{r} CROSS JOIN nn)"
+        )
+    final_sig = sig(z(f"w{LOGREG_ROUNDS}", "s", "s"))
+    w0 = ", ".join(f"0.0 AS w{j}" for j in range(_LR_NFEAT))
+    body = ",\n    ".join(rounds)
+    return rf"""
+    WITH raw AS (
+      SELECT doc_id, text, {text.DUCK_TOKENS} AS w
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, len(w) AS nw,
+             len(list_filter(w, t -> t IN ({_LR_STOP_SQL}))) AS nstop,
+             len(list_filter(w, t -> length(t) >= {LOGREG_LONG_LEN})) AS nlong,
+             length(regexp_replace(text, '\s', '', 'g')) AS nonws
+      FROM raw
+    ),
+    f AS (
+      SELECT doc_id, 1.0 AS x0,
+             CASE WHEN nw = 0 THEN 0.0 ELSE CAST(nstop AS DOUBLE) / nw END AS x1,
+             least(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(nonws AS DOUBLE) / nw END,
+                   {LOGREG_MWL_CAP}) AS x2,
+             CASE WHEN nw = 0 THEN 0.0 ELSE CAST(nlong AS DOUBLE) / nw END AS x3,
+             CAST(least(nw, {LOGREG_LEN_CAP}) AS DOUBLE) / 100.0 AS x4,
+             CASE WHEN nw >= {LOGREG_LABEL_MIN_WORDS}
+                   AND (CASE WHEN nw = 0 THEN 0.0
+                             ELSE CAST(nstop AS DOUBLE) / nw END)
+                       >= {LOGREG_LABEL_MIN_STOP}
+                  THEN 1.0 ELSE 0.0 END AS y
+      FROM cnt
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM f),
+    mm AS (SELECT {mm} FROM f),
+    mv AS (SELECT {mv} FROM mm CROSS JOIN nn),
+    vv AS (SELECT {vv} FROM f CROSS JOIN mv),
+    sdv AS (SELECT {sdv} FROM vv CROSS JOIN nn),
+    s AS (SELECT {std} FROM f CROSS JOIN mv CROSS JOIN sdv),
+    w0 AS (SELECT {w0}),
+    {body}
+    SELECT s.doc_id,
+           CAST(s.y AS BIGINT) AS weak_label,
+           CAST(floor({S} * {final_sig}) AS BIGINT) AS score_micro,
+           (CAST(floor({S} * {final_sig}) AS BIGINT) >= {LOGREG_SCALE // 2}) AS predicted
+    FROM s CROSS JOIN w{LOGREG_ROUNDS}
+    """
+
+
+@register(
+    "logreg_quality_score",
+    oracle=_lr_oracle_sql(),
+    description=f"Trained quality classifier (fastText-architecture"
+    f" distillation, Joulin et al. 2016; the CCNet/LLaMA curation recipe"
+    f" trains exactly this shape on weakly-labeled examples): logistic"
+    f" regression over {_LR_NFEAT - 1} cheap per-doc features (stopword"
+    f" ratio, capped mean word length, long-token ratio, saturated length)"
+    f" fit by {LOGREG_ROUNDS} rounds of full-batch gradient descent against"
+    f" the weak rule label (nw >= {LOGREG_LABEL_MIN_WORDS} AND stop_ratio"
+    f" >= {LOGREG_LABEL_MIN_STOP}), then every doc scored 0..1"
+    f" (score_micro = floor(1e6 * sigma(w.x))). Completes the curation"
+    f" scorer triad: NB (generative) + DSIR (importance ratio) +"
+    f" discriminative (this). Determinism: per-row contributions to every"
+    f" corpus reduction floor-scale to BIGINT before the sum (exact,"
+    f" order-independent); per-row math uses only correctly-rounded IEEE"
+    f" ops with a rational sigmoid (no exp), identical association order"
+    f" on both engines -- weights and scores match bit-for-bit. Scale"
+    f" shape: one cached 6-double projection of the corpus, then"
+    f" {LOGREG_ROUNDS + 2} map-side-combined aggregates each returning ONE"
+    f" {_LR_NFEAT}-scalar row to the driver (the Lloyd/BPE precedent);"
+    f" scoring is row-local. Linear at any corpus size; driver traffic is"
+    f" O(rounds), not O(rows).",
+)
+def logreg_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return logreg_quality_frame(d)

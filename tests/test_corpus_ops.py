@@ -1253,3 +1253,33 @@ def test_neardup_source_overlap_planted_cross_source_mirror(spark):
     total = sum(v["n_pairs"] for v in out.values())
     for v in out.values():
         assert v["share_milli"] == (1000 * v["n_pairs"]) // total
+
+
+def test_logreg_quality_learns_planted_separable_rule(spark):
+    """On a linearly separable planted corpus (stopword-rich long docs vs
+    stopword-free short docs) the trained classifier must reproduce the weak
+    rule label EXACTLY, with a wide score margin -- the synthetic documents
+    table has ~80% linear separability, so perfect accuracy is only
+    assertable here. Also plants a blank doc: defined (all-zero) features,
+    label 0, scored on the low side of the boundary."""
+    rows = []
+    for i in range(20):  # good: 50 words, every 4th a required function word
+        rows.append((i, " ".join(("the" if j % 4 == 0 else f"tok{j}x") for j in range(50))))
+    for i in range(20, 40):  # bad: 12 words, no stopwords
+        rows.append((i, " ".join(f"zq{j}word" for j in range(12))))
+    rows.append((40, "   "))  # blank doc
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in tq.logreg_quality_frame(_docs(spark, rows)).collect()
+    }
+    assert len(out) == 41
+    for i in range(20):
+        assert out[i]["weak_label"] == 1
+        assert out[i]["predicted"] is True
+        assert out[i]["score_micro"] > 800_000  # sim margin: min pos ~0.945
+    for i in range(20, 40):
+        assert out[i]["weak_label"] == 0
+        assert out[i]["predicted"] is False
+        assert out[i]["score_micro"] < 200_000  # sim margin: max neg ~0.055
+    blank = out[40]
+    assert blank["weak_label"] == 0 and blank["predicted"] is False

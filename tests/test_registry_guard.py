@@ -116,6 +116,7 @@ EXPECTED = {
     "line_dedup_incremental",
     "doc_novelty_score",
     "nb_quality_score",
+    "logreg_quality_score",
     "bpe_merge_candidates",
     "bpe_encode_tokens",
     "tokenizer_fertility_by_lang",
