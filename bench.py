@@ -67,6 +67,9 @@ HEADLINE = (
     "rollup_nation_segment_revenue",
     "cube_status_priority_revenue",
     "distinct_agg_parts_per_priority",
+    # r11 second wave: the trained discriminative quality scorer (GD rounds
+    # dominate its cost -- benched for exactly that reason)
+    "logreg_quality_score",
 )
 
 

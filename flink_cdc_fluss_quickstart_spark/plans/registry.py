@@ -199,6 +199,13 @@ def get(name: str) -> QuerySpec:
 # oracle-checked before rotating; out rotates q8_national_market_share
 # (freshly stamped r9+r10; its two-nation join tree stays stamped via q7
 # and its profit/share rollup via q9, note below).
+#
+# Round-11 fourth wave: hashed_ngram_langid (ADDED r11 -- the
+# distributed-weights fastText langid complement, weights as a bucket-keyed
+# DataFrame) rotates IN per the same cadence, sf0.001+sf0.01 oracle-checked
+# before rotating; out rotates q11_important_part_value (freshly stamped
+# r9+r10; its scalar-subquery-threshold family stays stamped via q17 and
+# its supplier-part rollup via q16, note below).
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -218,7 +225,6 @@ PRIORITY: tuple[str, ...] = (
     # (q6 out-rotated r11 for the new fertility report; its single-scan
     # filtered-agg family stays proven by q1)
     "q9_profit_by_nation_year",
-    "q11_important_part_value",
     "q16_supplier_part_variety",
     "q18_large_volume_orders",
     "q21_sole_late_supplier",
@@ -245,6 +251,7 @@ PRIORITY: tuple[str, ...] = (
     "pack_efficiency_report",
     # text analysis: quality, corpus-LM scores, curriculum
     "logreg_quality_score",
+    "hashed_ngram_langid",
     "dedup_exact",
     "bpe_encode_tokens",
     "tokenizer_fertility_by_lang",
@@ -371,6 +378,12 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "same pipeline routing family: per-domain budget allocation over"
         " the stamped md5-hash predicate machinery + a grouped token-sum"
         " (the token_stats_by_lang shape, also stamped); stamped r8-r10",
+    ),
+    "q11_important_part_value": (
+        "q17_below_avg_quantity_revenue",
+        "same scalar-subquery-vs-aggregate threshold family (q17 stamps"
+        " it); the partsupp value rollup side stays stamped via q16's"
+        " supplier-part variety aggregation; stamped r9+r10",
     ),
     "q8_national_market_share": (
         "q7_nation_trade_flows",

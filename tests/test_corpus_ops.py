@@ -1283,3 +1283,31 @@ def test_logreg_quality_learns_planted_separable_rule(spark):
         assert out[i]["score_micro"] < 200_000  # sim margin: max neg ~0.055
     blank = out[40]
     assert blank["weak_label"] == 0 and blank["predicted"] is False
+
+
+def test_hashed_ngram_langid_separates_planted_marker_languages(spark):
+    """Two planted 'languages' sharing high-df filler but carrying disjoint
+    rotating marker-token pools (each marker's df stays under the 1/4 cap,
+    so the cap drops ONLY the shared filler): the distributed hashed-gram
+    classifier must separate them perfectly with a wide margin (sim:
+    min-pos 0.986 vs max-neg 0.014). The shared filler exceeding the df cap
+    is itself load-bearing -- without the cap the common grams dominate
+    every normalized feature vector."""
+    rows = []
+    for i in range(20):  # 'en' docs: rotating enmark pool, df per marker = 6
+        mk = [f"enmark{(i + k) % 10}" for k in range(3)]
+        rows.append((i, " ".join(["filler common soup word"] * 3 + mk * 4), "en"))
+    for i in range(20, 40):  # 'de' docs: disjoint demark pool
+        mk = [f"demark{(i + k) % 10}" for k in range(3)]
+        rows.append((i, " ".join(["filler common soup word"] * 3 + mk * 4), "de"))
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    out = {r["doc_id"]: r.asDict() for r in tq.hashed_langid_frame(d).collect()}
+    assert len(out) == 40
+    for i in range(20):
+        assert out[i]["is_target_lang"] == 1
+        assert out[i]["predicted"] is True
+        assert out[i]["score_micro"] > 900_000
+    for i in range(20, 40):
+        assert out[i]["is_target_lang"] == 0
+        assert out[i]["predicted"] is False
+        assert out[i]["score_micro"] < 100_000

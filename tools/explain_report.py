@@ -51,6 +51,8 @@ REPORT = (
     "distinct_agg_parts_per_priority",
     "minhash_lsh_pairs",
     "neardup_source_overlap",
+    "logreg_quality_score",
+    "hashed_ngram_langid",
     "minhash_incremental_pairs",
     "minhash_estimate_quality",
     "ngram_jaccard_neardup",

@@ -70,6 +70,8 @@ OPS = (
     "soft_dedup_weights",
     "doc_novelty_score",
     "nb_quality_score",
+    "logreg_quality_score",
+    "hashed_ngram_langid",
     "bpe_merge_candidates",
     "textrank_keywords",
     "kmv_distinct_tokens",
