@@ -13,6 +13,10 @@ real pipeline ships:
     2c. perplexity_buckets        -- CCNet head/middle/tail mix report
     2d. span_dedup_text           -- substring-level dedup volume report
     2e. nb_quality_score          -- classifier-based domain scoring
+    2e-ii. logreg_quality_score   -- trained discriminative quality scorer
+                                     (GD-fit rule distillation, 0..1 scores)
+    2e-iii. hashed_ngram_langid   -- fastText-style hashed-gram langid
+                                     (distributed bucket-keyed weights)
     2f. doc_novelty_score         -- low-novelty (recombined boilerplate) scan
     3. dedup_keep_representatives -- one doc per near-dup cluster
     3b. semantic_dedup_prune      -- embedding-side SemDeDup keep rates
@@ -134,6 +138,20 @@ def main() -> None:
         F.count(F.lit(1)).alias("n_docs"),
         F.avg("nb_logodds_qbits").alias("avg_qbits"),
     ).orderBy("pred_positive").show()
+
+    print("== 2e-ii. trained quality scorer (GD-fit distillation, score deciles)")
+    q["logreg_quality_score"].builder(spark, sf_dir).groupBy("predicted").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("score_micro").alias("avg_score_micro"),
+        F.avg(F.col("weak_label").cast("double")).alias("label_rate"),
+    ).orderBy("predicted").show()
+
+    print("== 2e-iii. hashed-gram langid (is-en classifier, confusion counts)")
+    q["hashed_ngram_langid"].builder(spark, sf_dir).groupBy(
+        "is_target_lang", "predicted"
+    ).agg(F.count(F.lit(1)).alias("n_docs")).orderBy(
+        "is_target_lang", "predicted"
+    ).show()
 
     print("== 2f. novelty scan (5 most-recombined docs)")
     q["doc_novelty_score"].builder(spark, sf_dir).orderBy("novelty", "doc_id").show(5)
