@@ -4179,8 +4179,10 @@ def _hlr_bucket(gram: F.Column) -> F.Column:
     return dedup.md5_hex_prefix(F.concat(F.lit("hg|"), gram)) % HLR_BUCKETS
 
 
-def hashed_langid_frame(d: DataFrame) -> DataFrame:
-    """Fit the hashed-gram binary langid model and score every doc.
+def _hlr_fit_full(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Fit the hashed-gram binary langid model; returns (weights, hot,
+    feats, labels) -- feats/labels cached so the registered frame can score
+    without re-exploding the corpus.
 
     Execution shape (100 TB posture): one gram explode -> distinct-df
     census; the df-capped Zipf HEAD (bounded small: at most
@@ -4251,13 +4253,68 @@ def hashed_langid_frame(d: DataFrame) -> DataFrame:
         )
         if r % _HLR_CHECKPOINT_EVERY == _HLR_CHECKPOINT_EVERY - 1:
             weights = weights.localCheckpoint()
-    zf = z_frame(weights).select("doc_id", "zm")
+    return weights, hot, feats, labels
+
+
+def hashed_langid_fit(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Public fit surface: the trained model is the pair (weights, hot) --
+    a <= HLR_BUCKETS-row bucket-keyed weight frame plus the df-capped hot
+    gram list. Both broadcastable; hand them to hashed_langid_score to
+    serve any corpus or stream micro-batch."""
+    weights, hot, _feats, _labels = _hlr_fit_full(d)
+    return weights, hot
+
+
+def hashed_langid_score(
+    d: DataFrame,
+    weights: DataFrame,
+    hot: DataFrame,
+    feats: DataFrame | None = None,
+) -> DataFrame:
+    """Score docs with a TRAINED model -- the serving path: per-doc
+    features are row-local given the broadcast hot list, then one
+    broadcast join with the bucket-keyed weights and one doc-keyed
+    exact-integer aggregate. No training state, no cross-doc coupling, so
+    scores are identical however the docs are batched (streaming
+    micro-batch == batch of the union; tests/test_streaming_dedup.py)."""
+    scale = float(LOGREG_SCALE)
+    if feats is None:
+        grams = hashed_gram_frame(d)
+        kept = grams.join(F.broadcast(hot), "gram", "left_anti")
+        fb = kept.groupBy("doc_id", _hlr_bucket(F.col("gram")).alias("b")).agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        ngd = fb.groupBy("doc_id").agg(F.sum("cnt").alias("ng"))
+        feats = fb.join(ngd, "doc_id").select(
+            "doc_id", "b", (F.col("cnt").cast("double") / F.col("ng")).alias("f")
+        )
+    zf = (
+        feats.join(F.broadcast(weights), "b")
+        .select("doc_id", F.floor(F.lit(scale) * (F.col("w") * F.col("f"))).alias("t"))
+        .groupBy("doc_id")
+        .agg(F.sum("t").alias("zm"))
+    )
     sm = F.floor(F.lit(scale) * _lr_sig(F.coalesce(F.col("zm"), F.lit(0)) / F.lit(scale)))
-    return labels.join(zf, "doc_id", "left").select(
+    return d.select("doc_id").join(zf, "doc_id", "left").select(
         "doc_id",
-        F.col("y").cast("bigint").alias("is_target_lang"),
         sm.alias("score_micro"),
         (sm > F.lit(LOGREG_SCALE // 2)).alias("predicted"),
+    )
+
+
+def hashed_langid_frame(d: DataFrame) -> DataFrame:
+    """Fit + score every doc (the registered query): fit once, score from
+    the fit's own cached feature rollup (no second corpus explode), label
+    alongside for the confusion readout."""
+    weights, hot, feats, labels = _hlr_fit_full(d)
+    scored = hashed_langid_score(
+        d, weights, hot, feats=feats.select("doc_id", "b", "f")
+    )
+    return labels.join(scored, "doc_id").select(
+        "doc_id",
+        F.col("y").cast("bigint").alias("is_target_lang"),
+        "score_micro",
+        "predicted",
     )
 
 

@@ -363,3 +363,69 @@ def test_streaming_line_dedup_census_learns_boilerplate(spark, tmp_path):
     assert emitted[21]["text_dedup"] == "theta eight\niota nine"
     # batch-internal over-frequency drops every occurrence: doc 12 vanishes
     assert 12 not in emitted
+
+
+def test_hashed_langid_trained_model_scores_stream_like_batch(spark, tmp_path):
+    """Model serving: fit the hashed-gram langid classifier ONCE on the
+    reference corpus (batch), then score arriving docs per micro-batch with
+    the broadcast (weights, hot-gram) state. Per-doc scoring is row-local
+    given the trained state -- no cross-doc coupling -- so streaming scores
+    must equal the batch scoring of the union regardless of how the stream
+    is batched, and the trained boundary transfers to unseen docs built
+    from the same marker pools."""
+    import os
+
+    import pandas as pd
+
+    from flink_cdc_fluss_quickstart_spark.plans import text_queries as tq
+
+    train = []
+    for i in range(20):
+        mk = [f"enmark{(i + k) % 10}" for k in range(3)]
+        train.append((i, " ".join(["filler common soup word"] * 3 + mk * 4), "en"))
+    for i in range(20, 40):
+        mk = [f"demark{(i + k) % 10}" for k in range(3)]
+        train.append((i, " ".join(["filler common soup word"] * 3 + mk * 4), "de"))
+    d = spark.createDataFrame(train, "doc_id bigint, text string, lang string")
+    weights, hot = tq.hashed_langid_fit(d)
+    weights, hot = weights.localCheckpoint(), hot.localCheckpoint()
+
+    # unseen serving traffic from the same marker pools (plus one blank doc)
+    serve = [
+        (100, "filler common enmark1 enmark4 enmark7 extra"),
+        (101, "demark2 demark5 word demark8 soup"),
+        (102, "enmark0 enmark0 brand new doc"),
+        (103, "   "),
+    ]
+    batch = spark.createDataFrame(serve, "doc_id bigint, text string")
+    expected = {
+        r["doc_id"]: (r["score_micro"], r["predicted"])
+        for r in tq.hashed_langid_score(batch, weights, hot).collect()
+    }
+    assert expected[100][1] is True and expected[101][1] is False
+    assert expected[102][1] is True
+    assert expected[103][1] is False  # no grams -> z=0 -> 0.5, strict > loses
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    for name, rows in (("e1", serve[:2]), ("e2", serve[2:])):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            os.path.join(src, f"{name}.parquet"), index=False
+        )
+    emitted = {}
+
+    def fb(batch_df, batch_id):
+        for r in tq.hashed_langid_score(batch_df, weights, hot).collect():
+            emitted[r["doc_id"]] = (r["score_micro"], r["predicted"])
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "langid scoring stream did not drain"
+    assert emitted == expected
