@@ -15,6 +15,8 @@ real pipeline ships:
     2e. nb_quality_score          -- classifier-based domain scoring
     2e-ii. logreg_quality_score   -- trained discriminative quality scorer
                                      (GD-fit rule distillation, 0..1 scores)
+    2e-iib. logreg_holdout_eval   -- leakage-free go/no-go: heldout accuracy
+                                     must track train accuracy
     2e-iii. hashed_ngram_langid   -- fastText-style hashed-gram langid
                                      (distributed bucket-keyed weights)
     2f. doc_novelty_score         -- low-novelty (recombined boilerplate) scan
@@ -145,6 +147,9 @@ def main() -> None:
         F.avg("score_micro").alias("avg_score_micro"),
         F.avg(F.col("weak_label").cast("double")).alias("label_rate"),
     ).orderBy("predicted").show()
+
+    print("== 2e-iib. scorer go/no-go: train vs heldout accuracy (leakage-free)")
+    q["logreg_holdout_eval"].builder(spark, sf_dir).orderBy("split").show()
 
     print("== 2e-iii. hashed-gram langid (is-en classifier, confusion counts)")
     q["hashed_ngram_langid"].builder(spark, sf_dir).groupBy(

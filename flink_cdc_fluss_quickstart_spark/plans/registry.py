@@ -206,6 +206,13 @@ def get(name: str) -> QuerySpec:
 # before rotating; out rotates q11_important_part_value (freshly stamped
 # r9+r10; its scalar-subquery-threshold family stays stamped via q17 and
 # its supplier-part rollup via q16, note below).
+#
+# Round-11 fifth wave: logreg_holdout_eval (ADDED r11 -- the leakage-free
+# train/heldout evaluation of the trained scorer) rotates IN per the same
+# cadence, sf0.001+sf0.01 oracle-checked + planted-edge-swept before
+# rotating; out rotates q16_supplier_part_variety (freshly stamped r9+r10;
+# its distinct-agg rollup stays stamped via distinct_agg_parts_per_priority
+# and its NOT-IN anti side via the planted anti-join, note below).
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -225,7 +232,6 @@ PRIORITY: tuple[str, ...] = (
     # (q6 out-rotated r11 for the new fertility report; its single-scan
     # filtered-agg family stays proven by q1)
     "q9_profit_by_nation_year",
-    "q16_supplier_part_variety",
     "q18_large_volume_orders",
     "q21_sole_late_supplier",
     # planted-edge anti join (non-vacuous null-extension stamp, r10)
@@ -251,6 +257,7 @@ PRIORITY: tuple[str, ...] = (
     "pack_efficiency_report",
     # text analysis: quality, corpus-LM scores, curriculum
     "logreg_quality_score",
+    "logreg_holdout_eval",
     "hashed_ngram_langid",
     "dedup_exact",
     "bpe_encode_tokens",
@@ -378,6 +385,12 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "same pipeline routing family: per-domain budget allocation over"
         " the stamped md5-hash predicate machinery + a grouped token-sum"
         " (the token_stats_by_lang shape, also stamped); stamped r8-r10",
+    ),
+    "q16_supplier_part_variety": (
+        "distinct_agg_parts_per_priority",
+        "same grouped COUNT(DISTINCT) rollup family (the sibling stamps"
+        " it); the NOT-IN complaint-supplier exclusion is the anti-join"
+        " shape the planted anti-join stamps non-vacuously; stamped r9+r10",
     ),
     "q11_important_part_value": (
         "q17_below_avg_quantity_revenue",

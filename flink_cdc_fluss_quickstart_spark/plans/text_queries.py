@@ -3872,6 +3872,9 @@ LOGREG_MWL_CAP = 20.0  # mean-word-length feature cap (robustness to 1-token doc
 LOGREG_LEN_CAP = 100  # word-count feature saturation
 LOGREG_LABEL_MIN_WORDS = 40  # weak label: nw >= 40 AND stop_ratio >= 0.05
 LOGREG_LABEL_MIN_STOP = 0.05
+# holdout-eval split: md5(doc_id) bucket < 80 trains, the rest is heldout
+# (the dataset_split_assign hash rule, so membership is row-local + stable)
+LOGREG_TRAIN_BUCKET = 80
 
 _LR_STOP_SQL = ", ".join(f"'{w}'" for w in LOGREG_STOPS)
 _LR_NFEAT = 5  # bias + 4 standardized features
@@ -3928,7 +3931,7 @@ def _lr_sig(z: F.Column) -> F.Column:
     return F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1.0) + F.abs(z)))
 
 
-def logreg_quality_frame(d: DataFrame) -> DataFrame:
+def logreg_quality_frame(d: DataFrame, train_bucket: int | None = None) -> DataFrame:
     """Fit by full-batch GD and score every doc.
 
     Execution shape (100 TB posture): the corpus collapses ONCE into a
@@ -3936,10 +3939,30 @@ def logreg_quality_frame(d: DataFrame) -> DataFrame:
     gradient passes, each a map-side-combined aggregate to ONE 5-long row
     (the Lloyd/BPE one-row-collect precedent -- driver traffic is 5 scalars
     per round, never row data); final scoring is one row-local projection.
-    No shuffle ever carries more than the aggregate row per partition."""
+    No shuffle ever carries more than the aggregate row per partition.
+
+    With ``train_bucket`` set, EVERY fit-side reduction (n, feature moments,
+    per-round gradients) sees only docs whose md5(doc_id) bucket is below
+    it (the dataset_split_assign rule) -- the leakage-free protocol: the
+    heldout rows influence nothing, including the standardization moments
+    -- while scoring still covers every doc and an is_train flag rides
+    along for the evaluation rollup. train_bucket=None is the plain
+    all-docs fit (the registered logreg_quality_score path, unchanged)."""
     scale = float(LOGREG_SCALE)
-    feats = _cached(logreg_features_frame(d))
-    row = feats.agg(
+    feats = logreg_features_frame(d)
+    if train_bucket is not None:
+        feats = feats.join(
+            d.select(
+                "doc_id",
+                (dedup.hash_bucket(F.col("doc_id").cast("string")) < train_bucket).alias(
+                    "tr"
+                ),
+            ),
+            "doc_id",
+        )
+    feats = _cached(feats)
+    red = feats.filter("tr") if train_bucket is not None else feats
+    row = red.agg(
         F.count(F.lit(1)).alias("n"),
         *[
             F.sum(F.floor(F.lit(scale) * F.col(f"x{j}"))).alias(f"m{j}")
@@ -3951,7 +3974,7 @@ def logreg_quality_frame(d: DataFrame) -> DataFrame:
         j: ((row[f"m{j}"] if row[f"m{j}"] is not None else 0) / scale) / n
         for j in range(1, _LR_NFEAT)
     }
-    vrow = feats.agg(
+    vrow = red.agg(
         *[
             F.sum(
                 F.floor(
@@ -3970,6 +3993,7 @@ def logreg_quality_frame(d: DataFrame) -> DataFrame:
         feats.select(
             "doc_id",
             "y",
+            *(["tr"] if train_bucket is not None else []),
             F.col("x0").alias("s0"),
             *[
                 ((F.col(f"x{j}") - F.lit(m[j])) / F.lit(sd[j])).alias(f"s{j}")
@@ -3977,10 +4001,11 @@ def logreg_quality_frame(d: DataFrame) -> DataFrame:
             ],
         )
     )
+    std_red = std.filter("tr") if train_bucket is not None else std
     w = [0.0] * _LR_NFEAT
     for _ in range(LOGREG_ROUNDS):
         sgm = _lr_sig(_lr_z(w, "s"))
-        g = std.agg(
+        g = std_red.agg(
             *[
                 F.sum(
                     F.floor(F.lit(scale) * ((sgm - F.col("y")) * F.col(f"s{j}")))
@@ -4000,14 +4025,29 @@ def logreg_quality_frame(d: DataFrame) -> DataFrame:
         F.col("y").cast("bigint").alias("weak_label"),
         sm.alias("score_micro"),
         (sm >= F.lit(LOGREG_SCALE // 2)).alias("predicted"),
+        *(["tr"] if train_bucket is not None else []),
     )
 
 
-def _lr_oracle_sql() -> str:
+def _lr_oracle_sql(train: bool = False) -> str:
     """The SAME computation as DuckDB CTEs: unrolled GD rounds, weights
     carried through 1-row CTEs, every expression built with the identical
-    association order as the Spark side (see the builders above)."""
+    association order as the Spark side (see the builders above). With
+    ``train`` every fit-side reduction filters to the md5(doc_id) train
+    bucket (the dataset_split_assign spelling) and the tail emits the
+    per-split evaluation rollup instead of per-doc scores."""
+    from flink_cdc_fluss_quickstart_spark.plans.pipeline_queries import _duck_hex
+
     S = _LR_S
+    hex8 = _duck_hex("md5(CAST(doc_id AS VARCHAR))")
+    tr_col = (
+        f",\n             (CAST({hex8} % 100 AS BIGINT)"
+        f" < {LOGREG_TRAIN_BUCKET}) AS tr"
+        if train
+        else ""
+    )
+    tr_f = " WHERE f.tr" if train else ""
+    tr_s = " WHERE s.tr" if train else ""
 
     def z(wref: str, fref: str, pfx: str) -> str:
         e = f"({wref}.w0 * {fref}.{pfx}0)"
@@ -4034,8 +4074,13 @@ def _lr_oracle_sql() -> str:
         f" THEN 1.0 ELSE sqrt(((COALESCE(vv.V{j}, 0) / {S}) / GREATEST(nn.n, 1))) END AS sd{j}"
         for j in range(1, _LR_NFEAT)
     )
-    std = "f.doc_id, f.y, f.x0 AS s0, " + ", ".join(
-        f"((f.x{j} - mv.m{j}) / sdv.sd{j}) AS s{j}" for j in range(1, _LR_NFEAT)
+    std = (
+        "f.doc_id, f.y, "
+        + ("f.tr, " if train else "")
+        + "f.x0 AS s0, "
+        + ", ".join(
+            f"((f.x{j} - mv.m{j}) / sdv.sd{j}) AS s{j}" for j in range(1, _LR_NFEAT)
+        )
     )
     rounds = []
     for r in range(1, LOGREG_ROUNDS + 1):
@@ -4050,12 +4095,38 @@ def _lr_oracle_sql() -> str:
             for j in range(_LR_NFEAT)
         )
         rounds.append(
-            f"g{r} AS (SELECT {gsel} FROM s CROSS JOIN w{r - 1}),\n"
-            f"    w{r} AS (SELECT {wsel} FROM w{r - 1} CROSS JOIN g{r} CROSS JOIN nn)"
+            f"g{r} AS MATERIALIZED (SELECT {gsel} FROM s CROSS JOIN w{r - 1}{tr_s}),\n"
+            f"    w{r} AS MATERIALIZED (SELECT {wsel} FROM w{r - 1} CROSS JOIN g{r} CROSS JOIN nn)"
         )
     final_sig = sig(z(f"w{LOGREG_ROUNDS}", "s", "s"))
     w0 = ", ".join(f"0.0 AS w{j}" for j in range(_LR_NFEAT))
     body = ",\n    ".join(rounds)
+    if train:
+        tail = f""",
+    scored AS (
+      SELECT s.doc_id, s.tr,
+             CAST(s.y AS BIGINT) AS weak_label,
+             (CAST(floor({S} * {final_sig}) AS BIGINT)
+                >= {LOGREG_SCALE // 2}) AS predicted
+      FROM s CROSS JOIN w{LOGREG_ROUNDS}
+    )
+    SELECT CASE WHEN tr THEN 'train' ELSE 'heldout' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(weak_label) AS BIGINT) AS n_pos,
+           CAST(SUM(CASE WHEN predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_pred_pos,
+           CAST(SUM(CASE WHEN predicted = (weak_label = 1) THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(floor((1000.0 * SUM(CASE WHEN predicted = (weak_label = 1)
+                                         THEN 1 ELSE 0 END)) / COUNT(*))
+                AS BIGINT) AS accuracy_milli
+    FROM scored GROUP BY 1"""
+    else:
+        tail = f"""
+    SELECT s.doc_id,
+           CAST(s.y AS BIGINT) AS weak_label,
+           CAST(floor({S} * {final_sig}) AS BIGINT) AS score_micro,
+           (CAST(floor({S} * {final_sig}) AS BIGINT) >= {LOGREG_SCALE // 2}) AS predicted
+    FROM s CROSS JOIN w{LOGREG_ROUNDS}"""
     return rf"""
     WITH raw AS (
       SELECT doc_id, text, {text.DUCK_TOKENS} AS w
@@ -4068,7 +4139,7 @@ def _lr_oracle_sql() -> str:
              length(regexp_replace(text, '\s', '', 'g')) AS nonws
       FROM raw
     ),
-    f AS (
+    f AS MATERIALIZED (
       SELECT doc_id, 1.0 AS x0,
              CASE WHEN nw = 0 THEN 0.0 ELSE CAST(nstop AS DOUBLE) / nw END AS x1,
              least(CASE WHEN nw = 0 THEN 0.0 ELSE CAST(nonws AS DOUBLE) / nw END,
@@ -4079,22 +4150,17 @@ def _lr_oracle_sql() -> str:
                    AND (CASE WHEN nw = 0 THEN 0.0
                              ELSE CAST(nstop AS DOUBLE) / nw END)
                        >= {LOGREG_LABEL_MIN_STOP}
-                  THEN 1.0 ELSE 0.0 END AS y
+                  THEN 1.0 ELSE 0.0 END AS y{tr_col}
       FROM cnt
     ),
-    nn AS (SELECT COUNT(*) AS n FROM f),
-    mm AS (SELECT {mm} FROM f),
-    mv AS (SELECT {mv} FROM mm CROSS JOIN nn),
-    vv AS (SELECT {vv} FROM f CROSS JOIN mv),
-    sdv AS (SELECT {sdv} FROM vv CROSS JOIN nn),
-    s AS (SELECT {std} FROM f CROSS JOIN mv CROSS JOIN sdv),
-    w0 AS (SELECT {w0}),
-    {body}
-    SELECT s.doc_id,
-           CAST(s.y AS BIGINT) AS weak_label,
-           CAST(floor({S} * {final_sig}) AS BIGINT) AS score_micro,
-           (CAST(floor({S} * {final_sig}) AS BIGINT) >= {LOGREG_SCALE // 2}) AS predicted
-    FROM s CROSS JOIN w{LOGREG_ROUNDS}
+    nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM f{tr_f}),
+    mm AS MATERIALIZED (SELECT {mm} FROM f{tr_f}),
+    mv AS MATERIALIZED (SELECT {mv} FROM mm CROSS JOIN nn),
+    vv AS MATERIALIZED (SELECT {vv} FROM f CROSS JOIN mv{tr_f}),
+    sdv AS MATERIALIZED (SELECT {sdv} FROM vv CROSS JOIN nn),
+    s AS MATERIALIZED (SELECT {std} FROM f CROSS JOIN mv CROSS JOIN sdv),
+    w0 AS MATERIALIZED (SELECT {w0}),
+    {body}{tail}
     """
 
 
@@ -4125,6 +4191,62 @@ def _lr_oracle_sql() -> str:
 def logreg_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     return logreg_quality_frame(d)
+
+
+def logreg_holdout_report_frame(d: DataFrame) -> DataFrame:
+    """Leakage-free evaluation of the trained scorer: fit ONLY on the
+    md5-hash train bucket (moments included -- heldout rows influence
+    nothing), score everything, roll up per-split confusion counts."""
+    sc = logreg_quality_frame(d, train_bucket=LOGREG_TRAIN_BUCKET)
+    correct = F.when(
+        F.col("predicted") == (F.col("weak_label") == 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        sc.groupBy(
+            F.when(F.col("tr"), "train").otherwise("heldout").alias("split")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("weak_label").alias("n_pos"),
+            F.sum(F.when(F.col("predicted"), F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_pred_pos"
+            ),
+            F.sum(correct).alias("n_correct"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            "n_pos",
+            "n_pred_pos",
+            "n_correct",
+            F.floor((F.lit(1000.0) * F.col("n_correct")) / F.col("n_docs")).alias(
+                "accuracy_milli"
+            ),
+        )
+    )
+
+
+@register(
+    "logreg_holdout_eval",
+    oracle=_lr_oracle_sql(train=True),
+    description=f"Leakage-free evaluation of the trained quality scorer"
+    f" (the protocol FineWeb-Edu/CCNet-style classifier curation demands"
+    f" before trusting a filter): the SAME logistic-regression fit as"
+    f" logreg_quality_score but every fit-side reduction -- doc count,"
+    f" standardization moments, all {LOGREG_ROUNDS} gradient rounds -- sees"
+    f" ONLY the md5(doc_id) < {LOGREG_TRAIN_BUCKET}%% train bucket (the"
+    f" dataset_split_assign hash rule: row-local, stable, growth-proof);"
+    f" every doc is then scored and the output is the per-split confusion"
+    f" rollup (n_docs / n_pos / n_pred_pos / n_correct / accuracy_milli,"
+    f" exact integer arithmetic). Heldout accuracy tracking train accuracy"
+    f" is the generalization evidence; a gap is overfit. Same determinism"
+    f" contract and scale shape as the base scorer (one cached projection,"
+    f" one-row aggregates, row-local scoring) -- the split predicate only"
+    f" filters the reduction inputs.",
+)
+def logreg_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return logreg_holdout_report_frame(d)
 
 
 # --- hashed n-gram language classifier: distributed sparse GD ----------------

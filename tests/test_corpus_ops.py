@@ -1311,3 +1311,33 @@ def test_hashed_ngram_langid_separates_planted_marker_languages(spark):
         assert out[i]["is_target_lang"] == 0
         assert out[i]["predicted"] is False
         assert out[i]["score_micro"] < 100_000
+
+
+def test_logreg_holdout_eval_perfect_on_planted_separable_corpus(spark):
+    """On the linearly separable planted corpus the leakage-free protocol
+    must still classify BOTH splits perfectly: the model sees only the
+    md5-bucket train docs (moments included) yet the heldout docs -- drawn
+    from the same two planted populations -- land on the right side of the
+    learned boundary. Both accuracy_milli values must be 1000 and the split
+    sizes must sum to the corpus."""
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(("the" if j % 4 == 0 else f"tok{j}x") for j in range(50))))
+    for i in range(20, 40):
+        rows.append((i, " ".join(f"zq{j}word" for j in range(12))))
+    # NO blank doc here: an all-zero feature row is out-of-distribution for
+    # a linear model that never trained on one (the heldout fit excludes it
+    # by hash), and its standardized extremes land on an arbitrary side of
+    # the boundary -- the all-docs fixture above covers the blank-doc edge.
+    out = {
+        r["split"]: r.asDict()
+        for r in tq.logreg_holdout_report_frame(_docs(spark, rows)).collect()
+    }
+    assert set(out) == {"train", "heldout"}
+    assert out["train"]["n_docs"] + out["heldout"]["n_docs"] == 40
+    assert out["heldout"]["n_docs"] > 0  # the hash split actually holds docs out
+    assert out["heldout"]["n_pos"] > 0  # ...and both planted classes reach it
+    assert out["heldout"]["n_pos"] < out["heldout"]["n_docs"]
+    for split in ("train", "heldout"):
+        assert out[split]["accuracy_milli"] == 1000
+        assert out[split]["n_correct"] == out[split]["n_docs"]

@@ -117,6 +117,7 @@ EXPECTED = {
     "doc_novelty_score",
     "nb_quality_score",
     "logreg_quality_score",
+    "logreg_holdout_eval",
     "hashed_ngram_langid",
     "bpe_merge_candidates",
     "bpe_encode_tokens",

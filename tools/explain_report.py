@@ -52,6 +52,7 @@ REPORT = (
     "minhash_lsh_pairs",
     "neardup_source_overlap",
     "logreg_quality_score",
+    "logreg_holdout_eval",
     "hashed_ngram_langid",
     "minhash_incremental_pairs",
     "minhash_estimate_quality",
