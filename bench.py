@@ -68,8 +68,10 @@ HEADLINE = (
     "cube_status_priority_revenue",
     "distinct_agg_parts_per_priority",
     # r11 second wave: the trained discriminative quality scorer (GD rounds
-    # dominate its cost -- benched for exactly that reason)
+    # dominate its cost -- benched for exactly that reason) and its
+    # leakage-free holdout evaluation (same fit machinery + the split rollup)
     "logreg_quality_score",
+    "logreg_holdout_eval",
 )
 
 
