@@ -19,6 +19,8 @@ real pipeline ships:
                                      must track train accuracy
     2e-iii. hashed_ngram_langid   -- fastText-style hashed-gram langid
                                      (distributed bucket-keyed weights)
+    2e-iv. source_curation_report -- per-source vendor scorecard (quality,
+                                     token mass, dup incidence)
     2f. doc_novelty_score         -- low-novelty (recombined boilerplate) scan
     3. dedup_keep_representatives -- one doc per near-dup cluster
     3b. semantic_dedup_prune      -- embedding-side SemDeDup keep rates
@@ -157,6 +159,11 @@ def main() -> None:
     ).agg(F.count(F.lit(1)).alias("n_docs")).orderBy(
         "is_target_lang", "predicted"
     ).show()
+
+    print("== 2e-iv. per-source curation scorecard (worst 5 by mean score)")
+    q["source_curation_report"].builder(spark, sf_dir).orderBy(
+        "mean_score_micro", "source"
+    ).show(5)
 
     print("== 2f. novelty scan (5 most-recombined docs)")
     q["doc_novelty_score"].builder(spark, sf_dir).orderBy("novelty", "doc_id").show(5)

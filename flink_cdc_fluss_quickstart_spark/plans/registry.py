@@ -213,6 +213,14 @@ def get(name: str) -> QuerySpec:
 # rotating; out rotates q16_supplier_part_variety (freshly stamped r9+r10;
 # its distinct-agg rollup stays stamped via distinct_agg_parts_per_priority
 # and its NOT-IN anti side via the planted anti-join, note below).
+#
+# Round-11 sixth wave: source_curation_report (ADDED r11 -- the per-source
+# vendor scorecard composing the trained scorer + dup census + token mass)
+# rotates IN per the same cadence, sf0.001+sf0.01 oracle-checked +
+# planted-edge-swept before rotating; out rotates
+# embedding_pca_top_component (freshly stamped r9+r10, not benched; its
+# Gram-matrix power-iteration family stays stamped via embedding_pq_codes'
+# subspace-Lloyd chain and the clustered recall report, note below).
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -258,6 +266,7 @@ PRIORITY: tuple[str, ...] = (
     # text analysis: quality, corpus-LM scores, curriculum
     "logreg_quality_score",
     "logreg_holdout_eval",
+    "source_curation_report",
     "hashed_ngram_langid",
     "dedup_exact",
     "bpe_encode_tokens",
@@ -279,7 +288,6 @@ PRIORITY: tuple[str, ...] = (
     "semantic_dedup_prune",
     "embedding_ivfpq_topk",
     "ann_recall_report_clustered",
-    "embedding_pca_top_component",
     "embedding_pq_codes",
     "pq_adc_recall_report",
 )
@@ -385,6 +393,13 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "same pipeline routing family: per-domain budget allocation over"
         " the stamped md5-hash predicate machinery + a grouped token-sum"
         " (the token_stats_by_lang shape, also stamped); stamped r8-r10",
+    ),
+    "embedding_pca_top_component": (
+        "embedding_pq_codes",
+        "same fused broadcast-Gram/centroid iteration family over the"
+        " embeddings scan (the PQ subspace-Lloyd chain is the strict"
+        " superset of the power-iteration shape); recall-side quality"
+        " stays stamped via ann_recall_report_clustered; stamped r9+r10",
     ),
     "q16_supplier_part_variety": (
         "distinct_agg_parts_per_priority",

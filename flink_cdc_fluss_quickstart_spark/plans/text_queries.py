@@ -4547,3 +4547,94 @@ def _hlr_oracle_sql() -> str:
 def hashed_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     return hashed_langid_frame(d)
+
+
+# --- per-source curation scorecard -------------------------------------------
+
+
+def source_curation_report_frame(d: DataFrame) -> DataFrame:
+    """Vendor/source scorecard: for every `source`, corpus share, token
+    mass, trained-scorer quality (mean score + weak-label rate), and
+    exact-duplicate incidence -- the per-feed report a curation team reads
+    before renewing a data source. Pure composition of proven pieces
+    (logreg scorer + md5 dup census + token counts) joined on doc_id/hash;
+    all rates are exact integer milli-units (BIGINT div), so both engines
+    agree bit-for-bit. Scale shape: the scorer's passes plus ONE md5-keyed
+    dup census and ONE doc-keyed join; the rollup output is |sources| rows."""
+    scored = logreg_quality_frame(d)
+    src = d.select(
+        "doc_id",
+        "source",
+        text.token_count(F.col("text")).alias("n_toks"),
+        dedup.exact_key(F.col("text")).alias("h"),
+    )
+    dupc = src.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    base = src.join(dupc, "h").join(scored, "doc_id")
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("tokens_total"),
+            F.sum(F.when(F.col("c") > 1, F.lit(1)).otherwise(F.lit(0))).alias(
+                "n_dup_docs"
+            ),
+            F.coalesce(F.sum("score_micro"), F.lit(0)).alias("__s"),
+            F.coalesce(F.sum("weak_label"), F.lit(0)).alias("__p"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens_total",
+            F.expr("__s div n_docs").alias("mean_score_micro"),
+            F.expr("(1000 * __p) div n_docs").alias("weak_label_rate_milli"),
+            "n_dup_docs",
+            F.expr("(1000 * n_dup_docs) div n_docs").alias("dup_rate_milli"),
+        )
+    )
+
+
+@register(
+    "source_curation_report",
+    oracle=rf"""
+    WITH scoredq AS MATERIALIZED (
+      SELECT * FROM ({_lr_oracle_sql()}) __lr
+    ),
+    src AS MATERIALIZED (
+      SELECT doc_id, source,
+             len({text.DUCK_TOKENS}) AS n_toks,
+             md5(text) AS h
+      FROM documents
+    ),
+    dupc AS MATERIALIZED (SELECT h, COUNT(*) AS c FROM src GROUP BY h),
+    base AS (
+      SELECT src.source, src.n_toks, dupc.c,
+             scoredq.score_micro, scoredq.weak_label
+      FROM src JOIN dupc USING (h) JOIN scoredq USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+           CAST(COALESCE(SUM(score_micro), 0) // COUNT(*) AS BIGINT)
+             AS mean_score_micro,
+           CAST((1000 * COALESCE(SUM(weak_label), 0)) // COUNT(*) AS BIGINT)
+             AS weak_label_rate_milli,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+           CAST((1000 * SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END)) // COUNT(*)
+                AS BIGINT) AS dup_rate_milli
+    FROM base GROUP BY source
+    """,
+    description="Per-source curation scorecard (the data-vendor report a"
+    " pipeline team reads before renewing a feed): for every `source`,"
+    " doc count, token mass, the trained scorer's mean score and"
+    " weak-label rate, and exact-duplicate incidence (docs whose md5(text)"
+    " repeats corpus-wide). Pure composition of proven registered pieces"
+    " -- the logreg scorer chain, the dedup_exact md5 census, the token"
+    " counter -- joined on doc_id/hash and rolled up to |sources| rows;"
+    " every rate is exact integer milli-units (BIGINT floor division), so"
+    " both engines agree bit-for-bit. Scale shape: the scorer's"
+    " fixed-round passes, one md5-keyed census groupBy, one doc-keyed"
+    " join, one |sources|-row rollup -- linear at any corpus size.",
+)
+def source_curation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return source_curation_report_frame(d)

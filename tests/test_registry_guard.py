@@ -118,6 +118,7 @@ EXPECTED = {
     "nb_quality_score",
     "logreg_quality_score",
     "logreg_holdout_eval",
+    "source_curation_report",
     "hashed_ngram_langid",
     "bpe_merge_candidates",
     "bpe_encode_tokens",

@@ -53,6 +53,7 @@ REPORT = (
     "neardup_source_overlap",
     "logreg_quality_score",
     "logreg_holdout_eval",
+    "source_curation_report",
     "hashed_ngram_langid",
     "minhash_incremental_pairs",
     "minhash_estimate_quality",
