@@ -1341,3 +1341,30 @@ def test_logreg_holdout_eval_perfect_on_planted_separable_corpus(spark):
     for split in ("train", "heldout"):
         assert out[split]["accuracy_milli"] == 1000
         assert out[split]["n_correct"] == out[split]["n_docs"]
+
+
+def test_source_curation_report_counts_dups_and_labels_per_source(spark):
+    """Planted two-source corpus: source A carries a duplicated doc and
+    rule-positive docs, source B is dup-free and rule-negative -- the
+    scorecard's structural columns (doc/token counts, dup incidence,
+    weak-label rate) must be exact; the trained-score column is asserted
+    only directionally (A's rule-positive mean above B's)."""
+    good = " ".join(("the" if j % 4 == 0 else f"tok{j}x") for j in range(50))
+    bad = " ".join(f"zq{j}word" for j in range(12))
+    rows = [
+        (1, good, "A"),
+        (2, good, "A"),          # exact dup of doc 1
+        (3, good + " tail", "A"),
+        (4, bad, "B"),
+        (5, bad + " more", "B"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    out = {r["source"]: r.asDict() for r in tq.source_curation_report_frame(d).collect()}
+    a, b = out["A"], out["B"]
+    assert a["n_docs"] == 3 and b["n_docs"] == 2
+    assert a["tokens_total"] == 151 and b["tokens_total"] == 25
+    assert a["n_dup_docs"] == 2 and a["dup_rate_milli"] == 666
+    assert b["n_dup_docs"] == 0 and b["dup_rate_milli"] == 0
+    assert a["weak_label_rate_milli"] == 1000  # all three pass the rule
+    assert b["weak_label_rate_milli"] == 0
+    assert a["mean_score_micro"] > b["mean_score_micro"]
