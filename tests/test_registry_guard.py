@@ -308,3 +308,23 @@ def test_oracle_token_split_is_the_canonical_guard():
         )
         total += n_guarded
     assert total >= 15  # the guard is actually in use, not vacuously green
+
+
+def test_no_long_precision_float_literals_in_oracles():
+    """DuckDB parses decimal literals as DECIMAL and converts to double via
+    int128/pow10 -- TWO roundings, up to 1 ulp off beyond ~15 significant
+    digits (hypothesis-found: 900720.6463022095; see
+    tests/test_float_determinism.py). A Python float interpolated into an
+    oracle at full repr precision would therefore not round-trip to the
+    same double DuckDB computes, breaking the bit-for-bit hash compare in a
+    data-dependent way. Constants must stay short/exact (0.05, 2.0, 1e6 as
+    1000000.0); any high-precision double must be COMPUTED inside the
+    query, never parsed."""
+    import re
+
+    offenders = {
+        name: re.findall(r"\d+\.\d{14,}", sql)[:3]
+        for name, sql in all_oracle_sql().items()
+        if re.search(r"\d+\.\d{14,}", sql)
+    }
+    assert not offenders, f"long-precision float literals in oracles: {offenders}"
