@@ -291,3 +291,45 @@ def test_snapshot_at_batch_never_blends_txn_epochs(spark, tmp_path):
     # version time travel over the stripped entries keeps working
     assert _state(t, version=1) == {1: "old-epoch"}
     assert _state(t, version=2) == {2: "seed"}
+
+
+def _claim_epoch_in_subprocess(path, barrier, out, idx):
+    """Spawn-target: claim a writer epoch on the shared table dir. Module-
+    level so the 'spawn' context can pickle it; touches only os/json (no
+    JVM), which is the point -- the fence must be atomic across OS
+    processes, not just threads."""
+    from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable
+
+    t = PKTable(None, path, keys=["k"], order_by=["k"])
+    barrier.wait()  # maximize the simultaneous-claim window
+    t._fence()
+    out[idx] = t._epoch
+
+
+def test_epoch_claims_are_atomic_across_os_processes(tmp_path):
+    """Eight OS processes race to claim a writer epoch on the same table at
+    the same instant (barrier-released): the O_EXCL marker protocol must
+    hand every process a DISTINCT epoch -- the cross-process atomicity the
+    single-active-engine contract rests on, which the in-process handle
+    tests above cannot prove."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    n = 8
+    barrier = ctx.Barrier(n)
+    out = ctx.Manager().dict()
+    procs = [
+        ctx.Process(
+            target=_claim_epoch_in_subprocess,
+            args=(str(tmp_path / "t"), barrier, out, i),
+        )
+        for i in range(n)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(120)
+        assert p.exitcode == 0
+    epochs = [out[i] for i in range(n)]
+    assert len(set(epochs)) == n, f"duplicate epochs claimed: {sorted(epochs)}"
+    assert max(epochs) == n  # claims are dense: every loser retried upward
