@@ -213,14 +213,15 @@ class PKTable:
                 except FileExistsError:  # lost the claim race; take the next
                     n += 1
             self._epoch = n
-            # older markers are dead weight: staleness only compares against
-            # the MAX, which unlinking smaller epochs never changes
-            for name in os.listdir(self._epoch_dir):
-                if name.startswith("epoch.") and int(name[6:]) < n:
-                    try:
-                        os.unlink(os.path.join(self._epoch_dir, name))
-                    except OSError:
-                        pass
+            # Deliberately NO cleanup of older markers: unlinking a smaller
+            # epoch re-opens it for O_EXCL creation, so a lagging claimer
+            # could re-claim an epoch another process already holds
+            # (found by tests/test_pk_table_fence.py's 8-process race --
+            # duplicates stayed SAFE, since a duplicated epoch can never be
+            # the max and both holders fail the staleness check, but epoch
+            # numbers lost uniqueness as writer identities). Markers
+            # accumulate one tiny file per ENGINE CLAIM (a rare handoff
+            # event, not per commit), so the dir stays small forever.
             return
         latest = self._latest_epoch()
         if latest > self._epoch:
