@@ -3885,8 +3885,11 @@ def logreg_features_frame(d: DataFrame) -> DataFrame:
     """Per-doc raw feature row: bias x0=1, stopword ratio x1, capped mean
     word length x2, long-token ratio x3, saturated length x4, weak label y.
     Each ratio is a single division of exact integers (CASE-guarded against
-    0-token docs on both engines); NULL text propagates NULL features and a
-    0 label identically on both engines."""
+    0-token docs on both engines). NULL text yields the same defined row on
+    both engines -- (x1=NULL, x2=MWL_CAP, x3=NULL, x4=LEN_CAP/100, y=0.0)
+    -- because least() skips NULL operands, so the caps win; the corpus
+    carries no NULL text, but were one to appear its extreme x2/x4 would
+    enter the standardization moments identically on Spark and DuckDB."""
     t = F.col("text")
     w = text.tokens(t)
     nw = F.size(w)
@@ -4234,7 +4237,7 @@ def logreg_holdout_report_frame(d: DataFrame) -> DataFrame:
     f" before trusting a filter): the SAME logistic-regression fit as"
     f" logreg_quality_score but every fit-side reduction -- doc count,"
     f" standardization moments, all {LOGREG_ROUNDS} gradient rounds -- sees"
-    f" ONLY the md5(doc_id) < {LOGREG_TRAIN_BUCKET}%% train bucket (the"
+    f" ONLY the md5(doc_id) < {LOGREG_TRAIN_BUCKET}% train bucket (the"
     f" dataset_split_assign hash rule: row-local, stable, growth-proof);"
     f" every doc is then scored and the output is the per-split confusion"
     f" rollup (n_docs / n_pos / n_pred_pos / n_correct / accuracy_milli,"
@@ -4454,7 +4457,6 @@ def _hlr_oracle_sql() -> str:
 
     rounds = []
     for r in range(1, HLR_ROUNDS + 1):
-        zed = f"(z{r}.zm / {S})"
         rounds.append(
             f"z{r} AS MATERIALIZED (SELECT f.doc_id, f.y,"
             f" SUM(CAST(floor({S} * (w.w * f.f)) AS BIGINT)) AS zm"
@@ -4467,7 +4469,6 @@ def _hlr_oracle_sql() -> str:
             f" (((COALESCE(g.gs, 0) / {S}) / nn.n))) AS w"
             f" FROM w{r - 1} w LEFT JOIN g{r} g USING (b) CROSS JOIN nn)"
         )
-        _ = zed
     body = ",\n    ".join(rounds)
     zfin = f"(COALESCE(zf.zm, 0) / {S})"
     return rf"""

@@ -99,7 +99,7 @@ def test_stddev_sqrt_identical(v, n):
     py = math.sqrt((v / 1_000_000.0) / n)
     con = duckdb.connect()
     dk = con.execute(
-        "SELECT sqrt((CAST(? AS BIGINT) / 1000000.0) / CAST(? AS BIGINT)))".replace(")))", "))"),
+        "SELECT sqrt((CAST(? AS BIGINT) / 1000000.0) / CAST(? AS BIGINT))",
         [v, n],
     ).fetchone()[0]
     assert _bits(py) == _bits(dk)
@@ -119,7 +119,4 @@ def test_dot_product_association_order_identical(ws, xs):
         expr = f"({expr} + (w{j} * x{j}))"
     params = {f"w{j}": ws[j] for j in range(5)} | {f"x{j}": xs[j] for j in range(5)}
     dk = _duck1(expr, **params)
-    if math.isinf(py) or math.isinf(dk):
-        assert _bits(py) == _bits(dk)
-    else:
-        assert _bits(py) == _bits(dk)
+    assert _bits(py) == _bits(dk)
