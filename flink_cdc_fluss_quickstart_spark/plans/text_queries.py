@@ -8,6 +8,7 @@ shuffle, i.e. the shape that scales linearly to 100 TB.
 from __future__ import annotations
 
 import math
+from typing import NamedTuple
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -3934,6 +3935,38 @@ def _lr_sig(z: F.Column) -> F.Column:
     return F.lit(0.5) + F.lit(0.5) * (z / (F.lit(1.0) + F.abs(z)))
 
 
+class LogregModel(NamedTuple):
+    """The trained quality scorer's complete driver-side state: GD weights
+    over standardized features plus the standardization moments that define
+    the feature space (scoring a new doc needs BOTH -- a weight vector
+    without its moments is meaningless). All floats are IEEE doubles and
+    round-trip bit-exactly through parquet (models.py persists this)."""
+
+    w: tuple[float, ...]   # _LR_NFEAT weights, bias first
+    m: tuple[float, ...]   # feature means; m[0] = 0.0 (bias unstandardized)
+    sd: tuple[float, ...]  # feature stddevs; sd[0] = 1.0
+    n: int                 # training doc count
+    train_bucket: int | None  # md5 split bound the fit saw, None = all docs
+
+
+def _lr_std_frame(
+    feats: DataFrame, m, sd, with_tr: bool
+) -> DataFrame:
+    """Standardize raw features with GIVEN moments -- shared by the in-fit
+    path and trained-model serving so both build the identical expressions
+    (the bit-for-bit contract depends on it)."""
+    return feats.select(
+        "doc_id",
+        "y",
+        *(["tr"] if with_tr else []),
+        F.col("x0").alias("s0"),
+        *[
+            ((F.col(f"x{j}") - F.lit(m[j])) / F.lit(sd[j])).alias(f"s{j}")
+            for j in range(1, _LR_NFEAT)
+        ],
+    )
+
+
 def logreg_quality_frame(d: DataFrame, train_bucket: int | None = None) -> DataFrame:
     """Fit by full-batch GD and score every doc.
 
@@ -3951,6 +3984,24 @@ def logreg_quality_frame(d: DataFrame, train_bucket: int | None = None) -> DataF
     -- while scoring still covers every doc and an is_train flag rides
     along for the evaluation rollup. train_bucket=None is the plain
     all-docs fit (the registered logreg_quality_score path, unchanged)."""
+    model, std = _logreg_fit_full(d, train_bucket)
+    sm = F.floor(F.lit(float(LOGREG_SCALE)) * _lr_sig(_lr_z(list(model.w), "s")))
+    return std.select(
+        "doc_id",
+        F.col("y").cast("bigint").alias("weak_label"),
+        sm.alias("score_micro"),
+        (sm >= F.lit(LOGREG_SCALE // 2)).alias("predicted"),
+        *(["tr"] if train_bucket is not None else []),
+    )
+
+
+def _logreg_fit_full(
+    d: DataFrame, train_bucket: int | None = None
+) -> tuple[LogregModel, DataFrame]:
+    """The fit passes behind logreg_quality_frame / logreg_fit: moments,
+    standardization, GD rounds. Returns (model, cached std frame) so the
+    in-session scorer reuses the standardized projection without a second
+    corpus pass."""
     scale = float(LOGREG_SCALE)
     feats = logreg_features_frame(d)
     if train_bucket is not None:
@@ -3992,18 +4043,9 @@ def logreg_quality_frame(d: DataFrame, train_bucket: int | None = None) -> DataF
     for j in range(1, _LR_NFEAT):
         s = math.sqrt(((vrow[f"v{j}"] if vrow[f"v{j}"] is not None else 0) / scale) / n)
         sd[j] = 1.0 if s == 0.0 else s
-    std = _cached(
-        feats.select(
-            "doc_id",
-            "y",
-            *(["tr"] if train_bucket is not None else []),
-            F.col("x0").alias("s0"),
-            *[
-                ((F.col(f"x{j}") - F.lit(m[j])) / F.lit(sd[j])).alias(f"s{j}")
-                for j in range(1, _LR_NFEAT)
-            ],
-        )
-    )
+    m_full = (0.0,) + tuple(m[j] for j in range(1, _LR_NFEAT))
+    sd_full = (1.0,) + tuple(sd[j] for j in range(1, _LR_NFEAT))
+    std = _cached(_lr_std_frame(feats, m_full, sd_full, train_bucket is not None))
     std_red = std.filter("tr") if train_bucket is not None else std
     w = [0.0] * _LR_NFEAT
     for _ in range(LOGREG_ROUNDS):
@@ -4021,14 +4063,32 @@ def logreg_quality_frame(d: DataFrame, train_bucket: int | None = None) -> DataF
             - LOGREG_LR * (((g[f"g{j}"] if g[f"g{j}"] is not None else 0) / scale) / n)
             for j in range(_LR_NFEAT)
         ]
-    sgm = _lr_sig(_lr_z(w, "s"))
-    sm = F.floor(F.lit(scale) * sgm)
+    model = LogregModel(tuple(w), m_full, sd_full, n, train_bucket)
+    return model, std
+
+
+def logreg_fit(d: DataFrame, train_bucket: int | None = None) -> LogregModel:
+    """Public fit surface: the trained model is 15 doubles + a count --
+    fully driver-side (the weight space is feature-count-sized, not
+    corpus-sized). Persist it with models.save_logreg_model; serve any
+    corpus or stream micro-batch with logreg_score."""
+    return _logreg_fit_full(d, train_bucket)[0]
+
+
+def logreg_score(d: DataFrame, model: LogregModel) -> DataFrame:
+    """Score docs with a TRAINED model -- the serving path: one row-local
+    projection (features -> standardize with the model's moments -> rational
+    sigmoid over the model's weights). Zero shuffles, no training state, no
+    cross-doc coupling: scores are identical however docs are batched, and
+    bit-identical to the in-fit-session scoring because the expressions are
+    built by the same helpers over the same driver-side doubles."""
+    std = _lr_std_frame(logreg_features_frame(d), model.m, model.sd, False)
+    sm = F.floor(F.lit(float(LOGREG_SCALE)) * _lr_sig(_lr_z(list(model.w), "s")))
     return std.select(
         "doc_id",
         F.col("y").cast("bigint").alias("weak_label"),
         sm.alias("score_micro"),
         (sm >= F.lit(LOGREG_SCALE // 2)).alias("predicted"),
-        *(["tr"] if train_bucket is not None else []),
     )
 
 
