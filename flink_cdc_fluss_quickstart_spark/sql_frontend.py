@@ -43,6 +43,7 @@ from __future__ import annotations
 import os
 import re
 from dataclasses import dataclass, field
+from datetime import datetime
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -564,7 +565,14 @@ class Engine:
         surfaced in the dialect. Every other table mention reads the
         CURRENT snapshot, so `SELECT ... FROM t VERSION AS OF 3 a JOIN t b
         ON ...` compares a past state against the live one in one query.
-        """
+
+        Timestamp form: ``FROM t FOR SYSTEM_TIME AS OF TIMESTAMP
+        '2026-01-01 12:00:00'`` (Flink/SQL:2011 spelling; the TIMESTAMP
+        keyword is optional, Iceberg also spells it FOR SYSTEM_TIME AS OF)
+        resolves through the manifest's commit wall-clocks to the largest
+        version committed at-or-before that instant (``PKTable.version_at``).
+        The literal is interpreted in the HOST's local timezone -- the same
+        clock ``time.time()`` stamped the commits with."""
         def versioned_view(m: "re.Match[str]") -> str:
             name = m.group(1).split(".")[-1].lower()
             version = int(m.group(2))
@@ -580,11 +588,42 @@ class Engine:
             df.createOrReplaceTempView(vname)
             return vname
 
+        def timestamped_view(m: "re.Match[str]") -> str:
+            name = m.group(1).split(".")[-1].lower()
+            lit = m.group(2)
+            if name not in self.stores:
+                raise ValueError(f"unknown table for time travel: {name}")
+            try:
+                ts = datetime.fromisoformat(lit).timestamp()
+            except ValueError as exc:
+                raise ValueError(
+                    f"unparseable SYSTEM_TIME timestamp {lit!r}: use ISO"
+                    " 'YYYY-MM-DD HH:MM:SS[.ffffff]'"
+                ) from exc
+            version = self.stores[name].version_at(ts)
+            df = self.stores[name].snapshot(version=version)
+            if df is None:
+                raise ValueError(
+                    f"{name} was empty at {lit} (no commit at or before"
+                    " that instant): an empty snapshot carries no schema"
+                    " to SELECT from"
+                )
+            vname = f"__timetravel_{name}_v{version}"
+            df.createOrReplaceTempView(vname)
+            return vname
+
+        rewritten = re.sub(
+            r"([\w.]+)\s+FOR\s+SYSTEM_TIME\s+AS\s+OF\s+(?:TIMESTAMP\s+)?"
+            r"'([^']+)'",
+            timestamped_view,
+            sql,
+            flags=re.I,
+        )
         rewritten = re.sub(
             r"([\w.]+)\s+(?:FOR\s+SYSTEM_VERSION\s+AS\s+OF|VERSION\s+AS\s+OF)"
             r"\s+(\d+)",
             versioned_view,
-            sql,
+            rewritten,
             flags=re.I,
         )
         # current snapshots for every other lakehouse table mentioned (the

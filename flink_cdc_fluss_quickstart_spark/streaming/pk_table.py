@@ -262,6 +262,35 @@ class PKTable:
             return None
         return self.spark.read.format(self.data_format).load(dirs)
 
+    def version_at(self, ts: float) -> int:
+        """The largest committed version whose commit time is <= ``ts`` --
+        the timestamp half of the time-travel surface (Iceberg's
+        snapshot-as-of-timestamp resolution over committed_at).
+
+        Edges: ``ts`` between two commits resolves to the EARLIER one (the
+        state a reader at that wall-clock instant saw); ``ts`` before the
+        first commit ever resolves to version 0, the empty table; ``ts``
+        older than the retained history (or predating commit timestamping)
+        raises as expired -- never mis-answers with a guessed state."""
+        m = self._read_manifest()
+        hist = m.get("history", [])
+        stamped = [e for e in hist if e.get("ts") is not None]
+        at_or_before = [e["v"] for e in stamped if e["ts"] <= ts]
+        if at_or_before:
+            return max(at_or_before)
+        # ts precedes every stamped commit: only safe to call it "the empty
+        # table" when history provably reaches back to the very first commit
+        # (v1 retained AND stamped -- an unstamped or truncated head means
+        # the real state at ts is unknowable from this manifest)
+        if stamped and hist[0]["v"] == 1 and hist[0].get("ts") is not None:
+            return 0
+        raise ValueError(
+            f"no commit history resolves timestamp {ts}: history is"
+            f" retained back to v{m.get('history_floor', 0) + 1}"
+            " (or predates commit timestamping); raise HISTORY_KEEP or"
+            " query by VERSION AS OF instead"
+        )
+
     def _buckets_at(self, m: dict, version: int) -> dict[str, str]:
         """Reconstruct the bucket-pointer map as of manifest `version` by
         walking the commit history backwards from the current map, undoing
@@ -319,8 +348,17 @@ class PKTable:
         if "history" not in m:
             m["history_floor"] = max(m.get("history_floor", 0), version - 1)
         hist = m.get("history", [])
+        # commit wall-clock: the FOR SYSTEM_TIME AS OF resolution index
+        # (Iceberg snapshots record committed_at the same way); monotonicity
+        # is enforced so a clock step-back can never make a LATER commit
+        # resolve to an EARLIER timestamp (which would break version_at's
+        # "largest version at-or-before ts" contract)
+        ts = time.time()
+        if hist and hist[-1].get("ts") is not None:
+            ts = max(ts, hist[-1]["ts"])
         hist.append(
-            {"v": version, "writer": writer_id, "batch": batch_id, "changed": changed}
+            {"v": version, "writer": writer_id, "batch": batch_id,
+             "changed": changed, "ts": ts}
         )
         if len(hist) > HISTORY_KEEP:
             dropped = hist[: len(hist) - HISTORY_KEEP]
