@@ -19,6 +19,11 @@ real pipeline ships:
                                      must track train accuracy
     2e-iii. hashed_ngram_langid   -- fastText-style hashed-gram langid
                                      (distributed bucket-keyed weights)
+    2e-iiib. langid_multiclass    -- one-vs-rest multiclass langid
+                                     (full confusion rollup)
+    2e-iiic. model persist+reload -- save the trained scorer to the
+                                     warehouse, reload in a NEW session,
+                                     serve (models.py lifecycle)
     2e-iv. source_curation_report -- per-source vendor scorecard (quality,
                                      token mass, dup incidence)
     2f. doc_novelty_score         -- low-novelty (recombined boilerplate) scan
@@ -159,6 +164,28 @@ def main() -> None:
     ).agg(F.count(F.lit(1)).alias("n_docs")).orderBy(
         "is_target_lang", "predicted"
     ).show()
+
+    print("== 2e-iiib. multiclass langid (one-vs-rest confusion rollup)")
+    q["langid_multiclass"].builder(spark, sf_dir).show()
+
+    print("== 2e-iiic. persist the trained scorer and serve it RELOADED")
+    # the fit -> publish -> restart -> reload -> serve lifecycle (models.py):
+    # a curation model is only production-real once it survives the session
+    # that fit it; scores below are from the reloaded model in a new session
+    import tempfile as _tf
+
+    from flink_cdc_fluss_quickstart_spark import models as _models
+    from flink_cdc_fluss_quickstart_spark.plans import text_queries as _tq
+    from flink_cdc_fluss_quickstart_spark.tables import load_table as _lt
+
+    _mdir = _tf.mkdtemp(prefix="llm_pipeline_model_")
+    _model = _tq.logreg_fit(_lt(spark, sf_dir, "documents"))
+    _models.save_logreg_model(spark, _mdir, _model)
+    _spark2 = spark.newSession()
+    _reloaded = _models.load_logreg_model(_spark2, _mdir)
+    _tq.logreg_score(_lt(_spark2, sf_dir, "documents"), _reloaded).groupBy(
+        "predicted"
+    ).agg(F.count(F.lit(1)).alias("n_docs")).orderBy("predicted").show()
 
     print("== 2e-iv. per-source curation scorecard (worst 5 by mean score)")
     q["source_curation_report"].builder(spark, sf_dir).orderBy(

@@ -221,6 +221,16 @@ def get(name: str) -> QuerySpec:
 # embedding_pca_top_component (freshly stamped r9+r10, not benched; its
 # Gram-matrix power-iteration family stays stamped via embedding_pq_codes'
 # subspace-Lloyd chain and the clustered recall report, note below).
+#
+# Round-12 rotation: langid_multiclass (ADDED r12 -- the one-vs-rest
+# multiclass langid completing the fastText shape, sf0.001+sf0.01
+# oracle-checked before rotating) rotates IN per the added-in-round-N
+# cadence; out rotates pq_adc_recall_report (freshly stamped r9-r11, not
+# benched; its ADC-vs-exact recall-audit family stays stamped via
+# ann_recall_report_clustered -- the same composed-recall-report shape --
+# and its codes-only ADC arm via embedding_ivfpq_topk + embedding_pq_codes,
+# note below). The r11-rotated set-op/rollup family HOLDS in head one more
+# round to double-stamp (r11 verdict item 8) before swapping back out.
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -289,7 +299,8 @@ PRIORITY: tuple[str, ...] = (
     "embedding_ivfpq_topk",
     "ann_recall_report_clustered",
     "embedding_pq_codes",
-    "pq_adc_recall_report",
+    # trained-classifier family (r12: multiclass joins per added-in-round cadence)
+    "langid_multiclass",
 )
 
 # Names that must stay inside the head-50 regardless of rotation pressure:
@@ -547,6 +558,13 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " recomputed end-to-end by the stamped searcher (which adds only the"
         " coarse-cell candidate pruning) -- strict superset; flat ADC"
         " stamped r7",
+    ),
+    "pq_adc_recall_report": (
+        "ann_recall_report_clustered",
+        "the same composed recall-audit shape (candidate plan + exact-cosine"
+        " ground truth -> per-query hit rollup), stamped fresh r9-r11; its"
+        " codes-only ADC scoring arm stays stamped via embedding_ivfpq_topk"
+        " and its codebook fit via embedding_pq_codes",
     ),
     "kmeans_embeddings": (
         "embedding_ivfpq_topk",

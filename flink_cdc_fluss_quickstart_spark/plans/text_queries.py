@@ -4364,6 +4364,42 @@ def _hlr_bucket(gram: F.Column) -> F.Column:
     return dedup.md5_hex_prefix(F.concat(F.lit("hg|"), gram)) % HLR_BUCKETS
 
 
+# weight-frame join strategy bound: up to this many (b[, cls], w) rows the
+# weight side broadcasts (a few MB -- the fastText-langid-at-1024-buckets
+# case, and still fine at 2M buckets binary); past it (2M buckets x 176
+# classes = 352M rows) forcing a broadcast would OOM the driver build side,
+# so the hint is dropped and AQE plans the bucket-keyed join as a shuffle
+# join -- the graceful strategy switch the 100 TB posture requires
+_HLR_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _hlr_wside(weights: DataFrame, n_rows_bound: int) -> DataFrame:
+    """The weight frame as a join side: broadcast-hinted while the bucket
+    space is provably broadcast-sized, unhinted (planner's choice) beyond."""
+    return F.broadcast(weights) if n_rows_bound <= _HLR_BROADCAST_MAX_ROWS else weights
+
+
+def _hlr_kept_feats(d: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
+    """Shared featurization behind the binary AND multiclass langid fits:
+    gram explode -> distinct-df census -> broadcast the bounded hot head
+    into a left-anti filter -> count-normalized (doc, bucket, f) rollup.
+    Returns (feats, hot); callers cache feats (it is the only corpus-sized
+    state any GD loop touches)."""
+    cap = max(n // HLR_DF_CAP_DENOM, 1)
+    grams = hashed_gram_frame(d)
+    census = grams.distinct().groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    hot = census.filter(F.col("df") > cap).select("gram")
+    kept = grams.join(F.broadcast(hot), "gram", "left_anti")
+    fb = kept.groupBy("doc_id", _hlr_bucket(F.col("gram")).alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ngd = fb.groupBy("doc_id").agg(F.sum("cnt").alias("ng"))
+    feats = fb.join(ngd, "doc_id").select(
+        "doc_id", "b", (F.col("cnt").cast("double") / F.col("ng")).alias("f")
+    )
+    return feats, hot
+
+
 def _hlr_fit_full(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Fit the hashed-gram binary langid model; returns (weights, hot,
     feats, labels) -- feats/labels cached so the registered frame can score
@@ -4387,25 +4423,13 @@ def _hlr_fit_full(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFr
         )
     )
     n = labels.count()
-    cap = max(n // HLR_DF_CAP_DENOM, 1)
-    grams = hashed_gram_frame(d)
-    census = grams.distinct().groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
-    hot = census.filter(F.col("df") > cap).select("gram")
-    kept = grams.join(F.broadcast(hot), "gram", "left_anti")
-    fb = kept.groupBy("doc_id", _hlr_bucket(F.col("gram")).alias("b")).agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
-    ngd = fb.groupBy("doc_id").agg(F.sum("cnt").alias("ng"))
-    feats = _cached(
-        fb.join(ngd, "doc_id")
-        .join(labels, "doc_id")
-        .select("doc_id", "b", (F.col("cnt").cast("double") / F.col("ng")).alias("f"), "y")
-    )
+    feats0, hot = _hlr_kept_feats(d, n)
+    feats = _cached(feats0.join(labels, "doc_id").select("doc_id", "b", "f", "y"))
     weights = feats.select("b").distinct().select("b", F.lit(0.0).alias("w"))
 
     def z_frame(wf: DataFrame) -> DataFrame:
         return (
-            feats.join(F.broadcast(wf), "b")
+            feats.join(_hlr_wside(wf, HLR_BUCKETS), "b")
             .select(
                 "doc_id",
                 "y",
@@ -4474,7 +4498,7 @@ def hashed_langid_score(
             "doc_id", "b", (F.col("cnt").cast("double") / F.col("ng")).alias("f")
         )
     zf = (
-        feats.join(F.broadcast(weights), "b")
+        feats.join(_hlr_wside(weights, HLR_BUCKETS), "b")
         .select("doc_id", F.floor(F.lit(scale) * (F.col("w") * F.col("f"))).alias("t"))
         .groupBy("doc_id")
         .agg(F.sum("t").alias("zm"))
@@ -4608,6 +4632,272 @@ def _hlr_oracle_sql() -> str:
 def hashed_ngram_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread(load_table(spark, sf_dir, "documents"))
     return hashed_langid_frame(d)
+
+
+# --- multiclass langid (one-vs-rest in ONE bucket-keyed frame) ---------------
+
+
+def _hlm_fit_full(
+    d: DataFrame,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, int]:
+    """Fit the MULTICLASS hashed-gram langid -- the real fastText langid
+    shape: one one-vs-rest linear model per language, all |langs| weight
+    columns living in the SAME bucket-keyed frame keyed (b, cls).
+
+    The algebra is the binary fit's verbatim with one extra key column:
+    z becomes a (doc, cls)-keyed aggregate, gradients a (b, cls)-keyed
+    aggregate, the update a (b, cls)-keyed join -- so the 100 TB posture is
+    unchanged (nothing model-sized visits the driver; the weight frame is
+    <= HLR_BUCKETS * |langs| rows, broadcastable at langid scale and
+    shuffle-joinable at fastText's 2M-bucket space). Returns (weights, hot,
+    feats, labels, classes, n); feats/labels/classes cached."""
+    labels = _cached(d.select("doc_id", "lang"))
+    n = labels.count()
+    feats0, hot = _hlr_kept_feats(d, n)
+    feats = _cached(feats0)
+    classes = _cached(labels.select(F.col("lang").alias("cls")).distinct())
+    k = classes.count()  # |langs| -- bounds the weight space at buckets*k
+    scale = float(LOGREG_SCALE)
+    weights = (
+        feats.select("b")
+        .distinct()
+        .crossJoin(F.broadcast(classes))
+        .select("b", "cls", F.lit(0.0).alias("w"))
+    )
+    for r in range(HLR_ROUNDS):
+        z = (
+            feats.join(_hlr_wside(weights, HLR_BUCKETS * k), "b")
+            .select(
+                "doc_id",
+                "cls",
+                F.floor(F.lit(scale) * (F.col("w") * F.col("f"))).alias("t"),
+            )
+            .groupBy("doc_id", "cls")
+            .agg(F.sum("t").alias("zm"))
+        )
+        err = z.join(labels, "doc_id").select(
+            "doc_id",
+            "cls",
+            (
+                _lr_sig(F.col("zm") / F.lit(scale))
+                - F.when(F.col("lang") == F.col("cls"), F.lit(1.0)).otherwise(F.lit(0.0))
+            ).alias("e"),
+        )
+        g = (
+            feats.join(err, "doc_id")
+            .select(
+                "b", "cls", F.floor(F.lit(scale) * (F.col("e") * F.col("f"))).alias("t")
+            )
+            .groupBy("b", "cls")
+            .agg(F.sum("t").alias("gs"))
+        )
+        weights = weights.join(g, ["b", "cls"], "left").select(
+            "b",
+            "cls",
+            (
+                F.col("w")
+                - F.lit(HLR_LR)
+                * ((F.coalesce(F.col("gs"), F.lit(0)) / F.lit(scale)) / F.lit(n))
+            ).alias("w"),
+        )
+        if r % _HLR_CHECKPOINT_EVERY == _HLR_CHECKPOINT_EVERY - 1:
+            weights = weights.localCheckpoint()
+    return weights, hot, feats, labels, classes, n
+
+
+def hashed_langid_multiclass_fit(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Public multiclass fit surface: the model is ((b, cls, w), hot) --
+    persist with models.save_langid_model(classes=True), serve with
+    hashed_langid_multiclass_score."""
+    weights, hot, _f, _l, _c, _n = _hlm_fit_full(d)
+    return weights, hot
+
+
+def hashed_langid_multiclass_score(
+    d: DataFrame,
+    weights: DataFrame,
+    hot: DataFrame,
+    feats: DataFrame | None = None,
+) -> DataFrame:
+    """argmax serving over a trained one-vs-rest frame: per-doc features
+    (row-local given the broadcast hot list), one broadcast join with the
+    (b, cls) weights, one (doc, cls)-keyed exact-integer aggregate, then
+    the argmax window. Deterministic: zm is an exact BIGINT, ties break on
+    cls ascending -- identical on any engine. A doc with no kept grams
+    scores 0 for every class and predicts the lexicographically first one
+    (the defined cold-doc fallback)."""
+    from pyspark.sql.window import Window
+
+    scale = float(LOGREG_SCALE)
+    classes = weights.select("cls").distinct()
+    k = classes.count()
+    if feats is None:
+        feats, _hot = _hlr_kept_feats_from_hot(d, hot)
+    zf = (
+        feats.join(_hlr_wside(weights, HLR_BUCKETS * k), "b")
+        .select(
+            "doc_id", "cls", F.floor(F.lit(scale) * (F.col("w") * F.col("f"))).alias("t")
+        )
+        .groupBy("doc_id", "cls")
+        .agg(F.sum("t").alias("zm"))
+    )
+    full = (
+        d.select("doc_id")
+        .crossJoin(F.broadcast(classes))
+        .join(zf, ["doc_id", "cls"], "left")
+        .select("doc_id", "cls", F.coalesce(F.col("zm"), F.lit(0)).alias("zm"))
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.col("zm").desc(), F.col("cls").asc())
+    )
+    return (
+        full.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("cls").alias("predicted"), F.col("zm").alias("zm_micro"))
+    )
+
+
+def _hlr_kept_feats_from_hot(d: DataFrame, hot: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Serving-side featurization: same rollup as _hlr_kept_feats but the
+    hot list is the TRAINED model's, not re-derived from serving traffic
+    (a reloaded model must featurize exactly as the fit did)."""
+    grams = hashed_gram_frame(d)
+    kept = grams.join(F.broadcast(hot), "gram", "left_anti")
+    fb = kept.groupBy("doc_id", _hlr_bucket(F.col("gram")).alias("b")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ngd = fb.groupBy("doc_id").agg(F.sum("cnt").alias("ng"))
+    feats = fb.join(ngd, "doc_id").select(
+        "doc_id", "b", (F.col("cnt").cast("double") / F.col("ng")).alias("f")
+    )
+    return feats, hot
+
+
+def hashed_langid_multiclass_frame(d: DataFrame) -> DataFrame:
+    """Fit + predict every doc, emit the |langs|^2-bounded confusion rollup
+    (true lang x predicted lang x doc count) -- the readout a langid
+    evaluation reads (fastText's test command prints exactly this matrix's
+    diagonal mass)."""
+    weights, hot, feats, labels, _classes, _n = _hlm_fit_full(d)
+    pred = hashed_langid_multiclass_score(d, weights, hot, feats=feats)
+    return (
+        labels.join(pred, "doc_id")
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "predicted")
+    )
+
+
+def _hlm_oracle_sql() -> str:
+    """DuckDB mirror of the multiclass fit: the binary oracle's CTE chain
+    with the cls key threaded through every round (materialized -- each
+    w_r feeds two consumers and would otherwise inline exponentially)."""
+    from flink_cdc_fluss_quickstart_spark.plans.pipeline_queries import _duck_hex
+
+    S = _LR_S
+    hx = _duck_hex("md5('hg|' || gram)")
+    bucket = f"({hx} % {HLR_BUCKETS})"
+
+    def sig(z: str) -> str:
+        return f"(0.5 + 0.5 * ({z} / (1.0 + abs({z}))))"
+
+    rounds = []
+    for r in range(1, HLR_ROUNDS + 1):
+        rounds.append(
+            f"z{r} AS MATERIALIZED (SELECT f.doc_id, w.cls,"
+            f" SUM(CAST(floor({S} * (w.w * f.f)) AS BIGINT)) AS zm"
+            f" FROM f JOIN w{r - 1} w USING (b) GROUP BY f.doc_id, w.cls),\n"
+            f"    e{r} AS MATERIALIZED (SELECT z.doc_id, z.cls,"
+            f" ({sig(f'(z.zm / {S})')} -"
+            f" CASE WHEN l.lang = z.cls THEN 1.0 ELSE 0.0 END) AS e"
+            f" FROM z{r} z JOIN lab l USING (doc_id)),\n"
+            f"    g{r} AS MATERIALIZED (SELECT f.b, e.cls,"
+            f" SUM(CAST(floor({S} * (e.e * f.f)) AS BIGINT)) AS gs"
+            f" FROM f JOIN e{r} e USING (doc_id) GROUP BY f.b, e.cls),\n"
+            f"    w{r} AS MATERIALIZED (SELECT w.b, w.cls, (w.w - {HLR_LR} *"
+            f" (((COALESCE(g.gs, 0) / {S}) / nn.n))) AS w"
+            f" FROM w{r - 1} w LEFT JOIN g{r} g USING (b, cls) CROSS JOIN nn)"
+        )
+    body = ",\n    ".join(rounds)
+    return rf"""
+    WITH docs0 AS MATERIALIZED (
+      SELECT doc_id, lang, {text.DUCK_TOKENS} AS w FROM documents
+    ),
+    lab AS MATERIALIZED (SELECT doc_id, lang FROM docs0),
+    cls AS MATERIALIZED (SELECT DISTINCT lang AS cls FROM docs0),
+    grams AS MATERIALIZED (
+      SELECT doc_id, unnest(w) AS gram FROM docs0
+      UNION ALL
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                                   i -> w[i] || ' ' || w[i + 1])) AS gram
+      FROM docs0 WHERE len(w) >= 2
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM docs0),
+    census AS (
+      SELECT gram, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY gram
+    ),
+    kept AS (
+      SELECT g.doc_id, g.gram
+      FROM grams g JOIN census c USING (gram) CROSS JOIN nn
+      WHERE c.df <= GREATEST(nn.n // {HLR_DF_CAP_DENOM}, 1)
+    ),
+    fb AS (
+      SELECT doc_id, {bucket} AS b, COUNT(*) AS cnt FROM kept GROUP BY 1, 2
+    ),
+    ngd AS (SELECT doc_id, SUM(cnt) AS ng FROM fb GROUP BY doc_id),
+    f AS MATERIALIZED (
+      SELECT fb.doc_id, fb.b, CAST(fb.cnt AS DOUBLE) / ngd.ng AS f
+      FROM fb JOIN ngd USING (doc_id)
+    ),
+    w0 AS MATERIALIZED (
+      SELECT b, cls, 0.0 AS w FROM (SELECT DISTINCT b FROM f) CROSS JOIN cls
+    ),
+    {body},
+    zf AS MATERIALIZED (
+      SELECT f.doc_id, w.cls, SUM(CAST(floor({S} * (w.w * f.f)) AS BIGINT)) AS zm
+      FROM f JOIN w{HLR_ROUNDS} w USING (b) GROUP BY f.doc_id, w.cls
+    ),
+    fullz AS (
+      SELECT l.doc_id, l.lang, c.cls, COALESCE(zf.zm, 0) AS zm
+      FROM lab l CROSS JOIN cls c
+      LEFT JOIN zf ON zf.doc_id = l.doc_id AND zf.cls = c.cls
+    ),
+    pred AS (
+      SELECT doc_id, lang, cls,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY zm DESC, cls ASC) AS rn
+      FROM fullz
+    )
+    SELECT lang, cls AS predicted, COUNT(*) AS n_docs
+    FROM pred WHERE rn = 1 GROUP BY lang, cls ORDER BY lang, cls
+    """
+
+
+@register(
+    "langid_multiclass",
+    oracle=_hlm_oracle_sql(),
+    description=f"MULTICLASS hashed n-gram language identification -- the"
+    f" full fastText langid shape (Joulin et al. 2016): one one-vs-rest"
+    f" linear model per language, all of them living in ONE bucket-keyed"
+    f" weight frame keyed (bucket, class). The binary"
+    f" hashed_ngram_langid's algebra with one extra key column: per GD"
+    f" round z is a (doc, class)-keyed exact-integer aggregate, the"
+    f" gradient a (bucket, class)-keyed one, the update a (bucket,"
+    f" class)-keyed join -- nothing model-sized visits the driver, so the"
+    f" shape holds at fastText's 176-language x 2M-bucket production"
+    f" space. Serving is argmax over exact BIGINT scores with the"
+    f" class-ascending tie-break (deterministic on any engine; a doc with"
+    f" no kept grams predicts the lexicographically first class, the"
+    f" defined cold-doc fallback). Output is the |langs|^2-bounded"
+    f" confusion rollup. Same determinism contract as the whole trained"
+    f" family: floor-scaled BIGINT sums, rational sigmoid, identical"
+    f" association order; weight lineage localCheckpoint-pinned every"
+    f" {_HLR_CHECKPOINT_EVERY} rounds.",
+)
+def langid_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return hashed_langid_multiclass_frame(d)
 
 
 # --- per-source curation scorecard -------------------------------------------

@@ -1368,3 +1368,33 @@ def test_source_curation_report_counts_dups_and_labels_per_source(spark):
     assert a["weak_label_rate_milli"] == 1000  # all three pass the rule
     assert b["weak_label_rate_milli"] == 0
     assert a["mean_score_micro"] > b["mean_score_micro"]
+
+
+def test_langid_multiclass_separates_three_planted_marker_languages(spark):
+    """Three planted 'languages' sharing over-the-cap filler but carrying
+    disjoint rotating marker pools: the one-vs-rest frame must put every
+    doc on the confusion diagonal (perfect 3-way separation), and the
+    argmax serving path must agree with the registered rollup."""
+    rows = []
+    for li, lang in enumerate(("en", "de", "fr")):
+        for i in range(15):
+            mk = [f"{lang}mark{(i + k) % 8}" for k in range(3)]
+            rows.append(
+                (li * 100 + i, " ".join(["filler common soup word"] * 3 + mk * 4), lang)
+            )
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    conf = {(r["lang"], r["predicted"]): r["n_docs"]
+            for r in tq.hashed_langid_multiclass_frame(d).collect()}
+    assert conf == {("en", "en"): 15, ("de", "de"): 15, ("fr", "fr"): 15}
+
+    # serving path: fit once, score unseen docs from the same marker pools
+    weights, hot = tq.hashed_langid_multiclass_fit(d)
+    serve = spark.createDataFrame(
+        [(900, "filler enmark1 enmark4 enmark7 common"),
+         (901, "demark0 demark2 soup demark5"),
+         (902, "frmark3 frmark6 word frmark1"),
+         (903, "   ")],  # no kept grams -> z=0 everywhere -> first class wins
+        "doc_id bigint, text string")
+    got = {r["doc_id"]: r["predicted"]
+           for r in tq.hashed_langid_multiclass_score(serve, weights, hot).collect()}
+    assert got == {900: "en", 901: "de", 902: "fr", 903: "de"}

@@ -93,6 +93,7 @@ def test_langid_model_versions_roll_back(spark, tmp_path):
     wo, ho = models.load_langid_model(spark2, mpath, version=1)
     old = _scores(tq.hashed_langid_score(batch2, wo, ho))
     assert old == first
+    assert set(latest) == set(old)  # same serve docs, both models score all
     # the two fits saw different marker alignments; their weight tables differ
     assert {r["b"]: r["w"] for r in wo.collect()} != {
         r["b"]: r["w"] for r in wl.collect()
@@ -181,3 +182,38 @@ def test_reloaded_langid_model_serves_stream_micro_batches(spark, tmp_path):
     )
     assert q.awaitTermination(300), "reloaded-model scoring stream did not drain"
     assert emitted == expected
+
+
+def test_multiclass_langid_model_roundtrip(spark, tmp_path):
+    """The one-vs-rest (b, cls, w) frame persists and serves across a
+    restart: identical argmax predictions and exact zm scores."""
+    rows = []
+    for li, lang in enumerate(("en", "de", "fr")):
+        for i in range(10):
+            mk = [f"{lang}mark{(i + k) % 8}" for k in range(3)]
+            rows.append(
+                (li * 100 + i, " ".join(["filler common soup word"] * 3 + mk * 4), lang)
+            )
+    d = spark.createDataFrame(rows, "doc_id bigint, text string, lang string")
+    weights, hot = tq.hashed_langid_multiclass_fit(d)
+    mpath = str(tmp_path / "mc_model")
+    models.save_langid_model(spark, mpath, weights, hot, classes=True)
+
+    serve = spark.createDataFrame(
+        [(900, "filler enmark1 enmark4 common"), (901, "demark0 demark2 soup"),
+         (902, "frmark3 frmark6 word")],
+        "doc_id bigint, text string")
+    expected = {(r["doc_id"], r["predicted"], r["zm_micro"])
+                for r in tq.hashed_langid_multiclass_score(serve, weights, hot).collect()}
+
+    spark2 = spark.newSession()
+    w2, h2 = models.load_langid_model(spark2, mpath)
+    assert w2.columns == ["b", "cls", "w"]
+    serve2 = spark2.createDataFrame(
+        [(900, "filler enmark1 enmark4 common"), (901, "demark0 demark2 soup"),
+         (902, "frmark3 frmark6 word")],
+        "doc_id bigint, text string")
+    got = {(r["doc_id"], r["predicted"], r["zm_micro"])
+           for r in tq.hashed_langid_multiclass_score(serve2, w2, h2).collect()}
+    assert got == expected
+    assert {p for (_, p, _) in got} == {"en", "de", "fr"}

@@ -120,6 +120,7 @@ EXPECTED = {
     "logreg_holdout_eval",
     "source_curation_report",
     "hashed_ngram_langid",
+    "langid_multiclass",
     "bpe_merge_candidates",
     "bpe_encode_tokens",
     "tokenizer_fertility_by_lang",

@@ -55,6 +55,7 @@ REPORT = (
     "logreg_holdout_eval",
     "source_curation_report",
     "hashed_ngram_langid",
+    "langid_multiclass",
     "minhash_incremental_pairs",
     "minhash_estimate_quality",
     "ngram_jaccard_neardup",

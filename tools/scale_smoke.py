@@ -292,6 +292,18 @@ def deep_point(ops: tuple[str, ...], factors: list[int],
 
 
 def main() -> None:
+    if "--hlr-buckets" in sys.argv:
+        # bucket-count scale knob for the hashed langid family: override the
+        # feature-hash space BEFORE any spec builds (the Spark builders read
+        # the module global at call time; oracles are unused in deep-point
+        # timing, so the import-time oracle string staying at 1024 is fine)
+        i = sys.argv.index("--hlr-buckets")
+        nb = int(sys.argv[i + 1])
+        del sys.argv[i:i + 2]
+        from flink_cdc_fluss_quickstart_spark.plans import text_queries as _tq
+
+        _tq.HLR_BUCKETS = nb
+        print(f"<!-- HLR_BUCKETS overridden to {nb} -->", file=sys.stderr)
     if "--ops" in sys.argv:
         i = sys.argv.index("--ops")
         ops = tuple(sys.argv[i + 1].split(","))
