@@ -1398,3 +1398,20 @@ def test_langid_multiclass_separates_three_planted_marker_languages(spark):
     got = {r["doc_id"]: r["predicted"]
            for r in tq.hashed_langid_multiclass_score(serve, weights, hot).collect()}
     assert got == {900: "en", 901: "de", 902: "fr", 903: "de"}
+
+
+def test_hlr_weight_join_switches_strategy_past_broadcast_bound(spark):
+    """The bucket-keyed weight join must broadcast while the bucket space
+    is provably broadcast-sized and FALL BACK to a planner-chosen join
+    beyond (fastText's 2M-bucket x 176-class space cannot build a driver
+    broadcast): below the bound the plan carries the broadcast hint, above
+    it the weight side is unhinted."""
+    w = spark.createDataFrame([(1, 0.5)], "b int, w double")
+    f = spark.createDataFrame([(1, 1, 0.25)], "doc_id int, b int, f double")
+
+    hinted = f.join(tq._hlr_wside(w, tq._HLR_BROADCAST_MAX_ROWS), "b")
+    plan_h = hinted._jdf.queryExecution().optimizedPlan().toString()
+    unhinted = f.join(tq._hlr_wside(w, tq._HLR_BROADCAST_MAX_ROWS + 1), "b")
+    plan_u = unhinted._jdf.queryExecution().optimizedPlan().toString()
+    assert "strategy=broadcast" in plan_h  # the hint survives optimization
+    assert "strategy=broadcast" not in plan_u  # planner's choice, no forced build
