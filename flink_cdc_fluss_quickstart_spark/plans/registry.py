@@ -231,6 +231,14 @@ def get(name: str) -> QuerySpec:
 # and its codes-only ADC arm via embedding_ivfpq_topk + embedding_pq_codes,
 # note below). The r11-rotated set-op/rollup family HOLDS in head one more
 # round to double-stamp (r11 verdict item 8) before swapping back out.
+#
+# Round-12 second wave: score_drift_report (ADDED r12 -- the PSI
+# trained-model drift monitor completing the model-ops lifecycle,
+# sf0.001+sf0.01 oracle-checked before rotating) rotates IN per the same
+# cadence; out rotates line_dedup_incremental (stamped r10+r11, not
+# benched; its census-rule core is line_dedup_text's, in-head and benched,
+# and the batch-vs-census incremental equivalence is pytest-pinned --
+# note below).
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -291,7 +299,7 @@ PRIORITY: tuple[str, ...] = (
     "winnow_overlap_pairs",
     "span_dedup_text",
     "line_dedup_text",
-    "line_dedup_incremental",
+    "score_drift_report",
     # embedding similarity / ANN / quantization / hybrid retrieval
     "rrf_hybrid_retrieval",
     "rrf_hybrid_retrieval_ann",
@@ -787,6 +795,13 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "span_dedup_text",
         "same gram census + partitioning-reusing resolve join, split"
         " batch-vs-index; stamped r8",
+    ),
+    "line_dedup_incremental": (
+        "line_dedup_text",
+        "same C4-rule line census + keyed resolve join, split"
+        " batch-vs-index (the span_dedup_incremental shape); the"
+        " batch-result == census-rule equivalence is pytest-pinned"
+        " (tests/test_corpus_ops.py); stamped r10+r11",
     ),
     # rotated out in the r10 wave (families stay proven by head siblings)
     "bpe_merge_candidates": (

@@ -4312,6 +4312,159 @@ def logreg_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logreg_holdout_report_frame(d)
 
 
+# --- trained-model drift monitor (PSI over score deciles) --------------------
+
+# The serving-time half of model ops: once a trained scorer filters live
+# traffic, the FIRST production alarm is its score distribution drifting
+# off the distribution it was validated on (population stability index --
+# the standard model-monitoring metric). Binning is exact (fixed decile
+# edges over score_micro), shares are smoothed exact integers, and the
+# log-ratio uses the corpus-wide quarter-bit integer log2 (the NB/PMI
+# machinery) -- so the whole report is deterministic cross-engine, like
+# every other number the trained family emits. PSI in quarter-bits:
+# PSI_ln = psi/4 * ln 2 if a natural-log threshold table is needed.
+DRIFT_REF_BUCKET = 50  # md5(doc_id) < 50 = the 'reference' half (stands in
+# for the validation-time corpus; production wires a time predicate here)
+DRIFT_BINS = 10
+
+
+def score_drift_frame(d: DataFrame) -> DataFrame:
+    """Per-decile drift report of the trained quality scorer: reference vs
+    current counts, smoothed milli..micro shares, quarter-bit log share
+    ratio, and the per-bin PSI contribution (sum the column for the scalar
+    monitor). Scale shape: the scorer's passes + one 10-row rollup; the
+    drift arithmetic is bounded by DRIFT_BINS forever."""
+    spark = d.sparkSession
+    scored = logreg_quality_frame(d)
+    sided = scored.join(
+        d.select(
+            "doc_id",
+            (
+                dedup.hash_bucket(F.col("doc_id").cast("string")) < DRIFT_REF_BUCKET
+            ).alias("ref"),
+        ),
+        "doc_id",
+    )
+    width = LOGREG_SCALE // DRIFT_BINS
+    binned = sided.select(
+        F.least(
+            F.floor(F.col("score_micro") / F.lit(float(width))),
+            F.lit(DRIFT_BINS - 1),
+        )
+        .cast("bigint")
+        .alias("bin"),
+        "ref",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("ref"), 1).otherwise(0)).cast("bigint").alias("ref_n"),
+        F.sum(F.when(~F.col("ref"), 1).otherwise(0)).cast("bigint").alias("cur_n"),
+    )
+    allbins = spark.range(DRIFT_BINS).select(F.col("id").cast("bigint").alias("bin"))
+    full = allbins.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("ref_n"), F.lit(0)).cast("bigint").alias("ref_n"),
+        F.coalesce(F.col("cur_n"), F.lit(0)).cast("bigint").alias("cur_n"),
+    )
+    tot = full.agg(F.sum("ref_n").alias("nref"), F.sum("cur_n").alias("ncur"))
+    j = full.crossJoin(F.broadcast(tot))
+    # Laplace smoothing (+1 per bin, +DRIFT_BINS per side) keeps empty bins
+    # finite and both engines' integers identical
+    ref_share = F.floor(
+        F.lit(1_000_000.0) * (F.col("ref_n") + 1) / (F.col("nref") + DRIFT_BINS)
+    ).cast("bigint")
+    cur_share = F.floor(
+        F.lit(1_000_000.0) * (F.col("cur_n") + 1) / (F.col("ncur") + DRIFT_BINS)
+    ).cast("bigint")
+    qlog = F.expr(
+        f"({_QS(f'(cur_n + 1) * (nref + {DRIFT_BINS})')})"
+        f" - ({_QS(f'(ref_n + 1) * (ncur + {DRIFT_BINS})')})"
+    ).cast("bigint")
+    return (
+        j.select(
+            "bin",
+            "ref_n",
+            "cur_n",
+            ref_share.alias("ref_share_micro"),
+            cur_share.alias("cur_share_micro"),
+            qlog.alias("log_ratio_qbits"),
+            ((cur_share - ref_share) * qlog).cast("bigint").alias("psi_contrib"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _drift_oracle_sql() -> str:
+    from flink_cdc_fluss_quickstart_spark.plans.pipeline_queries import _duck_hex
+
+    hex8 = _duck_hex("md5(CAST(doc_id AS VARCHAR))")
+    width = LOGREG_SCALE // DRIFT_BINS
+    return f"""
+    WITH scored AS MATERIALIZED ({_lr_oracle_sql()}),
+    sided AS (
+      SELECT doc_id, score_micro,
+             (CAST({hex8} % 100 AS BIGINT) < {DRIFT_REF_BUCKET}) AS ref
+      FROM scored
+    ),
+    binned AS (
+      SELECT LEAST(CAST(floor(score_micro / {float(width)}) AS BIGINT),
+                   {DRIFT_BINS - 1}) AS bin, ref
+      FROM sided
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS BIGINT) AS ref_n,
+             CAST(SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END) AS BIGINT) AS cur_n
+      FROM binned GROUP BY bin
+    ),
+    allbins AS (SELECT CAST(range AS BIGINT) AS bin FROM range({DRIFT_BINS})),
+    fullb AS (
+      SELECT a.bin, COALESCE(c.ref_n, 0) AS ref_n, COALESCE(c.cur_n, 0) AS cur_n
+      FROM allbins a LEFT JOIN counts c USING (bin)
+    ),
+    tot AS (SELECT CAST(SUM(ref_n) AS BIGINT) AS nref,
+                   CAST(SUM(cur_n) AS BIGINT) AS ncur FROM fullb),
+    j AS (SELECT * FROM fullb CROSS JOIN tot)
+    SELECT bin, ref_n, cur_n,
+           CAST(floor(1000000.0 * (ref_n + 1) / (nref + {DRIFT_BINS})) AS BIGINT)
+             AS ref_share_micro,
+           CAST(floor(1000000.0 * (cur_n + 1) / (ncur + {DRIFT_BINS})) AS BIGINT)
+             AS cur_share_micro,
+           CAST(({_QD(f'(cur_n + 1) * (nref + {DRIFT_BINS})')})
+              - ({_QD(f'(ref_n + 1) * (ncur + {DRIFT_BINS})')}) AS BIGINT)
+             AS log_ratio_qbits,
+           CAST((CAST(floor(1000000.0 * (cur_n + 1) / (ncur + {DRIFT_BINS})) AS BIGINT)
+               - CAST(floor(1000000.0 * (ref_n + 1) / (nref + {DRIFT_BINS})) AS BIGINT))
+              * (({_QD(f'(cur_n + 1) * (nref + {DRIFT_BINS})')})
+               - ({_QD(f'(ref_n + 1) * (ncur + {DRIFT_BINS})')})) AS BIGINT)
+             AS psi_contrib
+    FROM j ORDER BY bin
+    """
+
+
+@register(
+    "score_drift_report",
+    oracle=_drift_oracle_sql(),
+    description=f"Trained-model DRIFT monitor -- the serving-time model-ops"
+    f" step after fit/eval/persist/serve: population-stability-index"
+    f" report of the trained quality scorer's score distribution, reference"
+    f" half (md5(doc_id) < {DRIFT_REF_BUCKET}, standing in for the"
+    f" validation-time corpus; production wires a time predicate) vs the"
+    f" current half, over {DRIFT_BINS} fixed score-decile bins. Per bin:"
+    f" exact counts, Laplace-smoothed micro shares, quarter-bit integer"
+    f" log2 share ratio (the NB/PMI bit-length machinery -- no float logs"
+    f" cross-engine), and the PSI contribution (sum the column; PSI_ln ="
+    f" sum/4 * ln2 against the usual 0.1/0.25 thresholds). Scale shape:"
+    f" the scorer's own passes plus ONE {DRIFT_BINS}-row rollup -- the"
+    f" drift arithmetic is bin-bounded forever; nothing new is"
+    f" corpus-sized. Completes the model lifecycle: fit (logreg_quality_"
+    f"score) -> leakage-free eval (logreg_holdout_eval) -> persist/reload"
+    f" (models.py) -> serve (logreg_score) -> MONITOR (this).",
+)
+def score_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return score_drift_frame(d)
+
+
 # --- hashed n-gram language classifier: distributed sparse GD ----------------
 
 # The fastText text-classification architecture at its langid flagship task

@@ -1415,3 +1415,49 @@ def test_hlr_weight_join_switches_strategy_past_broadcast_bound(spark):
     plan_u = unhinted._jdf.queryExecution().optimizedPlan().toString()
     assert "strategy=broadcast" in plan_h  # the hint survives optimization
     assert "strategy=broadcast" not in plan_u  # planner's choice, no forced build
+
+
+def test_score_drift_report_flags_planted_shift_and_stays_flat_without(spark):
+    """PSI semantics on planted corpora: (a) identical text on both md5
+    halves -> every bin's PSI contribution is ~0 (shares differ only by
+    Laplace smoothing of the half sizes); (b) the 'current' half planted
+    with high-quality text while the reference half is junk -> large
+    positive PSI mass in the bins the current scores moved into."""
+    from flink_cdc_fluss_quickstart_spark.functions import dedup as dd
+
+    ids = list(range(400))
+    # precompute the md5 split the frame uses, so the test can PLACE texts
+    buckets = {
+        r["doc_id"]: r["b"]
+        for r in spark.createDataFrame([(i,) for i in ids], "doc_id bigint")
+        .select("doc_id", dd.hash_bucket(F.col("doc_id").cast("string")).alias("b"))
+        .collect()
+    }
+    good = ("the of a to and in is it that for " * 8).strip()  # stop-rich, long
+    junk = "zzz qqq xxx"
+
+    flat = spark.createDataFrame(
+        [(i, good) for i in ids], "doc_id bigint, text string"
+    )
+    rep_flat = {r["bin"]: r for r in tq.score_drift_frame(flat).collect()}
+    assert len(rep_flat) == tq.DRIFT_BINS
+    # all docs identical -> one occupied bin; its shares track the half
+    # sizes, so |psi| stays tiny everywhere
+    assert all(abs(r["psi_contrib"]) < 2_000_000 for r in rep_flat.values())
+
+    shifted = spark.createDataFrame(
+        [
+            (i, good if buckets[i] >= tq.DRIFT_REF_BUCKET else junk)
+            for i in ids
+        ],
+        "doc_id bigint, text string",
+    )
+    rep = tq.score_drift_frame(shifted).collect()
+    psi_total = sum(r["psi_contrib"] for r in rep)
+    flat_total = sum(r["psi_contrib"] for r in rep_flat.values())
+    # ref and cur concentrate in different bins -> large positive PSI mass
+    # (measured ~58M on this fixture), orders of magnitude over the flat
+    # corpus's Laplace residual
+    assert psi_total > 20_000_000
+    assert abs(flat_total) < 5_000_000
+    assert psi_total > 10 * max(abs(flat_total), 1)

@@ -121,6 +121,7 @@ EXPECTED = {
     "source_curation_report",
     "hashed_ngram_langid",
     "langid_multiclass",
+    "score_drift_report",
     "bpe_merge_candidates",
     "bpe_encode_tokens",
     "tokenizer_fertility_by_lang",

@@ -53,6 +53,7 @@ REPORT = (
     "neardup_source_overlap",
     "logreg_quality_score",
     "logreg_holdout_eval",
+    "score_drift_report",
     "source_curation_report",
     "hashed_ngram_langid",
     "langid_multiclass",
