@@ -24,6 +24,8 @@ real pipeline ships:
     2e-iiic. model persist+reload -- save the trained scorer to the
                                      warehouse, reload in a NEW session,
                                      serve (models.py lifecycle)
+    2e-iiid. score_drift_report   -- PSI drift monitor over score deciles
+                                     (the serving-time model-ops alarm)
     2e-iv. source_curation_report -- per-source vendor scorecard (quality,
                                      token mass, dup incidence)
     2f. doc_novelty_score         -- low-novelty (recombined boilerplate) scan
@@ -186,6 +188,9 @@ def main() -> None:
     _tq.logreg_score(_lt(_spark2, sf_dir, "documents"), _reloaded).groupBy(
         "predicted"
     ).agg(F.count(F.lit(1)).alias("n_docs")).orderBy("predicted").show()
+
+    print("== 2e-iiid. score drift monitor (PSI per decile; sum = the alarm)")
+    q["score_drift_report"].builder(spark, sf_dir).show()
 
     print("== 2e-iv. per-source curation scorecard (worst 5 by mean score)")
     q["source_curation_report"].builder(spark, sf_dir).orderBy(
