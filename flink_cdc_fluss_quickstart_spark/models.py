@@ -196,6 +196,8 @@ def load_logreg_model(spark: SparkSession, path: str, version: int | None = None
 def list_model_versions(spark: SparkSession, path: str) -> list[dict]:
     """Published model versions (newest last) from the weight/coef table's
     commit history -- the model registry view."""
+    if not os.path.exists(os.path.join(path, _META)):
+        raise FileNotFoundError(f"no published model at {path}")
     sub = "coef" if os.path.exists(os.path.join(path, "coef")) else "weights"
     t = PKTable(spark, os.path.join(path, sub), keys=["_"], order_by=["_"])
     m = t._read_manifest()

@@ -120,3 +120,24 @@ def test_dot_product_association_order_identical(ws, xs):
     params = {f"w{j}": ws[j] for j in range(5)} | {f"x{j}": xs[j] for j in range(5)}
     dk = _duck1(expr, **params)
     assert _bits(py) == _bits(dk)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    n=st.integers(min_value=0, max_value=10_000_000_000),
+    d=st.integers(min_value=1, max_value=10_000_000_000),
+)
+def test_psi_smoothed_share_identical(n, d):
+    """floor(1000000.0 * (n+1) / (d+10)) -- score_drift_report's smoothed
+    micro share: one exact int->double conversion hazard (n+1 beyond 2^53
+    never occurs at these magnitudes), one correctly-rounded multiply, one
+    correctly-rounded divide, floor. Both engines agree bitwise, so the
+    BIGINT share is identical."""
+    py = math.floor(1_000_000.0 * (n + 1) / (d + 10))
+    con = duckdb.connect()
+    dk = con.execute(
+        "SELECT CAST(floor(1000000.0 * (CAST(? AS BIGINT) + 1)"
+        " / (CAST(? AS BIGINT) + 10)) AS BIGINT)",
+        [n, d],
+    ).fetchone()[0]
+    assert py == dk

@@ -993,3 +993,33 @@ def test_sql_time_travel_system_time_as_of(spark, tmp_path):
         _json.dump(man, f)
     with _pytest.raises(ValueError, match="no commit history resolves"):
         t.version_at(ts1 - 10)
+
+
+def test_commit_timestamps_monotonic_under_clock_stepback(spark, tmp_path):
+    """A wall-clock step-back between commits (NTP correction) must not
+    produce a later commit with an earlier timestamp -- version_at's
+    'largest version at-or-before ts' contract depends on monotonic ts.
+    Simulated by forging a future ts on the first commit; the second
+    commit must clamp to it, and version_at at that instant must resolve
+    to the LATEST version."""
+    import json as _json
+
+    from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable
+
+    t = PKTable(spark, str(tmp_path / "t"), keys=["k"], order_by=["seq"])
+    t.merge(spark.createDataFrame(
+        [("I", 1, 1, "a")], "op string, seq long, k long, v string"), batch_id=0)
+    mpath = t._manifest_path
+    with open(mpath) as f:
+        man = _json.load(f)
+    future = man["history"][0]["ts"] + 10_000  # forge: clock was 10ks ahead
+    man["history"][0]["ts"] = future
+    with open(mpath, "w") as f:
+        _json.dump(man, f)
+
+    t.merge(spark.createDataFrame(
+        [("U", 2, 1, "b")], "op string, seq long, k long, v string"), batch_id=1)
+    hist = t._read_manifest()["history"]
+    assert hist[1]["ts"] >= hist[0]["ts"]  # clamped, not stepped back
+    assert t.version_at(future) == 2  # both commits are at-or-before 'future'
+    assert {r.k: r.v for r in t.snapshot(version=t.version_at(future)).collect()} == {1: "b"}
