@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 import pandas as pd
+import pyspark.sql.functions as F
 import pytest
 
 from flink_cdc_fluss_quickstart_spark import models
@@ -217,3 +218,42 @@ def test_multiclass_langid_model_roundtrip(spark, tmp_path):
            for r in tq.hashed_langid_multiclass_score(serve2, w2, h2).collect()}
     assert got == expected
     assert {p for (_, p, _) in got} == {"en", "de", "fr"}
+
+
+def test_drift_bins_accumulate_streaming_equals_batch(spark, sf_dir, tmp_path):
+    """The drift monitor's streaming deployment shape: score arriving docs
+    per micro-batch with the PERSISTED model, bin each score into the fixed
+    deciles, and add the counts -- integer bin counts are mergeable state
+    (the Count-Min/quantile-histogram precedent), so the accumulated
+    histogram must equal the one-shot batch histogram of the same docs.
+    Ties persistence + serving + monitoring into one proof."""
+    from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    model = tq.logreg_fit(d)
+    mpath = str(tmp_path / "drift_model")
+    models.save_logreg_model(spark, mpath, model)
+
+    spark2 = spark.newSession()
+    m2 = models.load_logreg_model(spark2, mpath)
+    d2 = load_table(spark2, sf_dir, "documents")
+
+    width = tq.LOGREG_SCALE // tq.DRIFT_BINS
+
+    def bins_of(rows):
+        out = {}
+        for r in rows:
+            b = min(r["score_micro"] // width, tq.DRIFT_BINS - 1)
+            out[b] = out.get(b, 0) + 1
+        return out
+
+    batch_bins = bins_of(tq.logreg_score(d2, m2).collect())
+
+    # "stream": the same corpus arriving in 7 deterministic micro-batches
+    acc = {}
+    for part in range(7):
+        mb = d2.filter(F.col("doc_id") % 7 == part)
+        for b, n in bins_of(tq.logreg_score(mb, m2).collect()).items():
+            acc[b] = acc.get(b, 0) + n
+    assert acc == batch_bins
+    assert sum(acc.values()) == d2.count()
