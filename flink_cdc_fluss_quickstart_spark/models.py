@@ -193,6 +193,142 @@ def load_logreg_model(spark: SparkSession, path: str, version: int | None = None
     )
 
 
+# -- serving indexes (the dedup / ANN state, same lifecycle as models) -------
+
+
+def _mh_meta() -> dict:
+    from flink_cdc_fluss_quickstart_spark.functions import dedup
+
+    return {
+        "model_type": "minhash_band_index",
+        "n_perms": dedup.N_PERMS,
+        "n_bands": dedup.N_BANDS,
+        "n_rows": dedup.N_ROWS,
+        "shingle_len": dedup.WORD_SHINGLE_LEN,
+    }
+
+
+def save_minhash_index(spark: SparkSession, path: str, band_frame: DataFrame) -> None:
+    """Publish a banded MinHash index -- the (id, band_idx, band_key) frame
+    `dedup.minhash_band_keyed` emits -- as a PKTable keyed (id, band_idx).
+    This is the daily-dedup serving state: tomorrow's batch computes ITS
+    band keys and probes this table (cost |batch| x bucket), the corpus is
+    never re-shingled. Same atomic-publish / versioned-rollback / compat
+    guarantees as the trained models."""
+    import pyspark.sql.functions as F
+
+    t = PKTable(
+        spark, os.path.join(path, "bands"),
+        keys=["id", "band_idx"], order_by=["seq"],
+    )
+    # seq rides in the stored payload (PKTable contract: ordering columns
+    # are part of the row) -- the seed publish is ingest sequence 0
+    t.overwrite(
+        band_frame.select("id", "band_idx", "band_key")
+        .withColumn("seq", F.lit(0).cast("long"))
+    )
+    _write_meta(path, _mh_meta())
+
+
+def upsert_minhash_index(
+    spark: SparkSession, path: str, band_frame: DataFrame, batch_id: int
+) -> None:
+    """Ingest a NEW day's band rows into the published index (PKTable merge
+    -- idempotent per batch_id, so a replayed ingest is a no-op). The index
+    grows by |batch| rows; nothing existing is rewritten except the hash
+    buckets the new ids land in."""
+    import pyspark.sql.functions as F
+
+    meta = _read_meta(path)
+    _check_compat(meta, _mh_meta(), path)
+    t = PKTable(
+        spark, os.path.join(path, "bands"),
+        keys=["id", "band_idx"], order_by=["seq"],
+    )
+    t.merge(
+        band_frame.select(
+            "id", "band_idx", "band_key",
+            F.lit("I").alias("op"), F.lit(batch_id).cast("long").alias("seq"),
+        ),
+        batch_id=batch_id,
+        writer_id="minhash-ingest",
+    )
+
+
+def load_minhash_index(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    meta = _read_meta(path)
+    _check_compat(meta, _mh_meta(), path)
+    t = PKTable(
+        spark, os.path.join(path, "bands"),
+        keys=["id", "band_idx"], order_by=["seq"],
+    )
+    snap = t.snapshot(version=version)
+    if snap is None:
+        raise ValueError(f"no published minhash index at {path}")
+    return snap.select("id", "band_idx", "band_key")
+
+
+def _pq_meta() -> dict:
+    from flink_cdc_fluss_quickstart_spark.functions import similarity
+    from flink_cdc_fluss_quickstart_spark.plans import similarity_queries as sq
+
+    return {
+        "model_type": "pq_index",
+        "pq_m": sq.PQ_M,
+        "pq_k": sq.PQ_K,
+        "pq_subdim": sq.PQ_SUBDIM,
+        "dim": sq.DIM,
+        "scale": similarity.SCALE,
+    }
+
+
+def save_pq_index(
+    spark: SparkSession, path: str, books: DataFrame, codes: DataFrame
+) -> None:
+    """Publish a trained PQ index: the codebooks (m, cluster, cv -- PQ_M x
+    PQ_K rows, the trained artifact) and the encoded corpus (vec_id, m,
+    code, d2 -- PQ_M bytes of payload per vector). ADC serving from the
+    reloaded pair never touches the float corpus -- which is the point of
+    persisting it: re-encoding 100 TB of embeddings because the session
+    died is the failure mode this store removes."""
+    bt = PKTable(
+        spark, os.path.join(path, "books"),
+        keys=["m", "cluster"], order_by=["m", "cluster"],
+    )
+    bt.overwrite(books.select("m", "cluster", "cv"))
+    ct = PKTable(
+        spark, os.path.join(path, "codes"),
+        keys=["vec_id", "m"], order_by=["vec_id", "m"],
+    )
+    ct.overwrite(codes.select("vec_id", "m", "code", "d2"))
+    _write_meta(path, _pq_meta())
+
+
+def load_pq_index(
+    spark: SparkSession, path: str, version: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    meta = _read_meta(path)
+    _check_compat(meta, _pq_meta(), path)
+    bt = PKTable(
+        spark, os.path.join(path, "books"),
+        keys=["m", "cluster"], order_by=["m", "cluster"],
+    )
+    ct = PKTable(
+        spark, os.path.join(path, "codes"),
+        keys=["vec_id", "m"], order_by=["vec_id", "m"],
+    )
+    books = bt.snapshot(version=version)
+    codes = ct.snapshot(version=version)
+    if books is None or codes is None:
+        raise ValueError(f"no published PQ index at {path}")
+    return (
+        books.select("m", "cluster", "cv"),
+        codes.select("vec_id", "m", "code", "d2"),
+    )
+
+
 def list_model_versions(spark: SparkSession, path: str) -> list[dict]:
     """Published model versions (newest last) from the weight/coef table's
     commit history -- the model registry view."""

@@ -1599,6 +1599,13 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_codes_frame(emb)
 
 
+def pq_train_index(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Public train surface for the PERSISTABLE PQ index: (books, codes) --
+    hand the pair to models.save_pq_index and serve ADC top-k from the
+    reload with pq_adc_topk_frame(emb, books=..., codes=...)."""
+    return _pq_codebooks_and_codes(emb)
+
+
 def pq_codes_frame(emb: DataFrame) -> DataFrame:
     _books, codes = _pq_codebooks_and_codes(emb)
     aggs = [

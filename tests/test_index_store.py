@@ -1,0 +1,133 @@
+"""Serving-index persistence: the dedup and ANN state survives the session
+that built it, with the same warehouse guarantees as the trained models
+(models.py) -- atomic publish, idempotent incremental ingest, versioned
+reads, featurization-compat guards.
+
+This is the daily-pipeline story: the MinHash band index is a LIVE
+lakehouse table that each day's batch probes and then merges into (the
+corpus is never re-shingled), and the PQ index (codebooks + codes) serves
+ADC top-k without ever re-reading or re-encoding the float corpus."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_cdc_fluss_quickstart_spark import models
+from flink_cdc_fluss_quickstart_spark.functions import dedup
+
+
+def _bands(spark, rows):
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return dedup.minhash_band_keyed(d, "doc_id", "text").select(
+        F.col("doc_id").alias("id"), "band_idx", "band_key"
+    )
+
+
+_DAY1 = [
+    (1, "alpha beta gamma delta epsilon zeta eta theta"),
+    (2, "one two three four five six seven eight nine"),
+    (3, "lorem ipsum dolor sit amet consectetur adipiscing elit"),
+]
+
+
+def _probe(batch_bands, index):
+    """Incremental-dedup probe: batch band keys against the index, distinct
+    (batch id, index id) candidate pairs, self-matches dropped."""
+    return {
+        (r["bid"], r["iid"])
+        for r in batch_bands.select(
+            F.col("id").alias("bid"), "band_idx", "band_key"
+        )
+        .join(index.select(F.col("id").alias("iid"), "band_idx", "band_key"),
+              ["band_idx", "band_key"])
+        .filter(F.col("bid") != F.col("iid"))
+        .select("bid", "iid")
+        .distinct()
+        .collect()
+    }
+
+
+def test_minhash_index_roundtrip_and_incremental_ingest(spark, tmp_path):
+    ipath = str(tmp_path / "mh_index")
+    day1 = _bands(spark, _DAY1)
+    models.save_minhash_index(spark, ipath, day1)
+
+    # day-2 batch: one exact near-dup of doc 1, one novel doc
+    day2_rows = [
+        (11, "alpha beta gamma delta epsilon zeta eta theta"),
+        (12, "completely unrelated novel content words here now"),
+    ]
+    day2 = _bands(spark, day2_rows)
+    expected = _probe(day2, day1)
+    assert (11, 1) in expected and all(b != 12 for b, _ in expected)
+
+    # restart: fresh session + handles, probe the RELOADED index
+    spark2 = spark.newSession()
+    idx = models.load_minhash_index(spark2, ipath)
+    day2_b = _bands(spark2, day2_rows)
+    assert _probe(day2_b, idx) == expected
+
+    # ingest day 2 into the index; a day-3 dup of doc 12 now matches it
+    models.upsert_minhash_index(spark2, ipath, day2_b, batch_id=2)
+    idx2 = models.load_minhash_index(spark2, ipath)
+    assert idx2.select("id").distinct().count() == 5
+    day3 = _bands(spark2, [(21, "completely unrelated novel content words here now")])
+    hits = _probe(day3, idx2)
+    assert (21, 12) in hits
+
+    # replayed ingest (same batch_id) is a no-op -- exactly-once semantics
+    models.upsert_minhash_index(spark2, ipath, day2_b, batch_id=2)
+    assert models.load_minhash_index(spark2, ipath).count() == idx2.count()
+
+    # the pre-ingest state stays readable: version 1 has only day-1 ids
+    v1 = models.load_minhash_index(spark2, ipath, version=1)
+    assert {r["id"] for r in v1.select("id").distinct().collect()} == {1, 2, 3}
+
+
+def test_minhash_index_compat_guard(spark, tmp_path, monkeypatch):
+    ipath = str(tmp_path / "mh_guard")
+    models.save_minhash_index(spark, ipath, _bands(spark, _DAY1[:1]))
+    monkeypatch.setattr(dedup, "N_BANDS", 16)
+    with pytest.raises(ValueError, match="different featurization.*n_bands"):
+        models.load_minhash_index(spark, ipath)
+
+
+def test_pq_index_roundtrip_serves_identical_topk(spark, sf_dir, tmp_path):
+    """Train PQ once, publish, restart, reload, serve: ADC top-k from the
+    reloaded (books, codes) equals the in-session search row-for-row --
+    the distances are exact BIGINT sums over parquet-exact doubles."""
+    from flink_cdc_fluss_quickstart_spark.plans import similarity_queries as sq
+    from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books, codes = sq.pq_train_index(emb)
+    ipath = str(tmp_path / "pq_index")
+    models.save_pq_index(spark, ipath, books, codes)
+    expected = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sq.pq_adc_topk_frame(emb, books=books, codes=codes).collect()
+    }
+    assert expected
+
+    spark2 = spark.newSession()
+    lb, lc = models.load_pq_index(spark2, ipath)
+    emb2 = load_table(spark2, sf_dir, "embeddings")
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sq.pq_adc_topk_frame(emb2, books=lb, codes=lc).collect()
+    }
+    assert got == expected
+
+
+def test_pq_index_compat_guard(spark, sf_dir, tmp_path, monkeypatch):
+    from flink_cdc_fluss_quickstart_spark.plans import similarity_queries as sq
+    from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books, codes = sq.pq_train_index(emb)
+    ipath = str(tmp_path / "pq_guard")
+    models.save_pq_index(spark, ipath, books, codes)
+    monkeypatch.setattr(sq, "PQ_M", 8)
+    with pytest.raises(ValueError, match="different featurization.*pq_m"):
+        models.load_pq_index(spark, ipath)
