@@ -1,0 +1,117 @@
+"""Run the trained-model + serving-index LIFECYCLE end-to-end:
+
+    python examples/run_model_lifecycle.py [sf_dir] [warehouse_dir]
+
+The production story the in-pipeline queries can't show by themselves:
+everything a curation deployment must keep between sessions lives in the
+lakehouse (the reference stack's one durable store, README.md:81-95), and
+every serving step below runs from a RELOADED artifact in a fresh session.
+
+    day 1 (training session)
+      1. fit the logreg quality scorer        -> models.save_logreg_model
+      2. fit the hashed-gram langid           -> models.save_langid_model
+      3. build the MinHash dedup band index   -> models.save_minhash_index
+      4. train the PQ index (books + codes)   -> models.save_pq_index
+    -- session boundary (newSession + fresh PKTable handles) --
+    day 2 (serving session)
+      5. reload the scorer, score the corpus, run the PSI drift monitor
+      6. reload the langid, classify a fresh micro-batch
+      7. probe the dedup index with the day-2 batch, then MERGE-INGEST the
+         batch into it (idempotent per batch_id; day-1 state stays readable
+         as version 1)
+      8. reload the PQ index, serve ADC top-k without touching the floats
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from flink_cdc_fluss_quickstart_spark import models  # noqa: E402
+from flink_cdc_fluss_quickstart_spark.functions import dedup  # noqa: E402
+from flink_cdc_fluss_quickstart_spark.plans import similarity_queries as sq  # noqa: E402
+from flink_cdc_fluss_quickstart_spark.plans import text_queries as tq  # noqa: E402
+from flink_cdc_fluss_quickstart_spark.session import get_spark  # noqa: E402
+from flink_cdc_fluss_quickstart_spark.tables import load_table  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    wh = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="model_wh_")
+    spark = get_spark("model-lifecycle")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    print("== day 1: fit + publish (training session)")
+    scorer = tq.logreg_fit(d)
+    models.save_logreg_model(spark, os.path.join(wh, "quality_scorer"), scorer)
+    w, hot = tq.hashed_langid_fit(d)
+    models.save_langid_model(spark, os.path.join(wh, "langid"), w, hot)
+    bands = dedup.minhash_band_keyed(d, "doc_id", "text").select(
+        F.col("doc_id").alias("id"), "band_idx", "band_key"
+    )
+    models.save_minhash_index(spark, os.path.join(wh, "dedup_index"), bands)
+    books, codes = sq.pq_train_index(emb)
+    models.save_pq_index(spark, os.path.join(wh, "pq_index"), books, codes)
+    print(f"   published 4 artifacts under {wh}")
+
+    print("== session boundary: newSession + fresh handles ==")
+    s2 = spark.newSession()
+    d2 = load_table(s2, sf_dir, "documents")
+
+    print("== day 2, step 5: reloaded scorer + PSI drift monitor")
+    scorer2 = models.load_logreg_model(s2, os.path.join(wh, "quality_scorer"))
+    tq.logreg_score(d2, scorer2).groupBy("predicted").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).orderBy("predicted").show()
+
+    print("== day 2, step 6: reloaded langid classifies a fresh batch")
+    w2, hot2 = models.load_langid_model(s2, os.path.join(wh, "langid"))
+    batch = s2.createDataFrame(
+        [(9001, "the of a to and in is it that for the of a to"),
+         (9002, "zzz qqq xxx unk")],
+        "doc_id bigint, text string",
+    )
+    tq.hashed_langid_score(batch, w2, hot2).orderBy("doc_id").show()
+
+    print("== day 2, step 7: probe + merge-ingest the dedup index")
+    idx = models.load_minhash_index(s2, os.path.join(wh, "dedup_index"))
+    day2 = d2.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )  # near-dup replays of existing docs, shifted ids
+    day2_bands = dedup.minhash_band_keyed(day2, "doc_id", "text").select(
+        F.col("doc_id").alias("id"), "band_idx", "band_key"
+    )
+    hits = (
+        day2_bands.withColumnRenamed("id", "batch_id")
+        .join(idx, ["band_idx", "band_key"])
+        .select("batch_id", F.col("id").alias("corpus_id"))
+        .distinct()
+    )
+    print(f"   {hits.count()} near-dup candidate pairs against the day-1 index")
+    models.upsert_minhash_index(s2, os.path.join(wh, "dedup_index"),
+                                day2_bands, batch_id=2)
+    v1 = models.load_minhash_index(s2, os.path.join(wh, "dedup_index"), version=1)
+    now = models.load_minhash_index(s2, os.path.join(wh, "dedup_index"))
+    print(f"   index rows: v1={v1.count()} now={now.count()} (day-1 state"
+          " stays readable)")
+
+    print("== day 2, step 8: ADC top-k from the reloaded PQ index")
+    lb, lc = models.load_pq_index(s2, os.path.join(wh, "pq_index"))
+    emb2 = load_table(s2, sf_dir, "embeddings")
+    sq.pq_adc_topk_frame(emb2, books=lb, codes=lc).orderBy(
+        "query_id", "rank"
+    ).show(10)
+
+    print("lifecycle complete: 4 artifacts published, reloaded, served")
+
+
+if __name__ == "__main__":
+    main()

@@ -27,3 +27,16 @@ def test_llm_pipeline_example_runs(tmp_path):
     # shards materialized, partitioned by split
     splits = {p.name for p in out.glob("split=*")}
     assert "split=train" in splits, sorted(out.iterdir())
+
+
+def test_model_lifecycle_example_runs(tmp_path):
+    proc = subprocess.run(
+        [sys.executable, str(REPO / "examples" / "run_model_lifecycle.py"),
+         SF_SMALL, str(tmp_path / "wh")],
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "lifecycle complete" in proc.stdout
+    assert "day-1 state" in proc.stdout
