@@ -952,10 +952,13 @@ def test_sql_time_travel_system_time_as_of(spark, tmp_path):
         f"SELECT k, v FROM serving FOR SYSTEM_TIME AS OF TIMESTAMP '{mid}'"
     ).collect()}
     assert got == {1: "a", 2: "b"}
-    # exactly at the second commit -> that commit's state; TIMESTAMP
-    # keyword optional (Iceberg spelling)
+    # at the second commit -> that commit's state; TIMESTAMP keyword
+    # optional (Iceberg spelling). Probed 10ms after: the ISO literal has
+    # microsecond resolution, so a bit-exact float probe can round BELOW
+    # the stored commit instant -- sub-microsecond exactness is not part
+    # of the surface (SQL timestamps aren't either)
     got2 = {r.k: r.v for r in eng.query(
-        f"SELECT k, v FROM serving FOR SYSTEM_TIME AS OF '{lit(ts2)}'"
+        f"SELECT k, v FROM serving FOR SYSTEM_TIME AS OF '{lit(ts2 + 0.01)}'"
     ).collect()}
     assert got2 == {1: "a2", 3: "c"}
     # after every commit -> current state
