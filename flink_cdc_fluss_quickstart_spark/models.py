@@ -45,6 +45,20 @@ from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable
 
 _META = "meta.json"
 
+# superseded model/index VERSIONS keep their data this long after the next
+# publish (PKTable gc_grace): rollback is the registry's point, so the
+# default is days, not the table default's minutes -- a bad fit discovered
+# tomorrow must still be reversible. Storage cost is one model footprint
+# per retained version, metadata-sized for every artifact here.
+MODEL_GC_GRACE_SECS = 7 * 86400.0
+
+
+def _table(spark: SparkSession, path: str, keys, order_by) -> PKTable:
+    return PKTable(
+        spark, path, keys=keys, order_by=order_by,
+        gc_grace_secs=MODEL_GC_GRACE_SECS,
+    )
+
 
 def _write_meta(path: str, meta: dict) -> None:
     tmp = os.path.join(path, _META + ".tmp")
@@ -101,9 +115,9 @@ def save_langid_model(
     weight frame never visits the driver (at fastText's 2M-bucket space it
     never could), and the hot list is the bounded df-capped Zipf head."""
     wkeys = ["b", "cls"] if classes else ["b"]
-    wt = PKTable(spark, os.path.join(path, "weights"), keys=wkeys, order_by=wkeys)
+    wt = _table(spark, os.path.join(path, "weights"), wkeys, wkeys)
     wt.overwrite(weights.select(*wkeys, "w"))
-    ht = PKTable(spark, os.path.join(path, "hot"), keys=["gram"], order_by=["gram"])
+    ht = _table(spark, os.path.join(path, "hot"), ["gram"], ["gram"])
     # a model may have an EMPTY hot list (tiny corpora); PKTable handles
     # empty overwrites, and load distinguishes "no hot grams" from "no model"
     ht.overwrite(hot.select("gram"))
@@ -124,8 +138,8 @@ def load_langid_model(
     cur["classes"] = meta.get("classes", False)  # shape is the model's choice
     _check_compat(meta, cur, path)
     wkeys = ["b", "cls"] if meta.get("classes") else ["b"]
-    wt = PKTable(spark, os.path.join(path, "weights"), keys=wkeys, order_by=wkeys)
-    ht = PKTable(spark, os.path.join(path, "hot"), keys=["gram"], order_by=["gram"])
+    wt = _table(spark, os.path.join(path, "weights"), wkeys, wkeys)
+    ht = _table(spark, os.path.join(path, "hot"), ["gram"], ["gram"])
     weights = wt.snapshot(version=version)
     hot = ht.snapshot(version=version)
     if weights is None:
@@ -161,7 +175,7 @@ def save_logreg_model(spark: SparkSession, path: str, model) -> None:
         for j in range(len(model.w))
     ]
     df = spark.createDataFrame(rows, "j int, w double, m double, sd double")
-    t = PKTable(spark, os.path.join(path, "coef"), keys=["j"], order_by=["j"])
+    t = _table(spark, os.path.join(path, "coef"), ["j"], ["j"])
     t.overwrite(df)
     meta = _lr_meta()
     meta["n"] = int(model.n)
@@ -176,7 +190,7 @@ def load_logreg_model(spark: SparkSession, path: str, version: int | None = None
     meta = _read_meta(path)
     cur = _lr_meta()
     _check_compat(meta, cur, path)
-    t = PKTable(spark, os.path.join(path, "coef"), keys=["j"], order_by=["j"])
+    t = _table(spark, os.path.join(path, "coef"), ["j"], ["j"])
     snap = t.snapshot(version=version)
     if snap is None:
         raise ValueError(f"no published logreg model at {path}")
@@ -217,10 +231,7 @@ def save_minhash_index(spark: SparkSession, path: str, band_frame: DataFrame) ->
     guarantees as the trained models."""
     import pyspark.sql.functions as F
 
-    t = PKTable(
-        spark, os.path.join(path, "bands"),
-        keys=["id", "band_idx"], order_by=["seq"],
-    )
+    t = _table(spark, os.path.join(path, "bands"), ["id", "band_idx"], ["seq"])
     # seq rides in the stored payload (PKTable contract: ordering columns
     # are part of the row) -- the seed publish is ingest sequence 0
     t.overwrite(
@@ -241,10 +252,7 @@ def upsert_minhash_index(
 
     meta = _read_meta(path)
     _check_compat(meta, _mh_meta(), path)
-    t = PKTable(
-        spark, os.path.join(path, "bands"),
-        keys=["id", "band_idx"], order_by=["seq"],
-    )
+    t = _table(spark, os.path.join(path, "bands"), ["id", "band_idx"], ["seq"])
     t.merge(
         band_frame.select(
             "id", "band_idx", "band_key",
@@ -260,10 +268,7 @@ def load_minhash_index(
 ) -> DataFrame:
     meta = _read_meta(path)
     _check_compat(meta, _mh_meta(), path)
-    t = PKTable(
-        spark, os.path.join(path, "bands"),
-        keys=["id", "band_idx"], order_by=["seq"],
-    )
+    t = _table(spark, os.path.join(path, "bands"), ["id", "band_idx"], ["seq"])
     snap = t.snapshot(version=version)
     if snap is None:
         raise ValueError(f"no published minhash index at {path}")
@@ -293,15 +298,9 @@ def save_pq_index(
     reloaded pair never touches the float corpus -- which is the point of
     persisting it: re-encoding 100 TB of embeddings because the session
     died is the failure mode this store removes."""
-    bt = PKTable(
-        spark, os.path.join(path, "books"),
-        keys=["m", "cluster"], order_by=["m", "cluster"],
-    )
+    bt = _table(spark, os.path.join(path, "books"), ["m", "cluster"], ["m", "cluster"])
     bt.overwrite(books.select("m", "cluster", "cv"))
-    ct = PKTable(
-        spark, os.path.join(path, "codes"),
-        keys=["vec_id", "m"], order_by=["vec_id", "m"],
-    )
+    ct = _table(spark, os.path.join(path, "codes"), ["vec_id", "m"], ["vec_id", "m"])
     ct.overwrite(codes.select("vec_id", "m", "code", "d2"))
     _write_meta(path, _pq_meta())
 
@@ -311,14 +310,8 @@ def load_pq_index(
 ) -> tuple[DataFrame, DataFrame]:
     meta = _read_meta(path)
     _check_compat(meta, _pq_meta(), path)
-    bt = PKTable(
-        spark, os.path.join(path, "books"),
-        keys=["m", "cluster"], order_by=["m", "cluster"],
-    )
-    ct = PKTable(
-        spark, os.path.join(path, "codes"),
-        keys=["vec_id", "m"], order_by=["vec_id", "m"],
-    )
+    bt = _table(spark, os.path.join(path, "books"), ["m", "cluster"], ["m", "cluster"])
+    ct = _table(spark, os.path.join(path, "codes"), ["vec_id", "m"], ["vec_id", "m"])
     books = bt.snapshot(version=version)
     codes = ct.snapshot(version=version)
     if books is None or codes is None:
@@ -335,7 +328,7 @@ def list_model_versions(spark: SparkSession, path: str) -> list[dict]:
     if not os.path.exists(os.path.join(path, _META)):
         raise FileNotFoundError(f"no published model at {path}")
     sub = "coef" if os.path.exists(os.path.join(path, "coef")) else "weights"
-    t = PKTable(spark, os.path.join(path, sub), keys=["_"], order_by=["_"])
+    t = _table(spark, os.path.join(path, sub), ["_"], ["_"])
     m = t._read_manifest()
     return list(m.get("history", []))
 
