@@ -26,6 +26,8 @@ real pipeline ships:
                                      serve (models.py lifecycle)
     2e-iiid. score_drift_report   -- PSI drift monitor over score deciles
                                      (the serving-time model-ops alarm)
+    2e-iiie. logreg_calibration_report -- reliability curve + ECE (can the
+                                     scores WEIGHT samples, not just rank?)
     2e-iv. source_curation_report -- per-source vendor scorecard (quality,
                                      token mass, dup incidence)
     2f. doc_novelty_score         -- low-novelty (recombined boilerplate) scan
@@ -191,6 +193,9 @@ def main() -> None:
 
     print("== 2e-iiid. score drift monitor (PSI per decile; sum = the alarm)")
     q["score_drift_report"].builder(spark, sf_dir).show()
+
+    print("== 2e-iiie. calibration report (reliability curve + ECE mass)")
+    q["logreg_calibration_report"].builder(spark, sf_dir).show()
 
     print("== 2e-iv. per-source curation scorecard (worst 5 by mean score)")
     q["source_curation_report"].builder(spark, sf_dir).orderBy(

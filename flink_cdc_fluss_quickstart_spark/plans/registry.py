@@ -239,6 +239,15 @@ def get(name: str) -> QuerySpec:
 # benched; its census-rule core is line_dedup_text's, in-head and benched,
 # and the batch-vs-census incremental equivalence is pytest-pinned --
 # note below).
+#
+# Round-12 third wave: logreg_calibration_report (ADDED r12 -- the
+# reliability-curve + ECE model-ops step between accuracy eval and
+# deployment, sf0.001+sf0.01 oracle-checked before rotating) rotates IN
+# per the cadence; out rotates embedding_pq_codes (stamped r9-r11, not
+# benched; embedding_ivfpq_topk -- in head AND benched -- retrains the
+# identical fused codebook chain end-to-end and consumes the codes, so
+# the family stays stamped; the two notes that cited pq_codes now cite
+# the searcher).
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -306,8 +315,8 @@ PRIORITY: tuple[str, ...] = (
     "semantic_dedup_prune",
     "embedding_ivfpq_topk",
     "ann_recall_report_clustered",
-    "embedding_pq_codes",
-    # trained-classifier family (r12: multiclass joins per added-in-round cadence)
+    # trained-classifier / model-ops family (r12 additions per cadence)
+    "logreg_calibration_report",
     "langid_multiclass",
 )
 
@@ -414,11 +423,19 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " (the token_stats_by_lang shape, also stamped); stamped r8-r10",
     ),
     "embedding_pca_top_component": (
-        "embedding_pq_codes",
+        "embedding_ivfpq_topk",
         "same fused broadcast-Gram/centroid iteration family over the"
-        " embeddings scan (the PQ subspace-Lloyd chain is the strict"
-        " superset of the power-iteration shape); recall-side quality"
-        " stays stamped via ann_recall_report_clustered; stamped r9+r10",
+        " embeddings scan (the searcher's fused subspace+coarse Lloyd"
+        " chain is the strict superset of the power-iteration shape);"
+        " recall-side quality stays stamped via"
+        " ann_recall_report_clustered; stamped r9+r10",
+    ),
+    "embedding_pq_codes": (
+        "embedding_ivfpq_topk",
+        "strict superset: the IVF-PQ searcher retrains the IDENTICAL fused"
+        " subspace-Lloyd codebook chain (include_coarse mode shares"
+        " _pq_codebooks_and_codes op-for-op) and consumes the codes"
+        " end-to-end every run; codes-only output form stamped r9-r11",
     ),
     "q16_supplier_part_variety": (
         "distinct_agg_parts_per_priority",
@@ -571,8 +588,8 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "ann_recall_report_clustered",
         "the same composed recall-audit shape (candidate plan + exact-cosine"
         " ground truth -> per-query hit rollup), stamped fresh r9-r11; its"
-        " codes-only ADC scoring arm stays stamped via embedding_ivfpq_topk"
-        " and its codebook fit via embedding_pq_codes",
+        " codes-only ADC scoring arm AND codebook fit stay stamped via"
+        " embedding_ivfpq_topk (the same fused chain end-to-end)",
     ),
     "kmeans_embeddings": (
         "embedding_ivfpq_topk",

@@ -4465,6 +4465,122 @@ def score_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_drift_frame(d)
 
 
+# --- trained-model calibration report (reliability curve + ECE) --------------
+
+
+def calibration_frame(d: DataFrame) -> DataFrame:
+    """Reliability diagram of the trained quality scorer: per score-decile,
+    the mean predicted probability vs the observed weak-label rate, the
+    absolute gap, and the doc-weighted ECE contribution (sum the column and
+    divide by N for expected calibration error). A well-calibrated scorer
+    tracks the diagonal; a confident-but-wrong one shows large gaps in the
+    extreme bins -- the standard go/no-go before using scores as sampling
+    WEIGHTS (miscalibrated scores still rank, they just can't weight).
+    All milli-units are exact integer divisions, so both engines agree
+    bit-for-bit; scale shape: the scorer's passes + one 10-row rollup."""
+    spark = d.sparkSession
+    scored = logreg_quality_frame(d)
+    width = LOGREG_SCALE // DRIFT_BINS
+    binned = scored.select(
+        F.least(
+            F.floor(F.col("score_micro") / F.lit(float(width))),
+            F.lit(DRIFT_BINS - 1),
+        )
+        .cast("bigint")
+        .alias("bin"),
+        "score_micro",
+        "weak_label",
+    )
+    counts = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("score_micro").cast("bigint").alias("ssum"),
+        F.sum("weak_label").cast("bigint").alias("npos"),
+    )
+    allbins = spark.range(DRIFT_BINS).select(F.col("id").cast("bigint").alias("bin"))
+    full = allbins.join(counts, "bin", "left").select(
+        "bin",
+        F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.col("ssum"), F.lit(0)).cast("bigint").alias("ssum"),
+        F.coalesce(F.col("npos"), F.lit(0)).cast("bigint").alias("npos"),
+    )
+    mean_score = F.expr("CASE WHEN n_docs = 0 THEN NULL"
+                        " ELSE ssum div (n_docs * 1000) END").cast("bigint")
+    label_rate = F.expr("CASE WHEN n_docs = 0 THEN NULL"
+                        " ELSE (1000 * npos) div n_docs END").cast("bigint")
+    gap = F.abs(mean_score - label_rate).cast("bigint")
+    return full.select(
+        "bin",
+        "n_docs",
+        mean_score.alias("mean_score_milli"),
+        label_rate.alias("label_rate_milli"),
+        gap.alias("gap_milli"),
+        F.coalesce(F.col("n_docs") * gap, F.lit(0)).cast("bigint").alias("ece_contrib"),
+    ).orderBy("bin")
+
+
+def _calibration_oracle_sql() -> str:
+    width = LOGREG_SCALE // DRIFT_BINS
+    return f"""
+    WITH scored AS MATERIALIZED ({_lr_oracle_sql()}),
+    binned AS (
+      SELECT LEAST(CAST(floor(score_micro / {float(width)}) AS BIGINT),
+                   {DRIFT_BINS - 1}) AS bin,
+             score_micro, weak_label
+      FROM scored
+    ),
+    counts AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(score_micro) AS BIGINT) AS ssum,
+             CAST(SUM(weak_label) AS BIGINT) AS npos
+      FROM binned GROUP BY bin
+    ),
+    allbins AS (SELECT CAST(range AS BIGINT) AS bin FROM range({DRIFT_BINS})),
+    fullb AS (
+      SELECT a.bin,
+             COALESCE(c.n_docs, 0) AS n_docs,
+             COALESCE(c.ssum, 0) AS ssum,
+             COALESCE(c.npos, 0) AS npos
+      FROM allbins a LEFT JOIN counts c USING (bin)
+    ),
+    m AS (
+      SELECT bin, n_docs,
+             CASE WHEN n_docs = 0 THEN NULL
+                  ELSE ssum // (n_docs * 1000) END AS mean_score_milli,
+             CASE WHEN n_docs = 0 THEN NULL
+                  ELSE (1000 * npos) // n_docs END AS label_rate_milli
+      FROM fullb
+    )
+    SELECT bin, n_docs,
+           CAST(mean_score_milli AS BIGINT) AS mean_score_milli,
+           CAST(label_rate_milli AS BIGINT) AS label_rate_milli,
+           CAST(abs(mean_score_milli - label_rate_milli) AS BIGINT) AS gap_milli,
+           CAST(COALESCE(n_docs * abs(mean_score_milli - label_rate_milli), 0)
+                AS BIGINT) AS ece_contrib
+    FROM m ORDER BY bin
+    """
+
+
+@register(
+    "logreg_calibration_report",
+    oracle=_calibration_oracle_sql(),
+    description=f"Trained-scorer CALIBRATION report (reliability diagram +"
+    f" expected calibration error): per score-decile bin, the mean"
+    f" predicted probability (milli) vs the observed weak-label rate"
+    f" (milli), their absolute gap, and the doc-weighted ECE contribution"
+    f" (sum/N = ECE, Naeini et al. 2015's binned estimator). The model-ops"
+    f" step between accuracy eval and deployment: a scorer can rank well"
+    f" yet be miscalibrated, which breaks score-WEIGHTED sampling"
+    f" (FineWeb-Edu-style threshold curation reads the curve before"
+    f" trusting a cutoff). Exact integer milli-units (BIGINT div) on both"
+    f" engines; empty bins emit NULL curve points and 0 ECE mass."
+    f" Scale shape: the scorer's own passes plus ONE {DRIFT_BINS}-row"
+    f" rollup -- nothing new is corpus-sized.",
+)
+def logreg_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents"))
+    return calibration_frame(d)
+
+
 # --- hashed n-gram language classifier: distributed sparse GD ----------------
 
 # The fastText text-classification architecture at its langid flagship task

@@ -1461,3 +1461,34 @@ def test_score_drift_report_flags_planted_shift_and_stays_flat_without(spark):
     assert psi_total > 20_000_000
     assert abs(flat_total) < 5_000_000
     assert psi_total > 10 * max(abs(flat_total), 1)
+
+
+def test_logreg_calibration_planted_separable_is_sharp_and_calibrated(spark):
+    """On the linearly separable planted corpus (scores > 0.8 for every
+    positive, < 0.2 for every negative, labels matching), the reliability
+    report must put all mass in the extreme bins with SMALL gaps -- the
+    mean predicted probability in an extreme bin tracks its label rate
+    (1000 or 0 milli) within the score margin -- and the empty middle bins
+    must emit NULL curve points with zero ECE mass."""
+    rows = []
+    for i in range(20):
+        rows.append((i, " ".join(("the" if j % 4 == 0 else f"tok{j}x") for j in range(50))))
+    for i in range(20, 40):
+        rows.append((i, " ".join(f"zq{j}word" for j in range(12))))
+    rep = {r["bin"]: r.asDict()
+           for r in tq.calibration_frame(_docs(spark, rows)).collect()}
+    assert set(rep) == set(range(tq.DRIFT_BINS))
+    occupied = {b for b, r in rep.items() if r["n_docs"] > 0}
+    assert occupied <= {0, 1, 8, 9} and {min(occupied), max(occupied)} <= {0, 1, 8, 9}
+    low = sum(rep[b]["n_docs"] for b in occupied if b <= 1)
+    high = sum(rep[b]["n_docs"] for b in occupied if b >= 8)
+    assert low == 20 and high == 20
+    for b in occupied:
+        r = rep[b]
+        assert r["label_rate_milli"] == (1000 if b >= 8 else 0)
+        assert r["gap_milli"] <= 200  # within the planted score margin
+        assert r["ece_contrib"] == r["n_docs"] * r["gap_milli"]
+    for b in set(range(tq.DRIFT_BINS)) - occupied:
+        r = rep[b]
+        assert r["n_docs"] == 0 and r["ece_contrib"] == 0
+        assert r["mean_score_milli"] is None and r["gap_milli"] is None

@@ -122,6 +122,7 @@ EXPECTED = {
     "hashed_ngram_langid",
     "langid_multiclass",
     "score_drift_report",
+    "logreg_calibration_report",
     "bpe_merge_candidates",
     "bpe_encode_tokens",
     "tokenizer_fertility_by_lang",

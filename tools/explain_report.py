@@ -54,6 +54,7 @@ REPORT = (
     "logreg_quality_score",
     "logreg_holdout_eval",
     "score_drift_report",
+    "logreg_calibration_report",
     "source_curation_report",
     "hashed_ngram_langid",
     "langid_multiclass",
