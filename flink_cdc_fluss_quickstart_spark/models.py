@@ -32,6 +32,20 @@ featurization that trained it (bucket count, gram inventory, hash prefix,
 quantization scale). ``meta.json`` records those constants at save time
 and ``load_*`` refuses a mismatch -- serving a 1024-bucket model in a
 2048-bucket engine would silently mis-route every gram.
+
+Multi-table atomicity: a model that spans two PKTables (langid weights +
+hot grams; PQ books + codes) cannot rely on the two overwrites landing as
+one commit -- they are separate manifest swaps. The cutover point is
+therefore ``meta.json`` itself: every save/ingest records the consistent
+(subtable -> PKTable version) pair in a publish LEDGER and swaps meta.json
+LAST (atomic ``os.replace``). ``load_*`` resolves versions THROUGH the
+ledger, so a concurrent reader -- or any load after a crash between the
+two table commits -- either sees the previous complete publish (whose
+versions stay readable for the GC grace window) or the new one, never new
+weights paired with an old hot list. ``load_*(version=k)`` addresses
+ledger publish k, which stays correct even if the two tables' raw version
+counters ever skew (a mid-save crash); legacy metas without a ledger fall
+back to raw lockstep versions with an explicit skew check.
 """
 
 from __future__ import annotations
@@ -72,6 +86,62 @@ def _read_meta(path: str) -> dict:
         return json.load(f)
 
 
+def _current_version(t: PKTable) -> int:
+    return int(t._read_manifest()["version"])
+
+
+def _publish_meta(path: str, meta: dict, versions: dict, extra: dict | None = None) -> None:
+    """Record this publish in the meta ledger and atomically swap meta.json
+    LAST -- the cutover point of a multi-table publish. ``versions`` is the
+    consistent (subtable -> PKTable version) map readers must load together;
+    until this write lands, loads keep resolving the PREVIOUS complete
+    publish, whose table versions remain readable for the GC grace window."""
+    prior: list = []
+    if os.path.exists(os.path.join(path, _META)):
+        prior = list(_read_meta(path).get("publishes", []))
+    entry = {"publish": len(prior) + 1, "versions": dict(versions)}
+    if extra:
+        entry.update(extra)
+    meta = dict(meta)
+    meta["versions"] = dict(versions)
+    meta["publishes"] = prior + [entry]
+    _write_meta(path, meta)
+
+
+def _resolve_publish(meta: dict, version: int | None, subs: tuple, path: str):
+    """Map a requested publish number onto the per-subtable version map the
+    ledger recorded for it. Returns (versions_map, ledger_entry_or_None).
+    ``version=None`` -> the last COMPLETE publish. Legacy metas (saved
+    before the ledger existed) return raw PKTable versions and None; the
+    caller must then skew-check the lockstep assumption itself."""
+    pubs = meta.get("publishes")
+    if pubs is None:
+        return {s: version for s in subs}, None
+    if version is None:
+        entry = pubs[-1]
+    else:
+        match = [e for e in pubs if e["publish"] == version]
+        if not match:
+            raise ValueError(
+                f"no publish {version} in the ledger at {path}"
+                f" (recorded: {[e['publish'] for e in pubs]})"
+            )
+        entry = match[-1]
+    return dict(entry["versions"]), entry
+
+
+def _check_lockstep(path: str, tables: dict) -> None:
+    """Legacy-meta guard: without a ledger, load assumes all subtables
+    version in lockstep -- verify it, don't trust it."""
+    vs = {name: _current_version(t) for name, t in tables.items()}
+    if len(set(vs.values())) > 1:
+        raise ValueError(
+            f"model at {path} predates the publish ledger and its subtable"
+            f" versions have skewed ({vs}): a crashed or concurrent save"
+            " desynced the tables; re-publish the model to repair"
+        )
+
+
 def _check_compat(saved: dict, current: dict, path: str) -> None:
     bad = {k: (saved.get(k), v) for k, v in current.items() if saved.get(k) != v}
     if bad:
@@ -107,9 +177,10 @@ def save_langid_model(
 ) -> None:
     """Publish a trained langid model: weights -> PKTable keyed by bucket
     (by (bucket, cls) for the multiclass one-vs-rest frame), hot grams ->
-    PKTable keyed by gram, plus the featurization meta. ``overwrite`` makes
-    each save an atomic new model VERSION; older versions stay readable
-    via PKTable time travel until GC'd.
+    PKTable keyed by gram, then the featurization meta + publish-ledger
+    entry recording the two tables' committed versions -- written LAST, the
+    atomic cutover (see module docstring): a crash between the table
+    commits leaves the previous complete publish in force.
 
     100 TB posture: both writes are straight distributed parquet -- the
     weight frame never visits the driver (at fastText's 2M-bucket space it
@@ -123,25 +194,37 @@ def save_langid_model(
     ht.overwrite(hot.select("gram"))
     meta = _hlr_meta()
     meta["classes"] = bool(classes)
-    _write_meta(path, meta)
+    _publish_meta(
+        path, meta,
+        {"weights": _current_version(wt), "hot": _current_version(ht)},
+        extra={"classes": bool(classes)},
+    )
 
 
 def load_langid_model(
     spark: SparkSession, path: str, version: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """Reload (weights, hot) from a freshly constructed engine/session.
-    ``version`` time-travels the weight table to an older published model
-    (the rollback path); the hot list rides the same version index because
-    both tables version in lockstep (one save = one overwrite each)."""
+    ``version`` addresses a publish-ledger entry (the rollback path): both
+    tables are read at the versions that entry recorded TOGETHER, so the
+    pair is consistent even if the raw table counters have skewed. Legacy
+    ledger-less metas fall back to lockstep versions after a skew check."""
     meta = _read_meta(path)
     cur = _hlr_meta()
     cur["classes"] = meta.get("classes", False)  # shape is the model's choice
     _check_compat(meta, cur, path)
-    wkeys = ["b", "cls"] if meta.get("classes") else ["b"]
+    vers, entry = _resolve_publish(meta, version, ("weights", "hot"), path)
+    # the one-vs-rest shape is per-PUBLISH (a rollback target may predate a
+    # shape switch); the ledger entry records it, legacy metas only latest
+    classes = entry.get("classes", meta.get("classes", False)) if entry \
+        else meta.get("classes", False)
+    wkeys = ["b", "cls"] if classes else ["b"]
     wt = _table(spark, os.path.join(path, "weights"), wkeys, wkeys)
     ht = _table(spark, os.path.join(path, "hot"), ["gram"], ["gram"])
-    weights = wt.snapshot(version=version)
-    hot = ht.snapshot(version=version)
+    if entry is None:
+        _check_lockstep(path, {"weights": wt, "hot": ht})
+    weights = wt.snapshot(version=vers["weights"])
+    hot = ht.snapshot(version=vers["hot"])
     if weights is None:
         raise ValueError(f"no published langid model at {path}")
     if hot is None:
@@ -166,10 +249,21 @@ def _lr_meta() -> dict:
     }
 
 
-def save_logreg_model(spark: SparkSession, path: str, model) -> None:
+def save_logreg_model(
+    spark: SparkSession, path: str, model, baseline: DataFrame | None = None
+) -> None:
     """Publish a trained LogregModel as a feature-indexed 5-row table
     (j, w, m, sd) plus a scalar row for n/train_bucket in the meta. The
-    doubles pass through parquet exactly, so reload is bit-identical."""
+    doubles pass through parquet exactly, so reload is bit-identical.
+
+    ``baseline`` (optional): the validation-time score histogram --
+    the (bin, n) frame ``plans.text_queries.score_bin_counts`` emits over
+    the holdout scores -- persisted ALONGSIDE the model so later serving
+    sessions can PSI-compare their score distribution against the
+    distribution this model was validated on
+    (``score_drift_vs_baseline_frame``), across any number of restarts.
+    It versions in the same ledger entry as the coefficients: rolling the
+    model back also rolls back its reference histogram."""
     rows = [
         (j, float(model.w[j]), float(model.m[j]), float(model.sd[j]))
         for j in range(len(model.w))
@@ -177,34 +271,81 @@ def save_logreg_model(spark: SparkSession, path: str, model) -> None:
     df = spark.createDataFrame(rows, "j int, w double, m double, sd double")
     t = _table(spark, os.path.join(path, "coef"), ["j"], ["j"])
     t.overwrite(df)
+    versions = {"coef": _current_version(t)}
+    if baseline is not None:
+        bt = _table(spark, os.path.join(path, "baseline"), ["bin"], ["bin"])
+        bt.overwrite(baseline.select("bin", "n"))
+        versions["baseline"] = _current_version(bt)
     meta = _lr_meta()
     meta["n"] = int(model.n)
     meta["train_bucket"] = model.train_bucket
-    _write_meta(path, meta)
+    # n / train_bucket are MODEL state that must pair with the coef rows:
+    # the ledger entry carries them per publish, and the meta swap (last,
+    # atomic) is the cutover -- a crash after the coef overwrite but before
+    # this write leaves the previous (coef version, n) pair in force
+    _publish_meta(
+        path, meta, versions,
+        extra={"n": int(model.n), "train_bucket": model.train_bucket},
+    )
 
 
 def load_logreg_model(spark: SparkSession, path: str, version: int | None = None):
-    """Reload a LogregModel; ``version`` rolls back to an older publish."""
+    """Reload a LogregModel; ``version`` rolls back to an older ledger
+    publish, restoring THAT publish's (coef rows, n, train_bucket) together
+    -- n from a later fit paired with older coefficients would silently
+    skew every score."""
     from flink_cdc_fluss_quickstart_spark.plans.text_queries import LogregModel
 
     meta = _read_meta(path)
     cur = _lr_meta()
     _check_compat(meta, cur, path)
+    vers, entry = _resolve_publish(meta, version, ("coef",), path)
     t = _table(spark, os.path.join(path, "coef"), ["j"], ["j"])
-    snap = t.snapshot(version=version)
+    snap = t.snapshot(version=vers["coef"])
     if snap is None:
         raise ValueError(f"no published logreg model at {path}")
     rows = {r["j"]: r for r in snap.collect()}  # n_feat rows -- driver-sized
     n_feat = meta["n_feat"]
     if sorted(rows) != list(range(n_feat)):
         raise ValueError(f"logreg model at {path} is missing coefficient rows")
+    src = entry if entry is not None else meta
     return LogregModel(
         w=tuple(rows[j]["w"] for j in range(n_feat)),
         m=tuple(rows[j]["m"] for j in range(n_feat)),
         sd=tuple(rows[j]["sd"] for j in range(n_feat)),
-        n=meta["n"],
-        train_bucket=meta.get("train_bucket"),
+        n=src["n"],
+        train_bucket=src.get("train_bucket"),
     )
+
+
+def load_score_baseline(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Reload the validation-time score histogram published with a logreg
+    model (``save_logreg_model(..., baseline=)``): the 10-row (bin, n)
+    reference frame ``score_drift_vs_baseline_frame`` compares a serving
+    session against. ``version`` addresses the same ledger publish as
+    ``load_logreg_model`` -- model and baseline roll back together."""
+    meta = _read_meta(path)
+    _check_compat(meta, _lr_meta(), path)
+    vers, entry = _resolve_publish(meta, version, ("coef",), path)
+    bver = vers.get("baseline") if entry is not None else version
+    if entry is not None and "baseline" not in vers:
+        raise ValueError(
+            f"publish {entry['publish']} at {path} was saved without a"
+            " baseline histogram (pass baseline= to save_logreg_model)"
+        )
+    from flink_cdc_fluss_quickstart_spark.streaming.pk_table import MANIFEST
+
+    if not os.path.exists(os.path.join(path, "baseline", MANIFEST)):
+        # don't construct a handle on a missing table -- it would seed a
+        # spurious empty manifest inside the artifact
+        raise ValueError(f"no published score baseline at {path}")
+    bt = _table(spark, os.path.join(path, "baseline"), ["bin"], ["bin"])
+    snap = bt.snapshot(version=bver)
+    if snap is None:
+        raise ValueError(f"no published score baseline at {path}")
+    return snap.select("bin", "n")
 
 
 # -- serving indexes (the dedup / ANN state, same lifecycle as models) -------
@@ -238,7 +379,7 @@ def save_minhash_index(spark: SparkSession, path: str, band_frame: DataFrame) ->
         band_frame.select("id", "band_idx", "band_key")
         .withColumn("seq", F.lit(0).cast("long"))
     )
-    _write_meta(path, _mh_meta())
+    _publish_meta(path, _mh_meta(), {"bands": _current_version(t)})
 
 
 def upsert_minhash_index(
@@ -253,6 +394,7 @@ def upsert_minhash_index(
     meta = _read_meta(path)
     _check_compat(meta, _mh_meta(), path)
     t = _table(spark, os.path.join(path, "bands"), ["id", "band_idx"], ["seq"])
+    before = _current_version(t)
     t.merge(
         band_frame.select(
             "id", "band_idx", "band_key",
@@ -261,6 +403,10 @@ def upsert_minhash_index(
         batch_id=batch_id,
         writer_id="minhash-ingest",
     )
+    after = _current_version(t)
+    if after != before:  # a replayed (idempotent no-op) batch adds no entry
+        _publish_meta(path, _mh_meta(), {"bands": after},
+                      extra={"ingest_batch": int(batch_id)})
 
 
 def load_minhash_index(
@@ -268,8 +414,9 @@ def load_minhash_index(
 ) -> DataFrame:
     meta = _read_meta(path)
     _check_compat(meta, _mh_meta(), path)
+    vers, _entry = _resolve_publish(meta, version, ("bands",), path)
     t = _table(spark, os.path.join(path, "bands"), ["id", "band_idx"], ["seq"])
-    snap = t.snapshot(version=version)
+    snap = t.snapshot(version=vers["bands"])
     if snap is None:
         raise ValueError(f"no published minhash index at {path}")
     return snap.select("id", "band_idx", "band_key")
@@ -302,7 +449,47 @@ def save_pq_index(
     bt.overwrite(books.select("m", "cluster", "cv"))
     ct = _table(spark, os.path.join(path, "codes"), ["vec_id", "m"], ["vec_id", "m"])
     ct.overwrite(codes.select("vec_id", "m", "code", "d2"))
-    _write_meta(path, _pq_meta())
+    _publish_meta(
+        path, _pq_meta(),
+        {"books": _current_version(bt), "codes": _current_version(ct)},
+    )
+
+
+def upsert_pq_index(
+    spark: SparkSession, path: str, new_codes: DataFrame, batch_id: int
+) -> None:
+    """Ingest NEW vectors' code rows into the published PQ index -- the
+    day-2 path that closes the index lifecycle: encode the new embeddings
+    with the RELOADED, FROZEN codebooks
+    (``plans.similarity_queries.pq_encode_with_books(new_emb, books)``) and
+    merge the resulting (vec_id, m, code, d2) rows here. The codebooks are
+    immutable trained artifacts, so ONLY the codes table grows -- by PQ_M
+    rows per new vector, cost |batch|, never a corpus re-encode. The merge
+    is idempotent per batch_id (a replayed ingest is a table-level no-op
+    and adds no ledger entry); after it commits, the ledger records the new
+    consistent (books, codes) pair -- a crash in between leaves the
+    pre-ingest publish in force."""
+    import pyspark.sql.functions as F
+
+    meta = _read_meta(path)
+    _check_compat(meta, _pq_meta(), path)
+    ct = _table(spark, os.path.join(path, "codes"), ["vec_id", "m"], ["vec_id", "m"])
+    before = _current_version(ct)
+    ct.merge(
+        new_codes.select("vec_id", "m", "code", "d2", F.lit("I").alias("op")),
+        batch_id=batch_id,
+        writer_id="pq-ingest",
+    )
+    after = _current_version(ct)
+    if after != before:
+        bt = _table(
+            spark, os.path.join(path, "books"), ["m", "cluster"], ["m", "cluster"]
+        )
+        _publish_meta(
+            path, _pq_meta(),
+            {"books": _current_version(bt), "codes": after},
+            extra={"ingest_batch": int(batch_id)},
+        )
 
 
 def load_pq_index(
@@ -310,10 +497,13 @@ def load_pq_index(
 ) -> tuple[DataFrame, DataFrame]:
     meta = _read_meta(path)
     _check_compat(meta, _pq_meta(), path)
+    vers, entry = _resolve_publish(meta, version, ("books", "codes"), path)
     bt = _table(spark, os.path.join(path, "books"), ["m", "cluster"], ["m", "cluster"])
     ct = _table(spark, os.path.join(path, "codes"), ["vec_id", "m"], ["vec_id", "m"])
-    books = bt.snapshot(version=version)
-    codes = ct.snapshot(version=version)
+    if entry is None:
+        _check_lockstep(path, {"books": bt, "codes": ct})
+    books = bt.snapshot(version=vers["books"])
+    codes = ct.snapshot(version=vers["codes"])
     if books is None or codes is None:
         raise ValueError(f"no published PQ index at {path}")
     return (
@@ -322,12 +512,41 @@ def load_pq_index(
     )
 
 
+# the subtable whose commit history IS the artifact's version history,
+# per artifact type -- for the PQ index that is the codes table (ingests
+# advance the index; the books are a frozen trained artifact)
+_PRIMARY_SUB = {
+    "hashed_ngram_langid": "weights",
+    "logreg_quality": "coef",
+    "minhash_band_index": "bands",
+    "pq_index": "codes",
+}
+
+
 def list_model_versions(spark: SparkSession, path: str) -> list[dict]:
-    """Published model versions (newest last) from the weight/coef table's
-    commit history -- the model registry view."""
+    """Published versions of the artifact at ``path`` (newest last) from
+    its primary subtable's commit history -- the model-registry view. The
+    subtable is dispatched from the meta's ``model_type`` (indexes version
+    through bands/codes, not weights); an unknown type raises rather than
+    guessing, and no PKTable handle is constructed on a directory that
+    lacks a manifest -- the handle constructor would seed a spurious empty
+    one inside the artifact."""
+    from flink_cdc_fluss_quickstart_spark.streaming.pk_table import MANIFEST
+
     if not os.path.exists(os.path.join(path, _META)):
         raise FileNotFoundError(f"no published model at {path}")
-    sub = "coef" if os.path.exists(os.path.join(path, "coef")) else "weights"
+    mtype = _read_meta(path).get("model_type")
+    sub = _PRIMARY_SUB.get(mtype)
+    if sub is None:
+        raise ValueError(
+            f"unknown model_type {mtype!r} at {path}; known:"
+            f" {sorted(_PRIMARY_SUB)}"
+        )
+    if not os.path.exists(os.path.join(path, sub, MANIFEST)):
+        raise FileNotFoundError(
+            f"model at {path} declares {mtype!r} but its {sub!r} table is"
+            " missing (half-deleted artifact?)"
+        )
     t = _table(spark, os.path.join(path, sub), ["_"], ["_"])
     m = t._read_manifest()
     return list(m.get("history", []))
@@ -338,5 +557,12 @@ __all__ = [
     "load_langid_model",
     "save_logreg_model",
     "load_logreg_model",
+    "load_score_baseline",
+    "save_minhash_index",
+    "upsert_minhash_index",
+    "load_minhash_index",
+    "save_pq_index",
+    "upsert_pq_index",
+    "load_pq_index",
     "list_model_versions",
 ]

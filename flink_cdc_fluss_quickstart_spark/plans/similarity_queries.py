@@ -1415,20 +1415,7 @@ def _pq_codebooks_and_codes(emb: DataFrame, include_coarse: bool = False):
     Returns (books, codes, coarse_cents, coarse_assigned) in that mode."""
     from flink_cdc_fluss_quickstart_spark.functions.dedup import track_cache
 
-    subs = emb.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(m).cast("int").alias("m"),
-                        F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
-                    )
-                    for m in range(PQ_M)
-                ]
-            )
-        ).alias("s"),
-    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("embedding"))
+    subs = _pq_subspaces(emb)
     if include_coarse:
         assert KMEANS_ITERS == PQ_ITERS, "fused chain needs equal Lloyd rounds"
         subs = subs.unionByName(
@@ -1478,6 +1465,41 @@ _PQ_PICK = (
     f"array_min(transform(filter(__cents, c -> c.m = m),"
     f" c -> named_struct('d', {_PQ_D2}, 'k', c.cluster)))"
 )
+
+
+def _pq_subspaces(emb: DataFrame) -> DataFrame:
+    """Explode each vector into its PQ_M subspace slices: (vec_id, m,
+    embedding[PQ_SUBDIM]) -- the row shape both training and frozen-book
+    encoding assign over."""
+    return emb.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("int").alias("m"),
+                        F.slice("embedding", m * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sub"),
+                    )
+                    for m in range(PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.m").alias("m"), F.col("s.sub").alias("embedding"))
+
+
+def pq_encode_with_books(emb: DataFrame, books: DataFrame) -> DataFrame:
+    """Encode vectors with FROZEN (e.g. reloaded) codebooks -- the day-2
+    ingest path of the persisted PQ index: no retraining, one broadcast
+    nearest-centroid assignment per subspace, cost |batch| x PQ_M rows.
+    Returns the same (vec_id, m, code, d2) frame shape pq_train_index
+    emits, so the rows merge straight into models.upsert_pq_index; because
+    assignment under fixed books is row-local and deterministic, encoding
+    a batch with reloaded books is bit-identical to what a from-scratch
+    assignment over the union would give those vectors
+    (tests/test_index_store.py proves the day-2 ADC equivalence)."""
+    return _pq_assign(_pq_subspaces(emb), books).select(
+        "vec_id", "m", F.col("cluster").alias("code"), F.col("__d2").alias("d2")
+    )
 
 
 def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:

@@ -4321,8 +4321,10 @@ def logreg_holdout_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # edges over score_micro), shares are smoothed exact integers, and the
 # log-ratio uses the corpus-wide quarter-bit integer log2 (the NB/PMI
 # machinery) -- so the whole report is deterministic cross-engine, like
-# every other number the trained family emits. PSI in quarter-bits:
-# PSI_ln = psi/4 * ln 2 if a natural-log threshold table is needed.
+# every other number the trained family emits. Units: psi_contrib is
+# micro-share x quarter-bit (shares carry a 1e6 micro scale, the log a x4
+# quarter-bit scale), so PSI_ln = sum(psi_contrib) / 4e6 * ln 2 when a
+# natural-log threshold table (0.1 / 0.25) is needed.
 DRIFT_REF_BUCKET = 50  # md5(doc_id) < 50 = the 'reference' half (stands in
 # for the validation-time corpus; production wires a time predicate here)
 DRIFT_BINS = 10
@@ -4365,6 +4367,61 @@ def score_drift_frame(d: DataFrame) -> DataFrame:
         F.coalesce(F.col("ref_n"), F.lit(0)).cast("bigint").alias("ref_n"),
         F.coalesce(F.col("cur_n"), F.lit(0)).cast("bigint").alias("cur_n"),
     )
+    return _psi_report(full)
+
+
+def score_bin_counts(scored: DataFrame) -> DataFrame:
+    """Fixed-decile histogram (bin, n) of a scored frame, all DRIFT_BINS
+    rows present -- the 10-integer mergeable state the drift monitor runs
+    on. Persist THIS at model-publish time (models.save_logreg_model
+    baseline=) and later sessions PSI-compare against the stored copy."""
+    spark = scored.sparkSession
+    width = LOGREG_SCALE // DRIFT_BINS
+    counts = (
+        scored.select(
+            F.least(
+                F.floor(F.col("score_micro") / F.lit(float(width))),
+                F.lit(DRIFT_BINS - 1),
+            )
+            .cast("bigint")
+            .alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    allbins = spark.range(DRIFT_BINS).select(F.col("id").cast("bigint").alias("bin"))
+    return allbins.join(counts, "bin", "left").select(
+        "bin", F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n")
+    )
+
+
+def score_drift_vs_baseline_frame(
+    scored: DataFrame, baseline: DataFrame
+) -> DataFrame:
+    """The production drift monitor: PSI of a serving session's score
+    distribution against the PERSISTED validation-time histogram (the
+    reference side is the 10 stored bin counts, not a same-corpus split).
+    ``scored`` is logreg_score(d, reloaded_model); ``baseline`` is the
+    (bin, n) frame models.load_score_baseline returns. Same report shape
+    and exact-integer units as score_drift_frame. Scale: the scorer's
+    passes + one DRIFT_BINS-row rollup; the baseline is 10 rows, broadcast
+    by size."""
+    full = score_bin_counts(scored).join(
+        baseline.select("bin", F.col("n").alias("ref_n")), "bin", "left"
+    ).select(
+        "bin",
+        F.coalesce(F.col("ref_n"), F.lit(0)).cast("bigint").alias("ref_n"),
+        F.col("n").cast("bigint").alias("cur_n"),
+    )
+    return _psi_report(full)
+
+
+def _psi_report(full: DataFrame) -> DataFrame:
+    """PSI arithmetic over a complete (bin, ref_n, cur_n) frame: smoothed
+    exact micro shares, quarter-bit integer log2 ratio, per-bin PSI
+    contribution in micro-share x quarter-bit units (PSI_ln = sum/4e6 *
+    ln 2). Shared by the split-based and stored-baseline monitors so the
+    exact-integer arithmetic can never drift between them."""
     tot = full.agg(F.sum("ref_n").alias("nref"), F.sum("cur_n").alias("ncur"))
     j = full.crossJoin(F.broadcast(tot))
     # Laplace smoothing (+1 per bin, +DRIFT_BINS per side) keeps empty bins
@@ -4452,8 +4509,9 @@ def _drift_oracle_sql() -> str:
     f" current half, over {DRIFT_BINS} fixed score-decile bins. Per bin:"
     f" exact counts, Laplace-smoothed micro shares, quarter-bit integer"
     f" log2 share ratio (the NB/PMI bit-length machinery -- no float logs"
-    f" cross-engine), and the PSI contribution (sum the column; PSI_ln ="
-    f" sum/4 * ln2 against the usual 0.1/0.25 thresholds). Scale shape:"
+    f" cross-engine), and the PSI contribution in micro-share x"
+    f" quarter-bit units (sum the column; PSI_ln = sum/4e6 * ln2 against"
+    f" the usual 0.1/0.25 thresholds). Scale shape:"
     f" the scorer's own passes plus ONE {DRIFT_BINS}-row rollup -- the"
     f" drift arithmetic is bin-bounded forever; nothing new is"
     f" corpus-sized. Completes the model lifecycle: fit (logreg_quality_"

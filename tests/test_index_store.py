@@ -85,6 +85,35 @@ def test_minhash_index_roundtrip_and_incremental_ingest(spark, tmp_path):
     assert {r["id"] for r in v1.select("id").distinct().collect()} == {1, 2, 3}
 
 
+def test_list_model_versions_dispatches_by_type(spark, tmp_path):
+    """The registry view dispatches the history subtable from the meta's
+    model_type: an index's history comes from bands/codes (NOT a guessed
+    'weights' dir -- constructing a PKTable there would seed a spurious
+    empty manifest inside the artifact), unknown types raise, and an
+    absent artifact raises instead of returning []."""
+    import json
+    import os
+
+    ipath = str(tmp_path / "mh_registry")
+    models.save_minhash_index(spark, ipath, _bands(spark, _DAY1))
+    hist = models.list_model_versions(spark, ipath)
+    assert len(hist) == 1 and hist[0]["v"] == 1
+    assert not os.path.exists(os.path.join(ipath, "weights"))
+
+    with pytest.raises(FileNotFoundError, match="no published model"):
+        models.list_model_versions(spark, str(tmp_path / "nowhere"))
+
+    with open(os.path.join(ipath, "meta.json")) as f:
+        meta = json.load(f)
+    meta["model_type"] = "bogus"
+    bpath = str(tmp_path / "bogus_model")
+    os.makedirs(bpath)
+    with open(os.path.join(bpath, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    with pytest.raises(ValueError, match="unknown model_type"):
+        models.list_model_versions(spark, bpath)
+
+
 def test_minhash_index_compat_guard(spark, tmp_path, monkeypatch):
     ipath = str(tmp_path / "mh_guard")
     models.save_minhash_index(spark, ipath, _bands(spark, _DAY1[:1]))
@@ -118,6 +147,58 @@ def test_pq_index_roundtrip_serves_identical_topk(spark, sf_dir, tmp_path):
         for r in sq.pq_adc_topk_frame(emb2, books=lb, codes=lc).collect()
     }
     assert got == expected
+
+
+def test_pq_index_incremental_ingest(spark, sf_dir, tmp_path):
+    """The day-2 path that closes the index lifecycle: train+publish on
+    day 1, then encode day-2 vectors with the RELOADED FROZEN codebooks
+    (pq_encode_with_books) and merge-ingest their code rows
+    (upsert_pq_index). ADC top-k over the merged index equals a
+    from-scratch frozen-book encode of the UNION row-for-row, the replayed
+    ingest is a no-op, and the pre-ingest publish stays readable."""
+    from flink_cdc_fluss_quickstart_spark.plans import similarity_queries as sq
+    from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    day1 = emb.filter(F.col("vec_id") < 400)
+    day2 = emb.filter(F.col("vec_id") >= 400)
+    books, codes1 = sq.pq_train_index(day1)
+    ipath = str(tmp_path / "pq_ingest")
+    models.save_pq_index(spark, ipath, books, codes1)
+
+    # restart, reload, encode day 2 with the frozen reloaded books, ingest
+    spark2 = spark.newSession()
+    lb, lc = models.load_pq_index(spark2, ipath)
+    emb2 = load_table(spark2, sf_dir, "embeddings")
+    day2_codes = sq.pq_encode_with_books(emb2.filter(F.col("vec_id") >= 400), lb)
+    models.upsert_pq_index(spark2, ipath, day2_codes, batch_id=2)
+
+    mb, mc = models.load_pq_index(spark2, ipath)
+    assert mc.select("vec_id").distinct().count() == emb2.count()
+    got = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sq.pq_adc_topk_frame(emb2, books=mb, codes=mc).collect()
+    }
+    # from-scratch: encode the WHOLE corpus with the same frozen books
+    union_codes = sq.pq_encode_with_books(emb2, lb)
+    want = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in sq.pq_adc_topk_frame(emb2, books=lb, codes=union_codes).collect()
+    }
+    assert got == want and got
+    # day-2 queries (vec_id % 50 == 0 picks 450) now appear as query ids
+    assert any(q >= 400 for (q, _, _) in got)
+
+    # replayed ingest = exactly-once no-op: row count and ledger unchanged
+    hist_before = len(models.list_model_versions(spark2, ipath))
+    models.upsert_pq_index(spark2, ipath, day2_codes, batch_id=2)
+    _, mc2 = models.load_pq_index(spark2, ipath)
+    assert mc2.count() == mc.count()
+    assert len(models.list_model_versions(spark2, ipath)) == hist_before
+
+    # the pre-ingest publish stays readable: version 1 has only day-1 codes
+    _, v1codes = models.load_pq_index(spark2, ipath, version=1)
+    assert v1codes.select("vec_id").distinct().count() == 400
 
 
 def test_pq_index_compat_guard(spark, sf_dir, tmp_path, monkeypatch):

@@ -103,6 +103,63 @@ def test_langid_model_versions_roll_back(spark, tmp_path):
     assert len(hist) >= 2
 
 
+def test_langid_publish_atomic_across_tables(spark, tmp_path):
+    """A crash between a save's two table commits must leave the previous
+    COMPLETE publish in force: load resolves versions through the meta
+    ledger (swapped last, atomically), so new weights are never paired
+    with an old hot list -- and a later complete save repairs the skewed
+    version counters without intervention."""
+    mpath = str(tmp_path / "langid_atomic")
+    w1, h1 = tq.hashed_langid_fit(_marker_corpus(spark))
+    models.save_langid_model(spark, mpath, w1, h1)
+    batch = spark.createDataFrame(_SERVE, "doc_id bigint, text string")
+    first = _scores(tq.hashed_langid_score(batch, w1, h1))
+
+    # simulate the crash: the second fit's WEIGHTS overwrite commits, then
+    # the trainer dies before the hot overwrite and the meta swap
+    w2, h2 = tq.hashed_langid_fit(_marker_corpus(spark, n_per_lang=12))
+    wt = models._table(spark, os.path.join(mpath, "weights"), ["b"], ["b"])
+    wt.overwrite(w2.select("b", "w"))
+    assert models._current_version(wt) == 2  # the table really did advance
+
+    spark2 = spark.newSession()
+    wl, hl = models.load_langid_model(spark2, mpath)
+    batch2 = spark2.createDataFrame(_SERVE, "doc_id bigint, text string")
+    # the half-written publish is invisible: still the first model's scores
+    assert _scores(tq.hashed_langid_score(batch2, wl, hl)) == first
+
+    # a subsequent COMPLETE save repairs the skew (weights jump to v3,
+    # hot to v2 -- the ledger records the pair, so load stays consistent)
+    models.save_langid_model(spark2, mpath, w2, h2)
+    wr, hr = models.load_langid_model(spark2, mpath)
+    second = _scores(tq.hashed_langid_score(batch2, wr, hr))
+    assert second == _scores(tq.hashed_langid_score(batch2, w2, h2))
+    # and rollback to publish 1 still serves the first model exactly
+    wo, ho = models.load_langid_model(spark2, mpath, version=1)
+    assert _scores(tq.hashed_langid_score(batch2, wo, ho)) == first
+
+
+def test_logreg_rollback_restores_paired_n(spark, sf_dir, tmp_path):
+    """n / train_bucket are model state that must pair with the coef rows:
+    rolling back to publish 1 restores THAT fit's n, not the latest
+    meta's -- old coefficients under a new n would silently skew scores."""
+    from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    m1 = tq.logreg_fit(d.filter(F.col("doc_id") % 2 == 0))
+    mpath = str(tmp_path / "logreg_paired")
+    models.save_logreg_model(spark, mpath, m1)
+    m2 = tq.logreg_fit(d)
+    models.save_logreg_model(spark, mpath, m2)
+    assert m1.n != m2.n  # the rollback has to actually change n
+
+    spark2 = spark.newSession()
+    old = models.load_logreg_model(spark2, mpath, version=1)
+    assert old.n == m1.n and old.w == m1.w and old.train_bucket == m1.train_bucket
+    latest = models.load_logreg_model(spark2, mpath)
+    assert latest.n == m2.n and latest.w == m2.w
+
+
 def test_langid_model_compat_guard(spark, tmp_path, monkeypatch):
     """A model trained under one featurization must refuse to serve under
     another: mismatched bucket count would silently mis-route every gram."""
@@ -218,6 +275,51 @@ def test_multiclass_langid_model_roundtrip(spark, tmp_path):
            for r in tq.hashed_langid_multiclass_score(serve2, w2, h2).collect()}
     assert got == expected
     assert {p for (_, p, _) in got} == {"en", "de", "fr"}
+
+
+def test_drift_vs_persisted_baseline_across_restart(spark, sf_dir, tmp_path):
+    """The production drift loop: the validation-time score histogram is
+    PUBLISHED with the model (one ledger entry -- they roll back together),
+    and a later serving session PSI-compares its scores against the STORED
+    reference. Day 2 of the same distribution stays under the 0.1
+    'investigate' threshold; a planted degenerate-junk shift blows past the
+    0.25 'act' threshold -- both measured across a session restart."""
+    import math
+
+    from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    model = tq.logreg_fit(d)
+    baseline = tq.score_bin_counts(tq.logreg_score(d, model))
+    mpath = str(tmp_path / "drift_base")
+    models.save_logreg_model(spark, mpath, model, baseline=baseline)
+
+    spark2 = spark.newSession()
+    m2 = models.load_logreg_model(spark2, mpath)
+    ref = models.load_score_baseline(spark2, mpath)
+    assert {r["bin"] for r in ref.collect()} == set(range(tq.DRIFT_BINS))
+    d2 = load_table(spark2, sf_dir, "documents")
+
+    def psi_ln(report):
+        return sum(r["psi_contrib"] for r in report.collect()) / 4e6 * math.log(2)
+
+    # same distribution served on day 2 -> quiet monitor
+    quiet = tq.score_drift_vs_baseline_frame(tq.logreg_score(d2, m2), ref)
+    assert psi_ln(quiet) < 0.1
+
+    # planted shift: a batch of degenerate short junk docs
+    junk = spark2.createDataFrame(
+        [(100_000 + i, "zz!! qq@@ xx## vv$$") for i in range(400)],
+        "doc_id bigint, text string",
+    )
+    shifted = tq.score_drift_vs_baseline_frame(tq.logreg_score(junk, m2), ref)
+    assert psi_ln(shifted) > 0.25
+
+    # a model saved WITHOUT a baseline refuses the comparison explicitly
+    mpath2 = str(tmp_path / "no_base")
+    models.save_logreg_model(spark2, mpath2, model)
+    with pytest.raises(ValueError, match="without a baseline"):
+        models.load_score_baseline(spark2, mpath2)
 
 
 def test_drift_bins_accumulate_streaming_equals_batch(spark, sf_dir, tmp_path):
