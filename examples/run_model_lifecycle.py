@@ -8,18 +8,23 @@ lakehouse (the reference stack's one durable store, README.md:81-95), and
 every serving step below runs from a RELOADED artifact in a fresh session.
 
     day 1 (training session)
-      1. fit the logreg quality scorer        -> models.save_logreg_model
+      1. fit the logreg quality scorer, publish it WITH its validation-time
+         score histogram                      -> models.save_logreg_model
       2. fit the hashed-gram langid           -> models.save_langid_model
       3. build the MinHash dedup band index   -> models.save_minhash_index
       4. train the PQ index (books + codes)   -> models.save_pq_index
     -- session boundary (newSession + fresh PKTable handles) --
     day 2 (serving session)
-      5. reload the scorer, score the corpus, run the PSI drift monitor
+      5. reload the scorer, score the corpus, PSI-compare the serving
+         scores against the STORED day-1 baseline histogram (quiet for the
+         same distribution, loud for a planted junk batch)
       6. reload the langid, classify a fresh micro-batch
       7. probe the dedup index with the day-2 batch, then MERGE-INGEST the
          batch into it (idempotent per batch_id; day-1 state stays readable
          as version 1)
-      8. reload the PQ index, serve ADC top-k without touching the floats
+      8. reload the PQ index, ENCODE the day-2 vectors with the frozen
+         reloaded codebooks, merge-ingest their code rows, and serve ADC
+         top-k over the union without ever touching the float corpus
 """
 
 from __future__ import annotations
@@ -51,7 +56,10 @@ def main() -> None:
 
     print("== day 1: fit + publish (training session)")
     scorer = tq.logreg_fit(d)
-    models.save_logreg_model(spark, os.path.join(wh, "quality_scorer"), scorer)
+    baseline = tq.score_bin_counts(tq.logreg_score(d, scorer))
+    models.save_logreg_model(
+        spark, os.path.join(wh, "quality_scorer"), scorer, baseline=baseline
+    )
     w, hot = tq.hashed_langid_fit(d)
     models.save_langid_model(spark, os.path.join(wh, "langid"), w, hot)
     bands = dedup.minhash_band_keyed(d, "doc_id", "text").select(
@@ -66,11 +74,29 @@ def main() -> None:
     s2 = spark.newSession()
     d2 = load_table(s2, sf_dir, "documents")
 
-    print("== day 2, step 5: reloaded scorer + PSI drift monitor")
+    print("== day 2, step 5: reloaded scorer + drift vs the STORED baseline")
     scorer2 = models.load_logreg_model(s2, os.path.join(wh, "quality_scorer"))
+    ref = models.load_score_baseline(s2, os.path.join(wh, "quality_scorer"))
     tq.logreg_score(d2, scorer2).groupBy("predicted").agg(
         F.count(F.lit(1)).alias("n_docs")
     ).orderBy("predicted").show()
+
+    def psi_ln(report):  # PSI_ln = sum(psi_contrib) / 4e6 * ln 2
+        import math
+        s = sum(r["psi_contrib"] for r in report.collect())
+        return s / 4e6 * math.log(2)
+
+    quiet = psi_ln(tq.score_drift_vs_baseline_frame(
+        tq.logreg_score(d2, scorer2), ref))
+    junk = s2.createDataFrame(
+        [(900_000 + i, "zz!! qq@@ xx## vv$$") for i in range(200)],
+        "doc_id bigint, text string",
+    )
+    loud = psi_ln(tq.score_drift_vs_baseline_frame(
+        tq.logreg_score(junk, scorer2), ref))
+    print(f"   PSI_ln vs stored day-1 baseline: same-distribution day 2 ="
+          f" {quiet:.4f} (quiet, < 0.1), planted junk batch = {loud:.3f}"
+          f" (flagged, > 0.25)")
 
     print("== day 2, step 6: reloaded langid classifies a fresh batch")
     w2, hot2 = models.load_langid_model(s2, os.path.join(wh, "langid"))
@@ -103,14 +129,26 @@ def main() -> None:
     print(f"   index rows: v1={v1.count()} now={now.count()} (day-1 state"
           " stays readable)")
 
-    print("== day 2, step 8: ADC top-k from the reloaded PQ index")
+    print("== day 2, step 8: ingest new vectors, then ADC from the index")
     lb, lc = models.load_pq_index(s2, os.path.join(wh, "pq_index"))
     emb2 = load_table(s2, sf_dir, "embeddings")
-    sq.pq_adc_topk_frame(emb2, books=lb, codes=lc).orderBy(
+    # day-2 embeddings: replays of existing vectors under fresh ids --
+    # encoded with the FROZEN reloaded books, never a retrain or re-encode
+    new_vecs = emb2.filter(F.col("vec_id") % 89 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    models.upsert_pq_index(
+        s2, os.path.join(wh, "pq_index"),
+        sq.pq_encode_with_books(new_vecs, lb), batch_id=2,
+    )
+    lb2, lc2 = models.load_pq_index(s2, os.path.join(wh, "pq_index"))
+    print(f"   code rows: day-1={lc.count()} after-ingest={lc2.count()}")
+    sq.pq_adc_topk_frame(emb2, books=lb2, codes=lc2).orderBy(
         "query_id", "rank"
     ).show(10)
 
-    print("lifecycle complete: 4 artifacts published, reloaded, served")
+    print("lifecycle complete: 4 artifacts published, reloaded, monitored,"
+          " ingested, served")
 
 
 if __name__ == "__main__":
