@@ -317,7 +317,12 @@ def main() -> None:
     # the engine's intrinsic envelope -- and once with a continuous batch
     # aggregation looping on the same session, the worst-case a mixed
     # batch+streaming deployment sees.
-    envelope = streaming_envelope(spark)
+    # 45 s for the same reason as the concurrent block below: at ~20
+    # batches nearest-rank p95 IS the worst-or-second-worst single batch,
+    # so one GC/RocksDB-maintenance stall colors the whole record (r12:
+    # driver single-shot read 1.117 s while the 5-run calm-floor ritual
+    # median was 0.577 s -- BENCH_NOTES r13); ~38 batches absorbs it
+    envelope = streaming_envelope(spark, run_secs=45)
     print(f"# streaming_envelope (isolated): {envelope}", file=sys.stderr)
 
     import threading

@@ -131,5 +131,20 @@ def _configure_state_store(spark: SparkSession) -> None:
     try:
         spark._jvm.java.lang.Class.forName(_ROCKSDB_PROVIDER)  # type: ignore[union-attr]
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER)
+        # changelog checkpointing moves the per-commit durability work from
+        # a full RocksDB snapshot upload to a small changelog append;
+        # snapshots happen on the background maintenance thread instead of
+        # the trigger path -- Spark's analogue of Flink's incremental
+        # RocksDB checkpoints, and the direct fix for the snapshot-upload
+        # stalls that colored the r12 isolated-envelope p95 (BENCH_NOTES
+        # r13: 45 s isolated p95 median 1.27 s -> 0.57 s with this on,
+        # measured at comparable floors). Same exactly-once guarantees;
+        # checkpoints are created fresh per query here, so no format
+        # migration concern.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb"
+            ".changelogCheckpointing.enabled",
+            "true",
+        )
     except Exception:
         pass
