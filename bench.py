@@ -43,7 +43,6 @@ HEADLINE = (
     "pack_efficiency_report",
     "betting_tickets_analytics",
     "rrf_hybrid_retrieval",
-    "rrf_hybrid_retrieval_ann",
     "embedding_ivfpq_topk",
     "semantic_dedup_prune",
     "q18_large_volume_orders",
@@ -58,15 +57,15 @@ HEADLINE = (
     "line_dedup_text",
     "range_join_price_bands",
     "multimodal_feature_extract",
-    # r11 rotation wave: set-ops / grouping sets / distinct-agg (in for
-    # changelog_aware_aggregation, session_windows_per_user,
-    # asof_view_before_purchase, token_budget_mix_plan, soft_dedup_weights
+    # r13 rotation wave: the six stalest tail TPC-H queries (in for the
+    # r11-r12 double-stamped set-op/rollup family + rrf_hybrid_retrieval_ann
     # -- every benched name carries a driver correctness row)
-    "setop_multi_status_customers",
-    "setop_except_large_orders",
-    "rollup_nation_segment_revenue",
-    "cube_status_priority_revenue",
-    "distinct_agg_parts_per_priority",
+    "q2_min_cost_supplier",
+    "q4_priority_order_exists",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_predicates",
+    "q20_part_heavy_suppliers",
+    "q22_idle_rich_customers",
     # r11 second wave: the trained discriminative quality scorer (GD rounds
     # dominate its cost -- benched for exactly that reason) and its
     # leakage-free holdout evaluation (same fit machinery + the split rollup)

@@ -248,6 +248,25 @@ def get(name: str) -> QuerySpec:
 # identical fused codebook chain end-to-end and consumes the codes, so
 # the family stays stamped; the two notes that cited pq_codes now cite
 # the searcher).
+#
+# Round-13 rotation (the r12 verdict's scheduled swap): the set-op /
+# grouping-sets / distinct-agg family, deliberately HELD in head through
+# r12 to double-stamp (now 6-7 stamps each -- the most-stamped
+# out-candidates in stamp_history), rotates back OUT to its pre-r11 tail
+# notes (q7/q1 siblings, refreshed below), and rrf_hybrid_retrieval_ann
+# (5 stamps) rotates out with it -- its fused-RRF shape stays stamped via
+# rrf_hybrid_retrieval (in head AND benched, the identical rank-fusion
+# over the brute-force arms) and its ANN candidate arm via
+# embedding_ivfpq_topk (in head AND benched, the same coarse-probe ADC
+# searcher). IN come the SIX stalest tail names, all last driver-stamped
+# r2 (11 rounds stale, exactly the staleness ceiling the r12 verdict set):
+# q2_min_cost_supplier, q4_priority_order_exists, q14_promo_revenue_share,
+# q19_disjunctive_predicates, q20_part_heavy_suppliers,
+# q22_idle_rich_customers -- each sf0.001 + sf0.01 oracle-checked this
+# round before rotating. bench.HEADLINE swaps the same six names (guard:
+# every benched name carries a driver correctness row). langid_multiclass,
+# score_drift_report and logreg_calibration_report HOLD in head for their
+# second stamp per the added-in-round-N cadence.
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -271,13 +290,15 @@ PRIORITY: tuple[str, ...] = (
     "q21_sole_late_supplier",
     # planted-edge anti join (non-vacuous null-extension stamp, r10)
     "anti_join_customers_without_orders_planted",
-    # set-ops / grouping-sets / distinct-agg wave (r11: stalest tail stamps,
-    # last driver-stamped r4-r5, rotate back in for fresh rows)
-    "setop_multi_status_customers",
-    "setop_except_large_orders",
-    "rollup_nation_segment_revenue",
-    "cube_status_priority_revenue",
-    "distinct_agg_parts_per_priority",
+    # r13 staleness wave: the six r2-stamped tail queries rotate back in
+    # (the set-op/rollup family they replace double-stamped r11+r12 and
+    # returns to its q7/q1 tail notes)
+    "q2_min_cost_supplier",
+    "q4_priority_order_exists",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_predicates",
+    "q20_part_heavy_suppliers",
+    "q22_idle_rich_customers",
     # temporal joins + multimodal plumbing (phash: the planted-pair variant
     # stamps with non-zero cardinality; base query covered as its subset)
     "range_join_price_bands",
@@ -310,8 +331,9 @@ PRIORITY: tuple[str, ...] = (
     "line_dedup_text",
     "score_drift_report",
     # embedding similarity / ANN / quantization / hybrid retrieval
+    # (rrf_hybrid_retrieval_ann rotated out r13: fusion stays stamped via
+    # rrf_hybrid_retrieval, the ANN arm via embedding_ivfpq_topk)
     "rrf_hybrid_retrieval",
-    "rrf_hybrid_retrieval_ann",
     "semantic_dedup_prune",
     "embedding_ivfpq_topk",
     "ann_recall_report_clustered",
@@ -438,10 +460,12 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " end-to-end every run; codes-only output form stamped r9-r11",
     ),
     "q16_supplier_part_variety": (
-        "distinct_agg_parts_per_priority",
-        "same grouped COUNT(DISTINCT) rollup family (the sibling stamps"
-        " it); the NOT-IN complaint-supplier exclusion is the anti-join"
-        " shape the planted anti-join stamps non-vacuously; stamped r9+r10",
+        "q20_part_heavy_suppliers",
+        "same part-supplier filtered rollup tree (the sibling stamps its"
+        " nested semi/anti scoping); the grouped COUNT(DISTINCT) shape is"
+        " distinct_agg_parts_per_priority's, driver-stamped 7x through"
+        " r12, and the NOT-IN exclusion is the planted anti-join's shape;"
+        " q16 itself stamped r9+r10",
     ),
     "q11_important_part_value": (
         "q17_below_avg_quantity_revenue",
@@ -754,12 +778,41 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " base report stamped r5-r7",
     ),
     # TPC-H tail: join/agg shapes proven by the stamped headliners
-    "q2_min_cost_supplier": ("q17_below_avg_quantity_revenue", "correlated-min subquery family"),
-    "q4_priority_order_exists": ("decontamination_ngrams", "EXISTS = left-semi family"),
-    "q14_promo_revenue_share": ("q1_pricing_summary", "conditional agg ratio"),
-    "q19_disjunctive_predicates": ("q1_pricing_summary", "pushed disjunctive scan filters"),
-    "q20_part_heavy_suppliers": ("decontamination_ngrams", "nested semi-join scoping"),
-    "q22_idle_rich_customers": ("dedup_exact", "anti join + scalar-subquery filter; repo-oracle-checked"),
+    # r13: the set-op/rollup family returns to tail after double-stamping
+    # r11+r12 (6-7 stamps each); notes restored from their pre-r11 form --
+    # the cited siblings are unchanged and still in head
+    "setop_multi_status_customers": (
+        "q7_nation_trade_flows",
+        "UNION/INTERSECT compile to the stamped join+agg primitives;"
+        " driver-stamped r1-r5+r11-r12, repo-oracle-checked",
+    ),
+    "setop_except_large_orders": (
+        "q7_nation_trade_flows",
+        "EXCEPT compiles to the stamped anti-join+agg primitives;"
+        " driver-stamped r1-r4+r11-r12, repo-oracle-checked",
+    ),
+    "rollup_nation_segment_revenue": (
+        "q7_nation_trade_flows",
+        "grouping-set expansion over the stamped multi-join agg tree;"
+        " driver-stamped r1-r5+r11-r12",
+    ),
+    "cube_status_priority_revenue": (
+        "q1_pricing_summary",
+        "CUBE over the stamped lineitem aggregation shape;"
+        " driver-stamped r1-r4+r11-r12",
+    ),
+    "distinct_agg_parts_per_priority": (
+        "q1_pricing_summary",
+        "distinct-agg rewrite of the stamped lineitem aggregation;"
+        " driver-stamped r1-r5+r11-r12",
+    ),
+    "rrf_hybrid_retrieval_ann": (
+        "rrf_hybrid_retrieval",
+        "identical reciprocal-rank fusion + per-query top-k over the same"
+        " two arms (stamped r8-r12); the ANN candidate generation it swaps"
+        " in is embedding_ivfpq_topk's coarse-probe ADC searcher, itself"
+        " in head AND benched",
+    ),
     # rotated out in the r9 closing wave (every name below carries an r8 or
     # earlier driver stamp; the cited head sibling keeps its family proven)
     "events_json_props_stats": (
