@@ -267,6 +267,15 @@ def get(name: str) -> QuerySpec:
 # every benched name carries a driver correctness row). langid_multiclass,
 # score_drift_report and logreg_calibration_report HOLD in head for their
 # second stamp per the added-in-round-N cadence.
+#
+# Round-13 second wave: pq_incremental_codes (ADDED r13 -- the frozen-
+# codebook day-2 encode behind models.upsert_pq_index, closing the index
+# lifecycle's one asymmetric gap; sf0.001 + sf0.01 oracle-checked before
+# rotating) rotates IN per the added-in-round-N cadence; out rotates
+# source_curation_report (fresh-stamped r11+r12, not benched; its trained-
+# scorer arm stays stamped via logreg_quality_score, its per-source dup
+# census via neardup_source_overlap, its token mass via
+# token_stats_by_lang -- all three in head, note below).
 PRIORITY: tuple[str, ...] = (
     # reference core: revenue analytics + changelog/PK semantics
     "revenue_analytics",
@@ -314,7 +323,6 @@ PRIORITY: tuple[str, ...] = (
     # text analysis: quality, corpus-LM scores, curriculum
     "logreg_quality_score",
     "logreg_holdout_eval",
-    "source_curation_report",
     "hashed_ngram_langid",
     "dedup_exact",
     "bpe_encode_tokens",
@@ -336,6 +344,7 @@ PRIORITY: tuple[str, ...] = (
     "rrf_hybrid_retrieval",
     "semantic_dedup_prune",
     "embedding_ivfpq_topk",
+    "pq_incremental_codes",
     "ann_recall_report_clustered",
     # trained-classifier / model-ops family (r12 additions per cadence)
     "logreg_calibration_report",
@@ -805,6 +814,16 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "q1_pricing_summary",
         "distinct-agg rewrite of the stamped lineitem aggregation;"
         " driver-stamped r1-r5+r11-r12",
+    ),
+    # r13 second wave: out for pq_incremental_codes (added-in-round cadence)
+    "source_curation_report": (
+        "logreg_quality_score",
+        "the scorecard COMPOSES three head-stamped arms verbatim: the"
+        " trained-scorer quality mass (the sibling, benched), the"
+        " per-source near-dup census (neardup_source_overlap -- the same"
+        " banded-pair groupBy it reuses), and the token mass"
+        " (token_stats_by_lang); its own |sources|-row rollup adds no new"
+        " physical shape; fresh-stamped r11+r12",
     ),
     "rrf_hybrid_retrieval_ann": (
         "rrf_hybrid_retrieval",

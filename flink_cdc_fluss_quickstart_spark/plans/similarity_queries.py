@@ -1546,9 +1546,16 @@ def _pq_update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _pq_cte_chain() -> str:
+def _pq_cte_chain(train_where: str = "", assign_where: str = "") -> str:
     """Unrolled DuckDB twin of the per-subspace Lloyd chains, ending with
-    `codes` (vec_id, m, code, d2) and per-subspace centroid CTEs c{m}N."""
+    `codes` (vec_id, m, code, d2) and per-subspace centroid CTEs c{m}N.
+
+    ``train_where`` restricts the Lloyd training (and the deterministic
+    vec_id < PQ_K init) to a sub-corpus; ``assign_where`` restricts the
+    final assignment -- the pair expresses the frozen-book day-2 encode
+    (train on day 1, encode day 2 with the day-1 books) that
+    pq_incremental_codes registers. Defaults reproduce the full-corpus
+    chain byte-for-byte."""
     d2 = (
         "CAST(list_sum(list_transform(sub, (x, i) ->"
         " CAST(floor((x::DOUBLE - c.cv[i]) * (x::DOUBLE - c.cv[i]) * 1e12) AS BIGINT)))"
@@ -1578,16 +1585,24 @@ def _pq_cte_chain() -> str:
         parts.append(
             f"{lead} s{m} AS (SELECT vec_id, embedding[{lo}:{hi}] AS sub FROM embeddings)"
         )
+        train_src, assign_src = f"s{m}", f"s{m}"
+        if train_where:
+            parts.append(f", st{m} AS (SELECT * FROM s{m} WHERE {train_where})")
+            train_src = f"st{m}"
+        if assign_where:
+            parts.append(f", sa{m} AS (SELECT * FROM s{m} WHERE {assign_where})")
+            assign_src = f"sa{m}"
         parts.append(
             f", c{m}0 AS (SELECT CAST(vec_id AS BIGINT) AS cluster,"
-            f" list_transform(sub, x -> x::DOUBLE) AS cv FROM s{m}"
+            f" list_transform(sub, x -> x::DOUBLE) AS cv FROM {train_src}"
             f" WHERE vec_id < {PQ_K})"
         )
-        a = assign.replace("s__M__", f"s{m}")
+        a = assign.replace("s__M__", train_src)
         for it in range(1, PQ_ITERS + 1):
             parts.append(f", a{m}{it} AS ({a.replace('__SRC__', f'c{m}{it - 1}')})")
             parts.append(f", c{m}{it} AS ({update.replace('__SRC__', f'a{m}{it}')})")
-        parts.append(f", f{m} AS ({a.replace('__SRC__', f'c{m}{PQ_ITERS}')})")
+        fa = assign.replace("s__M__", assign_src)
+        parts.append(f", f{m} AS ({fa.replace('__SRC__', f'c{m}{PQ_ITERS}')})")
     unions = "\nUNION ALL ".join(
         f"SELECT vec_id, {m} AS m, pick.k AS code, pick.d AS d2 FROM f{m}"
         for m in range(PQ_M)
@@ -1626,6 +1641,42 @@ def pq_train_index(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     hand the pair to models.save_pq_index and serve ADC top-k from the
     reload with pq_adc_topk_frame(emb, books=..., codes=...)."""
     return _pq_codebooks_and_codes(emb)
+
+
+@register(
+    "pq_incremental_codes",
+    oracle=f"""
+    {_pq_cte_chain(train_where="vec_id % 4 <> 3", assign_where="vec_id % 4 = 3")}
+    SELECT vec_id,
+           {", ".join(f"CAST(MAX(CASE WHEN m = {m} THEN code END) AS BIGINT) AS code{m}" for m in range(PQ_M))},
+           CAST(SUM(d2) AS DOUBLE) / 1e12 AS recon_sq_err
+    FROM codes GROUP BY vec_id
+    """,
+    description="FROZEN-codebook incremental PQ encode -- the day-2 ingest"
+    " path of the persisted index (models.upsert_pq_index): codebooks are"
+    " trained on the day-1 corpus (vec_id % 4 <> 3 here), then the day-2"
+    " arrivals are encoded against those FROZEN books -- one broadcast"
+    " row-local nearest-centroid assignment, cost |batch| x"
+    f" {PQ_M} rows, NO retraining and NO corpus re-encode. This is how a"
+    " 100 TB serving index absorbs daily arrivals: the trained artifact is"
+    " immutable, only code rows are appended (idempotent PKTable merge per"
+    " batch_id, tests/test_index_store.py proves day-2 ADC over the merged"
+    " codes row-equals a from-scratch frozen-book encode of the union)."
+    " Same floor-scaled BIGINT distance arithmetic as embedding_pq_codes,"
+    " bit-identical to the train-filtered CTE chain.",
+)
+def pq_incremental_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    day1 = emb.filter(F.col("vec_id") % 4 != 3)
+    books, _day1_codes = _pq_codebooks_and_codes(day1)
+    codes2 = pq_encode_with_books(emb.filter(F.col("vec_id") % 4 == 3), books)
+    aggs = [
+        F.max(F.when(F.col("m") == m, F.col("code"))).cast("bigint").alias(f"code{m}")
+        for m in range(PQ_M)
+    ]
+    return codes2.groupBy("vec_id").agg(
+        *aggs, (F.sum("d2").cast("double") / similarity.SCALE).alias("recon_sq_err")
+    )
 
 
 def pq_codes_frame(emb: DataFrame) -> DataFrame:

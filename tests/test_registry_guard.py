@@ -141,6 +141,7 @@ EXPECTED = {
     "embedding_int8_quantize",
     "embedding_decontamination",
     "embedding_pq_codes",
+    "pq_incremental_codes",
     "embedding_pq_adc_topk",
     "embedding_l2_topk",
     "embedding_ivfpq_topk",

@@ -109,6 +109,7 @@ REPORT = (
     "embedding_decontamination",
     "embedding_pq_adc_topk",
     "embedding_ivfpq_topk",
+    "pq_incremental_codes",
     "pq_adc_recall_report",
     "fixed_count_sample_by_source",
     "context_chunks",
