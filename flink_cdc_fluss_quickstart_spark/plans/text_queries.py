@@ -4706,6 +4706,22 @@ def _hlr_wside(weights: DataFrame, n_rows_bound: int) -> DataFrame:
     return F.broadcast(weights) if n_rows_bound <= _HLR_BROADCAST_MAX_ROWS else weights
 
 
+def _corpus_side(df: DataFrame) -> DataFrame:
+    """A join side that is CORPUS-sized: pin the planner to sort-merge for
+    the join it enters. The inverse of _hlr_wside's rule -- a frame with a
+    provable row bound may broadcast, a corpus-sized one must NEVER: static
+    size estimates for frames derived through explodes and aggregates can
+    undershoot the broadcast threshold by orders of magnitude, and the
+    planner then schedules a driver-sized broadcast build of data that
+    scales with the corpus (measured r13: the x100 multiclass GD loop
+    statically planned a BroadcastExchange of the (doc, cls)-keyed err
+    frame -- a ~512 MB hash-table build that OOMed a 16 GiB single-JVM
+    driver; at 100 TB that build is fatal on any driver). Sort-merge keys
+    both sides through the shuffle, the only join shape whose memory is
+    partition-bounded at every scale."""
+    return df.hint("merge")
+
+
 def _hlr_kept_feats(d: DataFrame, n: int) -> tuple[DataFrame, DataFrame]:
     """Shared featurization behind the binary AND multiclass langid fits:
     gram explode -> distinct-df census -> broadcast the bounded hot head
@@ -4774,7 +4790,7 @@ def _hlr_fit_full(d: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame, DataFr
             "doc_id", (sig_of(F.col("zm")) - F.col("y")).alias("e")
         )
         g = (
-            feats.join(err, "doc_id")
+            feats.join(_corpus_side(err), "doc_id")
             .select("b", F.floor(F.lit(scale) * (F.col("e") * F.col("f"))).alias("t"))
             .groupBy("b")
             .agg(F.sum("t").alias("gs"))
@@ -5002,7 +5018,7 @@ def _hlm_fit_full(
             .groupBy("doc_id", "cls")
             .agg(F.sum("t").alias("zm"))
         )
-        err = z.join(labels, "doc_id").select(
+        err = z.join(_corpus_side(labels), "doc_id").select(
             "doc_id",
             "cls",
             (
@@ -5011,7 +5027,7 @@ def _hlm_fit_full(
             ).alias("e"),
         )
         g = (
-            feats.join(err, "doc_id")
+            feats.join(_corpus_side(err), "doc_id")
             .select(
                 "b", "cls", F.floor(F.lit(scale) * (F.col("e") * F.col("f"))).alias("t")
             )
@@ -5071,7 +5087,7 @@ def hashed_langid_multiclass_score(
     full = (
         d.select("doc_id")
         .crossJoin(F.broadcast(classes))
-        .join(zf, ["doc_id", "cls"], "left")
+        .join(_corpus_side(zf), ["doc_id", "cls"], "left")
         .select("doc_id", "cls", F.coalesce(F.col("zm"), F.lit(0)).alias("zm"))
     )
     rn = F.row_number().over(
@@ -5108,7 +5124,7 @@ def hashed_langid_multiclass_frame(d: DataFrame) -> DataFrame:
     weights, hot, feats, labels, _classes, _n = _hlm_fit_full(d)
     pred = hashed_langid_multiclass_score(d, weights, hot, feats=feats)
     return (
-        labels.join(pred, "doc_id")
+        labels.join(_corpus_side(pred), "doc_id")
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "predicted")
