@@ -30,6 +30,24 @@ semantics ride the same manifest:
   superseded epoch raises StaleWriterError -- the single-active-engine
   contract enforced, not just documented (production: Delta/Iceberg
   optimistic-commit conflicts).
+
+**Delta ingest (the LSM half of the Paimon analogue).** `merge()` folds
+each affected bucket by reading and rewriting it -- correct, but a
+uniformly-hashed batch touches every bucket, so merge cost is O(table)
+per batch at any bucket count (measured r13: ingesting a fixed 500-doc
+band batch into a 1.2M-row index cost exactly a full rebuild). Paimon's
+answer is an LSM tree INSIDE each bucket: ingests append level-0 delta
+files, reads merge-on-read, compaction folds periodically. `ingest()` is
+that path here: the batch is written as new per-bucket DELTA files (cost
+O(|batch|), nothing existing read or rewritten), registered in the same
+manifest under composite pointer keys (`"<bucket>#d<version>"` -- so
+time travel, history replay, GC grace, fencing and txn idempotence all
+ride the existing machinery unchanged), and `snapshot()` resolves
+base+deltas with a latest-per-key merge-on-read keyed by commit version.
+`compact()` (auto-triggered past `compact_threshold` deltas per bucket)
+folds deltas back into the base -- amortizing the rewrite over many
+ingests instead of paying it on every one. Tables never ingested into
+have no composite keys and keep the exact pre-delta read path.
 """
 
 from __future__ import annotations
@@ -257,10 +275,52 @@ class PKTable:
                     " garbage-collected (raise gc_grace_secs to retain"
                     " longer time-travel windows)"
                 )
-        dirs = [d for d in dirs if os.path.exists(d)]
-        if not dirs:
+        base_dirs = [
+            os.path.join(self.path, d)
+            for k, d in buckets.items() if "#" not in k
+        ]
+        delta_dirs = [
+            os.path.join(self.path, d)
+            for k, d in buckets.items() if "#" in k
+        ]
+        base_dirs = [d for d in base_dirs if os.path.exists(d)]
+        delta_dirs = [d for d in delta_dirs if os.path.exists(d)]
+        if not delta_dirs:
+            # pre-delta fast path: pure pruned scan, byte-identical to the
+            # behavior every table had before ingest() existed
+            if not base_dirs:
+                return None
+            return self.spark.read.format(self.data_format).load(base_dirs)
+        return self._resolve_dirs(base_dirs, delta_dirs)
+
+    def _resolve_dirs(
+        self, base_dirs: list[str], delta_dirs: list[str]
+    ) -> DataFrame | None:
+        """Merge-on-read over base + delta files: latest row per key by
+        commit version (delta files carry their commit version in the
+        stored `__dv` column; base rows are version 0 by construction --
+        every delta postdates the base fold that preceded it), then drop
+        delete markers. This is the LSM read path; its cost is the SAME
+        pruned scan as the fast path plus one bounded window over the
+        touched buckets' rows."""
+        parts = []
+        if base_dirs:
+            parts.append(
+                self.spark.read.format(self.data_format).load(base_dirs)
+                .withColumn("__op", F.lit("I"))
+                .withColumn("__dv", F.lit(0).cast("long"))
+            )
+        if delta_dirs:
+            parts.append(
+                self.spark.read.format(self.data_format).load(delta_dirs)
+            )
+        if not parts:
             return None
-        return self.spark.read.format(self.data_format).load(dirs)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        resolved = latest_by_key(df, self.keys, ["__dv"])
+        return resolved.filter(F.col("__op") != OP_DELETE).drop("__op", "__dv")
 
     def version_at(self, ts: float) -> int:
         """The largest committed version whose commit time is <= ``ts`` --
@@ -395,6 +455,11 @@ class PKTable:
                       writer_id: str, op_col: str) -> None:
         self._fence()
         m = self._read_manifest()
+        if any("#" in k for k in m["buckets"]):
+            # pending delta files: fold them first so the bucket rewrite
+            # below sees every committed row (merge reads base dirs only)
+            self._compact_locked()
+            m = self._read_manifest()
         if batch_id is None:
             batch_id = m["txn"].get(writer_id, -1) + 1
         if m["txn"].get(writer_id, -1) >= batch_id:
@@ -473,6 +538,147 @@ class PKTable:
         m["version"] = version
         m["txn"][writer_id] = batch_id
         self._record_commit(m, version, writer_id, batch_id, changed)
+        expired = self._queue_gc(m, superseded)
+        self._write_manifest(m)
+        for d in expired:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    # -- delta ingest (LSM write path) --------------------------------------
+
+    def ingest(self, changes: DataFrame, batch_id: int | None = None,
+               writer_id: str = "default", op_col: str = "op",
+               compact_threshold: int = 8) -> None:
+        """Append a micro-batch as per-bucket DELTA files -- O(|batch|)
+        write cost, nothing existing read or rewritten (vs merge(), whose
+        bucket folds cost O(table) for a uniformly-hashed batch). Reads
+        resolve base+deltas latest-per-key by commit version (same
+        last-writer-wins rule as merge's __gen fold); delete ops are
+        retained as markers until compaction. Idempotent per
+        (writer_id, batch_id), fenced, time-travelable -- identical
+        guarantees to merge because the delta pointers live in the same
+        manifest maps the existing machinery replays.
+
+        When any bucket accumulates more than ``compact_threshold`` deltas,
+        compaction folds them into the base in ONE rewrite -- amortizing
+        the table rewrite over that many ingests (Paimon's in-bucket LSM,
+        num-sorted-run.compaction-trigger). The day-2 serving-index path:
+        a daily band/code batch lands at batch cost every day, and the
+        full-table cost is paid once per threshold-many days."""
+        with _commit_lock(self.path):
+            self._ingest_locked(changes, batch_id, writer_id, op_col,
+                                compact_threshold)
+
+    def _ingest_locked(self, changes: DataFrame, batch_id: int | None,
+                       writer_id: str, op_col: str,
+                       compact_threshold: int) -> None:
+        self._fence()
+        m = self._read_manifest()
+        if batch_id is None:
+            batch_id = m["txn"].get(writer_id, -1) + 1
+        if m["txn"].get(writer_id, -1) >= batch_id:
+            return
+
+        batch_latest = latest_by_key(changes, self.keys, self.order_by)
+        batch_latest = batch_latest.withColumn(
+            "__bucket", _bucket_expr(self.keys, self.n_buckets)
+        ).localCheckpoint(eager=True)
+        affected = [
+            r["__bucket"]
+            for r in batch_latest.select("__bucket").distinct().collect()
+        ]
+        if not affected:
+            m["txn"][writer_id] = batch_id
+            self._write_manifest(m)
+            return
+
+        version = m["version"] + 1
+        vdir = f"v{version}"
+        payload_cols = [c for c in batch_latest.columns
+                        if c not in (op_col, "__bucket")]
+        out = (
+            batch_latest.select(
+                *payload_cols, F.col(op_col).alias("__op"), "__bucket"
+            )
+            .withColumn("__dv", F.lit(version).cast("long"))
+        )
+        out.write.partitionBy("__bucket").mode("overwrite").format(
+            self.data_format
+        ).save(os.path.join(self.path, vdir))
+
+        changed: dict = {}
+        for b in affected:
+            bdir = os.path.join(vdir, f"__bucket={b}")
+            if os.path.exists(os.path.join(self.path, bdir)):
+                key = f"{b}#d{version}"
+                m["buckets"][key] = bdir
+                changed[key] = None  # new pointer: undo = pop
+        m["version"] = version
+        m["txn"][writer_id] = batch_id
+        self._record_commit(m, version, writer_id, batch_id, changed)
+        self._write_manifest(m)
+
+        depth: dict[str, int] = {}
+        for k in m["buckets"]:
+            if "#" in k:
+                b = k.split("#", 1)[0]
+                depth[b] = depth.get(b, 0) + 1
+        if depth and max(depth.values()) > compact_threshold:
+            self._compact_locked()
+
+    def compact(self) -> None:
+        """Fold every pending delta file into its bucket's base -- the LSM
+        compaction. A no-op without deltas; otherwise one commit that
+        rewrites exactly the buckets holding deltas. Superseded base and
+        delta dirs keep their GC grace, so time travel across the
+        compaction boundary keeps working."""
+        with _commit_lock(self.path):
+            self._compact_locked()
+
+    def _compact_locked(self) -> None:
+        self._fence()
+        m = self._read_manifest()
+        delta_keys = sorted(k for k in m["buckets"] if "#" in k)
+        if not delta_keys:
+            return
+        affected = sorted({int(k.split("#", 1)[0]) for k in delta_keys})
+        base_dirs = [
+            os.path.join(self.path, m["buckets"][str(b)])
+            for b in affected if str(b) in m["buckets"]
+        ]
+        base_dirs = [d for d in base_dirs if os.path.exists(d)]
+        delta_dirs = [os.path.join(self.path, m["buckets"][k]) for k in delta_keys]
+        delta_dirs = [d for d in delta_dirs if os.path.exists(d)]
+        resolved = self._resolve_dirs(base_dirs, delta_dirs)
+
+        version = m["version"] + 1
+        vdir = f"v{version}"
+        if resolved is not None:
+            result = resolved.withColumn(
+                "__bucket", _bucket_expr(self.keys, self.n_buckets)
+            )
+            result.write.partitionBy("__bucket").mode("overwrite").format(
+                self.data_format
+            ).save(os.path.join(self.path, vdir))
+
+        changed: dict = {}
+        superseded: list[str] = []
+        for b in affected:
+            prior = m["buckets"].get(str(b))
+            changed[str(b)] = prior
+            if prior is not None:
+                superseded.append(prior)
+            bdir = os.path.join(vdir, f"__bucket={b}")
+            if os.path.exists(os.path.join(self.path, bdir)):
+                m["buckets"][str(b)] = bdir
+            else:
+                # every key in this bucket was deleted by the deltas
+                m["buckets"].pop(str(b), None)
+        for k in delta_keys:
+            changed[k] = m["buckets"][k]
+            superseded.append(m["buckets"][k])
+            m["buckets"].pop(k)
+        m["version"] = version
+        self._record_commit(m, version, None, None, changed)
         expired = self._queue_gc(m, superseded)
         self._write_manifest(m)
         for d in expired:

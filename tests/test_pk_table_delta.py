@@ -1,0 +1,152 @@
+"""Delta-ingest (LSM) path of PKTable: `ingest()` appends per-bucket delta
+files at O(|batch|) write cost, reads merge-on-read, `compact()` folds.
+
+Why it exists (r13 measurement): `merge()` folds every affected bucket by
+reading and rewriting it, and a uniformly-hashed batch touches every
+bucket -- so merge cost is O(table) per batch at ANY bucket count
+(ingesting a fixed 500-doc band batch into a 1.2M-row minhash index cost
+exactly a full rebuild). Paimon's answer -- an LSM tree inside each
+bucket -- is `ingest()` here. These tests pin: content equivalence with
+merge, the structural O(|batch|) property (base dirs untouched),
+exactly-once replay, delete markers through deltas, time travel across
+ingest and compaction boundaries, auto-compaction, and the merge()/
+overwrite() interop guards.
+
+Reference parity: Paimon 'num-sorted-run.compaction-trigger' /
+'merge-engine'='deduplicate' (reference flink-gen.sh:118-142)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable
+
+
+def _rows(spark, triples):
+    return spark.createDataFrame(
+        [("I" if v is not None else "D", seq, k, v) for (seq, k, v) in triples],
+        "op string, seq long, k long, v string",
+    )
+
+
+def _snap(t):
+    s = t.snapshot()
+    return {} if s is None else {r["k"]: r["v"] for r in s.collect()}
+
+
+def test_ingest_matches_merge_content(spark, tmp_path):
+    """Ground truth: N batches applied via ingest() read identically to the
+    same batches applied via merge() -- same last-writer-wins key rule."""
+    batches = [
+        [(1, 1, "a"), (2, 2, "b")],
+        [(3, 1, "a2"), (4, 3, "c")],
+        [(5, 2, None), (6, 4, "d")],  # delete k=2 through a delta marker
+        [(7, 4, "d2"), (8, 5, "e")],
+    ]
+    ti = PKTable(spark, str(tmp_path / "ing"), keys=["k"], order_by=["seq"])
+    tm = PKTable(spark, str(tmp_path / "mrg"), keys=["k"], order_by=["seq"])
+    for i, b in enumerate(batches):
+        ti.ingest(_rows(spark, b), batch_id=i)
+        tm.merge(_rows(spark, b), batch_id=i)
+    assert _snap(ti) == _snap(tm) == {1: "a2", 3: "c", 4: "d2", 5: "e"}
+
+
+def test_ingest_leaves_base_untouched(spark, tmp_path):
+    """The O(|batch|) structural claim: ingest adds composite delta
+    pointers and never rewrites (or even repoints) a base bucket dir --
+    vs merge, which repoints every affected bucket."""
+    t = PKTable(spark, str(tmp_path / "base"), keys=["k"], order_by=["seq"])
+    t.merge(_rows(spark, [(i, i, f"v{i}") for i in range(1, 40)]), batch_id=0)
+    base_before = {
+        k: v for k, v in t._read_manifest()["buckets"].items() if "#" not in k
+    }
+    assert base_before  # all 4 buckets populated by 39 uniform keys
+    t.ingest(_rows(spark, [(100, 100, "new"), (101, 101, "new2")]), batch_id=1)
+    m = t._read_manifest()
+    base_after = {k: v for k, v in m["buckets"].items() if "#" not in k}
+    assert base_after == base_before
+    assert any("#" in k for k in m["buckets"])
+    assert _snap(t)[100] == "new"
+
+
+def test_ingest_idempotent_replay_and_txn(spark, tmp_path):
+    t = PKTable(spark, str(tmp_path / "replay"), keys=["k"], order_by=["seq"])
+    t.ingest(_rows(spark, [(1, 1, "a")]), batch_id=0, writer_id="w")
+    v1 = t._read_manifest()["version"]
+    t.ingest(_rows(spark, [(1, 1, "SHOULD-NOT-APPLY")]), batch_id=0, writer_id="w")
+    assert t._read_manifest()["version"] == v1  # replay = no commit
+    assert _snap(t) == {1: "a"}
+    assert t.last_batch_id("w") == 0
+
+
+def test_ingest_time_travel_and_at_batch(spark, tmp_path):
+    t = PKTable(spark, str(tmp_path / "tt"), keys=["k"], order_by=["seq"])
+    t.ingest(_rows(spark, [(1, 1, "a")]), batch_id=0, writer_id="w")
+    t.ingest(_rows(spark, [(2, 1, "a2"), (3, 2, "b")]), batch_id=1, writer_id="w")
+    assert {r["k"]: r["v"] for r in t.snapshot(version=1).collect()} == {1: "a"}
+    assert {r["k"]: r["v"] for r in t.snapshot_at_batch("w", 0).collect()} == {1: "a"}
+    assert _snap(t) == {1: "a2", 2: "b"}
+
+
+def test_compaction_folds_and_preserves_time_travel(spark, tmp_path):
+    t = PKTable(spark, str(tmp_path / "cpt"), keys=["k"], order_by=["seq"])
+    t.merge(_rows(spark, [(1, 1, "a"), (2, 2, "b")]), batch_id=0)
+    t.ingest(_rows(spark, [(3, 1, "a2")]), batch_id=1)
+    t.ingest(_rows(spark, [(4, 2, None), (5, 3, "c")]), batch_id=2)
+    pre = _snap(t)
+    v_pre = t._read_manifest()["version"]
+    t.compact()
+    m = t._read_manifest()
+    assert not any("#" in k for k in m["buckets"])  # deltas folded away
+    assert _snap(t) == pre == {1: "a2", 3: "c"}
+    # time travel back ACROSS the compaction boundary (grace retains dirs)
+    assert {r["k"]: r["v"] for r in t.snapshot(version=v_pre).collect()} == pre
+    assert {r["k"]: r["v"] for r in t.snapshot(version=2).collect()} == {
+        1: "a2", 2: "b"
+    }
+    # compacting a delta-free table is a no-op commit-wise
+    v = m["version"]
+    t.compact()
+    assert t._read_manifest()["version"] == v
+
+
+def test_auto_compaction_at_threshold(spark, tmp_path):
+    t = PKTable(spark, str(tmp_path / "auto"), keys=["k"], order_by=["seq"])
+    for i in range(4):
+        t.ingest(_rows(spark, [(i, 1, f"v{i}")]), batch_id=i, compact_threshold=2)
+    m = t._read_manifest()
+    # the 3rd delta on key 1's bucket crossed threshold 2 -> auto-compacted
+    assert sum(1 for k in m["buckets"] if "#" in k) <= 2
+    assert _snap(t) == {1: "v3"}
+
+
+def test_merge_after_ingest_sees_delta_rows(spark, tmp_path):
+    """merge() on a table with pending deltas folds them first -- a bucket
+    rewrite must never lose committed delta rows."""
+    t = PKTable(spark, str(tmp_path / "interop"), keys=["k"], order_by=["seq"])
+    t.merge(_rows(spark, [(1, 1, "a")]), batch_id=0)
+    t.ingest(_rows(spark, [(2, 2, "b")]), batch_id=1)
+    t.merge(_rows(spark, [(3, 3, "c")]), batch_id=2)
+    assert _snap(t) == {1: "a", 2: "b", 3: "c"}
+    assert not any("#" in k for k in t._read_manifest()["buckets"])
+
+
+def test_overwrite_clears_deltas(spark, tmp_path):
+    t = PKTable(spark, str(tmp_path / "ow"), keys=["k"], order_by=["seq"])
+    t.ingest(_rows(spark, [(1, 1, "a"), (2, 2, "b")]), batch_id=0)
+    t.overwrite(spark.createDataFrame([(9, 9, "z")], "seq long, k long, v string"))
+    m = t._read_manifest()
+    assert not any("#" in k for k in m["buckets"])
+    assert _snap(t) == {9: "z"}
+
+
+def test_ingest_fenced_against_stale_writer(spark, tmp_path):
+    from flink_cdc_fluss_quickstart_spark.streaming.pk_table import StaleWriterError
+
+    path = str(tmp_path / "fence")
+    t1 = PKTable(spark, path, keys=["k"], order_by=["seq"])
+    t1.ingest(_rows(spark, [(1, 1, "a")]), batch_id=0)
+    t2 = PKTable(spark, path, keys=["k"], order_by=["seq"])
+    t2.ingest(_rows(spark, [(2, 2, "b")]), batch_id=0, writer_id="other")
+    with pytest.raises(StaleWriterError):
+        t1.ingest(_rows(spark, [(3, 3, "c")]), batch_id=1)
