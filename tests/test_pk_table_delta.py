@@ -140,6 +140,59 @@ def test_overwrite_clears_deltas(spark, tmp_path):
     assert _snap(t) == {9: "z"}
 
 
+def test_streaming_foreachbatch_ingest_exactly_once(spark, tmp_path):
+    """The day-2 pipeline as a STREAM: a readStream feeding foreachBatch
+    ingest() lands every micro-batch exactly once (batch ids from the
+    checkpoint dedupe replays), and the resolved table equals the batch
+    union -- the streaming serving-index maintenance loop."""
+    import os
+
+    import pandas as pd
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    os.makedirs(src)
+    for name, rows in (("e1", [(1, 1, "a"), (2, 2, "b")]),
+                       ("e2", [(3, 1, "a2"), (4, 3, "c")]),
+                       ("e3", [(5, 4, "d")])):
+        pd.DataFrame(rows, columns=["seq", "k", "v"]).to_parquet(
+            os.path.join(src, f"{name}.parquet"), index=False)
+
+    t = PKTable(spark, str(tmp_path / "stream_ing"), keys=["k"], order_by=["seq"])
+
+    def fb(batch_df, batch_id):
+        t.ingest(
+            batch_df.withColumn("op", batch_df["v"].isNotNull().cast("string"))
+            .replace({"true": "I"}, subset=["op"]),
+            batch_id=batch_id, writer_id="stream",
+        )
+
+    q = (
+        spark.readStream.schema("seq long, k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300), "ingest stream did not drain"
+    assert _snap(t) == {1: "a2", 2: "b", 3: "c", 4: "d"}
+    # restart the stream over the SAME checkpoint: nothing re-applies
+    v = t._read_manifest()["version"]
+    q2 = (
+        spark.readStream.schema("seq long, k long, v string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(fb)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q2.awaitTermination(300)
+    assert t._read_manifest()["version"] == v
+    assert _snap(t) == {1: "a2", 2: "b", 3: "c", 4: "d"}
+
+
 def test_ingest_fenced_against_stale_writer(spark, tmp_path):
     from flink_cdc_fluss_quickstart_spark.streaming.pk_table import StaleWriterError
 
