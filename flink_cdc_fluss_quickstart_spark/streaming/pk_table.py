@@ -122,9 +122,13 @@ def _bucket_expr(keys: Sequence[str], n_buckets: int) -> F.Column:
 class PKTable:
     """A hash-bucketed upsert table rooted at ``path``.
 
-    Schema contract: ``merge`` consumes changelog batches carrying the payload
-    columns plus ``op`` ('I'/'U'/'D') and the ordering columns; the stored
-    snapshot holds payload columns only (latest row per key, deletes absent).
+    Schema contract: ``merge`` and ``ingest`` consume changelog batches
+    carrying the payload columns plus ``op`` ('I'/'U'/'D') and the ordering
+    columns; the resolved snapshot holds payload columns only (latest row
+    per key, deletes absent). merge folds affected buckets eagerly
+    (O(bucket) per touched bucket); ingest appends per-bucket delta files
+    (O(|batch|), merge-on-read, compaction amortizes the fold) -- see the
+    module docstring's delta-ingest section for when each pays off.
     """
 
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
