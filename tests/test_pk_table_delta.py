@@ -193,6 +193,38 @@ def test_streaming_foreachbatch_ingest_exactly_once(spark, tmp_path):
     assert _snap(t) == {1: "a2", 2: "b", 3: "c", 4: "d"}
 
 
+def test_ingest_orc_format(spark, tmp_path):
+    """The delta path is format-agnostic like everything else behind the
+    manifest: an ORC table ingests, resolves, and compacts identically
+    (the K3 tiering contract extended to the LSM write path)."""
+    t = PKTable(spark, str(tmp_path / "orc"), keys=["k"], order_by=["seq"],
+                data_format="orc")
+    t.merge(_rows(spark, [(1, 1, "a"), (2, 2, "b")]), batch_id=0)
+    t.ingest(_rows(spark, [(3, 1, "a2"), (4, 3, "c")]), batch_id=1)
+    assert _snap(t) == {1: "a2", 2: "b", 3: "c"}
+    t.compact()
+    assert _snap(t) == {1: "a2", 2: "b", 3: "c"}
+    assert not any("#" in k for k in t._read_manifest()["buckets"])
+
+
+def test_many_daily_ingests_serve_identically_across_compaction(spark, tmp_path):
+    """The serving-index loop at day 10: nine daily ingests (crossing the
+    auto-compaction threshold mid-sequence) resolve to exactly the union a
+    single bulk publish would give, before AND after the fold -- the
+    read-your-ingests contract the day-2 dedup probe depends on."""
+    t = PKTable(spark, str(tmp_path / "days"), keys=["k"], order_by=["seq"])
+    t.overwrite(spark.createDataFrame(
+        [(0, k, f"base{k}") for k in range(20)], "seq long, k long, v string"))
+    expect = {k: f"base{k}" for k in range(20)}
+    for d in range(9):
+        rows = [(100 + d, 1000 + 10 * d + j, f"day{d}_{j}") for j in range(3)]
+        t.ingest(_rows(spark, rows), batch_id=d + 1, writer_id="daily")
+        for _, k, v in rows:
+            expect[k] = v
+        assert _snap(t) == expect  # read-your-ingests every single day
+    assert len(expect) == 20 + 27
+
+
 def test_ingest_fenced_against_stale_writer(spark, tmp_path):
     from flink_cdc_fluss_quickstart_spark.streaming.pk_table import StaleWriterError
 
