@@ -55,7 +55,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable
+from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable, _commit_lock
 
 _META = "meta.json"
 
@@ -95,17 +95,40 @@ def _publish_meta(path: str, meta: dict, versions: dict, extra: dict | None = No
     LAST -- the cutover point of a multi-table publish. ``versions`` is the
     consistent (subtable -> PKTable version) map readers must load together;
     until this write lands, loads keep resolving the PREVIOUS complete
-    publish, whose table versions remain readable for the GC grace window."""
-    prior: list = []
-    if os.path.exists(os.path.join(path, _META)):
-        prior = list(_read_meta(path).get("publishes", []))
-    entry = {"publish": len(prior) + 1, "versions": dict(versions)}
-    if extra:
-        entry.update(extra)
-    meta = dict(meta)
-    meta["versions"] = dict(versions)
-    meta["publishes"] = prior + [entry]
-    _write_meta(path, meta)
+    publish, whose table versions remain readable for the GC grace window.
+
+    The ledger read-modify-write serializes under the SAME per-path commit
+    lock PKTable uses for its manifests: the ledger is load-bearing for
+    version resolution, and two in-process savers/ingesters interleaving
+    here could drop an entry or duplicate a publish number. Like PKTable
+    commits, cross-PROCESS writers are assumed single-writer per artifact
+    (a production deployment maps this onto the table format's own
+    transaction protocol)."""
+    with _commit_lock(path):
+        prior: list = []
+        if os.path.exists(os.path.join(path, _META)):
+            prior = list(_read_meta(path).get("publishes", []))
+        entry = {"publish": len(prior) + 1, "versions": dict(versions)}
+        if extra:
+            entry.update(extra)
+        meta = dict(meta)
+        meta["versions"] = dict(versions)
+        meta["publishes"] = prior + [entry]
+        _write_meta(path, meta)
+
+
+def _ledger_behind(path: str, sub: str, current: int) -> bool:
+    """True when subtable ``sub``'s committed version is AHEAD of what the
+    last ledger entry recorded -- i.e. some earlier ingest committed its
+    table write but crashed before its ledger publish. The replaying caller
+    must repair the ledger even though its own table write was an
+    idempotent no-op; gating the publish on "did MY call advance the
+    version" would leave the committed rows invisible to load_* forever."""
+    pubs = _read_meta(path).get("publishes") or []
+    if not pubs:
+        return True  # legacy ledger-less meta: seed the ledger
+    last = pubs[-1]["versions"].get(sub)
+    return last is None or int(current) > int(last)
 
 
 def _resolve_publish(meta: dict, version: int | None, subs: tuple, path: str):
@@ -397,7 +420,6 @@ def upsert_minhash_index(
     meta = _read_meta(path)
     _check_compat(meta, _mh_meta(), path)
     t = _table(spark, os.path.join(path, "bands"), ["id", "band_idx"], ["seq"])
-    before = _current_version(t)
     t.ingest(
         band_frame.select(
             "id", "band_idx", "band_key",
@@ -406,10 +428,16 @@ def upsert_minhash_index(
         batch_id=batch_id,
         writer_id="minhash-ingest",
     )
-    after = _current_version(t)
-    if after != before:  # a replayed (idempotent no-op) batch adds no entry
-        _publish_meta(path, _mh_meta(), {"bands": after},
-                      extra={"ingest_batch": int(batch_id)})
+    # publish whenever the table is AHEAD of the ledger, not just when THIS
+    # call advanced it: a crash between a prior ingest's table commit and
+    # its ledger publish makes the documented recovery (replay the batch_id)
+    # a table-level no-op -- the replay must still repair the ledger, or the
+    # committed rows stay invisible to load_* indefinitely
+    with _commit_lock(path):
+        after = _current_version(t)
+        if _ledger_behind(path, "bands", after):
+            _publish_meta(path, _mh_meta(), {"bands": after},
+                          extra={"ingest_batch": int(batch_id)})
 
 
 def load_minhash_index(
@@ -479,22 +507,25 @@ def upsert_pq_index(
     meta = _read_meta(path)
     _check_compat(meta, _pq_meta(), path)
     ct = _table(spark, os.path.join(path, "codes"), ["vec_id", "m"], ["vec_id", "m"])
-    before = _current_version(ct)
     ct.ingest(
         new_codes.select("vec_id", "m", "code", "d2", F.lit("I").alias("op")),
         batch_id=batch_id,
         writer_id="pq-ingest",
     )
-    after = _current_version(ct)
-    if after != before:
-        bt = _table(
-            spark, os.path.join(path, "books"), ["m", "cluster"], ["m", "cluster"]
-        )
-        _publish_meta(
-            path, _pq_meta(),
-            {"books": _current_version(bt), "codes": after},
-            extra={"ingest_batch": int(batch_id)},
-        )
+    # ledger-repair semantics, same as upsert_minhash_index: publish when
+    # the codes table is ahead of the last ledger entry (covers the
+    # crash-before-publish replay, where the re-ingest is a table no-op)
+    with _commit_lock(path):
+        after = _current_version(ct)
+        if _ledger_behind(path, "codes", after):
+            bt = _table(
+                spark, os.path.join(path, "books"), ["m", "cluster"], ["m", "cluster"]
+            )
+            _publish_meta(
+                path, _pq_meta(),
+                {"books": _current_version(bt), "codes": after},
+                extra={"ingest_batch": int(batch_id)},
+            )
 
 
 def load_pq_index(

@@ -575,6 +575,16 @@ class PKTable:
     def _ingest_locked(self, changes: DataFrame, batch_id: int | None,
                        writer_id: str, op_col: str,
                        compact_threshold: int) -> None:
+        # unlike merge()'s transient use, ingest PERSISTS __op/__dv/__bucket
+        # into the delta files as merge-on-read metadata -- a payload column
+        # with one of these names would corrupt resolution, so refuse it
+        reserved = {"__op", "__dv", "__bucket"} & (set(changes.columns) - {op_col})
+        if reserved:
+            raise ValueError(
+                f"ingest payload columns {sorted(reserved)} collide with the"
+                " delta files' reserved merge-on-read columns"
+                " (__op/__dv/__bucket); rename them before ingesting"
+            )
         self._fence()
         m = self._read_manifest()
         if batch_id is None:

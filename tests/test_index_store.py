@@ -85,6 +85,49 @@ def test_minhash_index_roundtrip_and_incremental_ingest(spark, tmp_path):
     assert {r["id"] for r in v1.select("id").distinct().collect()} == {1, 2, 3}
 
 
+def test_ingest_crash_before_ledger_publish_repaired_by_replay(spark, tmp_path):
+    """A crash BETWEEN an ingest's table commit and its ledger publish must
+    be repaired by the documented recovery path (replay the same batch_id):
+    the replayed ingest is a table-level no-op, but the table version is
+    AHEAD of the last ledger entry, so the replay publishes the missing
+    entry -- without the repair, the committed rows would stay invisible to
+    load_* indefinitely (r13 ADVICE, models.py _ledger_behind)."""
+    import os
+
+    ipath = str(tmp_path / "mh_crash")
+    models.save_minhash_index(spark, ipath, _bands(spark, _DAY1))
+
+    # simulate the crash: the PKTable ingest commits (exactly what
+    # upsert_minhash_index does first), then the process dies before
+    # _publish_meta -- reproduce by driving the table directly
+    day2 = _bands(spark, [(11, "alpha beta gamma delta epsilon zeta eta theta")])
+    t = models._table(
+        spark, os.path.join(ipath, "bands"), ["id", "band_idx"], ["seq"]
+    )
+    t.ingest(
+        day2.select("id", "band_idx", "band_key",
+                    F.lit("I").alias("op"), F.lit(2).cast("long").alias("seq")),
+        batch_id=2, writer_id="minhash-ingest",
+    )
+    # ledger still points at the seed publish: the new rows are invisible
+    assert {r["id"] for r in
+            models.load_minhash_index(spark, ipath).select("id")
+            .distinct().collect()} == {1, 2, 3}
+
+    # recovery: replay the SAME batch_id through the real API -- the table
+    # write is an idempotent no-op, but the ledger must be repaired
+    v_before = models._current_version(t)
+    models.upsert_minhash_index(spark, ipath, day2, batch_id=2)
+    assert models._current_version(t) == v_before  # no duplicate table commit
+    assert {r["id"] for r in
+            models.load_minhash_index(spark, ipath).select("id")
+            .distinct().collect()} == {1, 2, 3, 11}
+    # and the repair is itself idempotent: a second replay adds no entry
+    n_pubs = len(models._read_meta(ipath)["publishes"])
+    models.upsert_minhash_index(spark, ipath, day2, batch_id=2)
+    assert len(models._read_meta(ipath)["publishes"]) == n_pubs
+
+
 def test_list_model_versions_dispatches_by_type(spark, tmp_path):
     """The registry view dispatches the history subtable from the meta's
     model_type: an index's history comes from bands/codes (NOT a guessed

@@ -153,16 +153,21 @@ def test_streaming_foreachbatch_ingest_exactly_once(spark, tmp_path):
     os.makedirs(src)
     for name, rows in (("e1", [(1, 1, "a"), (2, 2, "b")]),
                        ("e2", [(3, 1, "a2"), (4, 3, "c")]),
-                       ("e3", [(5, 4, "d")])):
+                       ("e3", [(5, 4, "d"), (6, 2, None)])):
         pd.DataFrame(rows, columns=["seq", "k", "v"]).to_parquet(
             os.path.join(src, f"{name}.parquet"), index=False)
 
     t = PKTable(spark, str(tmp_path / "stream_ing"), keys=["k"], order_by=["seq"])
 
     def fb(batch_df, batch_id):
+        from pyspark.sql import functions as F
+
+        # null v = a delete marker riding the stream (op must come out 'D',
+        # not a stringified boolean -- a 'false' op would silently INSERT)
         t.ingest(
-            batch_df.withColumn("op", batch_df["v"].isNotNull().cast("string"))
-            .replace({"true": "I"}, subset=["op"]),
+            batch_df.withColumn(
+                "op", F.when(F.col("v").isNotNull(), "I").otherwise("D")
+            ),
             batch_id=batch_id, writer_id="stream",
         )
 
@@ -176,7 +181,7 @@ def test_streaming_foreachbatch_ingest_exactly_once(spark, tmp_path):
         .start()
     )
     assert q.awaitTermination(300), "ingest stream did not drain"
-    assert _snap(t) == {1: "a2", 2: "b", 3: "c", 4: "d"}
+    assert _snap(t) == {1: "a2", 3: "c", 4: "d"}  # key 2 deleted via null-v
     # restart the stream over the SAME checkpoint: nothing re-applies
     v = t._read_manifest()["version"]
     q2 = (
@@ -190,7 +195,26 @@ def test_streaming_foreachbatch_ingest_exactly_once(spark, tmp_path):
     )
     assert q2.awaitTermination(300)
     assert t._read_manifest()["version"] == v
-    assert _snap(t) == {1: "a2", 2: "b", 3: "c", 4: "d"}
+    assert _snap(t) == {1: "a2", 3: "c", 4: "d"}
+
+
+def test_ingest_rejects_reserved_payload_columns(spark, tmp_path):
+    """ingest() PERSISTS __op/__dv/__bucket into delta files as
+    merge-on-read metadata (unlike merge()'s transient use), so a payload
+    column with one of those names must be refused up front -- it would
+    corrupt resolution or the partitioned write silently."""
+    t = PKTable(spark, str(tmp_path / "resv"), keys=["k"], order_by=["seq"])
+    bad = spark.createDataFrame(
+        [("I", 1, 1, "a", 7)], "op string, seq long, k long, v string, __dv long"
+    )
+    with pytest.raises(ValueError, match="reserved merge-on-read"):
+        t.ingest(bad, batch_id=1)
+    # the named op column itself may be any name, including a reserved one
+    ok = spark.createDataFrame(
+        [("I", 1, 1, "a")], "__op string, seq long, k long, v string"
+    )
+    t.ingest(ok, batch_id=1, op_col="__op")
+    assert _snap(t) == {1: "a"}
 
 
 def test_ingest_orc_format(spark, tmp_path):
