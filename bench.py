@@ -35,7 +35,6 @@ HEADLINE = (
     "minhash_lsh_pairs",
     "simhash_neardup_pairs",
     "gopher_quality_flags",
-    "q9_profit_by_nation_year",
     "leakage_safe_split_assign",
     "token_stats_by_lang",
     "decontamination_ngrams",
@@ -45,15 +44,12 @@ HEADLINE = (
     "rrf_hybrid_retrieval",
     "embedding_ivfpq_topk",
     "semantic_dedup_prune",
-    "q18_large_volume_orders",
     "bigram_lm_surprisal",
     "winnow_overlap_pairs",
     "span_dedup_text",
-    "q21_sole_late_supplier",
     "countmin_heavy_hitters",
     "multimodal_phash_dedup_planted",
     "bpe_encode_tokens",
-    "tokenizer_fertility_by_lang",
     "line_dedup_text",
     "range_join_price_bands",
     "multimodal_feature_extract",
@@ -67,10 +63,19 @@ HEADLINE = (
     "q20_part_heavy_suppliers",
     "q22_idle_rich_customers",
     # r11 second wave: the trained discriminative quality scorer (GD rounds
-    # dominate its cost -- benched for exactly that reason) and its
-    # leakage-free holdout evaluation (same fit machinery + the split rollup)
+    # dominate its cost -- benched for exactly that reason)
     "logreg_quality_score",
-    "logreg_holdout_eval",
+    # r14 rotation wave: q9/q18/q21 + logreg_holdout_eval +
+    # tokenizer_fertility_by_lang leave the head-50 (so also the bench,
+    # per the benched-implies-stamped invariant); five head names whose
+    # cost profiles matter at 100 TB join in their place -- the iterative
+    # trainers (multiclass GD, drift PSI), the composed ANN recall audit,
+    # the day-2 PQ encode, and the global curriculum rank
+    "langid_multiclass",
+    "score_drift_report",
+    "ann_recall_report_clustered",
+    "pq_incremental_codes",
+    "curriculum_order",
 )
 
 

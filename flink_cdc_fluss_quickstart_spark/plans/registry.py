@@ -290,14 +290,9 @@ PRIORITY: tuple[str, ...] = (
     "q3_top_revenue_orders",
     "q7_nation_trade_flows",
     "q17_below_avg_quantity_revenue",
-    # TPC-H closing wave (r9): the never-stamped tail queries rotate in
-    # so the driver ledger records what the repo oracle already proves
-    # (q6 out-rotated r11 for the new fertility report; its single-scan
-    # filtered-agg family stays proven by q1)
-    "q9_profit_by_nation_year",
-    "q18_large_volume_orders",
-    "q21_sole_late_supplier",
     # planted-edge anti join (non-vacuous null-extension stamp, r10)
+    # (q9/q18/q21 out-rotated r14 at 5 stamps each; their join/agg/anti
+    # shapes stay stamped via q7/q3/q20 -- see TAIL_COVERAGE)
     "anti_join_customers_without_orders_planted",
     # r13 staleness wave: the six r2-stamped tail queries rotate back in
     # (the set-op/rollup family they replace double-stamped r11+r12 and
@@ -321,18 +316,30 @@ PRIORITY: tuple[str, ...] = (
     "bloom_decontamination",
     "pack_efficiency_report",
     # text analysis: quality, corpus-LM scores, curriculum
+    # (r14 rotation: logreg_holdout_eval / hashed_ngram_langid /
+    # tokenizer_fertility_by_lang / neardup_source_overlap out at 3 stamps;
+    # supersets logreg_quality_score / langid_multiclass / bpe_encode_tokens
+    # / minhash_lsh_pairs hold their families -- see TAIL_COVERAGE)
     "logreg_quality_score",
-    "logreg_holdout_eval",
-    "hashed_ngram_langid",
     "dedup_exact",
     "bpe_encode_tokens",
-    "tokenizer_fertility_by_lang",
     "bigram_lm_surprisal",
     "countmin_heavy_hitters",
     "curriculum_order",
+    # r14 staleness wave: the five r3-last-stamped fingerprint/routing
+    # primitives rotate back in (each was rotated out early once its
+    # composing superset joined the head; an 11-round stamp gap is the
+    # staleness ceiling the cadence exists to bound), plus the two stalest
+    # r4-last-stamped shape variants
+    "doc_fingerprint",
+    "token_count",
+    "lang_id",
+    "minhash_signatures",
+    "simhash_fingerprint",
+    "left_join_order_coverage",
+    "events_running_stats",
     # near-dup detection + dedup end steps
     "minhash_lsh_pairs",
-    "neardup_source_overlap",
     "simhash_neardup_pairs",
     "winnow_overlap_pairs",
     "span_dedup_text",
@@ -384,10 +391,8 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "event_time_tumbling_hourly",
         "same watermark+window aggregation; sliding only multiplies window instances",
     ),
-    "events_running_stats": (
-        "event_time_tumbling_hourly",
-        "same events scan + event-time agg; running stats swap the window frame",
-    ),
+    # (events_running_stats rotated back INTO the head r14 -- last direct
+    # stamp was r4)
     "approx_distinct_users_daily": (
         "event_time_tumbling_hourly",
         "same events scan + event-time grouped aggregation; the HLL sketch"
@@ -401,10 +406,8 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "partitioned row_number window + rank filter, the same physical"
         " shape the stamped packing report's two-level rank composes",
     ),
-    "left_join_order_coverage": (
-        "q3_top_revenue_orders",
-        "same customer-orders join tree; outer null-extension repo-oracle-checked",
-    ),
+    # (left_join_order_coverage rotated back INTO the head r14 -- last
+    # direct stamp was r4; its outer null-extension now stamps directly)
     "anti_join_customers_without_orders": (
         "anti_join_customers_without_orders_planted",
         "strict subset: the planted variant runs the identical left-anti"
@@ -549,19 +552,8 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
     ),
     # text features whose outputs are recomputed and verified inside stamped
     # downstream consumers
-    "doc_fingerprint": (
-        "dedup_exact",
-        "normalized-digest key; dedup_exact stamps the digest-groupBy family",
-    ),
-    "token_count": (
-        "token_stats_by_lang",
-        "the stamped per-lang stats recompute token_count's exact tokenizer"
-        " expression (functions.text.token_count) over the same scan",
-    ),
-    "lang_id": (
-        "token_stats_by_lang",
-        "lang routing consumed and re-proven by the stamped per-lang stats",
-    ),
+    # (doc_fingerprint / token_count / lang_id rotated back INTO the head
+    # r14 -- last direct stamp was r3, the staleness ceiling)
     "text_quality": (
         "gopher_quality_flags",
         "same row-local length/punct/stopword ratio-signal family, stamped"
@@ -574,14 +566,8 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " adds only a CASE label over identical signal shapes, and the"
         " flag-to-route composition is exercised in examples/run_llm_pipeline",
     ),
-    "minhash_signatures": (
-        "minhash_lsh_pairs",
-        "the stamped pair join recomputes and bands these signatures",
-    ),
-    "simhash_fingerprint": (
-        "simhash_neardup_pairs",
-        "the stamped pair join recomputes these fingerprints",
-    ),
+    # (minhash_signatures / simhash_fingerprint rotated back INTO the head
+    # r14 -- last direct stamp was r3)
     "bpe_token_stats": (
         "gopher_quality_flags",
         "same row-local regex/array token-statistics family",
@@ -818,12 +804,13 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
     # r13 second wave: out for pq_incremental_codes (added-in-round cadence)
     "source_curation_report": (
         "logreg_quality_score",
-        "the scorecard COMPOSES three head-stamped arms verbatim: the"
+        "the scorecard COMPOSES three stamped arms verbatim: the"
         " trained-scorer quality mass (the sibling, benched), the"
-        " per-source near-dup census (neardup_source_overlap -- the same"
-        " banded-pair groupBy it reuses), and the token mass"
-        " (token_stats_by_lang); its own |sources|-row rollup adds no new"
-        " physical shape; fresh-stamped r11+r12",
+        " per-source near-dup census (neardup_source_overlap, stamped"
+        " r11-r13, itself covered by minhash_lsh_pairs' banded-pair"
+        " machinery), and the token mass (token_stats_by_lang, head);"
+        " its own |sources|-row rollup adds no new physical shape;"
+        " fresh-stamped r11-r13",
     ),
     "rrf_hybrid_retrieval_ann": (
         "rrf_hybrid_retrieval",
@@ -952,6 +939,56 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " formatting-variant docs, so its stamp is non-vacuous (the base"
         " corpus has zero near-dup pairs at sf0.01 -- r8 judge finding);"
         " base form stamped r8",
+    ),
+    # r14 rotate-outs: the 5-stamp TPC-H trio (q9/q18/q21, in since r9)
+    # and the 3-stamp r11 text/model wave; each family stays proven by a
+    # stamped head superset or sibling
+    "q9_profit_by_nation_year": (
+        "q7_nation_trade_flows",
+        "same lineitem fact + broadcast-dim multi-join tree with a"
+        " year-grouped revenue aggregate (q7 stamps it, 11 driver rows);"
+        " q9's partsupp cost leg is the part-supplier join shape q20"
+        " stamps; stamped r9-r13, 5 driver rows",
+    ),
+    "q18_large_volume_orders": (
+        "q3_top_revenue_orders",
+        "same customer-orders-lineitem revenue tree +"
+        " TakeOrderedAndProject top-k (q3 stamps it, 12 driver rows); the"
+        " sum-quantity HAVING gate is a grouped-agg threshold of the shape"
+        " q17's per-key aggregate filter stamps; stamped r9-r13",
+    ),
+    "q21_sole_late_supplier": (
+        "q20_part_heavy_suppliers",
+        "same nested semi/anti-join scoping family over supplier-lineitem"
+        " (q20 stamps the nested semi+anti tree; null-extension anti"
+        " semantics also stamped via the planted anti join); stamped"
+        " r9-r13",
+    ),
+    "logreg_holdout_eval": (
+        "logreg_quality_score",
+        "the eval runs the IDENTICAL GD fit chain the stamped scorer runs"
+        " (same plans/text_queries fit machinery, benched) restricted to"
+        " the train bucket, and its split rollup is the stamped"
+        " leakage_safe_split_assign hash-bucket rule; stamped r11-r13",
+    ),
+    "hashed_ngram_langid": (
+        "langid_multiclass",
+        "strict superset: the stamped multiclass one-vs-rest fit iterates"
+        " the identical hashed-gram featurization + bucket-keyed"
+        " distributed weight frame (the binary form is the single-class"
+        " arm); stamped r11-r13",
+    ),
+    "tokenizer_fertility_by_lang": (
+        "bpe_encode_tokens",
+        "the fertility report composes the stamped encoder's merge-table"
+        " apply end-to-end and folds one lang-keyed ratio aggregate (the"
+        " token_stats_by_lang shape, also stamped); stamped r11-r13",
+    ),
+    "neardup_source_overlap": (
+        "minhash_lsh_pairs",
+        "same banded candidate-pair machinery (the stamped pair join is"
+        " recomputed verbatim); the overlap census adds one source-keyed"
+        " groupBy over that pair frame; stamped r11-r13",
     ),
 }
 

@@ -123,10 +123,22 @@ REPORT = (
     "multimodal_phash_dedup_planted",
     "gopher_quality_flags",
     "c4_quality_flags",
-    # r9 bench headliners
+    # r9 bench headliners (kept after their r14 bench out-rotation: the
+    # audits still pin their join shapes)
     "q9_profit_by_nation_year",
     "q18_large_volume_orders",
     "q21_sole_late_supplier",
+    # r13 bench rotation wave (r14 fix: these six were benched r13 without
+    # audit rows -- the REPORT update is part of the rotation ritual)
+    "q2_min_cost_supplier",
+    "q4_priority_order_exists",
+    "q14_promo_revenue_share",
+    "q19_disjunctive_predicates",
+    "q20_part_heavy_suppliers",
+    "q22_idle_rich_customers",
+    # r14 bench rotation wave (curriculum_order was the one new benched
+    # name without a REPORT row; the other four were already audited)
+    "curriculum_order",
 )
 
 
