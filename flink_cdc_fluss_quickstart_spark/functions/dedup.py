@@ -521,7 +521,15 @@ def minhash_band_pairs_against_index(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = keyed.filter(F.col("__new")).alias("a")
-    b = keyed.alias("b")
+    # the probed side is INDEX-sized (every band row of the corpus): pin the
+    # join to sort-merge -- static size estimates through the explode chain
+    # undershoot, and the planner otherwise schedules a broadcast build of
+    # the whole index (caught by the r14 x100 audit; the same
+    # estimate-undershoot failure plans/text_queries._corpus_side documents
+    # for the GD loops). Sort-merge keys both sides through the shuffle, the
+    # only join shape whose memory stays partition-bounded as the index
+    # grows; the |batch| x bucket probe-cost contract is unchanged.
+    b = keyed.hint("merge").alias("b")
     return (
         a.join(
             b,

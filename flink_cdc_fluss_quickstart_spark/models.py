@@ -558,6 +558,52 @@ _PRIMARY_SUB = {
     "pq_index": "codes",
 }
 
+# per-type subtable layout (keys, order_by spec) -- what compact_artifact
+# needs to reconstruct handles; 'keys' doubles as order for the static
+# tables, the band index orders by ingest sequence
+_SUB_LAYOUT: dict[str, dict[str, tuple[list[str], list[str]]]] = {
+    "minhash_band_index": {"bands": (["id", "band_idx"], ["seq"])},
+    "pq_index": {
+        "books": (["m", "cluster"], ["m", "cluster"]),
+        "codes": (["vec_id", "m"], ["vec_id", "m"]),
+    },
+    "logreg_quality": {
+        "coef": (["j"], ["j"]),
+        "baseline": (["bin"], ["bin"]),
+    },
+    # langid weights keys depend on the published shape (classes flag);
+    # resolved from the meta at compact time
+}
+
+
+def compact_artifact(spark: SparkSession, path: str) -> None:
+    """Fold every pending ingest delta of the artifact's subtables into
+    their bases -- the maintenance job a daily-ingest deployment schedules
+    (PKTable auto-compacts past its threshold; this is the explicit
+    off-peak trigger). Superseded dirs keep the model GC grace, so every
+    ledger publish recorded BEFORE the compaction stays loadable across the
+    boundary: ``load_*(version=k)`` time-travels through the compaction
+    commit to the pre-compaction version pair (asserted in
+    tests/test_index_store.py). A no-op for overwrite-only subtables."""
+    from flink_cdc_fluss_quickstart_spark.streaming.pk_table import MANIFEST
+
+    mtype = _read_meta(path).get("model_type")
+    if mtype == "hashed_ngram_langid":
+        meta = _read_meta(path)
+        wkeys = ["b", "cls"] if meta.get("classes", False) else ["b"]
+        layout = {"weights": (wkeys, wkeys), "hot": (["gram"], ["gram"])}
+    else:
+        layout = _SUB_LAYOUT.get(mtype or "")
+        if layout is None:
+            raise ValueError(
+                f"unknown model_type {mtype!r} at {path}; known:"
+                f" {sorted(_SUB_LAYOUT) + ['hashed_ngram_langid']}"
+            )
+    for sub, (keys, order_by) in layout.items():
+        if not os.path.exists(os.path.join(path, sub, MANIFEST)):
+            continue  # optional subtable (e.g. a baseline-less scorer)
+        _table(spark, os.path.join(path, sub), keys, order_by).compact()
+
 
 def list_model_versions(spark: SparkSession, path: str) -> list[dict]:
     """Published versions of the artifact at ``path`` (newest last) from
@@ -601,4 +647,5 @@ __all__ = [
     "upsert_pq_index",
     "load_pq_index",
     "list_model_versions",
+    "compact_artifact",
 ]

@@ -2339,6 +2339,11 @@ def span_dedup_step(batch: DataFrame, idx: DataFrame | None) -> tuple[DataFrame,
     grams = _cached(_span_gram_rows(t))
     if idx is None:
         idx = batch.sparkSession.createDataFrame([], "gh long")
+    # the census accumulates with the CORPUS, not the batch: pin it away
+    # from a broadcast build (r14 x100 audit: the static planner broadcast
+    # the census side of both the semi and anti join -- the same
+    # estimate-undershoot failure _corpus_side documents)
+    idx = _corpus_side(idx)
     hit = grams.join(idx, "gh", "left_semi").select("doc_id", "pos")
     nonidx = grams.join(idx, "gh", "left_anti")
     bdup = (
@@ -2382,7 +2387,9 @@ def span_dedup_incremental_frame(d: DataFrame) -> DataFrame:
     is_batch = F.col("doc_id") % SPAN_BATCH_MOD == 0
     grams = _cached(_span_gram_rows(t))
     batch = grams.filter(is_batch)
-    idx = grams.filter(~is_batch).select("gh").distinct()
+    # corpus-sized census: never a broadcast build (r14 x100 audit caught
+    # the static planner broadcasting it into the semi AND anti joins)
+    idx = _corpus_side(grams.filter(~is_batch).select("gh").distinct())
     hit = batch.join(idx, "gh", "left_semi").select("doc_id", "pos")
     nonidx = batch.join(idx, "gh", "left_anti")
     bdup = (
@@ -3777,8 +3784,10 @@ def line_dedup_step(
     bc = lines.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
     if census is None:
         census = batch.sparkSession.createDataFrame([], "key string, n long")
-    # callers append per-batch censuses; collapse to one count per key here
-    idx = census.groupBy("key").agg(F.sum("n").alias("n_idx"))
+    # callers append per-batch censuses; collapse to one count per key here.
+    # The census accumulates with the corpus across ingests: pin it away
+    # from a broadcast build (r14 x100 audit; see _corpus_side)
+    idx = _corpus_side(census.groupBy("key").agg(F.sum("n").alias("n_idx")))
     gate = (
         bc.join(idx, "key", "left")
         .filter(F.col("n") + F.coalesce(F.col("n_idx"), F.lit(0)) <= max_freq)
@@ -3796,7 +3805,11 @@ def line_dedup_incremental_frame(
     lines = _cached(_line_rows(d))
     is_batch = F.pmod(F.col("doc_id"), F.lit(LINE_BATCH_MOD)) == 0
     b = lines.filter(is_batch)
-    idx = lines.filter(~is_batch).groupBy("key").agg(F.count(F.lit(1)).alias("n_idx"))
+    # corpus-sized census: never a broadcast build (r14 x100 audit -- the
+    # static planner broadcast it into the outer gate join)
+    idx = _corpus_side(
+        lines.filter(~is_batch).groupBy("key").agg(F.count(F.lit(1)).alias("n_idx"))
+    )
     bc = b.groupBy("key").agg(F.count(F.lit(1)).alias("n_b"))
     gate = (
         bc.join(idx, "key", "left")

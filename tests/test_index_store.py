@@ -244,6 +244,59 @@ def test_pq_index_incremental_ingest(spark, sf_dir, tmp_path):
     assert v1codes.select("vec_id").distinct().count() == 400
 
 
+def test_publish_versions_resolve_across_compaction_boundary(spark, sf_dir, tmp_path):
+    """ingest -> compact -> time-travel composes: compacting an artifact's
+    subtables (compact_artifact -- a table commit with NO ledger entry)
+    must leave every previously recorded publish loadable. load_pq_index
+    (version=1) still returns the day-1 codes and the latest/versioned
+    loads after the boundary equal the pre-compaction union (the model GC
+    grace keeps superseded base+delta dirs readable) -- the day-3 step of
+    examples/run_model_lifecycle.py."""
+    import os
+
+    from flink_cdc_fluss_quickstart_spark.plans import similarity_queries as sq
+    from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books, codes1 = sq.pq_train_index(emb.filter(F.col("vec_id") < 400))
+    ipath = str(tmp_path / "pq_compact")
+    models.save_pq_index(spark, ipath, books, codes1)
+    lb, _ = models.load_pq_index(spark, ipath)
+    day2 = sq.pq_encode_with_books(emb.filter(F.col("vec_id") >= 400), lb)
+    models.upsert_pq_index(spark, ipath, day2, batch_id=2)
+    _, pre = models.load_pq_index(spark, ipath)
+    pre_rows = {(r["vec_id"], r["m"], r["code"]) for r in pre.collect()}
+
+    # the ingest left pending deltas; fold them (a new session does it --
+    # the day-3 maintenance job's shape)
+    s3 = spark.newSession()
+    models.compact_artifact(s3, ipath)
+    t = models._table(s3, os.path.join(ipath, "codes"), ["vec_id", "m"],
+                      ["vec_id", "m"])
+    m = t._read_manifest()
+    assert not [k for k in m["buckets"] if "#" in k], "deltas not folded"
+
+    # publish 1 (pre-ingest) and publish 2 (pre-compaction) both resolve
+    _, v1 = models.load_pq_index(s3, ipath, version=1)
+    assert v1.select("vec_id").distinct().count() == 400
+    _, v2 = models.load_pq_index(s3, ipath, version=2)
+    assert {(r["vec_id"], r["m"], r["code"]) for r in v2.collect()} == pre_rows
+    # the latest load (ledger-resolved) equals it too: compaction changed
+    # the table's physical layout, not any published version's content
+    _, latest = models.load_pq_index(s3, ipath)
+    assert {(r["vec_id"], r["m"], r["code"]) for r in latest.collect()} == pre_rows
+
+    # compact_artifact dispatches by model_type: unknown types raise
+    with pytest.raises(ValueError, match="unknown model_type"):
+        import json
+
+        bpath = str(tmp_path / "bogus_compact")
+        os.makedirs(bpath)
+        with open(os.path.join(bpath, "meta.json"), "w") as f:
+            json.dump({"model_type": "bogus"}, f)
+        models.compact_artifact(s3, bpath)
+
+
 def test_pq_index_compat_guard(spark, sf_dir, tmp_path, monkeypatch):
     from flink_cdc_fluss_quickstart_spark.plans import similarity_queries as sq
     from flink_cdc_fluss_quickstart_spark.tables import load_table
