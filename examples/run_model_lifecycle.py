@@ -25,6 +25,14 @@ every serving step below runs from a RELOADED artifact in a fresh session.
       8. reload the PQ index, ENCODE the day-2 vectors with the frozen
          reloaded codebooks, merge-ingest their code rows, and serve ADC
          top-k over the union without ever touching the float corpus
+    -- session boundary --
+    day 3 (maintenance + serving session)
+      9. COMPACT the ingested indexes (models.compact_artifact -- fold the
+         day-2 delta files into the bases), then time-travel through the
+         compaction boundary: the day-1 and day-2 publishes still resolve
+      10. drift-check day-3 scores against the day-1 stored baseline in
+          the compacted warehouse -- ingest -> compact -> time-travel ->
+          drift compose
 """
 
 from __future__ import annotations
@@ -147,8 +155,32 @@ def main() -> None:
         "query_id", "rank"
     ).show(10)
 
+    print("== session boundary: newSession + fresh handles ==")
+    s3 = spark.newSession()
+
+    print("== day 3, step 9: compact the ingested indexes (maintenance job)")
+    models.compact_artifact(s3, os.path.join(wh, "dedup_index"))
+    models.compact_artifact(s3, os.path.join(wh, "pq_index"))
+    # time travel THROUGH the compaction boundary: the day-1 publish (and
+    # the day-2 ingest publish) resolve exactly as before the fold
+    v1b = models.load_minhash_index(s3, os.path.join(wh, "dedup_index"), version=1)
+    _, v2c = models.load_pq_index(s3, os.path.join(wh, "pq_index"), version=2)
+    print(f"   post-compaction time travel: dedup publish 1 = {v1b.count()}"
+          f" rows, pq publish 2 = {v2c.count()} code rows (pre-compaction"
+          " publishes stay loadable)")
+
+    print("== day 3, step 10: drift check in the compacted warehouse")
+    d3 = load_table(s3, sf_dir, "documents")
+    scorer3 = models.load_logreg_model(s3, os.path.join(wh, "quality_scorer"))
+    ref3 = models.load_score_baseline(s3, os.path.join(wh, "quality_scorer"))
+    day3 = psi_ln(tq.score_drift_vs_baseline_frame(
+        tq.logreg_score(d3, scorer3), ref3))
+    print(f"   day-3 PSI_ln vs the day-1 baseline = {day3:.4f} (ingest ->"
+          " compact -> time-travel -> drift compose across two session"
+          " boundaries)")
+
     print("lifecycle complete: 4 artifacts published, reloaded, monitored,"
-          " ingested, served")
+          " ingested, compacted, drift-checked, served")
 
 
 if __name__ == "__main__":
