@@ -304,27 +304,40 @@ class PKTable:
         commit version (delta files carry their commit version in the
         stored `__dv` column; base rows are version 0 by construction --
         every delta postdates the base fold that preceded it), then drop
-        delete markers. This is the LSM read path; its cost is the SAME
-        pruned scan as the fast path plus one bounded window over the
-        touched buckets' rows."""
-        parts = []
-        if base_dirs:
-            parts.append(
-                self.spark.read.format(self.data_format).load(base_dirs)
-                .withColumn("__op", F.lit("I"))
-                .withColumn("__dv", F.lit(0).cast("long"))
-            )
-        if delta_dirs:
-            parts.append(
-                self.spark.read.format(self.data_format).load(delta_dirs)
-            )
-        if not parts:
-            return None
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        resolved = latest_by_key(df, self.keys, ["__dv"])
-        return resolved.filter(F.col("__op") != OP_DELETE).drop("__op", "__dv")
+        delete markers.
+
+        Shuffle discipline (the 100 TB shape of this read): base rows are
+        unique per key AND always lose last-writer resolution to any delta
+        row (base is version 0, every delta postdates it), so a base row
+        only survives when NO delta touches its key. The read is therefore
+
+            base ANTI-JOIN (distinct delta keys)  UNION  latest(deltas)
+
+        -- ONE pruned scan of the base streaming through an anti join
+        (broadcast when the delta key set is small, the daily-ingest case)
+        and a window over the delta rows alone. Nothing table-sized is
+        ever shuffled or windowed at any delta depth; the pre-r14 plan
+        folded the whole base through the latest-by-key window, a
+        full-table shuffle per snapshot read (A/B in SCALE.md)."""
+        base = (
+            self.spark.read.format(self.data_format).load(base_dirs)
+            if base_dirs else None
+        )
+        deltas = (
+            self.spark.read.format(self.data_format).load(delta_dirs)
+            if delta_dirs else None
+        )
+        if deltas is None:
+            return base
+        resolved = (
+            latest_by_key(deltas, self.keys, ["__dv"])
+            .filter(F.col("__op") != OP_DELETE)
+            .drop("__op", "__dv")
+        )
+        if base is None:
+            return resolved
+        dkeys = deltas.select(*self.keys).distinct()
+        return base.join(dkeys, list(self.keys), "left_anti").unionByName(resolved)
 
     def version_at(self, ts: float) -> int:
         """The largest committed version whose commit time is <= ``ts`` --

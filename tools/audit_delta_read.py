@@ -1,0 +1,130 @@
+"""r14 audit: the merge-on-read snapshot plan at max delta depth vs
+compacted, at x100-scale table size.
+
+Pins two things the LSM read path must hold at 100 TB:
+1. the resolve's SHUFFLE VOLUME is bounded by the pending ingests, not the
+   table -- untouched base rows stream through an anti join with no
+   table-sized exchange (when the delta key set broadcasts, the plan adds
+   ZERO exchange over the compacted fast path);
+2. the wall-clock penalty of reading at depth 8 (the compact_threshold
+   maximum) vs compacted stays a bounded constant, erased by compaction.
+
+Usage: python tools/audit_delta_read.py [base_rows] [batch_rows]
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import re
+import sys
+import tempfile
+import time
+from collections import Counter
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from flink_cdc_fluss_quickstart_spark.session import get_spark  # noqa: E402
+from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable  # noqa: E402
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(plan: str) -> str:
+    joins = Counter(
+        re.findall(r"\b(BroadcastHashJoin \w+|SortMergeJoin \w+)\b", plan)
+    )
+    n_hash = len(re.findall(r"Arguments: hashpartitioning", plan))
+    return f"joins={dict(joins)} hash_exchanges={n_hash}"
+
+
+def timed_count(df) -> tuple[float, int]:
+    # checksum agg, not count(): a count over the compacted pure-scan path
+    # short-circuits to parquet footer stats and reads no data, which would
+    # overstate the depth-8 penalty; the xxhash64 sum forces both paths to
+    # read and fold every row
+    t0 = time.time()
+    n = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("bit_xor(xxhash64(k, v))").alias("cs"),  # no ANSI overflow
+    ).collect()[0]["n"]
+    return time.time() - t0, n
+
+
+def main() -> None:
+    base_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
+    batch_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 50_000
+    spark = get_spark("audit-delta-read")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="audit_delta_read_")
+    t = PKTable(spark, root + "/t", keys=["k"], order_by=["seq"])
+    t.overwrite(
+        spark.range(base_rows).select(
+            F.col("id").alias("k"),
+            F.lit(0).cast("long").alias("seq"),
+            F.md5(F.col("id").cast("string")).alias("v"),
+        )
+    )
+    # 8 ingests (the compact_threshold maximum) of update batches whose keys
+    # stride the table uniformly -- every bucket accumulates depth-8 deltas
+    for i in range(1, 9):
+        t.ingest(
+            spark.range(batch_rows).select(
+                ((F.col("id") * 79 + i) % base_rows).alias("k"),
+                F.lit(i).cast("long").alias("seq"),
+                F.lit(f"u{i}").alias("v"),
+                F.lit("I").alias("op"),
+            ),
+            batch_id=i, writer_id="audit",
+            compact_threshold=10_000,  # hold compaction off: we want depth 8
+        )
+    snap = t.snapshot()
+    print(f"== depth-8 snapshot plan ({base_rows:,} base rows,"
+          f" 8 x {batch_rows:,}-row deltas)")
+    print("  " + audit(plan_of(snap)))
+    w1, n1 = timed_count(t.snapshot())
+    w1b, _ = timed_count(t.snapshot())
+
+    # A/B arm: the pre-r14 resolve (whole base + deltas through one
+    # latest-by-key window = a full-table shuffle at any delta depth)
+    from flink_cdc_fluss_quickstart_spark.operators.changelog import latest_by_key
+
+    m = t._read_manifest()
+    base_dirs = [os.path.join(t.path, v) for k, v in m["buckets"].items()
+                 if "#" not in k]
+    delta_dirs = [os.path.join(t.path, v) for k, v in m["buckets"].items()
+                  if "#" in k]
+    legacy = (
+        spark.read.parquet(*base_dirs)
+        .withColumn("__op", F.lit("I"))
+        .withColumn("__dv", F.lit(0).cast("long"))
+        .unionByName(spark.read.parquet(*delta_dirs))
+    )
+    legacy = latest_by_key(legacy, ["k"], ["__dv"]).filter(
+        F.col("__op") != "D").drop("__op", "__dv")
+    print("== depth-8 LEGACY (pre-r14 full-window) plan")
+    print("  " + audit(plan_of(legacy)))
+    wl, _ = timed_count(legacy)
+    wlb, _ = timed_count(legacy)
+    t.compact()
+    wc, nc = timed_count(t.snapshot())
+    wcb, _ = timed_count(t.snapshot())
+    print("== compacted snapshot plan")
+    print("  " + audit(plan_of(t.snapshot())))
+    print(f"depth-8 read: {w1:.2f}s / {w1b:.2f}s ({n1:,} rows);"
+          f" legacy depth-8: {wl:.2f}s / {wlb:.2f}s;"
+          f" compacted: {wc:.2f}s / {wcb:.2f}s ({nc:,} rows);"
+          f" penalty {w1b / max(wcb, 1e-9):.2f}x (legacy"
+          f" {wlb / max(wcb, 1e-9):.2f}x)")
+
+
+if __name__ == "__main__":
+    main()
