@@ -445,10 +445,26 @@ def minhash_band_keyed(
     )
 
 
+def _corpus_join_side(df: DataFrame) -> DataFrame:
+    """A join side that scales with the CORPUS (band-exploded key frames,
+    per-doc shingle/fingerprint profiles): pin the join it enters to
+    sort-merge. Static size estimates through explode/aggregate chains
+    undershoot the broadcast threshold, and the planner then schedules a
+    broadcast build of a frame that grows with the data -- fatal on any
+    driver/executor at 100 TB even where it happens to fit at test scale
+    (caught by the r14 x100 sweep, tools/broadcast_sweep.py; the same rule
+    as plans/text_queries._corpus_side for the GD loops). Sort-merge keys
+    both sides through the shuffle, the only join shape whose memory stays
+    partition-bounded at every scale."""
+    return df.hint("merge")
+
+
 def band_self_join(keyed: DataFrame, id_col: str) -> DataFrame:
     """ONE equi self-join of a (id, band_idx, band_key) frame on the
     compound key -- one exchange total regardless of band count, and what
-    shuffles is (id, band_idx, 16-byte digest), never documents.
+    shuffles is (id, band_idx, 16-byte digest), never documents
+    (sort-merge by construction: both sides are corpus-sized, see
+    _corpus_join_side).
 
     Output: distinct (id_a, id_b) with id_a < id_b.
 
@@ -457,7 +473,7 @@ def band_self_join(keyed: DataFrame, id_col: str) -> DataFrame:
     from pyspark import StorageLevel
 
     keyed = _track(keyed.persist(StorageLevel.MEMORY_AND_DISK))
-    a, b = keyed.alias("a"), keyed.alias("b")
+    a, b = keyed.alias("a"), _corpus_join_side(keyed).alias("b")
     return (
         a.join(
             b,
@@ -522,14 +538,10 @@ def minhash_band_pairs_against_index(
     )
     a = keyed.filter(F.col("__new")).alias("a")
     # the probed side is INDEX-sized (every band row of the corpus): pin the
-    # join to sort-merge -- static size estimates through the explode chain
-    # undershoot, and the planner otherwise schedules a broadcast build of
-    # the whole index (caught by the r14 x100 audit; the same
-    # estimate-undershoot failure plans/text_queries._corpus_side documents
-    # for the GD loops). Sort-merge keys both sides through the shuffle, the
-    # only join shape whose memory stays partition-bounded as the index
-    # grows; the |batch| x bucket probe-cost contract is unchanged.
-    b = keyed.hint("merge").alias("b")
+    # join to sort-merge (r14 x100 audit caught the planner broadcasting the
+    # whole index; see _corpus_join_side). The |batch| x bucket probe-cost
+    # contract is unchanged.
+    b = _corpus_join_side(keyed).alias("b")
     return (
         a.join(
             b,
@@ -658,7 +670,8 @@ def simhash_neardup_pairs(
         .withColumnRenamed("col", "band_key")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a, b = keyed.alias("a"), keyed.alias("b")
+    # both self-join sides are the corpus-sized band frame: sort-merge
+    a, b = keyed.alias("a"), _corpus_join_side(keyed).alias("b")
     return (
         a.join(
             b,
@@ -716,12 +729,13 @@ def ngram_jaccard(
         .select(F.col(id_col), F.col("sh"), F.size("sh").alias("sh_n"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    a = norm.select(
+    # the per-doc shingle-set frames are corpus-sized: sort-merge resolve
+    a = _corpus_join_side(norm.select(
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("sh_n").alias("n_a")
-    )
-    b = norm.select(
+    ))
+    b = _corpus_join_side(norm.select(
         F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("sh_n").alias("n_b")
-    )
+    ))
     joined = candidate_pairs.join(a, "id_a").join(b, "id_b")
     if min_jaccard is not None:
         joined = joined.filter(
@@ -802,7 +816,7 @@ def _band_candidates(prof: DataFrame, id_col: str, n_bands: int) -> DataFrame:
         .withColumnRenamed("pos", "band_idx")
         .withColumnRenamed("col", "band_key")
     )
-    ka, kb = keyed.alias("a"), keyed.alias("b")
+    ka, kb = keyed.alias("a"), _corpus_join_side(keyed).alias("b")
     return (
         ka.join(
             kb,
@@ -869,16 +883,16 @@ def jaccard_neardup(
     # candidate pairs first would shuffle |pairs| x |shingles| longs (the
     # actual bottleneck, GBs at sf0.1), so the wide arrays are attached only
     # to gate survivors in stage 2.
-    narrow_a = prof.select(
+    narrow_a = _corpus_join_side(prof.select(
         F.col(id_col).alias("id_a"),
         *[F.col(f"est_{k}").alias(f"__ea_{k}") for k in range(EST_SLICES)],
         F.col("sh_n").alias("n_a"),
-    )
-    narrow_b = prof.select(
+    ))
+    narrow_b = _corpus_join_side(prof.select(
         F.col(id_col).alias("id_b"),
         *[F.col(f"est_{k}").alias(f"__eb_{k}") for k in range(EST_SLICES)],
         F.col("sh_n").alias("n_b"),
-    )
+    ))
     gated = pairs.join(narrow_a, "id_a").join(narrow_b, "id_b")
 
     est_min = math.ceil((min_jaccard - est_margin) * EST_SLICES)
@@ -893,9 +907,12 @@ def jaccard_neardup(
         F.least("n_a", "n_b").cast("double") >= F.lit(min_jaccard) * F.greatest("n_a", "n_b")
     ).select("id_a", "id_b", "n_a", "n_b")
 
-    # stage 2 -- exact intersection for the few survivors only
-    sets_a = prof.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-    sets_b = prof.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+    # stage 2 -- exact intersection for the few survivors only (the wide
+    # array frames are corpus-sized: sort-merge, never a broadcast build)
+    sets_a = _corpus_join_side(
+        prof.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")))
+    sets_b = _corpus_join_side(
+        prof.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")))
     joined = gated.join(sets_a, "id_a").join(sets_b, "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = (F.col("n_a") + F.col("n_b")).cast("double") - inter
@@ -934,12 +951,12 @@ def containment_pairs(
         df, id_col, text_col, n, DEFAULT_JACCARD, digest
     )
     pairs = _band_candidates(prof, id_col, n_bands)
-    sets_a = prof.select(
+    sets_a = _corpus_join_side(prof.select(
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), F.col("sh_n").alias("n_a")
-    )
-    sets_b = prof.select(
+    ))
+    sets_b = _corpus_join_side(prof.select(
         F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), F.col("sh_n").alias("n_b")
-    )
+    ))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     return (
         pairs.join(sets_a, "id_a")

@@ -459,7 +459,11 @@ def phash_pairs(hashes: DataFrame) -> DataFrame:
             ).alias("band"),
         ).persist()
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # both self-join sides are the corpus-sized band frame: sort-merge,
+    # never a broadcast build (r14 x100 sweep; dedup._corpus_join_side)
+    from flink_cdc_fluss_quickstart_spark.functions.dedup import _corpus_join_side
+
+    a, b = bands.alias("a"), _corpus_join_side(bands).alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(

@@ -537,7 +537,9 @@ def neardup_source_overlap_frame(d: DataFrame) -> DataFrame:
     pairs = dedup.band_self_join(
         dedup.minhash_band_keyed(d, "doc_id", "text"), "doc_id"
     )
-    src = d.select("doc_id", "source")
+    # the (doc_id, source) tag map is corpus-sized: sort-merge, never a
+    # broadcast build (r14 x100 sweep; functions.dedup._corpus_join_side)
+    src = dedup._corpus_join_side(d.select("doc_id", "source"))
     tagged = (
         pairs
         .join(src.withColumnRenamed("doc_id", "id_a")
@@ -3603,12 +3605,15 @@ def minhash_estimate_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = inter.cast("double") / (
         (F.size("sa") + F.size("sb") - inter).cast("double")
     )
+    # signature and shingle-set frames are corpus-sized resolve sides:
+    # sort-merge (r14 x100 sweep; functions.dedup._corpus_join_side)
+    cjs = dedup._corpus_join_side
     return (
-        pairs.join(sig.alias("a"), F.col("id_a") == F.col("a.doc_id"))
-        .join(sig.alias("b"), F.col("id_b") == F.col("b.doc_id"))
+        pairs.join(cjs(sig).alias("a"), F.col("id_a") == F.col("a.doc_id"))
+        .join(cjs(sig).alias("b"), F.col("id_b") == F.col("b.doc_id"))
         .select("id_a", "id_b", n_match.cast("bigint").alias("n_match"))
-        .join(sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa")), "id_a")
-        .join(sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb")), "id_b")
+        .join(cjs(sets.select(F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))), "id_a")
+        .join(cjs(sets.select(F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))), "id_b")
         .select(
             "id_a",
             "id_b",

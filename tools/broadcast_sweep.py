@@ -51,6 +51,7 @@ EXEC_SKIP = {
     "bpe_merge_candidates", "bpe_encode_tokens", "tokenizer_fertility_by_lang",
     "dedup_components", "dedup_keep_representatives", "soft_dedup_weights",
     "leakage_safe_split_assign", "textrank_keywords",
+    "embedding_dedup_representatives",  # CC loop over x100 LSH pairs
     "curriculum_order", "training_shuffle_order", "contrastive_triplets",
     # streaming-shaped or PKTable-backed builders (materialize state)
     "upsert_latest_snapshot", "changelog_apply_snapshot",
