@@ -265,3 +265,53 @@ def test_q9_filter_pushed_and_fact_scanned_once(spark):
     plan, _ = _plans(spark, "q9_profit_by_nation_year")
     assert "p_type" in plan and "PushedFilters" in plan, plan[:2000]
     assert plan.count("lineitem.parquet") == 1, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "minhash_lsh_pairs",
+        "simhash_neardup_pairs",
+        "ngram_jaccard_neardup",
+        "ngram_containment_pairs",
+        "minhash_estimate_quality",
+        "minhash_incremental_pairs",
+        "multimodal_phash_dedup",
+    ],
+)
+def test_neardup_corpus_sides_never_broadcast(spark, name):
+    """r14 x100 sweep regression guard: every join in the near-dup pair
+    family has corpus-sized sides (band-exploded self-joins, per-doc
+    profile verify frames), so NONE of them may plan as a broadcast build
+    at any SF -- static estimates through the explode chains undershoot
+    the threshold and a retuned/hint-dropped build side would silently
+    reintroduce the corpus-in-one-heap plan
+    (functions.dedup._corpus_join_side)."""
+    plan, _ = _plans(spark, name)
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    assert "SortMergeJoin" in plan, plan[:2000]
+
+
+def test_neardup_source_overlap_broadcasts_only_the_scalar_total(spark):
+    """The source-overlap rollup keeps exactly ONE broadcast: the one-row
+    grand-total frame its milli-share division consumes. The pair join and
+    the (doc, source) tag joins are corpus-sized and must stay sort-merge."""
+    plan, _ = _plans(spark, "neardup_source_overlap")
+    assert "BroadcastHashJoin" not in plan, plan[:3000]
+    assert plan.count("BroadcastNestedLoopJoin") <= 1  # the 1-row crossJoin
+    assert "SortMergeJoin" in plan, plan[:2000]
+
+
+@pytest.mark.parametrize(
+    "name,n_merge",
+    [("span_dedup_incremental", 2), ("line_dedup_incremental", 1)],
+)
+def test_incremental_census_joins_are_sort_merge(spark, name, n_merge):
+    """r14 x100 audit regression guard: the batch-vs-census joins of the
+    incremental dedup paths pin their corpus-sized census side to
+    sort-merge (span: the semi + anti gram joins; line: the outer gate
+    join). The batch-bounded frames (bdup/gate/starts) may still
+    broadcast, so the guard counts merge joins rather than banning
+    broadcasts outright."""
+    plan, _ = _plans(spark, name)
+    assert plan.count("SortMergeJoin") >= n_merge, plan[:3000]
