@@ -68,14 +68,18 @@ HEADLINE = (
     # r14 rotation wave: q9/q18/q21 + logreg_holdout_eval +
     # tokenizer_fertility_by_lang leave the head-50 (so also the bench,
     # per the benched-implies-stamped invariant); five head names whose
-    # cost profiles matter at 100 TB join in their place -- the iterative
-    # trainers (multiclass GD, drift PSI), the composed ANN recall audit,
-    # the day-2 PQ encode, and the global curriculum rank
-    "langid_multiclass",
+    # cost profiles matter at 100 TB join in their place -- the drift PSI
+    # monitor, the composed ANN recall audit, the day-2 PQ encode, the
+    # global curriculum rank, and the running event-stats window.
+    # (langid_multiclass was considered and rejected: its 10-round GD loop
+    # reads 35 s at sf0.1 -- stage-overhead-bound, SCALE.md r12 -- which
+    # would halve the signal-to-noise of the whole-bench comparison; its
+    # scale story lives in its x100 SCALE.md decade instead.)
     "score_drift_report",
     "ann_recall_report_clustered",
     "pq_incremental_codes",
     "curriculum_order",
+    "events_running_stats",
 )
 
 

@@ -136,9 +136,11 @@ REPORT = (
     "q19_disjunctive_predicates",
     "q20_part_heavy_suppliers",
     "q22_idle_rich_customers",
-    # r14 bench rotation wave (curriculum_order was the one new benched
-    # name without a REPORT row; the other four were already audited)
+    # r14 bench rotation wave (curriculum_order and events_running_stats
+    # were the new benched names without REPORT rows; the other three were
+    # already audited)
     "curriculum_order",
+    "events_running_stats",
 )
 
 
