@@ -198,6 +198,43 @@ def test_streaming_foreachbatch_ingest_exactly_once(spark, tmp_path):
     assert _snap(t) == {1: "a2", 3: "c", 4: "d"}
 
 
+def test_concurrent_ingests_serialize(spark, tmp_path):
+    """Concurrent delta ingests into one table must not lose manifest
+    updates or delta pointers (commits serialize per table path -- the
+    merge-path guarantee extended to the LSM write path), and concurrent
+    ingest + compaction must interleave safely."""
+    import threading
+
+    t = PKTable(spark, str(tmp_path / "ci"), keys=["k"], order_by=["seq"],
+                n_buckets=4)
+    t.overwrite(spark.createDataFrame(
+        [(0, k, "base") for k in range(8)], "seq long, k long, v string"))
+
+    def writer(wid: int) -> None:
+        for b in range(3):
+            t.ingest(
+                spark.createDataFrame(
+                    [("I", b + 1, 100 + wid * 10 + b, f"w{wid}b{b}")],
+                    "op string, seq long, k long, v string",
+                ),
+                batch_id=b, writer_id=f"w{wid}",
+                compact_threshold=4,  # let auto-compaction race the ingests
+            )
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    snap = {(r["k"], r["v"]) for r in t.snapshot().collect()}
+    want = {(k, "base") for k in range(8)} | {
+        (100 + w * 10 + b, f"w{w}b{b}") for w in range(3) for b in range(3)
+    }
+    assert snap == want
+    for w in range(3):
+        assert t._read_manifest()["txn"][f"w{w}"] == 2
+
+
 def test_ingest_rejects_reserved_payload_columns(spark, tmp_path):
     """ingest() PERSISTS __op/__dv/__bucket into delta files as
     merge-on-read metadata (unlike merge()'s transient use), so a payload
