@@ -129,6 +129,9 @@ class PKTable:
     (O(bucket) per touched bucket); ingest appends per-bucket delta files
     (O(|batch|), merge-on-read, compaction amortizes the fold) -- see the
     module docstring's delta-ingest section for when each pays off.
+    Reads: ``snapshot()`` (full table / time travel) and ``lookup(probe)``
+    (bucket-pruned point read of the probed keys -- the Fluss PK-table
+    serving shape its 'bucket.num' exists for).
     """
 
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
@@ -296,6 +299,60 @@ class PKTable:
                 return None
             return self.spark.read.format(self.data_format).load(base_dirs)
         return self._resolve_dirs(base_dirs, delta_dirs)
+
+    def lookup(self, probe: DataFrame, version: int | None = None) -> DataFrame | None:
+        """Bucket-pruned point read -- the Fluss PK-table lookup serving
+        shape (the reference's tables declare 'bucket.num' for exactly
+        this, flink-gen.sh:118-142): resolve ONLY the buckets the probed
+        keys hash into and return those keys' current rows.
+
+        Cost: hash the probe keys to bucket ids (row-local), one
+        driver-side distinct bounded by n_buckets scalars, a scan of the
+        touched buckets' base + pending delta files, and one left-semi
+        join. A k-key lookup against an N-bucket table reads at most
+        min(k, N)/N of it -- at 100 TB that is the difference between a
+        point read and a table scan -- and nothing table-sized shuffles
+        (the delta fold is the anti/union resolve). Missing keys have no
+        row; keys whose latest delta is a delete resolve to absent.
+        ``version`` time-travels like snapshot(). Returns None when every
+        probed bucket is empty."""
+        m = self._read_manifest()
+        buckets = m["buckets"] if version is None else self._buckets_at(m, version)
+        keysel = probe.select(*self.keys).distinct()
+        wanted = {
+            r["__b"]
+            for r in keysel.select(
+                _bucket_expr(self.keys, self.n_buckets).alias("__b")
+            ).distinct().collect()
+        }
+        sel = {
+            k: d for k, d in buckets.items()
+            if int(k.split("#", 1)[0]) in wanted
+        }
+        dirs = [os.path.join(self.path, d) for d in sel.values()]
+        if version is not None:
+            gone = [d for d in dirs if not os.path.exists(d)]
+            if gone:
+                raise ValueError(
+                    f"snapshot v{version} expired: data dirs {gone} were"
+                    " garbage-collected (raise gc_grace_secs to retain"
+                    " longer time-travel windows)"
+                )
+        base_dirs = [
+            os.path.join(self.path, d) for k, d in sel.items() if "#" not in k
+        ]
+        delta_dirs = [
+            os.path.join(self.path, d) for k, d in sel.items() if "#" in k
+        ]
+        base_dirs = [d for d in base_dirs if os.path.exists(d)]
+        delta_dirs = [d for d in delta_dirs if os.path.exists(d)]
+        if not base_dirs and not delta_dirs:
+            return None
+        if not delta_dirs:
+            resolved = self.spark.read.format(self.data_format).load(base_dirs)
+        else:
+            resolved = self._resolve_dirs(base_dirs, delta_dirs)
+        return resolved.join(keysel, list(self.keys), "left_semi")
 
     def _resolve_dirs(
         self, base_dirs: list[str], delta_dirs: list[str]
@@ -628,6 +685,14 @@ class PKTable:
             )
             .withColumn("__dv", F.lit(version).cast("long"))
         )
+        # ONE file per touched bucket per delta commit (Paimon's
+        # one-sorted-run-per-commit): without the bucket repartition every
+        # shuffle partition writes its own sliver into every bucket dir --
+        # up to 32 tiny parts per bucket PER INGEST, a file-count explosion
+        # that dominates point-read open cost at daily-ingest cadence. The
+        # batch is |batch|-sized, so collapsing write parallelism to the
+        # touched-bucket count costs nothing.
+        out = out.repartition(len(affected), "__bucket")
         out.write.partitionBy("__bucket").mode("overwrite").format(
             self.data_format
         ).save(os.path.join(self.path, vdir))

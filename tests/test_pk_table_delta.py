@@ -296,3 +296,47 @@ def test_ingest_fenced_against_stale_writer(spark, tmp_path):
     t2.ingest(_rows(spark, [(2, 2, "b")]), batch_id=0, writer_id="other")
     with pytest.raises(StaleWriterError):
         t1.ingest(_rows(spark, [(3, 3, "c")]), batch_id=1)
+
+
+def test_lookup_point_read_prunes_buckets(spark, tmp_path):
+    """lookup() is the Fluss PK point-read shape: it returns exactly the
+    probed keys' rows (delta updates applied, deletes absent, missing keys
+    absent) and READS only the probed keys' buckets -- asserted from the
+    plan's actual input files, not the docstring."""
+    import pyspark.sql.functions as F
+
+    from flink_cdc_fluss_quickstart_spark.streaming.pk_table import _bucket_expr
+
+    t = PKTable(spark, str(tmp_path / "lk"), keys=["k"], order_by=["seq"],
+                n_buckets=8)
+    t.overwrite(spark.createDataFrame(
+        [(0, k, f"base{k}") for k in range(64)], "seq long, k long, v string"))
+    # delta: update key 3, delete key 5, insert new key 100
+    t.ingest(_rows(spark, [(1, 3, "upd3"), (1, 5, None), (1, 100, "new100")]),
+             batch_id=1)
+
+    probe = spark.createDataFrame([(3,), (5,), (7,), (100,), (999,)], "k long")
+    got = {(r["k"], r["v"]) for r in t.lookup(probe).collect()}
+    assert got == {(3, "upd3"), (7, "base7"), (100, "new100")}
+
+    # pruning: every input file sits in a bucket one of the probed keys
+    # hashes to (probe buckets < all 8 buckets, so the check is non-vacuous)
+    wanted = {
+        r["b"] for r in probe.select(_bucket_expr(["k"], 8).alias("b")).collect()
+    }
+    assert len(wanted) < 8
+    files = t.lookup(probe).inputFiles()
+    assert files
+    import re
+
+    touched = {int(re.search(r"__bucket=(\d+)", f).group(1)) for f in files}
+    assert touched <= wanted, (touched, wanted)
+
+    # time travel composes: at version 1 (pre-ingest) key 3 is still base3,
+    # key 100 absent
+    v1 = {(r["k"], r["v"]) for r in t.lookup(probe, version=1).collect()}
+    assert v1 == {(3, "base3"), (5, "base5"), (7, "base7")}
+
+    # after compaction the same lookup resolves identically
+    t.compact()
+    assert {(r["k"], r["v"]) for r in t.lookup(probe).collect()} == got

@@ -65,7 +65,9 @@ def main() -> None:
     spark = get_spark("audit-delta-read")
     spark.sparkContext.setLogLevel("ERROR")
     root = tempfile.mkdtemp(prefix="audit_delta_read_")
-    t = PKTable(spark, root + "/t", keys=["k"], order_by=["seq"])
+    # bucket.num sized like a serving table (the Fluss analogue) so the
+    # lookup arm's pruning is visible: 10 probe keys touch <= 10/64 buckets
+    t = PKTable(spark, root + "/t", keys=["k"], order_by=["seq"], n_buckets=64)
     t.overwrite(
         spark.range(base_rows).select(
             F.col("id").alias("k"),
@@ -114,16 +116,33 @@ def main() -> None:
     print("  " + audit(plan_of(legacy)))
     wl, _ = timed_count(legacy)
     wlb, _ = timed_count(legacy)
+
+    # point-read arm: a 10-key lookup() vs the full snapshot, at depth 8
+    probe = spark.range(10).select((F.col("id") * 997 + 13).alias("k"))
+    t0 = time.time()
+    n_lk = t.lookup(probe).count()
+    wk8 = time.time() - t0
+    t0 = time.time()
+    t.lookup(probe).count()
+    wk8b = time.time() - t0
+    files8 = len(t.lookup(probe).inputFiles())
     t.compact()
     wc, nc = timed_count(t.snapshot())
     wcb, _ = timed_count(t.snapshot())
     print("== compacted snapshot plan")
     print("  " + audit(plan_of(t.snapshot())))
+    t0 = time.time()
+    t.lookup(probe).count()
+    wkc = time.time() - t0
+    filesc = len(t.lookup(probe).inputFiles())
     print(f"depth-8 read: {w1:.2f}s / {w1b:.2f}s ({n1:,} rows);"
           f" legacy depth-8: {wl:.2f}s / {wlb:.2f}s;"
           f" compacted: {wc:.2f}s / {wcb:.2f}s ({nc:,} rows);"
           f" penalty {w1b / max(wcb, 1e-9):.2f}x (legacy"
           f" {wlb / max(wcb, 1e-9):.2f}x)")
+    print(f"10-key lookup: depth-8 {wk8:.2f}s / {wk8b:.2f}s"
+          f" ({n_lk} rows, {files8} files); compacted {wkc:.2f}s"
+          f" ({filesc} files) -- vs full-snapshot reads above")
 
 
 if __name__ == "__main__":
