@@ -263,9 +263,18 @@ def test_ingest_orc_format(spark, tmp_path):
     t.merge(_rows(spark, [(1, 1, "a"), (2, 2, "b")]), batch_id=0)
     t.ingest(_rows(spark, [(3, 1, "a2"), (4, 3, "c")]), batch_id=1)
     assert _snap(t) == {1: "a2", 2: "b", 3: "c"}
+    # the point-read path is format-agnostic too (reads through the same
+    # manifest + data_format seam), with deltas pending and after the fold
+    probe = spark.createDataFrame([(1,), (3,), (9,)], "k long")
+    assert {(r["k"], r["v"]) for r in t.lookup(probe).collect()} == {
+        (1, "a2"), (3, "c")
+    }
     t.compact()
     assert _snap(t) == {1: "a2", 2: "b", 3: "c"}
     assert not any("#" in k for k in t._read_manifest()["buckets"])
+    assert {(r["k"], r["v"]) for r in t.lookup(probe).collect()} == {
+        (1, "a2"), (3, "c")
+    }
 
 
 def test_many_daily_ingests_serve_identically_across_compaction(spark, tmp_path):
