@@ -31,9 +31,15 @@ HEADLINE = (
     "q7_nation_trade_flows",
     "upsert_latest_snapshot",
     "event_time_tumbling_hourly",
-    "dedup_exact",
+    # r15 rotation: dedup_exact / simhash_neardup_pairs leave the head-50
+    # at 14 stamps (so also the bench, per benched-implies-stamped); the
+    # same families stay benched via line_dedup_text / minhash_lsh_pairs /
+    # winnow_overlap_pairs, and the two rotate-ins below were timed FIRST
+    # (--watch, BENCH_NOTES r15): bpe_token_stats 0.29 s,
+    # ngram_containment_pairs 2.75 s medians at sf0.1.
+    "bpe_token_stats",
     "minhash_lsh_pairs",
-    "simhash_neardup_pairs",
+    "ngram_containment_pairs",
     "gopher_quality_flags",
     "leakage_safe_split_assign",
     "token_stats_by_lang",

@@ -283,7 +283,13 @@ PRIORITY: tuple[str, ...] = (
     "betting_tickets_analytics",
     # event streams: time windows (JSON-decode front proven by
     # betting_tickets_analytics, same sources/betting.py envelope path)
+    # (r15 staleness wave: the seven oldest-last-stamped tail queries
+    # rotate back in -- sliding windows last stamped r4, the base anti
+    # join / bpe stats / multiprobe ANN r4, containment + temperature
+    # resample r5 -- displacing the 14-stamp pair dedup_exact /
+    # simhash_neardup_pairs and the 4-5-stamp fingerprint cohort)
     "event_time_tumbling_hourly",
+    "event_time_sliding_hourly",
     # benched TPC-H headliners: every headline bench number must carry a
     # driver-side correctness row (guarded)
     "q1_pricing_summary",
@@ -294,6 +300,7 @@ PRIORITY: tuple[str, ...] = (
     # (q9/q18/q21 out-rotated r14 at 5 stamps each; their join/agg/anti
     # shapes stay stamped via q7/q3/q20 -- see TAIL_COVERAGE)
     "anti_join_customers_without_orders_planted",
+    "anti_join_customers_without_orders",
     # r13 staleness wave: the six r2-stamped tail queries rotate back in
     # (the set-op/rollup family they replace double-stamped r11+r12 and
     # returns to its q7/q1 tail notes)
@@ -308,6 +315,7 @@ PRIORITY: tuple[str, ...] = (
     "range_join_price_bands",
     "multimodal_feature_extract",
     "multimodal_phash_dedup_planted",
+    "multimodal_frame_sample",
     # training-data pipeline routing/sampling/packing
     "leakage_safe_split_assign",
     "token_stats_by_lang",
@@ -315,32 +323,29 @@ PRIORITY: tuple[str, ...] = (
     "decontamination_ngrams",
     "bloom_decontamination",
     "pack_efficiency_report",
+    "temperature_resample_by_lang",
     # text analysis: quality, corpus-LM scores, curriculum
     # (r14 rotation: logreg_holdout_eval / hashed_ngram_langid /
     # tokenizer_fertility_by_lang / neardup_source_overlap out at 3 stamps;
     # supersets logreg_quality_score / langid_multiclass / bpe_encode_tokens
     # / minhash_lsh_pairs hold their families -- see TAIL_COVERAGE)
     "logreg_quality_score",
-    "dedup_exact",
+    "bpe_token_stats",
     "bpe_encode_tokens",
     "bigram_lm_surprisal",
     "countmin_heavy_hitters",
     "curriculum_order",
-    # r14 staleness wave: the five r3-last-stamped fingerprint/routing
-    # primitives rotate back in (each was rotated out early once its
-    # composing superset joined the head; an 11-round stamp gap is the
-    # staleness ceiling the cadence exists to bound), plus the two stalest
-    # r4-last-stamped shape variants
-    "doc_fingerprint",
-    "token_count",
-    "lang_id",
-    "minhash_signatures",
+    # (r14's five fingerprint/routing primitives re-stamped r14 and return
+    # to their tail notes r15; simhash_fingerprint / events_running_stats
+    # stay one more round as the pair-join + running-window anchors)
     "simhash_fingerprint",
-    "left_join_order_coverage",
     "events_running_stats",
-    # near-dup detection + dedup end steps
+    # near-dup detection + dedup end steps (dedup_exact /
+    # simhash_neardup_pairs out at 14 stamps each -- the two most-stamped
+    # heads; their groupBy-census and banded-pair shapes stay stamped via
+    # line_dedup_text / simhash_fingerprint + minhash_lsh_pairs)
     "minhash_lsh_pairs",
-    "simhash_neardup_pairs",
+    "ngram_containment_pairs",
     "winnow_overlap_pairs",
     "span_dedup_text",
     "line_dedup_text",
@@ -350,6 +355,7 @@ PRIORITY: tuple[str, ...] = (
     # rrf_hybrid_retrieval, the ANN arm via embedding_ivfpq_topk)
     "rrf_hybrid_retrieval",
     "semantic_dedup_prune",
+    "embedding_ann_multiprobe",
     "embedding_ivfpq_topk",
     "pq_incremental_codes",
     "ann_recall_report_clustered",
@@ -387,10 +393,8 @@ CRITICAL: frozenset[str] = frozenset(
 # asserts the ledger is exhaustive and every cited sibling is in the head.
 TAIL_COVERAGE: dict[str, tuple[str, str]] = {
     # events family
-    "event_time_sliding_hourly": (
-        "event_time_tumbling_hourly",
-        "same watermark+window aggregation; sliding only multiplies window instances",
-    ),
+    # (event_time_sliding_hourly rotated back INTO the head r15 -- last
+    # direct stamp r4)
     # (events_running_stats rotated back INTO the head r14 -- last direct
     # stamp was r4)
     "approx_distinct_users_daily": (
@@ -406,15 +410,12 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "partitioned row_number window + rank filter, the same physical"
         " shape the stamped packing report's two-level rank composes",
     ),
-    # (left_join_order_coverage rotated back INTO the head r14 -- last
-    # direct stamp was r4; its outer null-extension now stamps directly)
-    "anti_join_customers_without_orders": (
-        "anti_join_customers_without_orders_planted",
-        "strict subset: the planted variant runs the identical left-anti"
-        " plan over base UNION ALL planted order-less customers, so its"
-        " stamped row is non-vacuous (every generated customer has orders"
-        " -- the r9 verdict's vacuous-stamp finding); base form stamped"
-        " r1-r4, semantics also planted-swept (customer 900001/2)",
+    # (anti_join_customers_without_orders rotated back INTO the head r15
+    # after an r1-r4 stamp gap; its planted superset stays head-stamped)
+    "left_join_order_coverage": (
+        "q3_top_revenue_orders",
+        "same customer-orders join tree; outer null-extension repo-oracle"
+        "-checked (head-stamped r14 after its r4-r14 gap)",
     ),
     "semi_join_active_suppliers": (
         "decontamination_ngrams",
@@ -507,10 +508,8 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
     ),
     # multimodal: one stamped representative proves the Arrow mapInPandas
     # batch plumbing; the variants differ only in the pandas fn body
-    "multimodal_frame_sample": (
-        "multimodal_feature_extract",
-        "same mapInPandas batch seam, different per-batch transform",
-    ),
+    # (multimodal_frame_sample rotated back INTO the head r15 -- last
+    # direct stamp r4)
     "multimodal_quality_gate": (
         "multimodal_feature_extract",
         "same mapInPandas batch seam + a filter",
@@ -520,12 +519,8 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "same mapInPandas batch seam, different per-batch transform",
     ),
     # sampling
-    "temperature_resample_by_lang": (
-        "leakage_safe_split_assign",
-        "same row-local md5-hash sampling predicate (the split/sample"
-        " family's shared machinery); the per-lang broadcast rate input is"
-        " the token_stats_by_lang-shape lang-keyed aggregate, also stamped",
-    ),
+    # (temperature_resample_by_lang rotated back INTO the head r15 -- last
+    # direct stamp r5)
     "stratified_sample_by_lang": (
         "leakage_safe_split_assign",
         "same row-local md5-hash-vs-rate predicate over a broadcast"
@@ -551,9 +546,30 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " tests/test_corpus_ops.py; stamped r7",
     ),
     # text features whose outputs are recomputed and verified inside stamped
-    # downstream consumers
-    # (doc_fingerprint / token_count / lang_id rotated back INTO the head
-    # r14 -- last direct stamp was r3, the staleness ceiling)
+    # downstream consumers (doc_fingerprint / token_count / lang_id
+    # re-stamped r14 after their r3 gap; back to tail notes r15)
+    "doc_fingerprint": (
+        "line_dedup_text",
+        "normalized-digest key; the stamped line census recomputes the"
+        " digest-groupBy family at line grain (re-stamped r14)",
+    ),
+    "token_count": (
+        "token_stats_by_lang",
+        "the stamped per-lang stats recompute token_count's exact tokenizer"
+        " expression (functions.text.token_count) over the same scan"
+        " (re-stamped r14)",
+    ),
+    "lang_id": (
+        "token_stats_by_lang",
+        "lang routing consumed and re-proven by the stamped per-lang stats"
+        " (re-stamped r14)",
+    ),
+    "dedup_exact": (
+        "line_dedup_text",
+        "the 14-stamp r15 rotate-out: same content-digest groupBy census"
+        " shape (md5 key, min-id representative, dup count), which the"
+        " stamped line census runs at line grain over the same scan",
+    ),
     "text_quality": (
         "gopher_quality_flags",
         "same row-local length/punct/stopword ratio-signal family, stamped"
@@ -566,16 +582,21 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         " adds only a CASE label over identical signal shapes, and the"
         " flag-to-route composition is exercised in examples/run_llm_pipeline",
     ),
-    # (minhash_signatures / simhash_fingerprint rotated back INTO the head
-    # r14 -- last direct stamp was r3)
-    "bpe_token_stats": (
-        "gopher_quality_flags",
-        "same row-local regex/array token-statistics family",
-    ),
-    "ngram_containment_pairs": (
+    # (bpe_token_stats and ngram_containment_pairs rotated back INTO the
+    # head r15 -- last direct stamps r4 and r5; minhash_signatures and
+    # simhash_neardup_pairs return to tail notes after r14 stamps)
+    "minhash_signatures": (
         "minhash_lsh_pairs",
-        "same shingle-profile self-join family; containment swaps the"
-        " overlap denominator (jaccard sibling rotated out r7 fourth wave)",
+        "the stamped pair join recomputes and bands these signatures"
+        " (re-stamped r14)",
+    ),
+    "simhash_neardup_pairs": (
+        "simhash_fingerprint",
+        "the 14-stamp r15 rotate-out: the stamped fingerprint primitive it"
+        " bands stays head-stamped, and the banded-pair self-join +"
+        " hamming-verify shape stays stamped + benched via"
+        " minhash_lsh_pairs / winnow_overlap_pairs (same"
+        " _corpus_join_side-pinned plan family, tests/test_plans.py)",
     ),
     "ngram_jaccard_neardup": (
         "minhash_lsh_pairs",
@@ -703,11 +724,8 @@ TAIL_COVERAGE: dict[str, tuple[str, str]] = {
         "the stamped clustered recall report composes the IVF plan whose"
         " coarse quantizer recomputes this per-label centroid aggregate",
     ),
-    "embedding_ann_multiprobe": (
-        "ann_recall_report_clustered",
-        "the stamped clustered recall report composes and scores the"
-        " identical multiprobe plan",
-    ),
+    # (embedding_ann_multiprobe rotated back INTO the head r15 -- last
+    # direct stamp r4)
     "dedup_keep_representatives": (
         "leakage_safe_split_assign",
         "the stamped split composes the identical pointer-jumping"

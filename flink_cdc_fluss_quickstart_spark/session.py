@@ -38,6 +38,10 @@ _BASE_CONF: dict[str, str] = {
     # the events table is written with TIMESTAMP(NANOS) parquet type, which
     # Spark only reads as raw long; tables.py converts back to timestamp
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # every run here is headless (pytest / bench / report tools whose stderr
+    # lands in committed artifacts like PLANS.err); the interactive stage
+    # progress bar is pure noise in that setting
+    "spark.ui.showConsoleProgress": "false",
     # local-mode heap: in local[N] the ONE driver JVM is also every
     # executor, and PySpark's default 1g heap OOMs the spill machinery
     # under 32-way sort-merge fan-out (winnowing pair join at a 50k-doc

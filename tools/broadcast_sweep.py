@@ -77,8 +77,13 @@ def subtree(lines: list[str], i: int) -> list[str]:
 
 def main() -> None:
     args = [a for a in sys.argv[1:]]
-    factor = int(args[0]) if args and args[0].isdigit() else 100
-    only = set(args[1:]) if len(args) > 1 else None
+    # the factor is optional: op names may start at args[0], and must not
+    # silently drop out of the filter set when it does
+    if args and args[0].isdigit():
+        factor, ops = int(args[0]), args[1:]
+    else:
+        factor, ops = 100, args
+    only = set(ops) if ops else None
     spark = get_spark("broadcast-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()

@@ -62,6 +62,10 @@ REPORT = (
     "minhash_estimate_quality",
     "ngram_jaccard_neardup",
     "simhash_neardup_pairs",
+    # r15 HEADLINE rotate-ins (every benched name carries a PLANS.md row;
+    # the two rotate-outs above stay audited as tail entries)
+    "bpe_token_stats",
+    "ngram_containment_pairs",
     "decontamination_ngrams",
     "bloom_decontamination",
     "sequence_pack_offsets",
@@ -71,7 +75,6 @@ REPORT = (
     "dedup_keep_representatives",
     "leakage_safe_split_assign",
     "soft_dedup_weights",
-    "ngram_containment_pairs",
     "domain_mix_report",
     "embedding_cosine_topk",
     "embedding_l2_topk",
