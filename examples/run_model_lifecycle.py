@@ -179,8 +179,27 @@ def main() -> None:
           " compact -> time-travel -> drift compose across two session"
           " boundaries)")
 
+    print("== session boundary: newSession + fresh handles ==")
+    s4 = spark.newSession()
+
+    print("== day 4, step 11: point-serve from the published indexes")
+    # the Fluss PK lookup shape (`bucket.num`) composed through the publish
+    # ledger: probe a handful of ids, read ONLY the buckets they hash into
+    # -- a point read of the compacted artifact, never an index scan
+    some_docs = [r["id"] for r in now.select("id").orderBy("id").limit(3).collect()]
+    served = models.lookup_minhash_bands(
+        s4, os.path.join(wh, "dedup_index"), some_docs)
+    some_vecs = [r["vec_id"] for r in
+                 lc2.select("vec_id").orderBy("vec_id").limit(2).collect()]
+    codes_served = models.lookup_pq_codes(
+        s4, os.path.join(wh, "pq_index"), some_vecs)
+    print(f"   {served.count()} band rows for docs {some_docs};"
+          f" {codes_served.count()} code rows for vectors {some_vecs}"
+          f" -- each read touched {len(served.inputFiles())} /"
+          f" {len(codes_served.inputFiles())} bucket files, not the tables")
+
     print("lifecycle complete: 4 artifacts published, reloaded, monitored,"
-          " ingested, compacted, drift-checked, served")
+          " ingested, compacted, drift-checked, point-served")
 
 
 if __name__ == "__main__":

@@ -67,9 +67,20 @@ _META = "meta.json"
 MODEL_GC_GRACE_SECS = 7 * 86400.0
 
 
-def _table(spark: SparkSession, path: str, keys, order_by) -> PKTable:
+# creation-time bucket count for the POINT-SERVED subtables (bands, codes)
+# -- the reference's `bucket.num` serving knob (flink-cdc/flink-gen.sh:
+# 118-142): a k-key lookup reads at most wanted/n_buckets of the table, so
+# the serving fraction is bounded by this, not by the artifact-wide default
+# of 4 that suits the bulk-loaded weights/coef/books tables. Creation-time
+# only: reopened tables adopt their manifest's stored count (PKTable
+# contract -- re-routing keys would orphan rows).
+SERVING_BUCKETS = 16
+
+
+def _table(spark: SparkSession, path: str, keys, order_by,
+           n_buckets: int = 4) -> PKTable:
     return PKTable(
-        spark, path, keys=keys, order_by=order_by,
+        spark, path, keys=keys, order_by=order_by, n_buckets=n_buckets,
         gc_grace_secs=MODEL_GC_GRACE_SECS,
     )
 
@@ -395,7 +406,8 @@ def save_minhash_index(spark: SparkSession, path: str, band_frame: DataFrame) ->
     guarantees as the trained models."""
     import pyspark.sql.functions as F
 
-    t = _table(spark, os.path.join(path, "bands"), ["id", "band_idx"], ["seq"])
+    t = _table(spark, os.path.join(path, "bands"), ["id", "band_idx"], ["seq"],
+               n_buckets=SERVING_BUCKETS)
     # seq rides in the stored payload (PKTable contract: ordering columns
     # are part of the row) -- the seed publish is ingest sequence 0
     t.overwrite(
@@ -419,7 +431,8 @@ def upsert_minhash_index(
 
     meta = _read_meta(path)
     _check_compat(meta, _mh_meta(), path)
-    t = _table(spark, os.path.join(path, "bands"), ["id", "band_idx"], ["seq"])
+    t = _table(spark, os.path.join(path, "bands"), ["id", "band_idx"], ["seq"],
+               n_buckets=SERVING_BUCKETS)
     t.ingest(
         band_frame.select(
             "id", "band_idx", "band_key",
@@ -446,11 +459,62 @@ def load_minhash_index(
     meta = _read_meta(path)
     _check_compat(meta, _mh_meta(), path)
     vers, _entry = _resolve_publish(meta, version, ("bands",), path)
-    t = _table(spark, os.path.join(path, "bands"), ["id", "band_idx"], ["seq"])
+    t = _table(spark, os.path.join(path, "bands"), ["id", "band_idx"], ["seq"],
+               n_buckets=SERVING_BUCKETS)
     snap = t.snapshot(version=vers["bands"])
     if snap is None:
         raise ValueError(f"no published minhash index at {path}")
     return snap.select("id", "band_idx", "band_key")
+
+
+def lookup_minhash_bands(
+    spark: SparkSession, path: str, ids, version: int | None = None
+) -> DataFrame | None:
+    """Point-serve band rows for a handful of doc ids from the PUBLISHED
+    index -- the Fluss PK lookup shape (`bucket.num`,
+    flink-cdc/flink-gen.sh:118-142) composed through the publish ledger:
+    resolve the requested publish (default: latest) to its bands-table
+    version, expand the ids against the published band range (the full
+    key is (id, band_idx); the client knows its doc ids, the meta knows
+    n_bands), and bucket-pruned point-read ONLY the buckets those keys
+    hash into (PKTable.lookup). A k-doc probe reads at most
+    min(k*n_bands, n_buckets)/n_buckets of the index -- a point read,
+    never an index scan; pending ingest deltas resolve merge-on-read.
+    Returns (id, band_idx, band_key) rows; zero rows when no id is
+    published; None only for an artifact with no data at all."""
+    meta = _read_meta(path)
+    _check_compat(meta, _mh_meta(), path)
+    vers, _entry = _resolve_publish(meta, version, ("bands",), path)
+    t = _table(spark, os.path.join(path, "bands"), ["id", "band_idx"], ["seq"],
+               n_buckets=SERVING_BUCKETS)
+    probe = spark.createDataFrame(
+        [(int(i), b) for i in ids for b in range(int(meta["n_bands"]))],
+        "id bigint, band_idx int",
+    )
+    out = t.lookup(probe, version=vers["bands"])
+    return out if out is None else out.select("id", "band_idx", "band_key")
+
+
+def lookup_pq_codes(
+    spark: SparkSession, path: str, vec_ids, version: int | None = None
+) -> DataFrame | None:
+    """Point-serve the PQ code rows of a handful of vector ids from the
+    PUBLISHED index (ledger-resolved, like ``lookup_minhash_bands``): the
+    full key is (vec_id, m) and the meta knows pq_m, so the client probes
+    by vec_id alone. Reads at most min(k*pq_m, n_buckets)/n_buckets of
+    the codes table; the frozen codebooks (PQ_M x PQ_K rows) load
+    normally. Returns (vec_id, m, code, d2) rows."""
+    meta = _read_meta(path)
+    _check_compat(meta, _pq_meta(), path)
+    vers, _entry = _resolve_publish(meta, version, ("books", "codes"), path)
+    ct = _table(spark, os.path.join(path, "codes"), ["vec_id", "m"], ["vec_id", "m"],
+               n_buckets=SERVING_BUCKETS)
+    probe = spark.createDataFrame(
+        [(int(v), m) for v in vec_ids for m in range(int(meta["pq_m"]))],
+        "vec_id bigint, m int",
+    )
+    out = ct.lookup(probe, version=vers["codes"])
+    return out if out is None else out.select("vec_id", "m", "code", "d2")
 
 
 def _pq_meta() -> dict:
@@ -478,7 +542,8 @@ def save_pq_index(
     died is the failure mode this store removes."""
     bt = _table(spark, os.path.join(path, "books"), ["m", "cluster"], ["m", "cluster"])
     bt.overwrite(books.select("m", "cluster", "cv"))
-    ct = _table(spark, os.path.join(path, "codes"), ["vec_id", "m"], ["vec_id", "m"])
+    ct = _table(spark, os.path.join(path, "codes"), ["vec_id", "m"], ["vec_id", "m"],
+               n_buckets=SERVING_BUCKETS)
     ct.overwrite(codes.select("vec_id", "m", "code", "d2"))
     _publish_meta(
         path, _pq_meta(),
@@ -506,7 +571,8 @@ def upsert_pq_index(
 
     meta = _read_meta(path)
     _check_compat(meta, _pq_meta(), path)
-    ct = _table(spark, os.path.join(path, "codes"), ["vec_id", "m"], ["vec_id", "m"])
+    ct = _table(spark, os.path.join(path, "codes"), ["vec_id", "m"], ["vec_id", "m"],
+               n_buckets=SERVING_BUCKETS)
     ct.ingest(
         new_codes.select("vec_id", "m", "code", "d2", F.lit("I").alias("op")),
         batch_id=batch_id,
@@ -535,7 +601,8 @@ def load_pq_index(
     _check_compat(meta, _pq_meta(), path)
     vers, entry = _resolve_publish(meta, version, ("books", "codes"), path)
     bt = _table(spark, os.path.join(path, "books"), ["m", "cluster"], ["m", "cluster"])
-    ct = _table(spark, os.path.join(path, "codes"), ["vec_id", "m"], ["vec_id", "m"])
+    ct = _table(spark, os.path.join(path, "codes"), ["vec_id", "m"], ["vec_id", "m"],
+               n_buckets=SERVING_BUCKETS)
     if entry is None:
         _check_lockstep(path, {"books": bt, "codes": ct})
     books = bt.snapshot(version=vers["books"])
@@ -584,12 +651,21 @@ def compact_artifact(spark: SparkSession, path: str) -> None:
     ledger publish recorded BEFORE the compaction stays loadable across the
     boundary: ``load_*(version=k)`` time-travels through the compaction
     commit to the pre-compaction version pair (asserted in
-    tests/test_index_store.py). A no-op for overwrite-only subtables."""
+    tests/test_index_store.py). A no-op for overwrite-only subtables.
+
+    The compaction itself is then published to the ledger (tagged
+    ``compaction: true``, no ingest_batch): without that entry, the
+    LATEST publish would keep pointing at pre-compaction versions whose
+    superseded dirs are GC-queued, so a plain ``load_*()`` after the
+    grace window expired -- and after any later GC-triggering commit --
+    would raise 'snapshot expired'. Latest loads must never depend on a
+    GC-expirable dir. The republished meta is the on-disk meta verbatim:
+    compaction changes the physical layout, never the featurization."""
     from flink_cdc_fluss_quickstart_spark.streaming.pk_table import MANIFEST
 
-    mtype = _read_meta(path).get("model_type")
+    meta = _read_meta(path)
+    mtype = meta.get("model_type")
     if mtype == "hashed_ngram_langid":
-        meta = _read_meta(path)
         wkeys = ["b", "cls"] if meta.get("classes", False) else ["b"]
         layout = {"weights": (wkeys, wkeys), "hot": (["gram"], ["gram"])}
     else:
@@ -599,10 +675,22 @@ def compact_artifact(spark: SparkSession, path: str) -> None:
                 f"unknown model_type {mtype!r} at {path}; known:"
                 f" {sorted(_SUB_LAYOUT) + ['hashed_ngram_langid']}"
             )
+    tables = {}
     for sub, (keys, order_by) in layout.items():
         if not os.path.exists(os.path.join(path, sub, MANIFEST)):
             continue  # optional subtable (e.g. a baseline-less scorer)
-        _table(spark, os.path.join(path, sub), keys, order_by).compact()
+        tables[sub] = _table(spark, os.path.join(path, sub), keys, order_by)
+        tables[sub].compact()
+    with _commit_lock(path):
+        after = {sub: _current_version(t) for sub, t in tables.items()}
+        pubs = _read_meta(path).get("publishes") or []
+        last = dict(pubs[-1]["versions"]) if pubs else None
+        if after and after != last:
+            # drop the stale version/ledger fields; _publish_meta rebuilds
+            # them under the same lock (prior entries are re-read inside)
+            clean = {k: v for k, v in _read_meta(path).items()
+                     if k not in ("versions", "publishes")}
+            _publish_meta(path, clean, after, extra={"compaction": True})
 
 
 def list_model_versions(spark: SparkSession, path: str) -> list[dict]:
@@ -643,6 +731,8 @@ __all__ = [
     "save_minhash_index",
     "upsert_minhash_index",
     "load_minhash_index",
+    "lookup_minhash_bands",
+    "lookup_pq_codes",
     "save_pq_index",
     "upsert_pq_index",
     "load_pq_index",

@@ -119,6 +119,28 @@ def _bucket_expr(keys: Sequence[str], n_buckets: int) -> F.Column:
     return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n_buckets)).cast("int")
 
 
+# on-disk (compressed) pending-delta bytes up to which the merge-on-read
+# anti join broadcasts its distinct delta-key side; above it the join pins
+# sort-merge. Sized well under the session's 64m autoBroadcastJoinThreshold:
+# the key projection of 32 MiB of columnar delta decompresses toward the
+# threshold, never past the r15 audit's observed 2x overshoot regime.
+DELTA_BROADCAST_MAX_BYTES = 32 * 1024 * 1024
+
+
+def _dir_bytes(dirs: Sequence[str]) -> int:
+    """Total on-disk bytes under ``dirs`` -- filesystem metadata only, the
+    same true-size signal compaction thresholds use; never reads data."""
+    total = 0
+    for d in dirs:
+        for root, _subdirs, files in os.walk(d):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass  # concurrently GC'd file: size 0 is the safe read
+    return total
+
+
 class PKTable:
     """A hash-bucketed upsert table rooted at ``path``.
 
@@ -314,11 +336,37 @@ class PKTable:
         point read and a table scan -- and nothing table-sized shuffles
         (the delta fold is the anti/union resolve). Missing keys have no
         row; keys whose latest delta is a delete resolve to absent.
-        ``version`` time-travels like snapshot(). Returns None when every
-        probed bucket is empty."""
+        ``version`` time-travels like snapshot().
+
+        "No rows" is always a zero-row DataFrame in the table's schema --
+        whether the probed keys are absent from live buckets or hash only
+        into empty ones. None is returned ONLY when the table itself has
+        no data dirs at all (nothing to source a schema from), matching
+        snapshot()'s empty-table contract."""
         m = self._read_manifest()
         buckets = m["buckets"] if version is None else self._buckets_at(m, version)
-        keysel = probe.select(*self.keys).distinct()
+        # xxhash64 is TYPE-sensitive (hash(1 int) != hash(1 bigint)), so a
+        # probe whose key columns arrive in a different-but-compatible type
+        # would hash into the WRONG buckets and silently miss every row:
+        # align the probe to the stored key types first (one footer read).
+        schema_src = self._empty_frame(buckets)
+        if schema_src is None:
+            return None  # table has no data dirs at all: nothing to serve
+        stored = {f.name: f.dataType for f in schema_src.schema.fields}
+        # pin the probe key set before collecting the bucket ids: the same
+        # materialized keys must feed BOTH the pruning collect and the semi
+        # join below. A non-deterministic or transient probe (sampled /
+        # rand-derived / a re-evaluated micro-batch) re-run differently
+        # between the two would join keys whose buckets were never
+        # selected -- silently missing rows. merge()/ingest() pin their
+        # batch for the same reason.
+        keysel = (
+            probe.select(
+                *[F.col(k).cast(stored[k]).alias(k) for k in self.keys]
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
         wanted = {
             r["__b"]
             for r in keysel.select(
@@ -347,12 +395,28 @@ class PKTable:
         base_dirs = [d for d in base_dirs if os.path.exists(d)]
         delta_dirs = [d for d in delta_dirs if os.path.exists(d)]
         if not base_dirs and not delta_dirs:
-            return None
+            return schema_src  # every probed bucket empty: zero rows
         if not delta_dirs:
             resolved = self.spark.read.format(self.data_format).load(base_dirs)
         else:
             resolved = self._resolve_dirs(base_dirs, delta_dirs)
-        return resolved.join(keysel, list(self.keys), "left_semi")
+        # the semi join reorders the key columns first; serve the stored
+        # column order so both "no rows" shapes and the hit path agree
+        return resolved.join(keysel, list(self.keys), "left_semi").select(
+            *schema_src.columns
+        )
+
+    def _empty_frame(self, buckets: dict) -> DataFrame | None:
+        """Zero-row frame in the table's serving schema, sourced from any
+        live data dir (base dirs preferred; a delta dir's internal
+        __op/__dv columns are dropped). None only when the table has no
+        data dirs at all -- the schema is unknowable then."""
+        for k, d in sorted(buckets.items(), key=lambda kv: "#" in kv[0]):
+            p = os.path.join(self.path, d)
+            if os.path.exists(p):
+                df = self.spark.read.format(self.data_format).load(p).limit(0)
+                return df.drop("__op", "__dv") if "#" in k else df
+        return None
 
     def _resolve_dirs(
         self, base_dirs: list[str], delta_dirs: list[str]
@@ -394,6 +458,19 @@ class PKTable:
         if base is None:
             return resolved
         dkeys = deltas.select(*self.keys).distinct()
+        # join-strategy pin, gated on the TRUE on-disk delta size (r15
+        # audit, tools/audit_delta_read.py --wide): the distinct delta-key
+        # frame is an aggregate over a pruned scan -- the static estimate
+        # undershoots so badly that the planner (and even the AQE-final
+        # plan) broadcast a 16M-key build side at 2x the 64m threshold.
+        # Daily-ingest deltas broadcast (the designed-for case: no exchange
+        # added over the compacted fast path); a bulk-backfill backlog pins
+        # sort-merge -- the only shape whose memory stays partition-bounded
+        # when the backlog scales with the table.
+        if _dir_bytes(delta_dirs) <= DELTA_BROADCAST_MAX_BYTES:
+            dkeys = F.broadcast(dkeys)
+        else:
+            dkeys = dkeys.hint("merge")
         return base.join(dkeys, list(self.keys), "left_anti").unionByName(resolved)
 
     def version_at(self, ts: float) -> int:

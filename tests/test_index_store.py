@@ -246,8 +246,10 @@ def test_pq_index_incremental_ingest(spark, sf_dir, tmp_path):
 
 def test_publish_versions_resolve_across_compaction_boundary(spark, sf_dir, tmp_path):
     """ingest -> compact -> time-travel composes: compacting an artifact's
-    subtables (compact_artifact -- a table commit with NO ledger entry)
-    must leave every previously recorded publish loadable. load_pq_index
+    subtables must leave every previously recorded publish loadable (the
+    compaction itself lands as a `compaction: true` ledger entry so LATEST
+    loads point at post-compaction dirs -- see
+    test_compact_artifact_publishes_post_compaction_versions). load_pq_index
     (version=1) still returns the day-1 codes and the latest/versioned
     loads after the boundary equal the pre-compaction union (the model GC
     grace keeps superseded base+delta dirs readable) -- the day-3 step of
@@ -308,3 +310,163 @@ def test_pq_index_compat_guard(spark, sf_dir, tmp_path, monkeypatch):
     monkeypatch.setattr(sq, "PQ_M", 8)
     with pytest.raises(ValueError, match="different featurization.*pq_m"):
         models.load_pq_index(spark, ipath)
+
+
+def test_compact_artifact_publishes_post_compaction_versions(spark, tmp_path):
+    """r14 ADVICE (medium): compact_artifact must itself publish a ledger
+    entry recording the POST-compaction subtable versions. Without it the
+    latest ledger entry keeps pointing at pre-compaction versions whose
+    superseded dirs are GC-queued; once the grace window expires, a plain
+    (latest) load_*() raises 'snapshot expired'. Latest loads must never
+    depend on a GC-expirable dir -- proven here by physically deleting
+    every superseded dir (GC's end state) and loading."""
+    import os
+    import shutil
+
+    ipath = str(tmp_path / "mh_gc")
+    models.save_minhash_index(spark, ipath, _bands(spark, _DAY1))
+    day2 = _bands(spark, [(11, "alpha beta gamma delta epsilon zeta eta theta")])
+    models.upsert_minhash_index(spark, ipath, day2, batch_id=2)
+
+    models.compact_artifact(spark, ipath)
+    t = models._table(spark, os.path.join(ipath, "bands"), ["id", "band_idx"],
+                      ["seq"])
+    pubs = models._read_meta(ipath)["publishes"]
+    assert pubs[-1].get("compaction") is True
+    assert "ingest_batch" not in pubs[-1]
+    assert pubs[-1]["versions"]["bands"] == models._current_version(t)
+    # the republished meta keeps the featurization verbatim (compat guard
+    # still passes on load below) and the pre-compaction publishes remain
+    n_pubs = len(pubs)
+    assert [e["publish"] for e in pubs] == list(range(1, n_pubs + 1))
+
+    # a replayed ingest AFTER the compaction publish sees the ledger in
+    # sync (table not ahead) -> no duplicate-looking repair entry (the r14
+    # ADVICE low finding)
+    models.upsert_minhash_index(spark, ipath, day2, batch_id=2)
+    assert len(models._read_meta(ipath)["publishes"]) == n_pubs
+
+    # simulate GC past grace: every bucket data dir NOT in the current
+    # bucket map dies (map values are nested vN/__bucket=M paths)
+    root = os.path.join(ipath, "bands")
+    live = {os.path.normpath(os.path.join(root, d))
+            for d in t._read_manifest()["buckets"].values()}
+    removed = 0
+    for vd in os.listdir(root):
+        vfull = os.path.join(root, vd)
+        if not os.path.isdir(vfull):
+            continue
+        for bd in os.listdir(vfull):
+            sub = os.path.normpath(os.path.join(vfull, bd))
+            if os.path.isdir(sub) and sub not in live:
+                shutil.rmtree(sub)
+                removed += 1
+    assert removed, "compaction left no superseded dirs to expire?"
+    idx = models.load_minhash_index(spark.newSession(), ipath)
+    assert {r["id"] for r in idx.select("id").distinct().collect()} == {1, 2, 3, 11}
+
+    # compacting with nothing pending adds no ledger entry
+    models.compact_artifact(spark, ipath)
+    assert len(models._read_meta(ipath)["publishes"]) == n_pubs
+
+
+def test_lifecycle_day4_point_serving_from_published_index(spark, tmp_path):
+    """Day-4 of the index lifecycle (r14 verdict item 4): point-serve from
+    the PUBLISHED artifact via the ledger-resolved, bucket-pruned
+    PKTable.lookup -- in a fresh session, with ingest deltas pending AND
+    after compact_artifact, including publish-version time travel. Row
+    parity is against the full snapshot load filtered to the probed ids;
+    pruning is asserted from the plan's actual input files."""
+    import os
+    import re
+
+    from flink_cdc_fluss_quickstart_spark.streaming.pk_table import _bucket_expr
+
+    ipath = str(tmp_path / "mh_day4")
+    models.save_minhash_index(spark, ipath, _bands(spark, _DAY1))
+    day2 = _bands(spark, [
+        (11, "alpha beta gamma delta epsilon zeta eta theta"),
+        (12, "completely unrelated novel content words here now"),
+    ])
+    models.upsert_minhash_index(spark, ipath, day2, batch_id=2)
+
+    s2 = spark.newSession()
+    ids = [1, 11]
+
+    def rows(df):
+        return {(r["id"], r["band_idx"], r["band_key"]) for r in df.collect()}
+
+    want = rows(models.load_minhash_index(s2, ipath).filter(F.col("id").isin(ids)))
+    assert want  # both a day-1 and a delta-resident day-2 doc serve
+    got_df = models.lookup_minhash_bands(s2, ipath, ids)
+    assert rows(got_df) == want
+
+    # bucket pruning through the ledger-resolved artifact: every input
+    # file sits in a bucket some probed (id, band_idx) key hashes to
+    meta = models._read_meta(ipath)
+    nb = models.SERVING_BUCKETS
+    probe = s2.createDataFrame(
+        [(i, b) for i in ids for b in range(int(meta["n_bands"]))],
+        "id bigint, band_idx int",
+    )
+    wanted = {r["b"] for r in
+              probe.select(_bucket_expr(["id", "band_idx"], nb).alias("b"))
+              .distinct().collect()}
+    assert len(wanted) < nb  # non-vacuous: the probe misses some buckets
+    files = got_df.inputFiles()
+    assert files
+    touched = {int(re.search(r"__bucket=(\d+)", f).group(1)) for f in files}
+    assert touched <= wanted, (touched, wanted)
+
+    # publish-version time travel: at publish 1 (pre-ingest) doc 11 has no
+    # rows -- and the "no rows" shape is an empty frame, not None
+    v1 = models.lookup_minhash_bands(s2, ipath, [11], version=1)
+    assert v1.count() == 0
+    assert rows(models.lookup_minhash_bands(s2, ipath, [1], version=1)) == rows(
+        models.load_minhash_index(s2, ipath, version=1).filter(F.col("id") == 1)
+    )
+
+    # day-4 maintenance: compact, then the SAME point reads serve
+    # identically (and still pruned) through the compaction publish
+    models.compact_artifact(s2, ipath)
+    s3 = spark.newSession()
+    got3 = models.lookup_minhash_bands(s3, ipath, ids)
+    assert rows(got3) == want
+    touched3 = {int(re.search(r"__bucket=(\d+)", f).group(1))
+                for f in got3.inputFiles()}
+    assert touched3 <= wanted
+
+
+def test_lifecycle_day4_pq_point_serving(spark, sf_dir, tmp_path):
+    """The PQ side of day-4: lookup_pq_codes serves a vector's PQ_M code
+    rows from the published codes table by vec_id alone (the meta knows
+    pq_m), parity with the snapshot load, deltas pending and after the
+    fold."""
+    from flink_cdc_fluss_quickstart_spark.plans import similarity_queries as sq
+    from flink_cdc_fluss_quickstart_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books, codes1 = sq.pq_train_index(emb.filter(F.col("vec_id") < 400))
+    ipath = str(tmp_path / "pq_day4")
+    models.save_pq_index(spark, ipath, books, codes1)
+    lb, _ = models.load_pq_index(spark, ipath)
+    day2 = sq.pq_encode_with_books(emb.filter(F.col("vec_id") >= 400), lb)
+    models.upsert_pq_index(spark, ipath, day2, batch_id=2)
+
+    s2 = spark.newSession()
+    vec_ids = [7, 450]  # one base-resident, one delta-resident vector
+
+    def rows(df):
+        return {(r["vec_id"], r["m"], r["code"]) for r in df.collect()}
+
+    _, all_codes = models.load_pq_index(s2, ipath)
+    want = rows(all_codes.filter(F.col("vec_id").isin(vec_ids)))
+    pq_m = int(models._read_meta(ipath)["pq_m"])
+    assert len(want) == len(vec_ids) * pq_m
+    assert rows(models.lookup_pq_codes(s2, ipath, vec_ids)) == want
+
+    models.compact_artifact(s2, ipath)
+    assert rows(models.lookup_pq_codes(spark.newSession(), ipath, vec_ids)) == want
+    # absent vector: zero-row frame in the serving schema
+    none_df = models.lookup_pq_codes(s2, ipath, [999999])
+    assert none_df.count() == 0 and none_df.columns == ["vec_id", "m", "code", "d2"]

@@ -349,3 +349,92 @@ def test_lookup_point_read_prunes_buckets(spark, tmp_path):
     # after compaction the same lookup resolves identically
     t.compact()
     assert {(r["k"], r["v"]) for r in t.lookup(probe).collect()} == got
+
+
+def test_lookup_no_rows_shapes_and_probe_type_alignment(spark, tmp_path):
+    """Two lookup() contract points (r14 ADVICE): (1) "no rows" is ALWAYS
+    a zero-row frame in the table's schema -- whether the probed keys are
+    absent from live buckets or hash only into empty ones -- and None is
+    reserved for a table with no data dirs at all (schema unknowable);
+    (2) the probe's key columns are aligned to the STORED key types before
+    bucket hashing -- xxhash64 is type-sensitive (hash(int 1) !=
+    hash(bigint 1)), so an int-typed probe against a bigint key would
+    otherwise prune the wrong buckets and silently return nothing."""
+    import pyspark.sql.functions as F
+
+    from flink_cdc_fluss_quickstart_spark.streaming.pk_table import _bucket_expr
+
+    t = PKTable(spark, str(tmp_path / "shapes"), keys=["k"], order_by=["seq"],
+                n_buckets=8)
+    probe1 = spark.createDataFrame([(1,)], "k long")
+    assert t.lookup(probe1) is None  # entirely empty table
+
+    t.overwrite(spark.createDataFrame(
+        [(0, k, f"base{k}") for k in range(4)], "seq long, k long, v string"))
+    live = {int(b) for b in t._read_manifest()["buckets"]}
+    assert len(live) < 8  # 4 keys cannot fill all 8 buckets
+
+    # a key hashing into an EMPTY bucket: zero-row frame, table schema
+    empty_key = next(
+        k for k in range(1000, 2000)
+        if spark.createDataFrame([(k,)], "k long")
+        .select(_bucket_expr(["k"], 8).alias("b")).first()["b"] not in live
+    )
+    out = t.lookup(spark.createDataFrame([(empty_key,)], "k long"))
+    assert out.count() == 0 and out.columns == ["seq", "k", "v"]
+
+    # an absent key in a LIVE bucket: same shape (already the behavior)
+    miss_key = next(
+        k for k in range(1000, 2000)
+        if spark.createDataFrame([(k,)], "k long")
+        .select(_bucket_expr(["k"], 8).alias("b")).first()["b"] in live
+    )
+    out2 = t.lookup(spark.createDataFrame([(miss_key,)], "k long"))
+    assert out2.count() == 0 and out2.columns == ["seq", "k", "v"]
+
+    # int-typed probe against the bigint key still serves the row
+    got = t.lookup(spark.createDataFrame([(2,)], "k int")).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(2, "base2")]
+
+    # ...including through the delta path (keys in deltas hash identically)
+    t.ingest(_rows(spark, [(1, 2, "upd2")]), batch_id=1)
+    got = t.lookup(spark.createDataFrame([(2,)], "k int")).collect()
+    assert [(r["k"], r["v"]) for r in got] == [(2, "upd2")]
+
+
+def test_resolve_join_strategy_follows_true_delta_size(spark, tmp_path, monkeypatch):
+    """r15 audit regression guard (tools/audit_delta_read.py --wide): the
+    merge-on-read anti join gates its strategy on TRUE on-disk delta bytes.
+    The distinct delta-key frame is an aggregate over a pruned scan, whose
+    static estimate undershoots so badly that even the AQE-final plan kept
+    a 16M-key build side at 2x the broadcast threshold. Daily-sized
+    backlogs broadcast (no exchange added over the compacted fast path); a
+    backlog past DELTA_BROADCAST_MAX_BYTES pins sort-merge -- the only
+    shape whose memory stays partition-bounded when the backlog scales
+    with the table."""
+    import flink_cdc_fluss_quickstart_spark.streaming.pk_table as pk
+
+    def plan_of(df):
+        qe = df._jdf.queryExecution()
+        return qe.executedPlan().toString()
+
+    t = PKTable(spark, str(tmp_path / "strat"), keys=["k"], order_by=["seq"])
+    t.overwrite(spark.createDataFrame(
+        [(0, k, f"base{k}") for k in range(32)], "seq long, k long, v string"))
+    t.ingest(_rows(spark, [(1, 1, "u1"), (1, 100, "new")]), batch_id=1)
+
+    import re
+
+    daily = plan_of(t.snapshot())
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", daily), daily[:2000]
+
+    # same pending delta, but past the (monkeypatched) size gate: the key
+    # side must pin sort-merge
+    monkeypatch.setattr(pk, "DELTA_BROADCAST_MAX_BYTES", 0)
+    backlog = plan_of(t.snapshot())
+    assert re.search(r"SortMergeJoin .*LeftAnti", backlog), backlog[:2000]
+    assert not re.search(r"BroadcastHashJoin .*LeftAnti", backlog)
+    # and the resolved rows are identical either way
+    assert _snap(t) == {k: f"base{k}" for k in range(32) if k != 1} | {
+        1: "u1", 100: "new"
+    }

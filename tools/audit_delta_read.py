@@ -145,5 +145,60 @@ def main() -> None:
           f" ({filesc} files) -- vs full-snapshot reads above")
 
 
+def wide() -> None:
+    """r15 audit (r14 verdict item 5): a BULK-BACKFILL backlog -- ONE
+    pending ingest the size of the table itself. The resolve's anti join
+    broadcasts its distinct-delta-key side when small (correct for daily
+    ingest); distinct() is an AGGREGATE, the exact static-estimate class
+    the r13/r14 lessons flagged for undershoot. This prints the join
+    strategy the planner picks at daily size vs table size, BOTH as the
+    static plan and as the AQE-final executed plan: the distinct's own
+    shuffle gives AQE a true-size re-plan point, so the question is
+    whether the runtime plan abandons the broadcast past the threshold."""
+    base_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 4_000_000
+    spark = get_spark("audit-delta-read-wide")
+    spark.sparkContext.setLogLevel("ERROR")
+    root = tempfile.mkdtemp(prefix="audit_wide_delta_")
+
+    def run_case(tag: str, batch_rows: int) -> None:
+        t = PKTable(spark, f"{root}/{tag}", keys=["k"], order_by=["seq"],
+                    n_buckets=64)
+        t.overwrite(
+            spark.range(base_rows).select(
+                F.col("id").alias("k"),
+                F.lit(0).cast("long").alias("seq"),
+                F.md5(F.col("id").cast("string")).alias("v"),
+            )
+        )
+        t.ingest(
+            spark.range(batch_rows).select(
+                ((F.col("id") * 79 + 1) % (base_rows * 2)).alias("k"),
+                F.lit(1).cast("long").alias("seq"),
+                F.lit("u").alias("v"),
+                F.lit("I").alias("op"),
+            ),
+            batch_id=1, writer_id="audit", compact_threshold=10_000,
+        )
+        snap = t.snapshot()
+        print(f"== {tag}: {base_rows:,} base rows, ONE {batch_rows:,}-row"
+              " pending delta")
+        print(f"  static: {audit(plan_of(snap))}")
+        t0 = time.time()
+        snap.write.format("noop").mode("overwrite").save()
+        w = time.time() - t0
+        # the same QueryExecution now carries the AQE-final plan
+        print(f"  final:  {audit(plan_of(snap))}  wall={w:.2f}s")
+
+    run_case("daily", 50_000)              # the designed-for cadence
+    run_case("backfill", base_rows)        # delta == table-sized backlog
+    # a backlog whose DISTINCT KEY SET alone exceeds the 64m broadcast
+    # threshold: the strategy must abandon the broadcast here, or the
+    # build side scales with the backlog and OOMs at 100 TB
+    run_case("mega-backfill", base_rows * 4)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--wide":
+        wide()
+    else:
+        main()
