@@ -52,6 +52,8 @@ from __future__ import annotations
 
 import json
 import os
+import tempfile
+from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -86,10 +88,20 @@ def _table(spark: SparkSession, path: str, keys, order_by,
 
 
 def _write_meta(path: str, meta: dict) -> None:
-    tmp = os.path.join(path, _META + ".tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f, indent=1, sort_keys=True)
-    os.replace(tmp, os.path.join(path, _META))  # atomic publish, manifest-style
+    # writer-unique tmp (see PKTable._write_manifest): a shared tmp name
+    # lets two concurrent first-writers rename each other's half-written
+    # file into place; mkstemp keeps the publish swap truly atomic
+    fd, tmp = tempfile.mkstemp(prefix=_META + ".", suffix=".tmp", dir=path)
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f, indent=1, sort_keys=True)
+        os.replace(tmp, os.path.join(path, _META))  # atomic publish
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def _read_meta(path: str) -> dict:
@@ -643,6 +655,42 @@ _SUB_LAYOUT: dict[str, dict[str, tuple[list[str], list[str]]]] = {
 }
 
 
+def _artifact_layout(meta: dict, path: str) -> dict:
+    """The subtable layout (name -> (keys, order_by)) for the artifact's
+    model_type; langid weights keys depend on the published classes flag."""
+    mtype = meta.get("model_type")
+    if mtype == "hashed_ngram_langid":
+        wkeys = ["b", "cls"] if meta.get("classes", False) else ["b"]
+        return {"weights": (wkeys, wkeys), "hot": (["gram"], ["gram"])}
+    layout = _SUB_LAYOUT.get(mtype or "")
+    if layout is None:
+        raise ValueError(
+            f"unknown model_type {mtype!r} at {path}; known:"
+            f" {sorted(_SUB_LAYOUT) + ['hashed_ngram_langid']}"
+        )
+    return layout
+
+
+def _publish_maintenance(path: str, tables: dict, tag: str) -> None:
+    """Publish a ledger entry recording the subtables' POST-maintenance
+    versions (tagged, no ingest_batch) -- shared by compact_artifact and
+    rescale_artifact: without it the LATEST publish keeps pointing at
+    pre-maintenance versions whose superseded dirs are GC-queued, so a
+    plain ``load_*()`` after the grace window would raise 'snapshot
+    expired'. Latest loads must never depend on a GC-expirable dir. A
+    no-op when the table versions already match the last publish."""
+    with _commit_lock(path):
+        after = {sub: _current_version(t) for sub, t in tables.items()}
+        pubs = _read_meta(path).get("publishes") or []
+        last = dict(pubs[-1]["versions"]) if pubs else None
+        if after and after != last:
+            # drop the stale version/ledger fields; _publish_meta rebuilds
+            # them under the same lock (prior entries are re-read inside)
+            clean = {k: v for k, v in _read_meta(path).items()
+                     if k not in ("versions", "publishes")}
+            _publish_meta(path, clean, after, extra={tag: True})
+
+
 def compact_artifact(spark: SparkSession, path: str) -> None:
     """Fold every pending ingest delta of the artifact's subtables into
     their bases -- the maintenance job a daily-ingest deployment schedules
@@ -663,34 +711,50 @@ def compact_artifact(spark: SparkSession, path: str) -> None:
     compaction changes the physical layout, never the featurization."""
     from flink_cdc_fluss_quickstart_spark.streaming.pk_table import MANIFEST
 
-    meta = _read_meta(path)
-    mtype = meta.get("model_type")
-    if mtype == "hashed_ngram_langid":
-        wkeys = ["b", "cls"] if meta.get("classes", False) else ["b"]
-        layout = {"weights": (wkeys, wkeys), "hot": (["gram"], ["gram"])}
-    else:
-        layout = _SUB_LAYOUT.get(mtype or "")
-        if layout is None:
-            raise ValueError(
-                f"unknown model_type {mtype!r} at {path}; known:"
-                f" {sorted(_SUB_LAYOUT) + ['hashed_ngram_langid']}"
-            )
+    layout = _artifact_layout(_read_meta(path), path)
     tables = {}
     for sub, (keys, order_by) in layout.items():
         if not os.path.exists(os.path.join(path, sub, MANIFEST)):
             continue  # optional subtable (e.g. a baseline-less scorer)
         tables[sub] = _table(spark, os.path.join(path, sub), keys, order_by)
         tables[sub].compact()
-    with _commit_lock(path):
-        after = {sub: _current_version(t) for sub, t in tables.items()}
-        pubs = _read_meta(path).get("publishes") or []
-        last = dict(pubs[-1]["versions"]) if pubs else None
-        if after and after != last:
-            # drop the stale version/ledger fields; _publish_meta rebuilds
-            # them under the same lock (prior entries are re-read inside)
-            clean = {k: v for k, v in _read_meta(path).items()
-                     if k not in ("versions", "publishes")}
-            _publish_meta(path, clean, after, extra={"compaction": True})
+    _publish_maintenance(path, tables, "compaction")
+
+
+def rescale_artifact(spark: SparkSession, path: str, n_buckets: int,
+                     subtables: Sequence[str] | None = None) -> None:
+    """Rescale the bucket count of an artifact's subtables -- the serving
+    lever an index that outgrew its creation-time SERVING_BUCKETS needs
+    (PKTable.rescale: a k-key point read costs ~1/n_buckets of the table
+    per key, so a 10x-grown index serves 10x-too-coarse lookups until
+    rescaled). ``subtables`` defaults to every present subtable; pass e.g.
+    ("bands",) to rescale only the point-served one. Like
+    compact_artifact, the maintenance commit is published to the ledger
+    (tagged ``rescale: true``) so latest loads point at the
+    post-rescale dirs; prior publishes keep resolving through the
+    boundary -- versioned lookups hash with the count in effect at that
+    publish (PKTable's nb history)."""
+    from flink_cdc_fluss_quickstart_spark.streaming.pk_table import MANIFEST
+
+    layout = _artifact_layout(_read_meta(path), path)
+    wanted = set(layout) if subtables is None else set(subtables)
+    unknown = wanted - set(layout)
+    if unknown:
+        raise ValueError(
+            f"unknown subtables {sorted(unknown)} at {path};"
+            f" layout has {sorted(layout)}"
+        )
+    # open EVERY present subtable (the ledger publish must record a
+    # complete versions map -- a partial one would break load_*'s
+    # multi-subtable resolve), rescale only the selected ones
+    tables = {}
+    for sub, (keys, order_by) in layout.items():
+        if not os.path.exists(os.path.join(path, sub, MANIFEST)):
+            continue
+        tables[sub] = _table(spark, os.path.join(path, sub), keys, order_by)
+        if sub in wanted:
+            tables[sub].rescale(n_buckets)
+    _publish_maintenance(path, tables, "rescale")
 
 
 def list_model_versions(spark: SparkSession, path: str) -> list[dict]:
@@ -738,4 +802,5 @@ __all__ = [
     "load_pq_index",
     "list_model_versions",
     "compact_artifact",
+    "rescale_artifact",
 ]

@@ -55,6 +55,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import tempfile
 import threading
 import time
 from collections.abc import Sequence
@@ -127,6 +128,24 @@ def _bucket_expr(keys: Sequence[str], n_buckets: int) -> F.Column:
 DELTA_BROADCAST_MAX_BYTES = 32 * 1024 * 1024
 
 
+def _bucket_colocate(df: DataFrame, n_partitions: int) -> DataFrame:
+    """Hash-shuffle the write set so every bucket's rows land in ONE task
+    -- hence ONE file per bucket dir per commit (Paimon's sorted-run /
+    bucketed-sink shape: writer parallelism is bounded by the bucket
+    count, by design). Without it, ``partitionBy('__bucket')`` has every
+    upstream partition write its own sliver into every bucket dir -- up
+    to shuffle-partitions files PER BUCKET per commit. The r15
+    point-serve audit measured the consequence: an 8-key lookup against
+    a 64-bucket table opened 256 files and barely beat a full-scan
+    filter; with one file per bucket it opens <= 8. Per-bucket FILE
+    count, not bucket count, dominates point-read open cost. The shuffle
+    this adds moves only the rows being rewritten (bucket-bounded for
+    merge/compact; the full set for overwrite/rescale, which are
+    table-sized rewrites anyway), and parquet/orc row groups keep the
+    bigger per-bucket files scan-splittable."""
+    return df.repartition(max(1, n_partitions), "__bucket")
+
+
 def _dir_bytes(dirs: Sequence[str]) -> int:
     """Total on-disk bytes under ``dirs`` -- filesystem metadata only, the
     same true-size signal compaction thresholds use; never reads data."""
@@ -153,7 +172,10 @@ class PKTable:
     module docstring's delta-ingest section for when each pays off.
     Reads: ``snapshot()`` (full table / time travel) and ``lookup(probe)``
     (bucket-pruned point read of the probed keys -- the Fluss PK-table
-    serving shape its 'bucket.num' exists for).
+    serving shape its 'bucket.num' exists for). Maintenance: ``compact()``
+    (fold pending deltas) and ``rescale(n)`` (offline bucket-count rewrite,
+    Paimon's rescale-bucket procedure -- the serving lever for a table
+    that outgrew its creation-time count).
     """
 
     def __init__(self, spark: SparkSession, path: str, keys: Sequence[str],
@@ -204,7 +226,17 @@ class PKTable:
 
     def _read_manifest(self) -> dict:
         with open(self._manifest_path) as f:
-            return json.load(f)
+            m = json.load(f)
+        # adopt a rescale() committed through ANOTHER handle: bucket count
+        # is a table property owned by the manifest, and a handle that kept
+        # hashing with a stale count would write rows into buckets the
+        # current map does not route reads to. Every read/write path reads
+        # the manifest first (writers under the commit lock), so adopting
+        # here keeps self.n_buckets correct everywhere without per-site
+        # refreshes.
+        if m.get("n_buckets") is not None:
+            self.n_buckets = m["n_buckets"]
+        return m
 
     def _write_manifest(self, m: dict) -> None:
         # last line of defense for the writer fence (T4): the commit-entry
@@ -221,10 +253,27 @@ class PKTable:
                 " another engine claimed this table mid-write; aborting"
                 " before the manifest swap"
             )
-        tmp = self._manifest_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self._manifest_path)  # atomic snapshot swap
+        # WRITER-UNIQUE tmp file (r15 fence-race find): a shared '.tmp'
+        # name lets two processes creating the same table concurrently
+        # rename each other's half-written file into place (a torn
+        # manifest every reader then crashes on) or crash on the vanished
+        # tmp. mkstemp + os.replace makes the swap last-writer-wins atomic
+        # with no shared intermediate. In-grace commits still serialize
+        # under the commit lock / writer fence; this protects the one
+        # unfenced write -- first-open manifest creation.
+        fd, tmp = tempfile.mkstemp(
+            prefix=MANIFEST + ".", suffix=".tmp", dir=self.path
+        )
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(m, f, indent=1)
+            os.replace(tmp, self._manifest_path)  # atomic snapshot swap
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
 
     # -- writer-epoch fence -------------------------------------------------
 
@@ -344,7 +393,14 @@ class PKTable:
         no data dirs at all (nothing to source a schema from), matching
         snapshot()'s empty-table contract."""
         m = self._read_manifest()
-        buckets = m["buckets"] if version is None else self._buckets_at(m, version)
+        if version is None:
+            buckets, nb = m["buckets"], self.n_buckets
+        else:
+            # a read at a pre-rescale version must hash the probe with the
+            # bucket count IN EFFECT at that version -- the current count
+            # would route keys to buckets that did not exist then
+            buckets = self._buckets_at(m, version)
+            nb = self._n_buckets_at(m, version)
         # xxhash64 is TYPE-sensitive (hash(1 int) != hash(1 bigint)), so a
         # probe whose key columns arrive in a different-but-compatible type
         # would hash into the WRONG buckets and silently miss every row:
@@ -370,7 +426,7 @@ class PKTable:
         wanted = {
             r["__b"]
             for r in keysel.select(
-                _bucket_expr(self.keys, self.n_buckets).alias("__b")
+                _bucket_expr(self.keys, nb).alias("__b")
             ).distinct().collect()
         }
         sel = {
@@ -533,6 +589,20 @@ class PKTable:
                     buckets[b] = old
         return buckets
 
+    def _n_buckets_at(self, m: dict, version: int) -> int:
+        """The bucket count in effect at manifest ``version`` -- the same
+        backwards history walk as _buckets_at, undoing each later rescale
+        commit (the only commit kind that records an ``nb`` field: the
+        PRE-rescale count). Bounds/floor checks ride on _buckets_at, which
+        every caller runs first."""
+        nb = m.get("n_buckets", self.n_buckets)
+        for e in sorted(m.get("history", []), key=lambda e: -e["v"]):
+            if e["v"] <= version:
+                break
+            if e.get("nb") is not None:
+                nb = e["nb"]
+        return nb
+
     def snapshot_at_batch(self, writer_id: str, batch_id: int) -> DataFrame | None:
         """Read-at-batch: the table state right after `writer_id` committed
         `batch_id` (the newest data commit from that writer at or below the
@@ -664,7 +734,11 @@ class PKTable:
             .select(*payload_cols)
             .withColumn("__bucket", _bucket_expr(self.keys, self.n_buckets))
         )
-        # ONE partitioned write job for all affected buckets
+        # ONE partitioned write job for all affected buckets -- co-located
+        # so each bucket lands as ONE file (see _bucket_colocate: the r15
+        # point-serve audit found per-bucket file counts, not bucket
+        # counts, dominating lookup open cost)
+        result = _bucket_colocate(result, len(affected))
         vdir = f"v{version}"
         result.write.partitionBy("__bucket").mode("overwrite").format(
             self.data_format
@@ -763,13 +837,11 @@ class PKTable:
             .withColumn("__dv", F.lit(version).cast("long"))
         )
         # ONE file per touched bucket per delta commit (Paimon's
-        # one-sorted-run-per-commit): without the bucket repartition every
-        # shuffle partition writes its own sliver into every bucket dir --
-        # up to 32 tiny parts per bucket PER INGEST, a file-count explosion
-        # that dominates point-read open cost at daily-ingest cadence. The
-        # batch is |batch|-sized, so collapsing write parallelism to the
-        # touched-bucket count costs nothing.
-        out = out.repartition(len(affected), "__bucket")
+        # one-sorted-run-per-commit); the batch is |batch|-sized, so
+        # collapsing write parallelism to the touched-bucket count costs
+        # nothing -- see _bucket_colocate, which the base-write paths
+        # share since the r15 point-serve audit.
+        out = _bucket_colocate(out, len(affected))
         out.write.partitionBy("__bucket").mode("overwrite").format(
             self.data_format
         ).save(os.path.join(self.path, vdir))
@@ -825,6 +897,7 @@ class PKTable:
             result = resolved.withColumn(
                 "__bucket", _bucket_expr(self.keys, self.n_buckets)
             )
+            result = _bucket_colocate(result, len(affected))
             result.write.partitionBy("__bucket").mode("overwrite").format(
                 self.data_format
             ).save(os.path.join(self.path, vdir))
@@ -880,6 +953,7 @@ class PKTable:
         version = m["version"] + 1
         vdir = f"v{version}"
         bucketed = df.withColumn("__bucket", _bucket_expr(self.keys, self.n_buckets))
+        bucketed = _bucket_colocate(bucketed, self.n_buckets)
         bucketed.write.partitionBy("__bucket").mode("overwrite").format(
             self.data_format
         ).save(os.path.join(self.path, vdir))
@@ -914,5 +988,71 @@ class PKTable:
             e["batch"] = None
         expired = self._queue_gc(m, list(old.values()))
         self._write_manifest(m)
+        for d in expired:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+
+    def rescale(self, n_buckets: int) -> None:
+        """Offline bucket rescale -- Paimon's documented rescale-bucket
+        procedure (an offline full rewrite; Fluss/Paimon cannot rescale a
+        PK table in place because bucket routing is the primary-key hash).
+        At 100 TB this is THE serving lever: a k-key lookup() reads
+        ~1/n_buckets of the table per probed key, so a table that grew 10x
+        past its creation-time 'bucket.num' (tickets-cdc.sql:34) serves
+        10x-too-coarse point reads until it is rescaled.
+
+        One commit: the fully resolved snapshot (pending ingest deltas are
+        folded -- the rewrite is table-sized anyway) is re-hashed into
+        ``n_buckets`` buckets and swapped in atomically. Content is
+        IDENTICAL before and after, so unlike overwrite() the per-writer
+        txn watermarks and read-at-batch history tags survive: replayed
+        batches still dedupe, snapshot_at_batch still answers. Time travel
+        across the boundary keeps working -- the commit records the prior
+        bucket pointers AND the prior bucket count (the ``nb`` history
+        field), so versioned snapshot()/lookup() reads hash with the count
+        in effect at that version. Superseded dirs keep their GC grace.
+        Same-count rescale is a no-op (no version burned)."""
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        with _commit_lock(self.path):
+            self._rescale_locked(n_buckets)
+
+    def _rescale_locked(self, n_buckets: int) -> None:
+        self._fence()
+        m = self._read_manifest()
+        prev_nb = m.get("n_buckets", self.n_buckets)
+        if n_buckets == prev_nb:
+            return
+        snap = self.snapshot()
+        version = m["version"] + 1
+        vdir = f"v{version}"
+        if snap is not None:
+            # one partitioned write job: shuffle-free up to the hash
+            # partitioning the write itself needs -- every row moves at
+            # most once, straight from the pruned scan to its new bucket
+            bucketed = snap.withColumn(
+                "__bucket", _bucket_expr(self.keys, n_buckets)
+            )
+            bucketed = _bucket_colocate(bucketed, n_buckets)
+            bucketed.write.partitionBy("__bucket").mode("overwrite").format(
+                self.data_format
+            ).save(os.path.join(self.path, vdir))
+        old = dict(m["buckets"])
+        m["buckets"] = {
+            str(b): os.path.join(vdir, f"__bucket={b}")
+            for b in range(n_buckets)
+            if os.path.exists(os.path.join(self.path, vdir, f"__bucket={b}"))
+        }
+        m["version"] = version
+        m["n_buckets"] = n_buckets
+        self._record_commit(
+            m, version, None, None,
+            {b: old.get(b) for b in set(old) | set(m["buckets"])},
+        )
+        # undo info for _n_buckets_at: reads at versions BEFORE this commit
+        # hash with the pre-rescale count
+        m["history"][-1]["nb"] = prev_nb
+        expired = self._queue_gc(m, list(old.values()))
+        self._write_manifest(m)
+        self.n_buckets = n_buckets
         for d in expired:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)

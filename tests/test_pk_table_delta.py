@@ -438,3 +438,48 @@ def test_resolve_join_strategy_follows_true_delta_size(spark, tmp_path, monkeypa
     assert _snap(t) == {k: f"base{k}" for k in range(32) if k != 1} | {
         1: "u1", 100: "new"
     }
+
+
+def test_every_write_path_lands_one_file_per_bucket(spark, tmp_path):
+    """r15 point-serve audit regression guard: per-bucket FILE count, not
+    bucket count, dominates lookup open cost (an 8-key probe against a
+    64-bucket table was opening 256 files -- every shuffle partition had
+    written its own sliver into every bucket dir). Every write path --
+    overwrite, merge, ingest, compact, rescale -- must co-locate by
+    bucket so each commit lands ONE data file per bucket dir (Paimon's
+    sorted-run shape)."""
+    import os
+
+    def files_per_bucket(t):
+        m = t._read_manifest()
+        out = {}
+        for k, d in m["buckets"].items():
+            full = os.path.join(t.path, d)
+            out[k] = len([f for f in os.listdir(full)
+                          if not f.startswith(("_", "."))])
+        return out
+
+    t = PKTable(spark, str(tmp_path / "t"), keys=["k"], order_by=["seq"],
+                n_buckets=8)
+    # a seed wide enough that every bucket gets rows from many of the 32
+    # source partitions -- the sliver-per-partition failure mode's setup
+    t.overwrite(
+        spark.range(4000).selectExpr(
+            "0L as seq", "id as k", "cast(id as string) as v"
+        ).repartition(32)
+    )
+    assert set(files_per_bucket(t).values()) == {1}, files_per_bucket(t)
+
+    t.merge(_rows(spark, [(1, k, f"m{k}") for k in range(500)]), batch_id=1)
+    assert set(files_per_bucket(t).values()) == {1}, files_per_bucket(t)
+
+    t.ingest(_rows(spark, [(2, k, f"i{k}") for k in range(500)]), batch_id=2)
+    fb = files_per_bucket(t)
+    assert set(fb.values()) == {1}, fb  # delta dirs too
+
+    t.compact()
+    assert set(files_per_bucket(t).values()) == {1}, files_per_bucket(t)
+
+    t.rescale(16)
+    assert set(files_per_bucket(t).values()) == {1}, files_per_bucket(t)
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()}[3] == "i3"

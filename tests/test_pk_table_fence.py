@@ -301,7 +301,11 @@ def _claim_epoch_in_subprocess(path, barrier, out, idx):
     from flink_cdc_fluss_quickstart_spark.streaming.pk_table import PKTable
 
     t = PKTable(None, path, keys=["k"], order_by=["k"])
-    barrier.wait()  # maximize the simultaneous-claim window
+    # timeout, not a bare wait: if a sibling crashes before assembling (the
+    # r15 shared-tmp manifest race died exactly here), a bare wait blocks
+    # forever and the leaked racer hangs the whole suite's interpreter
+    # shutdown (multiprocessing's atexit joins every live child)
+    barrier.wait(timeout=60)  # maximize the simultaneous-claim window
     t._fence()
     out[idx] = t._epoch
 
@@ -322,14 +326,20 @@ def test_epoch_claims_are_atomic_across_os_processes(tmp_path):
         ctx.Process(
             target=_claim_epoch_in_subprocess,
             args=(str(tmp_path / "t"), barrier, out, i),
+            daemon=True,  # belt-and-braces: never joined at atexit
         )
         for i in range(n)
     ]
     for p in procs:
         p.start()
-    for p in procs:
-        p.join(120)
-        assert p.exitcode == 0
+    try:
+        for p in procs:
+            p.join(120)
+            assert p.exitcode == 0
+    finally:
+        for p in procs:  # a failed assert must not leak live racers
+            if p.is_alive():
+                p.terminate()
     epochs = [out[i] for i in range(n)]
     assert len(set(epochs)) == n, f"duplicate epochs claimed: {sorted(epochs)}"
     assert max(epochs) == n  # claims are dense: every loser retried upward
