@@ -195,7 +195,17 @@ def streaming_envelope(spark, rows_per_sec: int = 100, run_secs: int = 25,
         p["durationMs"]["triggerExecution"] / 1000.0 for p in measured
     )
     if not lat:
-        return {"events_per_sec": rows_per_sec, "batches": 0, "p95_batch_sec": None}
+        # a cold session can spend the whole (short) window on plan compile
+        # + state-store open and measure zero post-warmup batches; the
+        # degenerate return still honors the admission-mode contract
+        # (rows_per_batch present whenever the caller set it) -- only the
+        # wall-derived throughput numbers are unknowable
+        out = {"events_per_sec": rows_per_sec, "batches": 0,
+               "p95_batch_sec": None}
+        if rows_per_batch is not None:
+            out.update({"rows_per_batch": rows_per_batch,
+                        "arrival_per_sec_modeled": rows_per_sec})
+        return out
     # nearest-rank p95 = ceil(0.95*n)-1 (0-indexed); the previous
     # round(0.95*n) indexed past rank 95 -- at n<=20 it WAS the sample max,
     # so one GC-stalled trigger defined the whole headline reading

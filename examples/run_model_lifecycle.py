@@ -198,8 +198,22 @@ def main() -> None:
           f" -- each read touched {len(served.inputFiles())} /"
           f" {len(codes_served.inputFiles())} bucket files, not the tables")
 
+    print("== day 5, step 12: the index outgrew its bucket count -> rescale")
+    # the serving fraction is ~1/n_buckets per probed key; an index that
+    # grew 4x past its creation-time SERVING_BUCKETS serves 4x-too-coarse
+    # point reads until rescaled (Paimon's rescale-bucket, offline)
+    models.rescale_artifact(s4, os.path.join(wh, "dedup_index"),
+                            models.SERVING_BUCKETS * 4, subtables=("bands",))
+    served5 = models.lookup_minhash_bands(
+        spark.newSession(), os.path.join(wh, "dedup_index"), some_docs)
+    assert {tuple(r) for r in served5.collect()} == {tuple(r) for r in served.collect()}
+    print(f"   rescaled bands {models.SERVING_BUCKETS} ->"
+          f" {models.SERVING_BUCKETS * 4} buckets; the same probe serves"
+          f" identically from {len(served5.inputFiles())} bucket files"
+          " (ledger publish tagged rescale)")
+
     print("lifecycle complete: 4 artifacts published, reloaded, monitored,"
-          " ingested, compacted, drift-checked, point-served")
+          " ingested, compacted, drift-checked, point-served, rescaled")
 
 
 if __name__ == "__main__":
