@@ -2500,15 +2500,17 @@ BPE_ENCODE_MERGES = 6
 # U+001F, exactly as HF tokenizers reserve boundary markers).
 _BPE_SEP = "|"
 
-# Lineage flattening cadence for the merge loop: every K rounds the vocab is
-# localCheckpoint-ed (the PKTable batch-pin precedent), truncating the
-# logical plan to a flat RDD scan. Without it each round stacks another
-# cache node whose PRINTED lineage includes all prior rounds -- execution
-# was fine (the persists truncate actual work) but the 6-merge demo's
-# explain string was already ~1 MB (r10 verdict item 7) and analysis cost
-# grew with merge depth; at real tokenizer depths (32k-100k merges) the
-# plan itself must stay O(K) deep, not O(n_merges).
-_BPE_CHECKPOINT_EVERY = 4
+# Loop-frame sizing for the merge loop (r15 optimization round): the vocab
+# census is vocab-sized BY CONSTRUCTION -- orders of magnitude below the
+# corpus -- yet it inherits the corpus census's shuffle partitioning, so
+# every merge round used to schedule a full width of near-empty tasks
+# (measured at sf0.1: a 31-row vocab spread over 32 partitions cost
+# 0.4-1.3 s PER ROUND in pure stage overhead). The loop now right-sizes the
+# frame once from its MEASURED row count: ~128k vocab rows per partition
+# (a few MB of (tok, c, sym) strings), floor 1 -- scale-adaptive, not a
+# local[32] constant: a 100M-row production vocab still gets ~800-way
+# parallelism, while any bench-scale vocab collapses to one task per round.
+_BPE_VOCAB_ROWS_PER_PART = 131072
 
 
 def _bpe_apply_merge(sym: F.Column, a: str, b: str) -> F.Column:
@@ -2545,9 +2547,26 @@ def bpe_learn_merges(vocab: DataFrame, n_merges: int) -> tuple[DataFrame, list[t
     the merge to every vocab word with the row-local fold above. The ONLY
     driver-side data per round is the single argmax row (the Lloyd /
     connected-components precedent); the corpus itself is never touched --
-    rounds operate on the vocab census exclusively."""
+    rounds operate on the vocab census exclusively.
+
+    Loop-frame discipline (r15): the vocab is localCheckpoint-ed EVERY
+    round, not persisted -- each round's census then reads a flat RDD scan
+    instead of a k-deep stack of cached fold plans, so Catalyst analysis
+    cost per round is O(1) in merge depth (the fold expression is large;
+    re-analyzing k copies of it dominated round latency). Materialization
+    count is unchanged: the old per-round persist already wrote the vocab
+    once per round when the next census ran. The frame is also coalesced
+    once to ~_BPE_VOCAB_ROWS_PER_PART rows per partition (measured, not
+    assumed -- the checkpoint makes the count a metadata read)."""
     merges: list[tuple[str, str]] = []
-    cur = _cached(vocab)
+    # one checkpoint up front: materializes the census, truncates its
+    # lineage, and makes the row count cheap for the partition sizing below
+    cur = vocab.localCheckpoint(eager=True)
+    n_vocab = cur.count()
+    target = max(1, -(-n_vocab // _BPE_VOCAB_ROWS_PER_PART))
+    if target < cur.rdd.getNumPartitions():
+        # narrow post-checkpoint coalesce; every later checkpoint inherits it
+        cur = cur.coalesce(target)
     for _ in range(n_merges):
         s = F.split("sym", r"\|")
         best = (
@@ -2575,12 +2594,10 @@ def bpe_learn_merges(vocab: DataFrame, n_merges: int) -> tuple[DataFrame, list[t
         folded = cur.select(
             "tok", "c", _bpe_apply_merge(F.col("sym"), a, b).alias("sym")
         )
-        if len(merges) % _BPE_CHECKPOINT_EVERY == 0:
-            # flatten: materialize the vocab census (small by construction --
-            # one row per distinct corpus token) and drop all prior lineage
-            cur = folded.localCheckpoint(eager=True)
-        else:
-            cur = _cached(folded)
+        # flatten every round: materialize the vocab census (small by
+        # construction -- one row per distinct corpus token) and drop the
+        # fold lineage so the next round analyzes a constant-size plan
+        cur = folded.localCheckpoint(eager=True)
     return cur, merges
 
 
