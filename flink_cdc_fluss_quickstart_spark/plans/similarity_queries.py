@@ -1438,6 +1438,13 @@ def _pq_codebooks_and_codes(emb: DataFrame, include_coarse: bool = False):
     cents = track_cache(cents.persist())
     assigned_all = _pq_assign(subs, cents)
     if include_coarse:
+        # the final assignment feeds TWO output slices below (codes m<PQ_M
+        # and the coarse router m=PQ_M) and each consumer plan would
+        # otherwise re-run the full corpus-sized nearest-centroid pass per
+        # slice -- persist so the pass runs once (lazy, so plan builds
+        # still run no job; r15 optimization round, one corpus scan saved
+        # per consumer at any scale)
+        assigned_all = track_cache(assigned_all.persist())
         books = cents.filter(F.col("m") < PQ_M)
         codes = assigned_all.filter(F.col("m") < PQ_M).select(
             "vec_id", "m", F.col("cluster").alias("code"), F.col("__d2").alias("d2")
