@@ -42,6 +42,20 @@ _BASE_CONF: dict[str, str] = {
     # 2.10 s, rrf_hybrid_retrieval 2.43 -> 2.35 s, embedding_ivfpq_topk
     # 3.42 -> 3.17 s.
     "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # let AQE rewrite a sort-merge join to shuffled-hash AT RUNTIME when it
+    # has PROVED every post-shuffle partition of the build side is under
+    # 64 MB (the knob ships disabled at 0). This skips the per-partition
+    # sorts without the memory risk of a static SHUFFLE_HASH preference:
+    # the rewrite fires only on measured partition bytes, so the
+    # sort-merge-pinned corpus self-joins (r14 broadcast-sweep pins, which
+    # guard against ESTIMATE-based broadcast builds) keep their
+    # partition-bounded memory at any scale -- partitions above the
+    # threshold stay sort-merge. 64 MB is a small fraction of per-task
+    # execution memory on any sane executor sizing. Measured at sf0.1
+    # (paired same-session A/B, warm, 2 reps): minhash_lsh_pairs
+    # 1.11 -> 0.91 s, ngram_containment_pairs 1.94 -> 1.65 s,
+    # winnow_overlap_pairs 2.05 -> 1.88 s; other families at noise.
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     # Arrow for any pandas UDF edge (vectorized transfer, never row-at-a-time)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # broadcast small dimension tables aggressively (region/nation/part/
