@@ -1,10 +1,11 @@
-"""Dump .explain('formatted') for named queries to plans/r15/<name>_<tag>.txt.
+"""Dump .explain('formatted') for named queries to plans/<round>/<name>_<tag>.txt.
 
 The optimization-round evidence capture: one file per (query, tag) so the
 before/after plan diff the judge checks is a plain file diff.
 
 Usage: python tools/explain_one.py <tag> <query> [query ...]
-       (tag is e.g. 'before' or 'after'; sf dir from $SPARK_GRAFT_SF_DIR)
+       (tag is e.g. 'before' or 'after'; sf dir from $SPARK_GRAFT_SF_DIR;
+       round dir from $SPARK_GRAFT_ROUND, default r16)
 """
 
 from __future__ import annotations
@@ -14,7 +15,8 @@ import os
 import sys
 from contextlib import redirect_stdout
 
-sys.path.insert(0, "/root/repo")
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO_ROOT)
 
 from flink_cdc_fluss_quickstart_spark.session import get_spark  # noqa: E402
 from flink_cdc_fluss_quickstart_spark.plans.registry import all_specs  # noqa: E402
@@ -24,7 +26,8 @@ def main() -> None:
     tag = sys.argv[1]
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r15")
+    round_dir = os.environ.get("SPARK_GRAFT_ROUND", "r16")
+    out_dir = os.path.join(_REPO_ROOT, "plans", round_dir)
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain-one")
     spark.sparkContext.setLogLevel("ERROR")
