@@ -1418,39 +1418,36 @@ def _pq_codebooks_and_codes(emb: DataFrame, include_coarse: bool = False):
     cluster) sums and argmins are identical to independent chains, so the
     per-subspace oracle CTEs verify this plan unchanged.
 
-    Two training spellings, split by MEASUREMENT (r16 optimization round,
-    paired same-session A/Bs at sf0.1):
+    The trained codebook frame (PQ_M * PQ_K rows) is PERSISTED: ADC
+    consumes it twice (corpus encoding + query distance tables); lazy
+    persist, so plan builds still run no job -- in production the codebook
+    is the artifact you checkpoint anyway. Persist keeps the DATA from
+    recomputing but not the chain's ANALYSIS cost (downstream plans still
+    embed the full Lloyd lineage); localCheckpoint would truncate that too,
+    but measured: eager=True runs the chain at plan build by definition,
+    and eager=False ALSO runs a job at build time under AQE (the
+    Dataset->RDD conversion materializes the upstream shuffle stages), so
+    either breaks the repo's job-free-plan-build invariant
+    (tests/test_plans.py listener check). The re-analysis is bounded --
+    PQ_ITERS is fixed at 2 -- and the whole chain is overhead, not data:
+    at sf0.1 the embeddings table is 2,000 rows, so the query's wall time
+    is stage/codegen fixed cost that amortizes away at real scale
+    (SCALE.md: 1.6x at 10x).
 
-    - include_coarse=True (the big fused compositions: embedding_ivfpq_topk,
-      pq_adc_recall_report): the chain runs with a PER-ROUND DRIVER COLLECT
-      of the centroid frame -- (PQ_M+1) * K rows at ANY corpus scale, the
-      driver-sized artifact models.save_pq_index persists anyway -- and the
-      final codebook is re-emitted as a LocalRelation. Every downstream
-      consumer (encoder, coarse router, query distance tables, the recall
-      report that composes two searchers) previously re-embedded the full
-      unrolled Lloyd lineage per slice and Catalyst re-analyzed it at
-      every occurrence (945/1564-line explains on ivfpq/pq_adc_recall,
-      1-3 s per-query cold analysis+codegen); with the codebook as a
-      LocalRelation leaf those plans collapse to scan + broadcast-assign
-      shapes (422/859 lines). Measured: pq_adc_recall_report 6.1 -> 3.4 s
-      (55 -> 24 jobs, 159 -> 51 stages), embedding_ivfpq_topk cold
-      first-run 7.2 -> 5.6 s; warm steady-state pays ~+0.4 s of round-trip
-      latency, dominated by the cold-plan savings at bench shape and by
-      per-query analysis savings at any scale.
-    - include_coarse=False (the small plain chains: embedding_pq_codes,
-      pq_incremental_codes, embedding_pq_adc_topk, pq_train_index): the
-      LAZY unrolled in-plan chain stays. Measured: the plain 2-round chain
-      is small enough (383-line explain) that three extra driver
-      round-trips cost MORE than the truncated lineage saves
-      (pq_incremental_codes 1.6 -> 2.2 s warm, 2.0 -> 2.5 cold under the
-      collect spelling -- a real regression, so the lazy spelling is kept
-      deliberately). Persist keeps the data from recomputing;
-      localCheckpoint stays rejected (build-time jobs under AQE plus an
-      executor-local lineage a lost executor cannot recompute).
-
-    Both spellings produce bit-identical codebooks (the oracle CTE chain
-    proves the shared algebra; collect order is driver-sorted (m, cluster)
-    and the downstream argmin is order-independent).
+    r16 negative result, measured and reverted (do not retry without new
+    evidence): collecting the trained codebook driver-side -- per-round or
+    final-only -- and re-emitting it as a LocalRelation DOES shrink every
+    consumer plan dramatically (embedding_ivfpq_topk explain 945 -> 408
+    lines, pq_adc_recall_report 1564 -> 842) but is consistently SLOWER
+    end to end at sf0.1 in order-debiased same-session A/Bs: the collect
+    serializes the training stages BEFORE the consumer action, where the
+    lazy chain's stages overlap with the independent arm/ground-truth
+    stages under one AQE execution, and the collect-side round plans pay
+    their own cold codegen (~1.9 s first run). Bench-conditions numbers:
+    ivfpq 4.5 -> 6.4 s cold / 3.7 -> 4.6 warm; pq_adc_recall_report with
+    the single-join report tail 2.25 s (lazy) vs 3.86 s (collect) warm.
+    The analysis cost the collect would save is real but smaller than the
+    concurrency it destroys.
 
     include_coarse=True (the IVF-PQ composition, r8) fuses the COARSE
     KMEANS_K-center Lloyd chain into the SAME union frame as subspace
@@ -1476,96 +1473,39 @@ def _pq_codebooks_and_codes(emb: DataFrame, include_coarse: bool = False):
         if include_coarse
         else F.lit(PQ_K)
     )
-    init = subs.filter(F.col("vec_id") < init_k).select(
+    cents = subs.filter(F.col("vec_id") < init_k).select(
         "m",
         F.col("vec_id").cast("bigint").alias("cluster"),
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("cv"),
     )
-    if not include_coarse:
-        # plain mode: the LAZY unrolled chain (see docstring -- measured
-        # faster than the collect spelling for this small composition)
-        cents = init
-        for _ in range(PQ_ITERS):
-            cents = _pq_update(_pq_assign(subs, cents))
-        cents = track_cache(cents.persist())
-        assigned_all = _pq_assign(subs, cents)
-        codes = assigned_all.select(
-            "vec_id",
-            "m",
-            F.col("cluster").alias("code"),
-            F.col("__d2").alias("d2"),
-        )
-        return cents, codes
-    # fused mode: per-round driver collect (the BPE/GD one-row-collect
-    # precedent, r16): the centroid frame is (PQ_M+1) * K rows at ANY
-    # corpus scale, so each round collects it and feeds the next assign a
-    # PRE-PACKED 1-row LocalRelation. vs the lazy unrolled chain this (a)
-    # keeps per-round plan depth O(1) -- Catalyst no longer re-analyzes a
-    # k-rounds-deep assign/update stack, (b) drops the per-round packed
-    # aggregate + broadcast-build stages (a LocalTableScan broadcast
-    # collects driver-side without a job), and (c) leaves the final
-    # codebook already collected for the LocalRelation the consumers read.
-    # Driver traffic is K centroid rows per round -- never corpus data.
-    spark = emb.sparkSession
-    cent_rows = sorted(init.collect(), key=lambda r: (r["m"], r["cluster"]))
     for _ in range(PQ_ITERS):
-        assigned = _pq_assign(subs, None, packed=_pack_cents(spark, cent_rows))
-        # ONE map-side-combined job per round: the corpus-sized assign is
-        # row-local (broadcast LocalRelation codebook, no job to build), so
-        # the round's only shuffle is the (m, cluster, dim) rollup. Its
-        # output is bounded at (PQ_M+1) * K * DIM rows BY CONSTRUCTION
-        # at any corpus size, so the second aggregation level (dims -> cv
-        # list) folds driver-side: identical arithmetic to _pq_update's
-        # in-plan transform -- (CAST(s AS DOUBLE) / SCALE) / n per dim,
-        # dims in sorted order -- on the exact collected integers, so the
-        # centroid doubles are bit-identical to the in-plan spelling (and
-        # to the oracle CTE chain, which proves the same algebra in
-        # DuckDB; both int->double conversions are correctly rounded on
-        # either side, so this holds past 2^53 too).
-        per_dim = (
-            assigned.select("m", "cluster", F.posexplode("embedding").alias("dim", "x"))
-            .groupBy("m", "cluster", "dim")
-            .agg(
-                F.sum(
-                    F.floor(F.col("x").cast("double") * similarity.SCALE).cast("bigint")
-                ).alias("s"),
-                F.count(F.lit(1)).alias("n"),
-            )
+        cents = _pq_update(_pq_assign(subs, cents))
+    cents = track_cache(cents.persist())
+    assigned_all = _pq_assign(subs, cents)
+    if include_coarse:
+        # the final assignment feeds TWO output slices below (codes m<PQ_M
+        # and the coarse router m=PQ_M) and each consumer plan would
+        # otherwise re-run the full corpus-sized nearest-centroid pass per
+        # slice -- persist so the pass runs once (lazy, so plan builds
+        # still run no job; r15 optimization round, one corpus scan saved
+        # per consumer at any scale)
+        assigned_all = track_cache(assigned_all.persist())
+        books = cents.filter(F.col("m") < PQ_M)
+        codes = assigned_all.filter(F.col("m") < PQ_M).select(
+            "vec_id", "m", F.col("cluster").alias("code"), F.col("__d2").alias("d2")
         )
-        acc: dict = {}
-        for r in per_dim.collect():
-            acc.setdefault((r["m"], r["cluster"]), []).append(
-                (r["dim"], r["s"], r["n"])
-            )
-        cent_rows = [
-            {
-                "m": m,
-                "cluster": cluster,
-                "cv": [(s / similarity.SCALE) / n for _, s, n in sorted(dims)],
-            }
-            for (m, cluster), dims in sorted(acc.items())
-        ]
-    cents = spark.createDataFrame(
-        [(r["m"], r["cluster"], r["cv"]) for r in cent_rows],
-        schema="m int, cluster bigint, cv array<double>",
+        coarse_cents = cents.filter(F.col("m") == PQ_M).select("cluster", "cv")
+        coarse_assigned = assigned_all.filter(F.col("m") == PQ_M).select(
+            "vec_id", F.col("cluster").alias("coarse")
+        )
+        return books, codes, coarse_cents, coarse_assigned
+    codes = assigned_all.select(
+        "vec_id",
+        "m",
+        F.col("cluster").alias("code"),
+        F.col("__d2").alias("d2"),
     )
-    assigned_all = _pq_assign(subs, cents, packed=_pack_cents(spark, cent_rows))
-    # the final assignment feeds TWO output slices below (codes m<PQ_M
-    # and the coarse router m=PQ_M) and each consumer plan would
-    # otherwise re-run the full corpus-sized nearest-centroid pass per
-    # slice -- persist so the pass runs once (lazy, so plan builds
-    # still run no job; r15 optimization round, one corpus scan saved
-    # per consumer at any scale)
-    assigned_all = track_cache(assigned_all.persist())
-    books = cents.filter(F.col("m") < PQ_M)
-    codes = assigned_all.filter(F.col("m") < PQ_M).select(
-        "vec_id", "m", F.col("cluster").alias("code"), F.col("__d2").alias("d2")
-    )
-    coarse_cents = cents.filter(F.col("m") == PQ_M).select("cluster", "cv")
-    coarse_assigned = assigned_all.filter(F.col("m") == PQ_M).select(
-        "vec_id", F.col("cluster").alias("coarse")
-    )
-    return books, codes, coarse_cents, coarse_assigned
+    return cents, codes
 
 
 _PQ_D2 = (
@@ -1614,11 +1554,27 @@ def pq_encode_with_books(emb: DataFrame, books: DataFrame) -> DataFrame:
     )
 
 
+def _pq_assign(subs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Row-local nearest-centroid assignment across ALL subspaces at once:
+    the full (m, cluster, cv) codebook collapses to ONE broadcast row and
+    each (vec_id, m) row argmins over its own subspace's slice of it."""
+    packed = cents.agg(F.collect_list(F.struct("m", "cluster", "cv")).alias("__cents"))
+    return (
+        subs.crossJoin(F.broadcast(packed))
+        .select("vec_id", "m", "embedding", F.expr(_PQ_PICK).alias("__pick"))
+        .select(
+            "vec_id",
+            "m",
+            "embedding",
+            F.col("__pick.k").alias("cluster"),
+            F.col("__pick.d").alias("__d2"),
+        )
+    )
+
+
 def _pq_update(assigned: DataFrame) -> DataFrame:
-    """Codebook recomputation, in-plan spelling: the same two-level bounded
-    aggregate as _km_update with the subspace id riding in every key. Used
-    by the plain-mode lazy chain; the fused-mode loop folds the second
-    level driver-side over the identical (m, cluster, dim) rollup."""
+    """Codebook recomputation: the same two-level bounded aggregate as
+    _km_update with the subspace id riding in every key."""
     per_dim = (
         assigned.select("m", "cluster", F.posexplode("embedding").alias("dim", "x"))
         .groupBy("m", "cluster", "dim")
@@ -1638,46 +1594,6 @@ def _pq_update(assigned: DataFrame) -> DataFrame:
             F.expr(
                 f"transform(ds, p -> (CAST(p.s AS DOUBLE) / {similarity.SCALE}) / p.n)"
             ).alias("cv"),
-        )
-    )
-
-
-def _pack_cents(spark, rows) -> DataFrame:
-    """The packed-codebook broadcast side as a 1-row LocalRelation built
-    from driver-side centroid rows: broadcasting a LocalTableScan collects
-    driver-side without running a job, so loop rounds and plan builds stay
-    job-free on the assign side (vs the packed collect_list aggregate,
-    which costs a 2-stage job per broadcast build). Values are the exact
-    collected doubles -- bit-identical to what the aggregate would pack."""
-    return spark.createDataFrame(
-        [([(r["m"], r["cluster"], r["cv"]) for r in rows],)],
-        schema="__cents array<struct<m:int,cluster:bigint,cv:array<double>>>",
-    )
-
-
-def _pq_assign(
-    subs: DataFrame, cents: DataFrame | None, packed: DataFrame | None = None
-) -> DataFrame:
-    """Row-local nearest-centroid assignment across ALL subspaces at once:
-    the full (m, cluster, cv) codebook collapses to ONE broadcast row and
-    each (vec_id, m) row argmins over its own subspace's slice of it.
-    ``packed`` short-circuits the packing when the caller already holds the
-    codebook driver-side (_pack_cents); otherwise the frame-side aggregate
-    packs it in-plan (the frozen-book encode path, where books may be a
-    reloaded parquet frame)."""
-    if packed is None:
-        packed = cents.agg(
-            F.collect_list(F.struct("m", "cluster", "cv")).alias("__cents")
-        )
-    return (
-        subs.crossJoin(F.broadcast(packed))
-        .select("vec_id", "m", "embedding", F.expr(_PQ_PICK).alias("__pick"))
-        .select(
-            "vec_id",
-            "m",
-            "embedding",
-            F.col("__pick.k").alias("cluster"),
-            F.col("__pick.d").alias("__d2"),
         )
     )
 
