@@ -46,16 +46,29 @@ _BASE_CONF: dict[str, str] = {
     # has PROVED every post-shuffle partition of the build side is under
     # 64 MB (the knob ships disabled at 0). This skips the per-partition
     # sorts without the memory risk of a static SHUFFLE_HASH preference:
-    # the rewrite fires only on measured partition bytes, so the
-    # sort-merge-pinned corpus self-joins (r14 broadcast-sweep pins, which
-    # guard against ESTIMATE-based broadcast builds) keep their
-    # partition-bounded memory at any scale -- partitions above the
-    # threshold stay sort-merge. 64 MB is a small fraction of per-task
-    # execution memory on any sane executor sizing. Measured at sf0.1
-    # (paired same-session A/B, warm, 2 reps): minhash_lsh_pairs
-    # 1.11 -> 0.91 s, ngram_containment_pairs 1.94 -> 1.65 s,
-    # winnow_overlap_pairs 2.05 -> 1.88 s; other families at noise.
+    # the rewrite fires only on measured partition bytes, so memory stays
+    # partition-bounded at any scale -- partitions above the threshold
+    # keep sort-merge. SCOPE, corrected by the r16 runtime-plan dumps
+    # (plans/r16/*_final_adaptive.txt): the rewrite CANNOT fire through a
+    # user SHUFFLE_MERGE hint, so the r14 sort-merge-pinned corpus
+    # self-joins (band/shingle/census families, functions/dedup.py
+    # _corpus_join_side) provably keep SortMergeJoin at runtime -- the r15
+    # band-family A/B deltas attributed to this knob were ambient-floor
+    # noise. Where it DOES fire is the engine's unhinted interior
+    # sort-merge joins (e.g. the bm25 qterms x postings probe inside
+    # rrf_hybrid_retrieval -- ShuffledHashJoin in its isFinalPlan=true
+    # dump). Kept for exactly those joins; the pins stay authoritative for
+    # the corpus self-joins by construction.
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
+    # ...and pin the advisory partition size it is compared against
+    # (ADVICE r15): the rewrite only activates while the threshold is >=
+    # advisoryPartitionSizeInBytes, so a deployment raising the advisory
+    # via spark-submit would silently disarm the knob above if the
+    # advisory were left implicit. 64m is Spark's default; stating it
+    # makes the coupling explicit and survivable under cluster tuning
+    # (spark-submit still wins for BOTH keys together, which keeps the
+    # pair coherent).
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64m",
     # Arrow for any pandas UDF edge (vectorized transfer, never row-at-a-time)
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # broadcast small dimension tables aggressively (region/nation/part/

@@ -302,6 +302,27 @@ def test_neardup_source_overlap_broadcasts_only_the_scalar_total(spark):
     assert "SortMergeJoin" in plan, plan[:2000]
 
 
+def test_band_join_stays_sort_merge_at_runtime_under_shj_rewrite(spark):
+    """r16 evidence closure for the r15 AQE shuffled-hash rewrite conf
+    (session.py maxShuffledHashJoinLocalMapThreshold): the SHUFFLE_MERGE
+    hint on corpus self-joins (functions.dedup._corpus_join_side) must
+    keep winning DURING AQE re-planning too, not just in the static plan
+    -- the runtime rewrite applies only to unhinted sort-merge joins, so
+    the r14 memory-safety pins hold by construction at execution time.
+    Executes the query (collect() runs the frame's own QueryExecution, so
+    ITS AdaptiveSparkPlan finalizes -- count() would finalize a different
+    wrapper plan) and asserts the finalized plan still carries the
+    sort-merge band join and no shuffled-hash or broadcast-hash variant
+    of it."""
+    df = all_specs()["minhash_lsh_pairs"].builder(spark, SF_DIR)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final, final[:500]
+    assert "SortMergeJoin" in final, final[:3000]
+    assert "ShuffledHashJoin" not in final, final[:3000]
+    assert "BroadcastHashJoin" not in final, final[:3000]
+
+
 @pytest.mark.parametrize(
     "name,n_merge",
     [("span_dedup_incremental", 2), ("line_dedup_incremental", 1)],

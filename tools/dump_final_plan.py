@@ -38,7 +38,10 @@ def main() -> None:
     specs = all_specs()
     for name in names:
         df = specs[name].builder(spark, sf_dir)
-        n = df.count()  # executes: AQE finalizes every stage's plan
+        # collect(), not count(): count() wraps df in a NEW Dataset whose
+        # own AdaptiveSparkPlan finalizes instead, leaving df's top-level
+        # plan isFinalPlan=false. collect() runs df's own QueryExecution.
+        n = len(df.collect())
         buf = io.StringIO()
         with redirect_stdout(buf):
             df.explain()  # post-execution: prints the final adaptive plan
