@@ -2549,15 +2549,32 @@ def bpe_learn_merges(vocab: DataFrame, n_merges: int) -> tuple[DataFrame, list[t
     connected-components precedent); the corpus itself is never touched --
     rounds operate on the vocab census exclusively.
 
-    Loop-frame discipline (r15): the vocab is localCheckpoint-ed EVERY
-    round, not persisted -- each round's census then reads a flat RDD scan
-    instead of a k-deep stack of cached fold plans, so Catalyst analysis
-    cost per round is O(1) in merge depth (the fold expression is large;
-    re-analyzing k copies of it dominated round latency). Materialization
-    count is unchanged: the old per-round persist already wrote the vocab
-    once per round when the next census ran. The frame is also coalesced
-    once to ~_BPE_VOCAB_ROWS_PER_PART rows per partition (measured, not
-    assumed -- the checkpoint makes the count a metadata read)."""
+    Loop-frame discipline (r15, tightened r16): the vocab is
+    localCheckpoint-ed EVERY round, not persisted -- each round's census
+    then reads a flat RDD scan instead of a k-deep stack of cached fold
+    plans, so Catalyst analysis cost per round is O(1) in merge depth (the
+    fold expression is large; re-analyzing k copies of it dominated round
+    latency). Materialization count is unchanged. The frame is also
+    coalesced once to ~_BPE_VOCAB_ROWS_PER_PART rows per partition
+    (measured, not assumed -- the checkpoint makes the count a metadata
+    read).
+
+    r16: each round is now exactly ONE job (statusTracker-verified
+    3 -> 1). The per-round checkpoint is LAZY (eager=False): the fold is
+    shuffle-free, so marking it checkpoints nothing at call time, and the
+    census job -- whose shuffle-map side necessarily computes every fold
+    partition -- materializes it as a side effect, replacing the separate
+    eager-materialization job. And the census runs with AQE temporarily
+    off (restored in a finally, the logreg-fit rule): a fixed-shape
+    vocab-sized aggregate gains nothing from adaptive re-planning but
+    paid a stage-materialization job round-trip per round at any merge
+    depth -- 32k-100k rounds at production depth. The one-time
+    corpus-sized census up front keeps AQE (its shuffles are the ones
+    adaptive sizing exists for). Cluster-mode caveat (ADVICE r15):
+    localCheckpoint truncates lineage to executor-local storage, so an
+    executor lost mid-loop is unrecoverable at real merge depth --
+    deployments running to 32k+ merges should swap the per-round
+    localCheckpoint for periodic reliable checkpoint() at the same seam."""
     merges: list[tuple[str, str]] = []
     # one checkpoint up front: materializes the census, truncates its
     # lineage, and makes the row count cheap for the partition sizing below
@@ -2567,37 +2584,44 @@ def bpe_learn_merges(vocab: DataFrame, n_merges: int) -> tuple[DataFrame, list[t
     if target < cur.rdd.getNumPartitions():
         # narrow post-checkpoint coalesce; every later checkpoint inherits it
         cur = cur.coalesce(target)
-    for _ in range(n_merges):
-        s = F.split("sym", r"\|")
-        best = (
-            cur.withColumn("s", s)
-            .filter(F.size("s") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(0, size(s) - 2),"
-                        " j -> struct(s[j] AS a, s[j + 1] AS b))"
-                    )
-                ).alias("p"),
-                "c",
+    spark = vocab.sparkSession
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        for _ in range(n_merges):
+            s = F.split("sym", r"\|")
+            best = (
+                cur.withColumn("s", s)
+                .filter(F.size("s") >= 2)
+                .select(
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(0, size(s) - 2),"
+                            " j -> struct(s[j] AS a, s[j + 1] AS b))"
+                        )
+                    ).alias("p"),
+                    "c",
+                )
+                .groupBy("p.a", "p.b")
+                .agg(F.sum("c").alias("pc"))
+                .orderBy(F.col("pc").desc(), "a", "b")
+                .limit(1)
+                .collect()
             )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("c").alias("pc"))
-            .orderBy(F.col("pc").desc(), "a", "b")
-            .limit(1)
-            .collect()
-        )
-        if not best:  # every word is a single symbol already
-            break
-        a, b = best[0]["a"], best[0]["b"]
-        merges.append((a, b))
-        folded = cur.select(
-            "tok", "c", _bpe_apply_merge(F.col("sym"), a, b).alias("sym")
-        )
-        # flatten every round: materialize the vocab census (small by
-        # construction -- one row per distinct corpus token) and drop the
-        # fold lineage so the next round analyzes a constant-size plan
-        cur = folded.localCheckpoint(eager=True)
+            if not best:  # every word is a single symbol already
+                break
+            a, b = best[0]["a"], best[0]["b"]
+            merges.append((a, b))
+            folded = cur.select(
+                "tok", "c", _bpe_apply_merge(F.col("sym"), a, b).alias("sym")
+            )
+            # flatten every round: the next census's job materializes this
+            # (lazy) checkpoint while computing its shuffle-map side, and
+            # the fold lineage is dropped so the next round analyzes a
+            # constant-size plan
+            cur = folded.localCheckpoint(eager=False)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     return cur, merges
 
 

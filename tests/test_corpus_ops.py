@@ -1140,9 +1140,10 @@ def test_bpe_encode_deep_merge_table_matches_reference_and_plan_stays_flat(spark
     """Real-tokenizer-depth shakeout (r10 verdict item 7): an 18-merge table
     over a suffix-rich planted corpus must match the independent scan-based
     BPE exactly, AND the result frame's printed plan must stay bounded --
-    the merge loop localCheckpoints the vocab every _BPE_CHECKPOINT_EVERY
-    rounds, so plan depth is O(K), not O(n_merges) (the 6-merge demo's
-    lineage was ~1 MB before this)."""
+    the merge loop localCheckpoints the vocab EVERY round (r15; lazily
+    since r16, materialized by each round's census job), so plan depth is
+    O(1) in merge depth (the 6-merge demo's lineage was ~1 MB before
+    this)."""
     rows = [
         (1, "internationalization internationalization localization"
             " localization localization modernization"),
