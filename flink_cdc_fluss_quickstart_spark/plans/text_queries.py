@@ -2586,7 +2586,13 @@ def bpe_learn_merges(vocab: DataFrame, n_merges: int) -> tuple[DataFrame, list[t
         cur = cur.coalesce(target)
     spark = vocab.sparkSession
     prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # with AQE off the census shuffle would run the static session width
+    # per round; size it to the SAME measured vocab-derived target as the
+    # frame itself (scale-adaptive, restored below). Measured at sf0.1:
+    # 201 -> 15 tasks across a 6-merge loop, ~-0.3 s warm.
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
     try:
         for _ in range(n_merges):
             s = F.split("sym", r"\|")
@@ -2622,6 +2628,7 @@ def bpe_learn_merges(vocab: DataFrame, n_merges: int) -> tuple[DataFrame, list[t
             cur = folded.localCheckpoint(eager=False)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return cur, merges
 
 
