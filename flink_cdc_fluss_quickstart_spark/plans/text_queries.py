@@ -1097,23 +1097,32 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
     )
-    docfreq = dtf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    eligible = (
-        docfreq.crossJoin(F.broadcast(stats))
-        .filter(
-            F.col("df")
-            <= F.greatest(
-                F.lit(BM25_DF_CAP_FLOOR),
-                F.expr(f"n_docs div {BM25_DF_CAP_DENOM}"),
-            )
-        )
-        .select(
-            "tok",
-            (F.length(F.bin("n_docs")) - F.length(F.bin("df")))
-            .cast("bigint")
-            .alias("idf_bits"),
-        )
+    # df profile, PERSISTED (r16): three consumers below (qterms' eligible
+    # join, the postings eligible join, and the heavy stop-term set) each
+    # re-ran the vocab rollup over the corpus-sized dtf cache -- one
+    # materialization now serves all three (vocab-sized, the same rule as
+    # dl).
+    dfx = _cached(
+        dtf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .crossJoin(F.broadcast(stats))
     )
+    cap = F.greatest(
+        F.lit(BM25_DF_CAP_FLOOR),
+        F.expr(f"n_docs div {BM25_DF_CAP_DENOM}"),
+    )
+    eligible = dfx.filter(F.col("df") <= cap).select(
+        "tok",
+        (F.length(F.bin("n_docs")) - F.length(F.bin("df")))
+        .cast("bigint")
+        .alias("idf_bits"),
+    )
+    # the dropped Zipf head as a frame (guide 3.2, VERDICT r15 item 4):
+    # tokens over the df cap are BOUNDED by mass -- sum(df) = sum over docs
+    # of |distinct tokens per doc|, so |{t: df_t > n_docs/DENOM}| <=
+    # DENOM * avg_doc_vocab regardless of corpus size -- which is why the
+    # broadcast below is safe to FORCE where corpus-sized frames never are.
+    heavy = dfx.filter(F.col("df") > cap).select("tok")
     wq = Window.partitionBy("query_id").orderBy(
         F.desc(F.col("tf") * F.col("idf_bits")), F.asc("tok")
     )
@@ -1125,7 +1134,19 @@ def bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("r") <= BM25_QUERY_TERMS)
         .select("query_id", "tok", "idf_bits")
     )
-    postings = dtf.join(eligible.select("tok"), "tok").join(dl, "doc_id")
+    # pre-shuffle stop-term semi-filter (guide 3.2): the eligible join is
+    # broadcast at test vocab sizes, but at a real corpus's vocabulary the
+    # planner keys dtf through a tok exchange that would CARRY the Zipf
+    # head only for the join to drop it post-shuffle. Anti-joining the
+    # bounded heavy set (broadcast, see bound above) drops those rows
+    # BEFORE the exchange; rows removed are exactly the rows the eligible
+    # inner join removes anyway (eligible and heavy partition the
+    # vocabulary), so the result is unchanged at every scale.
+    postings = (
+        dtf.join(F.broadcast(heavy), "tok", "left_anti")
+        .join(eligible.select("tok"), "tok")
+        .join(dl, "doc_id")
+    )
     scored = (
         qterms.join(postings, "tok")
         .filter(F.col("doc_id") != F.col("query_id"))
