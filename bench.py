@@ -7,12 +7,14 @@ Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 from __future__ import annotations
 
+import io
 import json
 import math
 import os
 import re
 import sys
 import time
+from contextlib import redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -318,16 +320,56 @@ def main() -> None:
     calib = _calibrate(spark)
     print(f"# calibration (fixed 200M-row mod-sum): {calib:.3f}s", file=sys.stderr)
 
+    # r16 (VERDICT r15 item 6): per-query {jobs, stages, tasks, plan_lines}
+    # telemetry so plan-level movement is separable from wall-clock ambience
+    # in the round-over-round record. STRICTLY additive: the timed region
+    # (t0 .. count) is byte-identical to every prior round; the job-group
+    # label is set before t0 and the counters are read after the timing is
+    # captured. Emitted on stderr per query and as one extra stdout JSON
+    # line (the final machine-read line is unchanged).
+    telemetry: dict[str, dict] = {}
+    tracker = spark.sparkContext.statusTracker()
     for name in HEADLINE:
         spec = specs[name]
+        spark.sparkContext.setJobGroup(f"bench-{name}", name)
         t0 = time.time()
         df = spec.builder(spark, sf_dir)
         n = df.count()  # forces full execution; avoids driver-side collect cost
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        jobs = tracker.getJobIdsForGroup(f"bench-{name}")
+        stages = tasks = 0
+        for jid in jobs:
+            jinfo = tracker.getJobInfo(jid)
+            if jinfo is None:
+                continue
+            for sid in jinfo.stageIds:
+                sinfo = tracker.getStageInfo(sid)
+                if sinfo is not None:
+                    stages += 1
+                    tasks += sinfo.numTasks
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        telemetry[name] = {
+            "jobs": len(jobs),
+            "stages": stages,
+            "tasks": tasks,
+            "plan_lines": len(buf.getvalue().splitlines()),
+        }
+        spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+        print(
+            f"# {name}: {timings[name]:.3f}s ({n} rows) "
+            f"[jobs={telemetry[name]['jobs']} stages={stages} tasks={tasks} "
+            f"plan_lines={telemetry[name]['plan_lines']}]",
+            file=sys.stderr,
+        )
         # drop intra-query persists AFTER the timing so per-query numbers
         # stay independent and later queries don't inherit cache pressure
         spark.catalog.clearCache()
+    # full-fidelity telemetry line (the driver machine-reads only the FINAL
+    # line; the streaming blocks established this extra-line pattern)
+    print(json.dumps({"metric": "bench_telemetry", "queries": telemetry},
+                     separators=(",", ":")))
 
     # second calibration reading right before the envelopes: ambient host
     # load can differ between the batch phase and the streaming phase, and
