@@ -55,10 +55,10 @@ _BASE_CONF: dict[str, str] = {
     # _corpus_join_side) provably keep SortMergeJoin at runtime -- the r15
     # band-family A/B deltas attributed to this knob were ambient-floor
     # noise. Where it DOES fire is the engine's unhinted interior
-    # sort-merge joins (e.g. the bm25 qterms x postings probe inside
-    # rrf_hybrid_retrieval -- ShuffledHashJoin in its isFinalPlan=true
-    # dump). Kept for exactly those joins; the pins stay authoritative for
-    # the corpus self-joins by construction.
+    # sort-merge joins (e.g. rrf_hybrid_retrieval's full-outer rank
+    # fusion join -- ShuffledHashJoin FullOuter BuildLeft in its
+    # isFinalPlan=true dump). Kept for exactly those joins; the pins stay
+    # authoritative for the corpus self-joins by construction.
     "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": "64m",
     # ...and pin the advisory partition size it is compared against
     # (ADVICE r15): the rewrite only activates while the threshold is >=
