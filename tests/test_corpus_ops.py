@@ -1136,6 +1136,75 @@ def test_line_dedup_incremental_batch_vs_census_rule(spark):
     assert out[20]["text_dedup"] == "kept delta"
 
 
+def test_logreg_fit_is_one_job_per_gd_round(spark, sf_dir):
+    """r16 loop-discipline guard: the fit's reductions run with AQE off,
+    so a full plain fit is exactly 2 moment jobs + LOGREG_ROUNDS
+    single-job gradient rounds (+1 for the feature-cache materialization
+    riding the first pass) -- measured 11 at both test SFs. A regression
+    to adaptive per-round stage-materialization round-trips (the pre-r16
+    shape was 17+) doubles the loop's fixed latency at any corpus size.
+    Also re-asserts the AQE toggle is RESTORED after the fit."""
+    from flink_cdc_fluss_quickstart_spark.tables import load_table, spread
+
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    d = spread(load_table(spark, sf_dir, "documents"))
+    sc = spark.sparkContext
+    group = "logreg-fit-job-guard"
+    sc.setJobGroup(group, group)
+    try:
+        tq._logreg_fit_full(d)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev
+    assert n_jobs <= tq.LOGREG_ROUNDS + 4, (
+        f"logreg fit ran {n_jobs} jobs for {tq.LOGREG_ROUNDS} rounds -- "
+        "the single-job-per-round discipline regressed"
+    )
+
+
+def test_bpe_learn_loop_is_one_job_per_round(spark):
+    """r16 loop-discipline guard: after the upfront census checkpoint +
+    count, each merge round is exactly ONE job (lazy per-round
+    localCheckpoint materialized by the census job, AQE off inside the
+    loop) -- measured 10 jobs total for 4 merges. The pre-r16 shape was 3
+    jobs/round; at production depth (32k-100k merges) that difference is
+    the loop's dominant fixed cost. Also re-asserts both toggled confs
+    are RESTORED after the loop."""
+    rows = [
+        (1, "internationalization localization tokenization modernization"),
+        (2, "organization organization normalization internationalize"),
+        (3, "tokenizer tokenizers normalizer modernizer organizations"),
+    ]
+    d = _docs(spark, rows)
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = (
+        toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+        .groupBy("tok").agg(F.sum("tf").alias("c"))
+        .select("tok", "c", F.array_join(F.split("tok", ""), tq._BPE_SEP).alias("sym"))
+    )
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    n_merges = 4
+    sc = spark.sparkContext
+    group = "bpe-loop-job-guard"
+    sc.setJobGroup(group, group)
+    try:
+        _, merges = tq.bpe_learn_merges(vocab, n_merges)
+        n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == prev_aqe
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev_parts
+    assert len(merges) == n_merges
+    # upfront checkpoint+count cost a few fixed jobs; the rounds must not
+    # exceed one job each (plus slack of 1 for environment variance)
+    assert n_jobs <= n_merges + 7, (
+        f"bpe learn loop ran {n_jobs} jobs for {n_merges} merges -- "
+        "the one-job-per-round discipline regressed"
+    )
+
+
 def test_bpe_encode_deep_merge_table_matches_reference_and_plan_stays_flat(spark):
     """Real-tokenizer-depth shakeout (r10 verdict item 7): an 18-merge table
     over a suffix-rich planted corpus must match the independent scan-based
