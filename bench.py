@@ -475,12 +475,19 @@ def main() -> None:
         },
         "calibration_sec": round(calib, 3),
         "calibration_before_streaming_sec": round(calib_streaming, 3),
+        # compact plan-size scalars for the driver's capture window (the
+        # per-query breakdown rides the bench_telemetry line above): total
+        # formatted-explain lines and total jobs across the headline set --
+        # plan/job movement round-over-round, ambience-immune
+        "plan_lines_total": sum(t["plan_lines"] for t in telemetry.values()),
+        "jobs_total": sum(t["jobs"] for t in telemetry.values()),
         "sf": sf,
     }
     line = json.dumps(headline, separators=(",", ":"))
     # shed detail rather than overflow the driver's capture window; the
     # streaming detail already went out on its own lines above
-    for drop in ("streaming_p95", "calibration_before_streaming_sec"):
+    for drop in ("plan_lines_total", "jobs_total", "streaming_p95",
+                 "calibration_before_streaming_sec"):
         if len(line) <= 1800:
             break
         headline.pop(drop, None)
